@@ -1,0 +1,49 @@
+"""Loaders for the driver's synthetic star-schema testdata.
+
+The testdata parquet files store timestamps as ``TIMESTAMP(NANOS)``, which
+Spark's parquet reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+is set (session.py sets it); the columns then surface as nano-epoch longs.
+``load_table`` converts them back to proper TimestampType so every operator
+and oracle comparison sees real timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# timestamp-typed columns per table (FIXTURES.md §7 schemas)
+_TS_COLS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        field = dict(zip(df.schema.names, df.schema.fields))[c]
+        if isinstance(field.dataType, LongType):
+            # nano-epoch long → micros → timestamp (values are far coarser
+            # than microsecond precision, so the truncation is lossless)
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,646 @@
+"""SparseFrame — labeled 2-D sparse numeric table on Spark DataFrames.
+
+Re-expresses the query surface of the reference's ``SparseFrame``
+(reference sparse_frame.py) with a Spark-first physical design:
+
+* ``cells``  — long/COO DataFrame ``(key_cols..., col: string, value: double)``,
+  one row per *stored* cell.  Absent cell == implicit 0.0.
+* ``index``  — DataFrame of the frame's row labels (``key_cols...`` plus an
+  optional hidden ``__pos__`` position column when a stable row order is
+  known).  Carries rows whose cells are all zero and defines N for the
+  dense-denominator statistics (reference sparse_frame.py:146-150).
+* ``columns`` — small driver-side ordered list of column labels, the analog
+  of the reference's ``_columns`` pandas Index.  Preserves category order
+  for one-hot (reference sparse_frame.py:567-601), projection order
+  (reference sparse_frame.py:460-467), and all-zero columns that a pure
+  long format would lose.
+
+Everything stays a lazy DataFrame until ``todense()`` / ``collect`` —
+Catalyst replaces the reference's eager index algebra (its sentinel-row
+outer-align, reference sparse_frame.py:519-552, becomes outer join +
+``coalesce(value, 0)``; its sparse-matmul group-by, reference
+sparse_frame.py:228-230, becomes one hash aggregate over the long rows,
+which has the same work-proportional-to-nnz asymptotics and gets
+map-side partial aggregation for free).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+POS = "__pos__"  # hidden position column (stable row order, when known)
+COL = "col"
+VAL = "value"
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class SparseFrame:
+    """A labeled sparse numeric matrix backed by lazy Spark DataFrames."""
+
+    def __init__(
+        self,
+        cells: DataFrame,
+        key_cols: Sequence[str],
+        columns: Sequence[str],
+        index: DataFrame | None = None,
+    ):
+        self.key_cols = list(key_cols)
+        self.columns = [str(c) for c in columns]
+        expected = self.key_cols + [COL, VAL]
+        missing = [c for c in expected if c not in cells.columns]
+        if missing:
+            raise ValueError(f"cells missing columns {missing}; has {cells.columns}")
+        # cells may carry the hidden position column, which disambiguates
+        # duplicate row labels (legal in the reference, test_sparse_frame.py:508)
+        pos_cols = [POS] if POS in cells.columns else []
+        self._cells = cells.select(
+            *self.key_cols,
+            *pos_cols,
+            F.col(COL).cast("string").alias(COL),
+            F.col(VAL).cast("double").alias(VAL),
+        )
+        if index is not None:
+            keep = [c for c in self.key_cols + [POS] if c in index.columns]
+            index = index.select(*keep)
+        self._index = index
+
+    # ------------------------------------------------------------------ #
+    # basic properties                                                   #
+    # ------------------------------------------------------------------ #
+
+    @property
+    def data(self) -> DataFrame:
+        """The long/COO cell DataFrame (public analog of reference ``.data``,
+        reference sparse_frame.py:189-193 — already sans sentinel row, which
+        this engine never needs)."""
+        return self._cells
+
+    @property
+    def index(self) -> DataFrame:
+        """Row-label DataFrame. Derived from cells (distinct keys) when not
+        explicitly tracked; explicit when the frame knows about all-zero rows
+        or a stable row order."""
+        if self._index is None:
+            return self._cells.select(*self.key_cols).distinct()
+        return self._index
+
+    @property
+    def has_pos(self) -> bool:
+        return self._index is not None and POS in self._index.columns
+
+    @property
+    def cells_have_pos(self) -> bool:
+        return POS in self._cells.columns
+
+    def _bare_cells(self) -> DataFrame:
+        """Cells without the hidden position column."""
+        return self._cells.select(*self.key_cols, COL, VAL)
+
+    def spark(self):
+        return self._cells.sparkSession
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.index.count(), len(self.columns))
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def empty(self) -> bool:
+        return len(self.columns) == 0 or self.index.isEmpty()
+
+    def nnz(self) -> int:
+        """Stored-cell count (reference sparse_frame.py:162-163)."""
+        return self._cells.filter(F.col(VAL) != 0.0).count()
+
+    def copy(self) -> "SparseFrame":
+        # DataFrames are immutable; copying is metadata-only
+        # (reference sparse_frame.py:158-161 deep-copies scipy data).
+        return SparseFrame(self._cells, self.key_cols, self.columns, self._index)
+
+    # ------------------------------------------------------------------ #
+    # projection / selection                                             #
+    # ------------------------------------------------------------------ #
+
+    def __getitem__(self, item) -> "SparseFrame":
+        """Column projection preserving requested order
+        (reference sparse_frame.py:460-467)."""
+        names = [str(c) for c in _as_list(item)]
+        unknown = [c for c in names if c not in self.columns]
+        if unknown:
+            raise KeyError(f"columns not found: {unknown}")
+        cells = self._cells.filter(F.col(COL).isin(names))
+        return SparseFrame(cells, self.key_cols, names, self._index)
+
+    def rename(self, columns: Callable[[str], str]) -> "SparseFrame":
+        """Map a callable over column labels (reference sparse_frame.py:290-300)."""
+        mapping = {c: str(columns(c)) for c in self.columns}
+        expr = F.col(COL)
+        for old, new in mapping.items():
+            if old != new:
+                expr = F.when(F.col(COL) == old, F.lit(new)).otherwise(expr)
+        cells = self._cells.withColumn(COL, expr)
+        return SparseFrame(cells, self.key_cols, [mapping[c] for c in self.columns], self._index)
+
+    def assign(self, **kwargs) -> "SparseFrame":
+        """Append new scalar-broadcast columns (reference sparse_frame.py:423-436).
+        Assigning to an existing column raises, matching the reference's
+        ``NotImplementedError`` contract (reference sparse_frame.py:449-450)."""
+        out = self
+        for name, value in kwargs.items():
+            out = out._add_scalar_col(str(name), float(value))
+        return out
+
+    def _add_scalar_col(self, name: str, value: float) -> "SparseFrame":
+        if name in self.columns:
+            raise NotImplementedError("assigning to an existing column is not supported")
+        carry = [POS] if (self.cells_have_pos and self.has_pos) else []
+        cells = self._cells if carry else self._bare_cells()
+        new_rows = self.index.select(
+            *self.key_cols,
+            *carry,
+            F.lit(name).alias(COL),
+            F.lit(value).cast("double").alias(VAL),
+        )
+        return SparseFrame(
+            cells.unionByName(new_rows), self.key_cols, self.columns + [name], self._index
+        )
+
+    def __setitem__(self, key, value):
+        raise NotImplementedError(
+            "SparseFrame is immutable on Spark; use .assign(name=scalar) which returns a new frame"
+        )
+
+    def set_index(self, keys: str | Sequence[str] | None = None, level: int | None = None) -> "SparseFrame":
+        """Re-key the frame (reference sparse_frame.py:476-494).
+
+        * ``level=i`` keeps only the i-th key column of a composite key.
+        * ``keys=[...]`` re-keys to any subset/reorder of current key columns.
+        """
+        if level is not None:
+            keys = [self.key_cols[level]]
+        keys = _as_list(keys)
+        unknown = [k for k in keys if k not in self.key_cols]
+        if unknown:
+            raise KeyError(f"not key columns: {unknown}")
+        pos_cols = [POS] if self.cells_have_pos else []
+        cells = self._cells.select(*keys, *pos_cols, COL, VAL)
+        idx = None
+        if self._index is not None:
+            keep = keys + ([POS] if self.has_pos else [])
+            idx = self._index.select(*keep)
+        return SparseFrame(cells, keys, self.columns, idx)
+
+    def dropna(self) -> "SparseFrame":
+        """Drop rows whose row *label* is NULL (reference sparse_frame.py:469-474
+        drops NaN index labels; cell values have no NULL semantics)."""
+        pred = functools.reduce(operator.and_, [F.col(k).isNotNull() for k in self.key_cols])
+        idx = self._index.filter(pred) if self._index is not None else None
+        return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
+
+    def drop_duplicate_idx(self) -> "SparseFrame":
+        """Keep the *first* row per duplicated label (reference
+        sparse_frame.py:454-458).  "First" needs an order: uses the hidden
+        position column when present, else an arbitrary-but-deterministic
+        representative via ``row_number`` ordered by the key itself."""
+        if self.has_pos:
+            w = Window.partitionBy(*self.key_cols).orderBy(F.col(POS))
+            keep = (
+                self._index.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+            if self.cells_have_pos:
+                cells = self._cells.join(keep.select(POS), on=POS, how="leftsemi")
+            else:
+                cells = self._cells.join(keep.select(*self.key_cols), on=self.key_cols, how="leftsemi")
+            return SparseFrame(cells, self.key_cols, self.columns, keep)
+        # No order known: duplicate labels hold identical long rows anyway;
+        # dedup the index and cells.
+        return SparseFrame(self._cells.distinct(), self.key_cols, self.columns, self.index.distinct())
+
+    # -- label-based selection (loc) ----------------------------------- #
+
+    def loc_in(self, values: Iterable, level: int = 0) -> "SparseFrame":
+        """Label membership selection: ``sf.loc[['a','b']]``."""
+        key = self.key_cols[level]
+        vals = list(values)
+        pred = F.col(key).isin(vals)
+        idx = self._index.filter(pred) if self._index is not None else None
+        return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
+
+    def loc_range(self, start=None, stop=None, level: int = 0) -> "SparseFrame":
+        """Label slice — **stop-inclusive**, matching pandas label slicing
+        (reference tests test_sparse_frame.py:156-171).  Range predicates
+        push down to parquet min/max stats, the Spark analog of the
+        reference's sorted ``divisions`` pruning (reference dask/io.py:89-112)."""
+        key = self.key_cols[level]
+        pred = F.lit(True)
+        if start is not None:
+            pred = pred & (F.col(key) >= F.lit(start))
+        if stop is not None:
+            pred = pred & (F.col(key) <= F.lit(stop))
+        idx = self._index.filter(pred) if self._index is not None else None
+        return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
+
+    # -- positional selection (iloc / take) ---------------------------- #
+
+    def _require_pos(self):
+        if not self.has_pos:
+            raise ValueError(
+                "positional selection needs a frame with a known row order "
+                "(built via from_pandas / one_hot with order); label-based "
+                "loc_* is the scalable path"
+            )
+
+    def take(self, positions: Sequence[int]) -> "SparseFrame":
+        """Positional row selection (reference sparse_frame.py:165-174).
+        Driver-supplied position list — intended for small frames, like the
+        reference's own use."""
+        self._require_pos()
+        idx = self._index.filter(F.col(POS).isin([int(p) for p in positions]))
+        cells = self._gather_cells(idx)
+        return SparseFrame(cells, self.key_cols, self.columns, idx)
+
+    def _gather_cells(self, idx: DataFrame) -> DataFrame:
+        if self.cells_have_pos:
+            return self._cells.join(idx.select(POS), on=POS, how="leftsemi")
+        return self._cells.join(idx.select(*self.key_cols).distinct(), on=self.key_cols, how="leftsemi")
+
+    def iloc_slice(self, start: int | None = None, stop: int | None = None) -> "SparseFrame":
+        """Positional slice [start, stop) — python slice semantics
+        (reference indexing.py:13-21)."""
+        self._require_pos()
+        pred = F.lit(True)
+        if start is not None:
+            pred = pred & (F.col(POS) >= int(start))
+        if stop is not None:
+            pred = pred & (F.col(POS) < int(stop))
+        idx = self._index.filter(pred)
+        cells = self._gather_cells(idx)
+        return SparseFrame(cells, self.key_cols, self.columns, idx)
+
+    def head(self, n: int = 1) -> pd.DataFrame:
+        """First n rows, dense pandas (reference sparse_frame.py:382-387)."""
+        if self.has_pos:
+            return self.iloc_slice(0, n).todense()
+        idx_head = self.index.limit(n)
+        cells = self._bare_cells().join(idx_head, on=self.key_cols, how="leftsemi")
+        return SparseFrame(cells, self.key_cols, self.columns, idx_head).todense()
+
+    # ------------------------------------------------------------------ #
+    # sorting                                                            #
+    # ------------------------------------------------------------------ #
+
+    def sort_index(self) -> "SparseFrame":
+        """Sort rows by label (reference sparse_frame.py:306-317 — minus its
+        column-label-dropping bug, deliberately not reproduced).  On Spark,
+        row order is only meaningful at materialization; we re-number the
+        hidden position column so downstream positional ops follow label
+        order, and range-partition the cells so a write produces sorted files
+        (the divisions analog)."""
+        idx = self.index
+        if POS in idx.columns:
+            # stable sort: ties broken by prior position
+            w = Window.orderBy(*[F.col(k) for k in self.key_cols], F.col(POS))
+            mapping = idx.withColumn("__newpos__", F.row_number().over(w) - F.lit(1))
+            new_idx = mapping.select(*self.key_cols, F.col("__newpos__").alias(POS))
+            cells = self._cells
+            if self.cells_have_pos:
+                m = mapping.select(F.col(POS), F.col("__newpos__"))
+                cells = (
+                    cells.join(m, on=POS, how="inner")
+                    .drop(POS)
+                    .withColumnRenamed("__newpos__", POS)
+                )
+            cells = cells.repartitionByRange(*[F.col(k) for k in self.key_cols])
+            return SparseFrame(cells, self.key_cols, self.columns, new_idx)
+        w = Window.orderBy(*[F.col(k) for k in self.key_cols])
+        idx = idx.withColumn(POS, F.row_number().over(w) - F.lit(1))
+        cells = self._bare_cells().repartitionByRange(*[F.col(k) for k in self.key_cols])
+        return SparseFrame(cells, self.key_cols, self.columns, idx)
+
+    # ------------------------------------------------------------------ #
+    # joins / combination                                                #
+    # ------------------------------------------------------------------ #
+
+    def join(self, other: "SparseFrame", axis: int = 1, how: str = "outer") -> "SparseFrame":
+        """Index equi-join (reference sparse_frame.py:233-288).
+
+        axis=1 concatenates column sets, aligning rows on the key — in long
+        format the cell union IS the hstack, and `how` only decides which
+        keys survive.  No sentinel row, no gather: missing cells are simply
+        absent rows (implicit zeros).  axis=0 is vertical concat; unlike the
+        reference (whose axis=0 general case is dead code raising
+        NotImplementedError, reference sparse_frame.py:265-274), column
+        alignment comes free in long format.
+        """
+        if axis == 0:
+            return self._vstack_aligned(other)
+        if set(self.key_cols) != set(other.key_cols):
+            raise ValueError(f"key mismatch: {self.key_cols} vs {other.key_cols}")
+        ks = self.key_cols
+        left, right = self._bare_cells(), other._bare_cells().select(*ks, COL, VAL)
+        lk, rk = self.index.select(*ks).distinct(), other.index.select(*ks).distinct()
+        if how == "outer":
+            cells = left.unionByName(right)
+            idx = lk.unionByName(rk).distinct()
+        elif how == "inner":
+            keys = lk.join(rk, on=ks, how="inner")
+            cells = left.unionByName(right).join(keys, on=ks, how="leftsemi")
+            idx = keys
+        elif how == "left":
+            cells = left.unionByName(right.join(lk, on=ks, how="leftsemi"))
+            idx = lk
+        elif how == "right":
+            cells = left.join(rk, on=ks, how="leftsemi").unionByName(right)
+            idx = rk
+        else:
+            raise ValueError(f"how={how!r}")
+        dup = [c for c in other.columns if c in self.columns]
+        if dup:
+            raise ValueError(f"axis=1 join with overlapping columns: {dup}")
+        return SparseFrame(cells, ks, self.columns + other.columns, idx)
+
+    def _vstack_aligned(self, other: "SparseFrame") -> "SparseFrame":
+        if set(self.key_cols) != set(other.key_cols):
+            raise ValueError("vstack requires matching key columns")
+        cols = list(self.columns) + [c for c in other.columns if c not in self.columns]
+        keep_pos = (
+            self.has_pos and other.has_pos and self.cells_have_pos and other.cells_have_pos
+        )
+        if keep_pos:
+            # keep order: other's rows come after self's
+            offset = self.shape[0]
+            li = self._index
+            ri = other._index.withColumn(POS, F.col(POS) + F.lit(offset))
+            lc = self._cells
+            rc = other._cells.withColumn(POS, F.col(POS) + F.lit(offset)).select(
+                *self.key_cols, POS, COL, VAL
+            )
+            return SparseFrame(lc.unionByName(rc), self.key_cols, cols, li.unionByName(ri))
+        cells = self._bare_cells().unionByName(other._bare_cells().select(*self.key_cols, COL, VAL))
+        idx = None
+        if self._index is not None and other._index is not None:
+            li = self._index.drop(POS) if POS in self._index.columns else self._index
+            ri = other._index.drop(POS) if POS in other._index.columns else other._index
+            idx = li.unionByName(ri.select(*li.columns))
+        return SparseFrame(cells, self.key_cols, cols, idx)
+
+    def vstack(self, other: "SparseFrame") -> "SparseFrame":
+        """UNION ALL with identical column sets asserted
+        (reference sparse_frame.py:496-507)."""
+        if set(self.columns) != set(other.columns):
+            raise ValueError("vstack requires identical column sets")
+        return self._vstack_aligned(other)
+
+    @staticmethod
+    def concat(frames: Sequence["SparseFrame"], axis: int = 0) -> "SparseFrame":
+        """Fold with join along an axis (reference sparse_frame.py:394-398)."""
+        return functools.reduce(lambda a, b: a.join(b, axis=axis), frames)
+
+    def add(self, other: "SparseFrame", how: str = "outer") -> "SparseFrame":
+        """Aligned elementwise addition (reference sparse_frame.py:319-337,
+        _aligned_csr_elop 519-534).  Long format makes this union +
+        re-aggregate: a single hash aggregate with map-side combine — the
+        declarative form of the reference's sentinel-row alignment."""
+        if set(self.columns) != set(other.columns):
+            raise ValueError("add requires identical column sets (reference asserts this)")
+        ks = self.key_cols
+        left, right = self._bare_cells(), other._bare_cells().select(*ks, COL, VAL)
+        lk, rk = self.index.select(*ks).distinct(), other.index.select(*ks).distinct()
+        unioned = left.unionByName(right)
+        if how == "outer":
+            idx = lk.unionByName(rk).distinct()
+        elif how == "inner":
+            idx = lk.join(rk, on=ks, how="inner")
+            unioned = unioned.join(idx, on=ks, how="leftsemi")
+        elif how == "left":
+            idx = lk
+            unioned = unioned.join(idx, on=ks, how="leftsemi")
+        elif how == "right":
+            idx = rk
+            unioned = unioned.join(idx, on=ks, how="leftsemi")
+        else:
+            raise ValueError(f"how={how!r}")
+        cells = unioned.groupBy(*ks, COL).agg(F.sum(VAL).alias(VAL))
+        return SparseFrame(cells, ks, self.columns, idx)
+
+    # ------------------------------------------------------------------ #
+    # aggregation                                                        #
+    # ------------------------------------------------------------------ #
+
+    def groupby_sum(self, by: str | Sequence[str] | None = None, level: int = 0) -> "SparseFrame":
+        """Group rows by key (or key level) and sum each column — the
+        reference's signature sparse-matmul aggregation (reference
+        sparse_frame.py:196-231, 555-564).  Here: ONE hash aggregate over
+        long rows, work ∝ nnz regardless of column count, partial
+        aggregation map-side.  Output keys sorted ascending for parity with
+        ``np.unique`` (reference sparse_frame.py:231)."""
+        if by is None:
+            keys = [self.key_cols[level]]
+        else:
+            keys = _as_list(by)
+            unknown = [k for k in keys if k not in self.key_cols]
+            if unknown:
+                raise KeyError(f"not key columns: {unknown}")
+        # No orderBy here: sorted-ascending key parity (np.unique) is only
+        # observable at materialization, and todense() sorts — an eager
+        # orderBy would add a useless range-exchange to every downstream op.
+        cells = self._cells.groupBy(*keys, COL).agg(F.sum(VAL).alias(VAL))
+        idx = self.index.select(*keys).distinct()
+        return SparseFrame(cells, keys, self.columns, idx)
+
+    def groupby(self, by=None, level: int = 0) -> "SparseFrame":
+        return self.groupby_sum(by=by, level=level)
+
+    def _dims(self) -> tuple[int, int]:
+        n = self.index.count()
+        k = len(self.columns)
+        return n, k
+
+    def sum(self, axis: int | None = None):
+        """Matrix sum (reference sparse_frame.py:143-144, scipy semantics).
+
+        axis=None → scalar; axis=0 → per-column pandas Series;
+        axis=1 → per-row SparseFrame-shaped pandas."""
+        if axis is None:
+            row = self._cells.agg(F.coalesce(F.sum(VAL), F.lit(0.0)).alias("s")).collect()[0]
+            return row["s"]
+        if axis == 0:
+            pdf = (
+                self._cells.groupBy(COL).agg(F.sum(VAL).alias("s")).toPandas().set_index(COL)["s"]
+            )
+            return pdf.reindex(self.columns, fill_value=0.0)
+        pdf = (
+            self._cells.groupBy(*self.key_cols).agg(F.sum(VAL).alias("s")).toPandas()
+        )
+        return pdf.set_index(self.key_cols)["s"]
+
+    def mean(self, axis: int | None = None):
+        """Matrix mean with the **dense denominator** N·K — explicit zeros
+        count, matching scipy (reference sparse_frame.py:146-147).  NOT the
+        nnz-mean a naive ``avg(value)`` over long rows would give."""
+        n, k = self._dims()
+        if axis is None:
+            return self.sum(None) / float(n * k)
+        if axis == 0:
+            return self.sum(0) / float(n)
+        return self.sum(1) / float(k)
+
+    def std(self, axis: int | None = None):
+        """Dense-denominator standard deviation (reference sparse_frame.py:149-150):
+        sqrt(E[x²] − E[x]²) over all N·K cells including implicit zeros."""
+        import math
+
+        n, k = self._dims()
+        sq = self._cells.withColumn(VAL, F.col(VAL) * F.col(VAL))
+        if axis is None:
+            ex2 = (
+                self._cells.agg(F.coalesce(F.sum(F.col(VAL) * F.col(VAL)), F.lit(0.0)).alias("s"))
+                .collect()[0]["s"]
+                / float(n * k)
+            )
+            ex = self.sum(None) / float(n * k)
+            return math.sqrt(ex2 - ex * ex)
+        if axis == 0:
+            s2 = (
+                sq.groupBy(COL).agg(F.sum(VAL).alias("s")).toPandas().set_index(COL)["s"]
+            ).reindex(self.columns, fill_value=0.0)
+            m = self.mean(0)
+            return ((s2 / float(n)) - m * m).pow(0.5)
+        raise NotImplementedError("std(axis=1) not in reference surface")
+
+    def max(self):
+        """Matrix max — implicit zeros participate (reference sparse_frame.py:152-153)."""
+        n, k = self._dims()
+        stored = self._cells.agg(F.max(VAL).alias("m")).collect()[0]["m"]
+        stored = float("-inf") if stored is None else stored
+        if self.nnz() < n * k:
+            return max(stored, 0.0)
+        return stored
+
+    def min(self):
+        """Matrix min — implicit zeros participate (reference sparse_frame.py:155-156)."""
+        n, k = self._dims()
+        stored = self._cells.agg(F.min(VAL).alias("m")).collect()[0]["m"]
+        stored = float("inf") if stored is None else stored
+        if self.nnz() < n * k:
+            return min(stored, 0.0)
+        return stored
+
+    # ------------------------------------------------------------------ #
+    # UDF surface (reference dask layer, dask/core.py:68-139)            #
+    # ------------------------------------------------------------------ #
+
+    def map_partitions(self, func: Callable[[pd.DataFrame], pd.DataFrame]) -> "SparseFrame":
+        """Apply an arbitrary pandas-level function to every partition of the
+        long cells (reference dask/core.py:113-123).  Arrow-batched via
+        ``mapInPandas`` — schema is enforced by Spark itself, the analog of
+        the reference's ``apply_and_enforce`` (reference dask/core.py:126-139)."""
+        schema = self._cells.schema
+
+        def _apply(batches):
+            for pdf in batches:
+                out = func(pdf)
+                if out is not None and len(out):
+                    yield out[[f.name for f in schema.fields]]
+
+        cells = self._cells.mapInPandas(_apply, schema=schema)
+        return SparseFrame(cells, self.key_cols, self.columns, self._index)
+
+    def apply_grouped(
+        self,
+        func: Callable[[pd.DataFrame], pd.DataFrame],
+        by: str | Sequence[str] | None = None,
+    ) -> "SparseFrame":
+        """Grouped-map UDF over whole logical rows: each group's long cells
+        arrive as one pandas frame (``applyInPandas``)."""
+        keys = _as_list(by) or self.key_cols
+        schema = self._cells.schema
+
+        def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = func(pdf)
+            return out[[f.name for f in schema.fields]]
+
+        cells = self._cells.groupBy(*keys).applyInPandas(_apply, schema=schema)
+        return SparseFrame(cells, self.key_cols, self.columns, self._index)
+
+    # ------------------------------------------------------------------ #
+    # materialization                                                    #
+    # ------------------------------------------------------------------ #
+
+    def to_wide(self) -> DataFrame:
+        """Pivot to a wide DataFrame (one physical column per label), keeping
+        all-zero rows via a left join from the index.  Lazy — this is the
+        ML-interop / todense boundary, not the canonical layout."""
+        use_pos = self.has_pos and self.cells_have_pos
+        group_keys = ([POS] if use_pos else []) + self.key_cols
+        pivot_src = self._cells if use_pos else self._bare_cells()
+        if use_pos:
+            # pos is the physical row id; labels re-attach from the index
+            wide = pivot_src.groupBy(POS).pivot(COL, self.columns).agg(F.sum(VAL))
+            wide = self._index.join(wide, on=POS, how="left")
+        else:
+            wide = pivot_src.groupBy(*self.key_cols).pivot(COL, self.columns).agg(F.sum(VAL))
+            idx = self.index
+            if POS in idx.columns:
+                idx = idx.select(*self.key_cols, POS)
+            wide = idx.join(wide, on=self.key_cols, how="left")
+        pos_cols = [POS] if POS in wide.columns else []
+        return wide.select(
+            *self.key_cols,
+            *pos_cols,
+            *[F.coalesce(F.col(f"`{c}`"), F.lit(0.0)).alias(c) for c in self.columns],
+        )
+
+    def todense(self, pandas: bool = True):
+        """Materialize to dense pandas, labels as index
+        (reference sparse_frame.py:102-123)."""
+        wide = self.to_wide()
+        pdf = wide.toPandas()
+        if POS in pdf.columns:
+            pdf = pdf.sort_values(POS).drop(columns=[POS])
+        else:
+            pdf = pdf.sort_values(self.key_cols)
+        pdf = pdf.set_index(self.key_cols if len(self.key_cols) > 1 else self.key_cols[0])
+        pdf = pdf[self.columns]
+        if not pandas:
+            return pdf.to_numpy()
+        return pdf
+
+    def to_long_pandas(self) -> pd.DataFrame:
+        return self._cells.toPandas()
+
+    def write_parquet(self, path: str, mode: str = "overwrite"):
+        """Persist long cells range-partitioned by key — sorted files whose
+        parquet min/max footers give the reference's ``divisions`` pruning
+        for free (reference dask/io.py:89-112)."""
+        (
+            self._cells.repartitionByRange(*[F.col(k) for k in self.key_cols])
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode(mode)
+            .parquet(path)
+        )
+
+    def __repr__(self):
+        cols_preview = self.columns[:25]
+        return (
+            f"SparseFrame(keys={self.key_cols}, ncols={len(self.columns)}, "
+            f"cols[:25]={cols_preview})"
+        )

@@ -1,0 +1,127 @@
+"""Sources & sinks.
+
+The reference persists frames as numpy ``.npz`` files (reference io.py:26-47)
+and range-partitions pandas input by sorted index (reference dask/io.py:15-48).
+On Spark the durable format is parquet in long/COO layout with a small JSON
+sidecar for the ordered column dictionary; partition discovery, min/max
+pruning and sorted-division semantics are all native parquet behaviors.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparsity_spark.frame import COL, POS, VAL, SparseFrame
+
+
+def _pandas_ddl(pdf: pd.DataFrame) -> str:
+    """DDL schema string from pandas dtypes (needed for empty frames, where
+    Spark cannot infer)."""
+
+    def _t(dt) -> str:
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            return "timestamp"
+        if pd.api.types.is_integer_dtype(dt):
+            return "long"
+        if pd.api.types.is_float_dtype(dt):
+            return "double"
+        if pd.api.types.is_bool_dtype(dt):
+            return "boolean"
+        return "string"
+
+    return ", ".join(f"`{c}` {_t(t)}" for c, t in pdf.dtypes.items())
+
+
+def from_pandas(
+    spark: SparkSession,
+    df: pd.DataFrame,
+    npartitions: int | None = None,
+) -> SparseFrame:
+    """Ingest a dense/sparse pandas DataFrame as a SparseFrame
+    (reference SparseFrame.__init__ sparse_frame.py:47-100 +
+    dask from_pandas dask/io.py:15-48).
+
+    Zero cells are dropped (they become implicit); the full index —
+    including all-zero rows and duplicate labels — is retained in the
+    index DataFrame together with a position column, so positional ops
+    and keep-first dedup stay faithful.
+    """
+    if isinstance(df, pd.Series):
+        df = df.to_frame()
+    for c in df.columns:
+        if not pd.api.types.is_numeric_dtype(df[c]):
+            raise TypeError(f"SparseFrame cells must be numeric; column {c!r} is {df[c].dtype}")
+
+    index_names = list(df.index.names)
+    if index_names == [None]:
+        index_names = ["idx"]
+    index_names = [n if n is not None else f"level_{i}" for i, n in enumerate(index_names)]
+
+    idx_pdf = df.index.to_frame(index=False)
+    idx_pdf.columns = index_names
+    idx_pdf[POS] = np.arange(len(df), dtype="int64")
+
+    long_pdf = df.reset_index(drop=True).melt(ignore_index=False, var_name=COL, value_name=VAL)
+    long_pdf[POS] = long_pdf.index.to_numpy(dtype="int64")
+    long_pdf = long_pdf[long_pdf[VAL] != 0].dropna(subset=[VAL])
+    long_pdf[COL] = long_pdf[COL].astype(str)
+    long_pdf[VAL] = long_pdf[VAL].astype("float64")
+
+    index_sdf = spark.createDataFrame(idx_pdf, schema=_pandas_ddl(idx_pdf) if len(idx_pdf) == 0 else None)
+    cells_schema = f"`{POS}` long, `{COL}` string, `{VAL}` double"
+    cells_sdf = spark.createDataFrame(long_pdf[[POS, COL, VAL]], schema=cells_schema).join(
+        F.broadcast(index_sdf), on=POS, how="inner"
+    )
+    cells_sdf = cells_sdf.select(*index_names, POS, COL, VAL)
+    if npartitions:
+        cells_sdf = cells_sdf.repartitionByRange(npartitions, *index_names)
+    return SparseFrame(cells_sdf, index_names, [str(c) for c in df.columns], index_sdf)
+
+
+def read_parquet_frame(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    columns: list[str] | None = None,
+) -> SparseFrame:
+    """Read a long-format parquet directory as a SparseFrame (the npz
+    multi-file glob read, reference dask/io.py:51-86 — partition discovery
+    and footer-stat pruning are built into the parquet source)."""
+    df = spark.read.parquet(path)
+    if columns is None:
+        meta_path = path.rstrip("/") + ".columns.json"
+        try:
+            with open(meta_path) as fh:
+                columns = json.load(fh)
+        except OSError:
+            columns = [r[COL] for r in df.select(COL).distinct().orderBy(COL).collect()]
+    return SparseFrame(df, key_cols, columns)
+
+
+def write_parquet_frame(sf: SparseFrame, path: str, mode: str = "overwrite"):
+    """Persist a frame: long cells as range-partitioned parquet + column
+    dictionary sidecar (order-preserving analog of the reference's columns
+    array in the npz, reference io.py:26-38)."""
+    sf.write_parquet(path, mode=mode)
+    with open(path.rstrip("/") + ".columns.json", "w") as fh:
+        json.dump(sf.columns, fh)
+
+
+def melt_numeric(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> SparseFrame:
+    """Turn numeric columns of an ordinary (dense) Spark DataFrame into a
+    SparseFrame — the distributed version of constructing from an array.
+    Uses the built-in ``stack`` expression (whole-stage codegen; no UDF)."""
+    pairs = ", ".join([f"'{c}', double(`{c}`)" for c in value_cols])
+    expr = f"stack({len(value_cols)}, {pairs}) as ({COL}, {VAL})"
+    cells = df.select(*key_cols, F.expr(expr)).filter(F.col(VAL).isNotNull() & (F.col(VAL) != 0.0))
+    index = df.select(*key_cols)
+    return SparseFrame(cells, key_cols, value_cols, index)

@@ -1,0 +1,261 @@
+"""Core SparseFrame operator goldens, mirroring the reference test suite
+(reference test_sparse_frame.py) — identity matrices, join-vs-dense-pandas
+differentials, aligned add, vstack, dedup/dropna, label slicing,
+dense-denominator statistics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparsity_spark import from_pandas
+from sparsity_spark.frame import SparseFrame
+
+
+def ident_frame(spark, n, keys=None):
+    pdf = pd.DataFrame(np.identity(n), index=keys if keys is not None else range(n))
+    return from_pandas(spark, pdf)
+
+
+def test_from_pandas_roundtrip(spark):
+    pdf = pd.DataFrame(np.identity(5), index=[0, 1, 2, 3, 4])
+    sf = from_pandas(spark, pdf)
+    assert sf.shape == (5, 5)
+    dense = sf.todense()
+    np.testing.assert_array_equal(dense.to_numpy(), np.identity(5))
+    assert sf.nnz() == 5
+
+
+def test_all_zero_rows_survive(spark):
+    pdf = pd.DataFrame(np.zeros((3, 2)), index=[10, 11, 12], columns=["a", "b"])
+    sf = from_pandas(spark, pdf)
+    assert sf.shape == (3, 2)
+    assert sf.nnz() == 0
+    dense = sf.todense()
+    assert dense.shape == (3, 2)
+    np.testing.assert_array_equal(dense.to_numpy(), np.zeros((3, 2)))
+
+
+def test_join_axis1_outer(spark):
+    # reference test_sparse_frame.py:69-78 style: identity halves hstack
+    left = from_pandas(spark, pd.DataFrame(np.identity(5), columns=[f"l{i}" for i in range(5)]))
+    right = from_pandas(spark, pd.DataFrame(np.identity(5) * 2, columns=[f"r{i}" for i in range(5)]))
+    joined = left.join(right, axis=1, how="outer")
+    dense = joined.todense()
+    expect = np.hstack([np.identity(5), np.identity(5) * 2])
+    np.testing.assert_array_equal(dense.to_numpy(), expect)
+    assert list(dense.columns) == [f"l{i}" for i in range(5)] + [f"r{i}" for i in range(5)]
+
+
+def test_join_axis1_vs_dense_pandas(spark):
+    # oracle-vs-pandas differential (reference test_sparse_frame.py:81-100)
+    rng = np.random.RandomState(7)
+    a = pd.DataFrame(rng.rand(6, 3), index=[0, 1, 2, 3, 4, 5], columns=["a", "b", "c"])
+    b = pd.DataFrame(rng.rand(4, 2), index=[3, 4, 5, 6], columns=["d", "e"])
+    a[a < 0.5] = 0
+    b[b < 0.5] = 0
+    for how in ["outer", "inner", "left", "right"]:
+        got = from_pandas(spark, a).join(from_pandas(spark, b), axis=1, how=how).todense()
+        want = a.join(b, how=how).fillna(0).sort_index()
+        got = got.sort_index()
+        want.index.name = got.index.name
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_add_overlap(spark):
+    # ones((3,5)) keys [0,1,2] + keys [2,3,4] → row 2 = 2.0 (reference
+    # test_sparse_frame.py:304-312)
+    a = from_pandas(spark, pd.DataFrame(np.ones((3, 5)), index=[0, 1, 2]))
+    b = from_pandas(spark, pd.DataFrame(np.ones((3, 5)), index=[2, 3, 4]))
+    res = a.add(b, how="outer").todense().sort_index()
+    assert list(res.index) == [0, 1, 2, 3, 4]
+    expect = np.ones((5, 5))
+    expect[2, :] = 2.0
+    np.testing.assert_array_equal(res.to_numpy(), expect)
+
+
+def test_add_hows_vs_pandas(spark):
+    rng = np.random.RandomState(3)
+    a = pd.DataFrame(rng.rand(5, 3), index=[0, 1, 2, 3, 4], columns=["x", "y", "z"])
+    b = pd.DataFrame(rng.rand(5, 3), index=[3, 4, 5, 6, 7], columns=["x", "y", "z"])
+    a[a < 0.4] = 0
+    b[b < 0.4] = 0
+    sfa, sfb = from_pandas(spark, a), from_pandas(spark, b)
+    for how in ["outer", "inner", "left", "right"]:
+        got = sfa.add(sfb, how=how).todense().sort_index()
+        if how == "outer":
+            want = a.add(b, fill_value=0).fillna(0)
+        elif how == "inner":
+            keys = a.index.intersection(b.index)
+            want = a.loc[keys].add(b.loc[keys], fill_value=0)
+        elif how == "left":
+            want = a.add(b.reindex(a.index, fill_value=0), fill_value=0).loc[a.index]
+        else:
+            want = b.add(a.reindex(b.index, fill_value=0), fill_value=0).loc[b.index]
+        want = want.sort_index()
+        want.index.name = got.index.name
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vstack(spark):
+    a = from_pandas(spark, pd.DataFrame(np.identity(3), index=[0, 1, 2]))
+    b = from_pandas(spark, pd.DataFrame(np.identity(3) * 5, index=[3, 4, 5]))
+    res = a.vstack(b).todense().sort_index()
+    np.testing.assert_array_equal(res.to_numpy(), np.vstack([np.identity(3), np.identity(3) * 5]))
+
+
+def test_vstack_column_mismatch_raises(spark):
+    a = from_pandas(spark, pd.DataFrame(np.identity(2), columns=["a", "b"]))
+    b = from_pandas(spark, pd.DataFrame(np.identity(2), columns=["a", "c"]))
+    with pytest.raises(ValueError):
+        a.vstack(b)
+
+
+def test_getitem_order_preserved(spark):
+    pdf = pd.DataFrame(np.arange(12).reshape(3, 4) + 1.0, columns=["a", "b", "c", "d"])
+    sf = from_pandas(spark, pdf)
+    sub = sf[["d", "a"]]
+    dense = sub.todense()
+    assert list(dense.columns) == ["d", "a"]
+    np.testing.assert_array_equal(dense.to_numpy(), pdf[["d", "a"]].to_numpy())
+
+
+def test_rename(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(2), columns=["a", "b"]))
+    out = sf.rename(columns=lambda c: c.upper())
+    assert out.columns == ["A", "B"]
+    assert list(out.todense().columns) == ["A", "B"]
+
+
+def test_assign_scalar(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(3), columns=["a", "b", "c"]))
+    out = sf.assign(F=1)
+    dense = out.todense()
+    assert list(dense.columns) == ["a", "b", "c", "F"]
+    assert (dense["F"] == 1.0).all()
+    with pytest.raises(NotImplementedError):
+        out.assign(F=2)
+
+
+def test_dropna_index(spark):
+    # identity(5) keys [0,NaN,2,NaN,4] → 3 rows (reference test_sparse_frame.py:490-500)
+    pdf = pd.DataFrame(np.identity(5), index=[0.0, np.nan, 2.0, np.nan, 4.0])
+    sf = from_pandas(spark, pdf)
+    out = sf.dropna()
+    dense = out.todense().sort_index()
+    assert list(dense.index) == [0.0, 2.0, 4.0]
+    assert dense.to_numpy().sum() == 3
+
+
+def test_drop_duplicate_idx_keep_first(spark):
+    # identity(8) keys [0,0,2,3,3,5,5,5] → rows [0,2,3,5] keeping first
+    # occurrence (reference test_sparse_frame.py:503-511)
+    pdf = pd.DataFrame(np.identity(8), index=[0, 0, 2, 3, 3, 5, 5, 5])
+    sf = from_pandas(spark, pdf)
+    out = sf.drop_duplicate_idx()
+    dense = out.todense().sort_index()
+    assert list(dense.index) == [0, 2, 3, 5]
+    # keep-first: row for key 0 is identity row 0, key 5 is identity row 5
+    want = np.identity(8)[[0, 2, 3, 5], :]
+    np.testing.assert_array_equal(dense.to_numpy(), want)
+
+
+def test_loc_range_inclusive(spark):
+    # datetime label slices are stop-INCLUSIVE (reference test_sparse_frame.py:156-171)
+    dates = pd.date_range("2016-10-01", periods=5, freq="D")
+    pdf = pd.DataFrame(np.identity(5), index=dates)
+    sf = from_pandas(spark, pdf)
+    out = sf.loc_range(pd.Timestamp("2016-10-01"), pd.Timestamp("2016-10-03"))
+    assert out.shape[0] == 3
+    dense = out.todense()
+    np.testing.assert_array_equal(dense.to_numpy(), np.identity(5)[:3, :])
+
+
+def test_loc_in(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(5), index=list("ABCDE")))
+    out = sf.loc_in(["B", "D"])
+    dense = out.todense().sort_index()
+    assert list(dense.index) == ["B", "D"]
+
+
+def test_take_iloc(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(6), index=[10, 11, 12, 13, 14, 15]))
+    t = sf.take([1, 3]).todense().sort_index()
+    assert list(t.index) == [11, 13]
+    s = sf.iloc_slice(2, 5).todense().sort_index()
+    assert list(s.index) == [12, 13, 14]
+
+
+def test_set_index_level(spark):
+    pdf = pd.DataFrame(
+        np.identity(5),
+        index=pd.MultiIndex.from_arrays(
+            [pd.date_range("2016-10-01", periods=5, freq="D"), np.arange(5)], names=["ts", "seq"]
+        ),
+    )
+    sf = from_pandas(spark, pdf)
+    out = sf.set_index(level=1)
+    assert out.key_cols == ["seq"]
+    dense = out.todense().sort_index()
+    np.testing.assert_array_equal(dense.to_numpy(), np.identity(5))
+
+
+def test_scalar_stats_dense_denominator(spark):
+    # mean/std divide by N*K including implicit zeros (reference
+    # sparse_frame.py:146-150); max/min see implicit zeros
+    pdf = pd.DataFrame([[2.0, 0.0], [0.0, -4.0], [0.0, 0.0]], columns=["a", "b"])
+    sf = from_pandas(spark, pdf)
+    assert sf.sum() == -2.0
+    assert sf.mean() == pytest.approx(-2.0 / 6.0)
+    vals = np.array([2.0, 0, 0, -4.0, 0, 0])
+    assert sf.std() == pytest.approx(vals.std())
+    assert sf.max() == 2.0
+    assert sf.min() == -4.0
+    assert sf.nnz() == 2
+    col_means = sf.mean(axis=0)
+    assert col_means["a"] == pytest.approx(2.0 / 3.0)
+    assert col_means["b"] == pytest.approx(-4.0 / 3.0)
+
+
+def test_groupby_sum_sorted_keys(spark):
+    # groupby output keys ascending (reference np.unique, sparse_frame.py:231)
+    rng = np.random.RandomState(0)
+    keys = rng.permutation(np.tile(np.arange(10), 10))
+    pdf = pd.DataFrame(np.tile(np.identity(10), (10, 1)), index=keys[:100])
+    # shuffled tiled identity grouped by key sums to identity*count pattern
+    sf = from_pandas(spark, pd.DataFrame(np.tile(np.identity(10), (10, 1)), index=np.tile(np.arange(10), 10)))
+    res = sf.groupby_sum(level=0).todense()
+    np.testing.assert_array_equal(res.to_numpy(), np.identity(10) * 10)
+    assert list(res.index) == list(range(10))
+
+
+def test_map_partitions(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(4), columns=list("abcd")))
+
+    def double(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] * 2
+        return pdf
+
+    out = sf.map_partitions(double)
+    np.testing.assert_array_equal(out.todense().to_numpy(), np.identity(4) * 2)
+
+
+def test_sort_index_positions(spark):
+    sf = from_pandas(spark, pd.DataFrame(np.identity(4), index=[3, 1, 0, 2]))
+    out = sf.sort_index()
+    dense = out.todense()  # ordered by pos == label order
+    assert list(dense.index) == [0, 1, 2, 3]
+
+
+def test_empty_frame(spark):
+    pdf = pd.DataFrame(np.zeros((0, 3)), columns=["a", "b", "c"])
+    sf = from_pandas(spark, pdf)
+    assert sf.shape == (0, 3)
+    assert sf.empty
+    dense = sf.todense()
+    assert dense.shape == (0, 3)
+
+
+def test_non_numeric_raises(spark):
+    with pytest.raises(TypeError):
+        from_pandas(spark, pd.DataFrame({"a": ["x", "y"]}))
