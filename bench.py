@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect skew). One warmup run of the flagship query absorbs
+JVM/codegen start-up cost before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparsity_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "a1_onehot_groupby_sum",
+    "r1_one_hot_cells",
+    "s5_events_coo",
+    "j1_join_outer",
+    "j5_add_halves",
+    "u1_vstack_halves",
+    "p4_loc_range",
+    "p6_dedup_first",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "w1_running_sum",
+    "o2_topk_users",
+]
+
+
+def run_one(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("sparsity_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparsity_spark.queries import QUERIES
+
+    # warmup: JVM, codegen, parquet footer caches
+    run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        run_one(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

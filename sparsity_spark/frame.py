@@ -250,11 +250,15 @@ class SparseFrame:
         push down to parquet min/max stats, the Spark analog of the
         reference's sorted ``divisions`` pruning (reference dask/io.py:89-112)."""
         key = self.key_cols[level]
+
+        def _lit(v):
+            return v if isinstance(v, Column) else F.lit(v)
+
         pred = F.lit(True)
         if start is not None:
-            pred = pred & (F.col(key) >= F.lit(start))
+            pred = pred & (F.col(key) >= _lit(start))
         if stop is not None:
-            pred = pred & (F.col(key) <= F.lit(stop))
+            pred = pred & (F.col(key) <= _lit(stop))
         idx = self._index.filter(pred) if self._index is not None else None
         return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
 

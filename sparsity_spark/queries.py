@@ -1,0 +1,541 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator row of SURVEY.md §2 (or a north-star
+extension) end-to-end on the driver's testdata. Conventions that keep the
+order-insensitive value-hash comparison honest:
+
+* every computed column is aliased identically in Spark and SQL;
+* float aggregates are rounded to 4 decimals on BOTH sides (double summation
+  order differs between engines; 60k-row sums agree far beyond 1e-4);
+* timestamps are emitted as formatted strings (testdata parquet is
+  TIMESTAMP(NANOS): Spark reads micros via data.load_table, DuckDB reads
+  nanos natively — raw values would hash-differ).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparsity_spark.data import load_table
+from sparsity_spark.events import events_coo, read_events
+from sparsity_spark.frame import COL, VAL, SparseFrame
+from sparsity_spark.reshape import sparse_one_hot
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _user_counts_frame(spark: SparkSession, sf_dir: str) -> SparseFrame:
+    """events → one-hot event_type → groupby_sum(user_id): the reference's
+    signature pipeline (S3/R1/A1) as one lazy plan."""
+    events = load_table(spark, sf_dir, "events")
+    sf = read_events(events, "event_type", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    return sf.groupby_sum(by="user_id")
+
+
+def _spend_frame(spark: SparkSession, sf_dir: str, only_mod3: bool = True) -> SparseFrame:
+    events = load_table(spark, sf_dir, "events")
+    if only_mod3:
+        events = events.filter(F.col("user_id") % 3 == 0)
+    cells = events.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias(VAL)).select(
+        "user_id", F.lit("spend").alias(COL), VAL
+    )
+    return SparseFrame(cells, ["user_id"], ["spend"])
+
+
+# --------------------------------------------------------------------- #
+# A1 / R1 / S3: the flagship pipeline                                   #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "a1_onehot_groupby_sum",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a1_onehot_groupby_sum(spark, sf_dir):
+    """SURVEY §2.4 A1 + §2.7 R1 (reference sparse_frame.py:196-231, 567-601)."""
+    return _user_counts_frame(spark, sf_dir).data
+
+
+@query(
+    "r1_one_hot_cells",
+    """
+    SELECT event_id, event_type AS col, 1.0 AS value FROM events
+    """,
+)
+def r1_one_hot_cells(spark, sf_dir):
+    """SURVEY §2.7 R1: one-hot as zero-shuffle long projection."""
+    events = load_table(spark, sf_dir, "events")
+    return sparse_one_hot(events, "event_type", EVENT_TYPES, index_col="event_id").data
+
+
+@query(
+    "s5_events_coo",
+    """
+    WITH d AS (
+      SELECT event_type AS v, CAST(ROW_NUMBER() OVER (ORDER BY MIN(event_id)) - 1 AS INTEGER) AS col_id
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY e.event_id) - 1 AS BIGINT) AS row_idx,
+           d.col_id AS col_idx, e.user_id AS uuid
+    FROM events e JOIN d ON e.event_type = d.v
+    """,
+)
+def s5_events_coo(spark, sf_dir):
+    """SURVEY §2.1 S5: TrailDB COO scan parity — scan-order row ids,
+    first-seen dictionary column ids (reference traildb_coo.c:49-91)."""
+    events = load_table(spark, sf_dir, "events")
+    return events_coo(events, "event_type", order_col="event_id").select("row_idx", "col_idx", "uuid")
+
+
+# --------------------------------------------------------------------- #
+# J1/J5/U1: joins, aligned add, vstack                                  #
+# --------------------------------------------------------------------- #
+
+_J1_LEFT_SQL = """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+"""
+_J1_RIGHT_SQL = """
+    SELECT user_id, 'spend' AS col, ROUND(SUM(value), 4) AS value
+    FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+"""
+
+
+@query("j1_join_outer", f"{_J1_LEFT_SQL} UNION ALL {_J1_RIGHT_SQL}")
+def j1_join_outer(spark, sf_dir):
+    """SURVEY §2.3 J1 (reference sparse_frame.py:233-288): outer index join
+    concatenating column sets — in long format a pure unionByName, zero extra
+    shuffle."""
+    counts = _user_counts_frame(spark, sf_dir)
+    spend = _spend_frame(spark, sf_dir)
+    return counts.join(spend, axis=1, how="outer").data
+
+
+@query(
+    "j1_join_inner",
+    f"""
+    SELECT * FROM ({_J1_LEFT_SQL}) WHERE user_id % 3 = 0
+    UNION ALL {_J1_RIGHT_SQL}
+    """,
+)
+def j1_join_inner(spark, sf_dir):
+    counts = _user_counts_frame(spark, sf_dir)
+    spend = _spend_frame(spark, sf_dir)
+    return counts.join(spend, axis=1, how="inner").data
+
+
+@query(
+    "j5_add_halves",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def j5_add_halves(spark, sf_dir):
+    """SURVEY §2.3 J5 (reference sparse_frame.py:319-337): aligned elementwise
+    add of even/odd event halves == total counts. Union + single hash
+    re-aggregate replaces sentinel-row alignment."""
+    events = load_table(spark, sf_dir, "events")
+    halves = []
+    for parity in (0, 1):
+        sub = events.filter(F.col("event_id") % 2 == parity)
+        sf = sparse_one_hot(sub, "event_type", EVENT_TYPES, index_col="user_id")
+        halves.append(sf.groupby_sum(by="user_id"))
+    return halves[0].add(halves[1], how="outer").data
+
+
+@query(
+    "u1_vstack_halves",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id, event_type
+    UNION ALL
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id, event_type
+    """,
+)
+def u1_vstack_halves(spark, sf_dir):
+    """SURVEY §2.6 U1 (reference sparse_frame.py:496-507): vertical concat
+    with identical column sets (duplicate row labels legal)."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    lo = sparse_one_hot(events.filter(F.col("ts") < cut), "event_type", EVENT_TYPES, index_col="user_id").groupby_sum(by="user_id")
+    hi = sparse_one_hot(events.filter(F.col("ts") >= cut), "event_type", EVENT_TYPES, index_col="user_id").groupby_sum(by="user_id")
+    return lo.vstack(hi).data
+
+
+# --------------------------------------------------------------------- #
+# P*: projection / selection / dedup                                    #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "p1_project",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id, event_type
+    """,
+)
+def p1_project(spark, sf_dir):
+    """SURVEY §2.2 P1 (reference sparse_frame.py:460-467): column projection
+    by label — a Catalyst-pushable filter on the col column."""
+    return _user_counts_frame(spark, sf_dir)[["view", "click"]].data
+
+
+@query(
+    "p4_loc_range",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           l_orderkey, l_linenumber,
+           l_returnflag AS col, 1.0 AS value
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+)
+def p4_loc_range(spark, sf_dir):
+    """SURVEY §2.2 P4 (reference indexing.py:3-11): stop-INCLUSIVE label
+    slicing on a timestamp level — pushes down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sf = sparse_one_hot(
+        li, "l_returnflag", ["A", "N", "R"], index_col=["l_shipdate", "l_orderkey", "l_linenumber"]
+    )
+    sliced = sf.loc_range(
+        F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        level=0,
+    )
+    return sliced.data.select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        "l_orderkey",
+        "l_linenumber",
+        COL,
+        VAL,
+    )
+
+
+@query(
+    "p5_dropna",
+    """
+    SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS priority, 'price' AS col,
+           ROUND(SUM(o_totalprice), 4) AS value
+    FROM orders GROUP BY 1 HAVING NULLIF(o_orderpriority, '3-MEDIUM') IS NOT NULL
+    """,
+)
+def p5_dropna(spark, sf_dir):
+    """SURVEY §2.2 P5 (reference sparse_frame.py:469-474): drop rows with a
+    NULL row label."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.withColumn("priority", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")))
+    cells = keyed.groupBy("priority").agg(F.round(F.sum("o_totalprice"), 4).alias(VAL)).select(
+        "priority", F.lit("price").alias(COL), VAL
+    )
+    sf = SparseFrame(cells, ["priority"], ["price"])
+    return sf.dropna().data
+
+
+@query(
+    "p6_dedup_first",
+    """
+    SELECT user_id, first_type AS col, 1.0 AS value FROM (
+      SELECT user_id, event_type AS first_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def p6_dedup_first(spark, sf_dir):
+    """SURVEY §2.2 P6 (reference sparse_frame.py:454-458): keep-FIRST per
+    duplicated label — row_number window, order given by (ts, event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias(COL), F.lit(1.0).alias(VAL))
+    )
+    return firsts
+
+
+@query(
+    "p7_rename",
+    """
+    SELECT user_id, upper(event_type) AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def p7_rename(spark, sf_dir):
+    """SURVEY §2.2 P7 (reference sparse_frame.py:290-300)."""
+    return _user_counts_frame(spark, sf_dir).rename(columns=str.upper).data
+
+
+@query(
+    "p8_assign",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    UNION ALL
+    SELECT DISTINCT user_id, 'bias' AS col, 1.0 AS value FROM events
+    """,
+)
+def p8_assign(spark, sf_dir):
+    """SURVEY §2.2 P8 (reference sparse_frame.py:423-452): scalar-broadcast
+    new column."""
+    return _user_counts_frame(spark, sf_dir).assign(bias=1.0).data
+
+
+@query(
+    "p9_set_index",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def p9_set_index(spark, sf_dir):
+    """SURVEY §2.2 P9 (reference sparse_frame.py:476-494): re-key a
+    (user_id, ts)-keyed frame to user_id level, then aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    sf = read_events(events, "event_type", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    rekeyed = sf.set_index(level=0)  # drop the ts level
+    return rekeyed.groupby_sum(by="user_id").data
+
+
+# --------------------------------------------------------------------- #
+# A2-A6: scalar aggregates                                              #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "a2_col_sums",
+    """
+    SELECT event_type AS col, ROUND(SUM(value), 4) AS value
+    FROM events GROUP BY event_type
+    """,
+)
+def a2_col_sums(spark, sf_dir):
+    """SURVEY §2.4 A2 (reference sparse_frame.py:143-144): axis=0 sums of a
+    value-weighted one-hot frame."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        "event_id", F.col("event_type").alias(COL), F.col("value").alias(VAL)
+    )
+    sf = SparseFrame(cells, ["event_id"], EVENT_TYPES)
+    return sf.data.groupBy(COL).agg(F.round(F.sum(VAL), 4).alias(VAL))
+
+
+@query(
+    "a3_mean_dense_denominator",
+    """
+    SELECT col, ROUND(SUM(value) / (SELECT COUNT(DISTINCT user_id) FROM events), 6) AS mean_value
+    FROM (
+      SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY user_id, event_type
+    ) GROUP BY col
+    """,
+)
+def a3_mean_dense_denominator(spark, sf_dir):
+    """SURVEY §2.4 A3 (reference sparse_frame.py:146-147): mean divides by
+    N rows (dense denominator), NOT by nnz — the documented semantic trap."""
+    frame = _user_counts_frame(spark, sf_dir)
+    n = frame.index.count()
+    return frame.data.groupBy(COL).agg(
+        F.round(F.sum(VAL) / F.lit(float(n)), 6).alias("mean_value")
+    )
+
+
+@query(
+    "a6_nnz",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS nnz FROM (
+      SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    )
+    """,
+)
+def a6_nnz(spark, sf_dir):
+    """SURVEY §2.4 A6 (reference sparse_frame.py:162-163): stored-cell count."""
+    frame = _user_counts_frame(spark, sf_dir)
+    return frame.data.filter(F.col(VAL) != 0.0).agg(F.count("*").alias("nnz"))
+
+
+# --------------------------------------------------------------------- #
+# O1/O2/S11: sort / top-k / limit                                       #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "o2_topk_users",
+    """
+    SELECT user_id, ROUND(SUM(value), 4) AS spend
+    FROM events GROUP BY user_id
+    ORDER BY spend DESC, user_id LIMIT 10
+    """,
+)
+def o2_topk_users(spark, sf_dir):
+    """Top-k (SURVEY §2.5 extension): orderBy + limit, deterministic
+    tie-break on the key; sorts the ROUNDED value so both engines rank
+    identically."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("spend"))
+        .orderBy(F.col("spend").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Analytics showcase: TPC-H-shaped plans (scale posture)                #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: predicate pushdown + single hash aggregate, all
+    whole-stage-codegen built-ins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → broadcast join fan-in →
+    aggregate → top-k. customer is broadcast explicitly; orders/lineitem
+    join shuffles on orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15 00:00:00").cast("timestamp")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    """
+    SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join — every dimension broadcast, fact table
+    never shuffled until the final 5-group aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@query(
+    "w1_running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def w1_running_sum(spark, sf_dir):
+    """Window-function extension (SURVEY §2.9 lists none in the reference):
+    per-user running sum — deterministic frame, identical accumulation order
+    in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
