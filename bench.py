@@ -34,6 +34,15 @@ BENCH_QUERIES = [
     "q5_regional_revenue",
     "w1_running_sum",
     "o2_topk_users",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
 ]
 
 

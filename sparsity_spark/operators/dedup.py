@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale document corpora.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard. Everything is built-in Spark expressions — no
+Python UDFs anywhere, so the whole path stays in whole-stage codegen and
+scales as ordinary shuffles:
+
+* exact dedup      — one hash aggregate on md5(text);
+* minhash          — explode distinct shingles, ONE aggregate computing all
+                     H hash mins as separate agg expressions (no H× row
+                     blowup from a seed explode);
+* LSH banding      — band signature per (doc, band), self-join on the band
+                     bucket — the shuffle key is the band signature, so at
+                     100 TB the join only collides truly-similar buckets;
+* simhash          — 2^b bit-majority as B parallel agg expressions;
+* n-gram Jaccard   — blocked self-join (block on cheap metadata) +
+                     array_intersect/array_union on distinct gram sets.
+
+Hashes are md5-based (not Spark-internal xxhash) so results are engine-
+portable and the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def words_expr(text_col: str):
+    """Whitespace tokens. Single-space split keeps Spark and any SQL oracle
+    trivially in agreement; swap for a regex split for messier corpora."""
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(words_col, k: int = 3):
+    """Word k-grams as strings; empty array when fewer than k words.
+    (sequence() must be guarded: Spark's sequence(1, 0) is DESCENDING.)"""
+    n = F.size(words_col)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words_col, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: one hash aggregate keyed by md5(text).
+    Returns (text_hash, n_docs, keep_id) — keep_id is the smallest id, the
+    canonical survivor."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) long rows, shingles distinct per doc (set semantics)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(words_expr(text_col), k))).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc as long rows (id, seed, minhash).
+
+    All H minima are computed in a single groupBy aggregate (H parallel
+    `min(md5(shingle || ':' || seed))` expressions) — one shuffle total,
+    no row multiplication, map-side partial mins.
+    """
+    sh = shingle_sets(docs, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = ", ".join([f"{s}, mh{s}" for s in range(num_hashes)])
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack}) as (seed, minhash)"),
+    ).select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Collapse a long signature into (id, band, band_key): the LSH bucket
+    key is the md5 of the band's minhashes in seed order."""
+    sig = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        sig.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing ≥1 LSH band bucket.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The self-join shuffles on (band, band_key) — bucket-local, so the
+    output (and work) scales with collision count, not corpus²."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    b = lsh_bands(sigs, id_col, bands, rows_per_band)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, on=["band", "band_key"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over distinct whitespace tokens (weight 1 each).
+
+    Token hash = first 8 hex chars of md5 (32-bit, engine-portable);
+    each of the `bits` bit-majorities is one agg expression, so the whole
+    fingerprint is a single hash aggregate. Returns (id, simhash: long)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_expr(text_col))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return wide.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_distance(a, b, bits: int = 32):
+    """Popcount of XOR — built-in bit_count keeps it JVM-side."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance within blocking keys.
+    For true 100 TB scale, block on simhash byte-chunks (pigeonhole) —
+    here metadata blocks keep the demo join bounded."""
+    sims = simhash(docs, id_col, text_col, bits)
+    if block_cols:
+        sims = sims.join(docs.select(id_col, *block_cols), on=id_col)
+    left = sims.select(
+        *(block_cols or []), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = sims.select(
+        *(block_cols or []), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    on = block_cols or None
+    joined = left.crossJoin(right) if on is None else left.join(right, on=on)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    block_cols: list[str] = ("lang",),
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+    Jaccard = |A∩B| / |A∪B| over distinct word k-gram sets, computed with
+    array_intersect/array_union — no explode, no UDF. Returns
+    (id_a, id_b, jaccard rounded to 6)."""
+    block_cols = list(block_cols)
+    g = docs.select(
+        F.col(id_col),
+        *block_cols,
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
+    )
+    left = g.select(*block_cols, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    right = g.select(*block_cols, F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    pairs = left.join(right, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.round(
+        F.size(F.array_intersect("g_a", "g_b"))
+        / F.size(F.array_union("g_a", "g_b")),
+        6,
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine within a blocking key (here the
+    label; at scale an LSH/IVF bucket). Cosine via built-in array exprs —
+    norms precomputed per side BEFORE the join so the pair computation is
+    one zip_with dot product."""
+    from sparsity_spark.operators.similarity import with_norm, dot_expr
+
+    e = with_norm(embeddings, vec_col).select(
+        F.col(id_col), F.col(block_col), F.col("vec_d"), F.col("norm")
+    )
+    left = e.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col("vec_d").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    right = e.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col("vec_d").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        left.join(right, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an IVF-bucketed
+variant as the scale path (assign every vector to its nearest centroid,
+then search only the query's bucket — the join key becomes the bucket id,
+so work scales with bucket size, not corpus size).
+
+All math is built-in array expressions (zip_with + aggregate) over doubles:
+JVM-side, codegen, no Python in the hot path. Norms are computed once per
+side BEFORE any join — never per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str):
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold — matches the
+    summation order of any row-at-a-time oracle engine exactly)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add vec_d (double vector) and norm columns."""
+    d = F.col(vec_col).cast("array<double>")
+    out = df.withColumn("vec_d", d)
+    return out.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vec_d"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, one pass, ranked per query with a deterministic tie-break.
+    Returns (query_id, neighbor_id, cosine) with self-matches excluded.
+
+    At 100 TB the corpus side stays partition-parallel; only the query set
+    is broadcast. Cosine is rounded BEFORE ranking so engine-specific float
+    noise cannot flip the top-k boundary."""
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec_d").alias("vc"), F.col("norm").alias("nc")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("vec_d").alias("vq"), F.col("norm").alias("nq")
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("vq", "vc") / (F.col("nq") * F.col("nc")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (deterministic
+    tie-break on centroid id). Centroids are broadcast; one pass over the
+    corpus. Returns (vec_id, centroid_id, vec_d, norm)."""
+    corpus = with_norm(embeddings, vec_col).select(id_col, "vec_d", "norm")
+    cents = with_norm(centroids, vec_col).select(
+        F.col(centroid_id_col).alias("__cid__"),
+        F.col("vec_d").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    scored = corpus.join(F.broadcast(cents)).withColumn(
+        "cs", F.round(dot_expr("vec_d", "cv") / (F.col("norm") * F.col("cn")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("__cid__"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("__cid__").alias(centroid_id_col), "vec_d", "norm")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only within the query's bucket.
+    Bucket assignment shuffles on centroid_id; the per-bucket join scales
+    with bucket population — the 100 TB path where brute force can't go."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, centroid_id_col)
+    qa = ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(centroid_id_col),
+        F.col("vec_d").alias("vq"),
+        F.col("norm").alias("nq"),
+    )
+    corpus = assigned.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("vc"),
+        F.col("norm").alias("nc"),
+    )
+    scored = (
+        corpus.join(qa, on=centroid_id_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot_expr("vq", "vc") / (F.col("nq") * F.col("nc")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(centroid_id_col), "neighbor_id", "cosine")
+    )

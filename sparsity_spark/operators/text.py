@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Every operator is a pure projection (zero shuffle) of built-in string/array
+expressions — the ideal 100 TB shape: map-only, codegen, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparsity_spark.operators.dedup import words_expr
+
+# tiny fixed stopword list — deterministic, engine-portable
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# marker-word tables for the n-gram/lexicon language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens (a BPE-ish
+    `[a-z0-9]+` segmentation), distinct count, type-token ratio, average
+    token length. One map-only projection."""
+    w = words_expr(text_col)
+    re_toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        F.size(F.array_distinct(w)).alias("distinct_tokens"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(w),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, alpha ratio, stopword ratio, and a composite
+    score — the C4/Gopher-style cheap filters, as one projection."""
+    w = words_expr(text_col)
+    n = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    total_chars = F.length(F.col(text_col))
+    stop_ratio = F.round(stop_cnt / n, 6)
+    alpha_ratio = F.round(alpha_chars / total_chars, 6)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        total_chars.alias("n_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.round(
+            F.least(n / F.lit(100.0), F.lit(1.0)) * (F.lit(0.5) + F.lit(0.5) * alpha_ratio),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lexicon language-ID heuristic: score each language by marker-word
+    hits over whitespace tokens; winner by (score desc, lang asc), 'und'
+    when every score is zero. Pure expression — at scale this is exactly
+    a map-only pass."""
+    w = words_expr(text_col)
+    scores = [
+        F.size(
+            F.filter(w, lambda t: F.array_contains(F.array(*[F.lit(m) for m in ms]), t))
+        ).alias(f"score_{lang}")
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    max_score = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(max_score == 0, F.lit("und"))
+    for lang in langs:  # chained whens: ties go to the alphabetically first
+        pred = pred.when(F.col(f"score_{lang}") == max_score, F.lit(lang))
+    return scored.select(
+        F.col(id_col), pred.alias("pred_lang"), max_score.cast("int").alias("marker_hits")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: full-content md5, a bag fingerprint (md5 of
+    the sorted distinct token set — order-insensitive near-identity), and a
+    head/tail rolling fingerprint (md5 of first+last 64 chars)."""
+    w = words_expr(text_col)
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(t).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " ")).alias("bag_md5"),
+        F.md5(F.concat(F.substring(t, 1, 64), F.substring(t, -64, 64))).alias("edge_md5"),
+        F.length(t).alias("n_chars"),
+    )

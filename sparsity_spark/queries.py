@@ -539,3 +539,319 @@ def w1_running_sum(spark, sf_dir):
     return events.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
     )
+
+
+# --------------------------------------------------------------------- #
+# North-star extensions: dedup / similarity / text / multimodal         #
+# (BASELINE.json; SURVEY.md §7 Phase 4)                                 #
+# --------------------------------------------------------------------- #
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+"""
+
+_MINHASH_SQL = f"""
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           MIN(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+    FROM ({_SHINGLE_SQL}) sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+    GROUP BY doc_id, seed
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: one hash aggregate on content hash."""
+    from sparsity_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_signatures", _MINHASH_SQL)
+def dedup_minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures (16 hashes over word 3-shingles) — all mins in a
+    single aggregate, md5-based so the oracle reproduces them exactly."""
+    from sparsity_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs_q(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 4 bands × 4 rows, bucket self-join."""
+    from sparsity_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM t),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", _simhash_oracle(32))
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash fingerprints: 32 bit-majorities as parallel agg expressions."""
+    from sparsity_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                / len(list_distinct(a.grams || b.grams)), 6) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard within language blocks."""
+    from sparsity_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.02, block_cols=["lang"]
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    from sparsity_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query(
+    "ann_bruteforce_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_bruteforce_topk_q(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries,
+    one corpus pass, rounded-before-rank determinism."""
+    from sparsity_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    asg AS (
+      SELECT vec_id, cid, v, nrm FROM (
+        SELECT n.vec_id, cent.cid, n.v, n.nrm,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 6) DESC,
+                          cent.cid) AS rn
+        FROM n, cent
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.cid AS centroid_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM asg q JOIN asg c ON q.cid = c.cid AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, centroid_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF-bucketed approximate top-k: assign to nearest of 8 centroids,
+    search only the query's bucket — the 100 TB path."""
+    from sparsity_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=3)
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS distinct_tokens,
+           ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) AS type_token_ratio,
+           ROUND(list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w), 6) AS avg_token_len
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def text_token_stats_q(spark, sf_dir):
+    """Token counting: whitespace + regex segmentation, TTR, mean length."""
+    from sparsity_spark.operators.text import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             ROUND(len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) * 1.0 / len(w), 6) AS stopword_ratio,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_chars, stopword_ratio, alpha_ratio,
+           ROUND(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    """Quality scoring: C4/Gopher-style cheap filters as one projection."""
+    from sparsity_spark.operators.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    from sparsity_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(w, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS INTEGER) AS score_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    whens = " ".join(f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {score_exprs}
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN {greatest} = 0 THEN 'und' {whens} END AS pred_lang,
+           CAST({greatest} AS INTEGER) AS marker_hits
+    FROM s
+    """
+
+
+@query("text_lang_id", _lang_id_oracle())
+def text_lang_id_q(spark, sf_dir):
+    """Lexicon language-ID heuristic, ties to alphabetically-first language."""
+    from sparsity_spark.operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", "marker_hits"
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5,
+           md5(substring(text, 1, 64) ||
+               substring(text, greatest(length(text) - 63, 1), 64)) AS edge_md5,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark, sf_dir):
+    """Document fingerprints: content, bag-of-tokens, head/tail edges."""
+    from sparsity_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS chunk_count,
+           upper(substring(hex(encode(text)), 1, 16)) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark, sf_dir):
+    """Binary-asset plumbing: byte length, chunk accounting, head bytes."""
+    from sparsity_spark.operators.multimodal import binary_meta
+
+    return binary_meta(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,123 @@
+"""Unit tests for the north-star operators: dedup, similarity, text,
+multimodal — constructed fixtures with known answers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparsity_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 44),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s1", 44),  # near-dup of 1
+        (3, "completely different words appear here today friends", "en", "s2", 52),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "s3", 44),  # exact dup of 1
+        (5, "der hund und die katze sind nicht da heute", "de", "s1", 42),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    assert len(out) == 4  # 5 docs, one exact pair
+    dup = out[out.n_docs == 2]
+    assert len(dup) == 1 and dup.iloc[0].keep_id == 1
+
+
+def test_minhash_lsh_finds_neardup(spark, docs):
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=8).toPandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got or (2, 4) in got  # near-dup likely shares a band
+    assert (3, 5) not in got
+
+
+def test_simhash_hamming(spark, docs):
+    sims = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sims[1] == sims[4]  # identical text → identical fingerprint
+    ham_near = bin(int(sims[1]) ^ int(sims[2])).count("1")
+    ham_far = bin(int(sims[1]) ^ int(sims[3])).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_cols=["lang"]).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert got[(1, 4)] == 1.0
+    assert 0.5 <= got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.rand(30, 8).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for q in range(3):
+        order = [(round(float(cos[q, j]), 4), j) for j in range(30) if j != q]
+        expect = [j for _, j in sorted(order, key=lambda t: (-t[0], t[1]))[:4]]
+        got = out[out.query_id == q].sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        assert list(got.neighbor_id) == expect
+
+
+def test_ivf_topk_stays_in_bucket(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.rand(40, 8).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.ivf_topk(df, df.filter(F.col("vec_id") < 2), cents, k=3).toPandas()
+    assigned = similarity.ivf_assign(df, cents).select("vec_id", "centroid_id").toPandas()
+    bucket = assigned.set_index("vec_id")["centroid_id"]
+    for r in out.itertuples():
+        assert bucket[r.query_id] == r.centroid_id == bucket[r.neighbor_id]
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = text.token_stats(docs).toPandas().set_index("doc_id")
+    assert ts.loc[1, "ws_tokens"] == 9
+    assert ts.loc[1, "distinct_tokens"] == 8  # 'the' twice
+    q = text.quality_score(docs).toPandas().set_index("doc_id")
+    assert q.loc[1, "stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert 0 < q.loc[1, "quality"] <= 1
+
+
+def test_lang_id(spark, docs):
+    out = text.lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "pred_lang"] == "en"
+    assert out.loc[5, "pred_lang"] == "de"
+    assert out.loc[3, "pred_lang"] == "und"  # no markers at all
+
+
+def test_fingerprint_bag_invariance(spark):
+    rows = [(1, "b a c"), (2, "c b a"), (3, "a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "bag_md5"] == out.loc[2, "bag_md5"]  # order-insensitive
+    assert out.loc[1, "bag_md5"] != out.loc[3, "bag_md5"]
+    assert out.loc[1, "content_md5"] != out.loc[2, "content_md5"]
+
+
+def test_multimodal_fake_features(spark, docs):
+    assets = multimodal.as_binary_assets(docs)
+    feats = multimodal.extract_features(assets, fake=True).toPandas().set_index("doc_id")
+    assert len(feats) == 5
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats.feature)
+    # deterministic: same payload → same features (docs 1 and 4 share text)
+    np.testing.assert_allclose(list(feats.loc[1, "feature"]), list(feats.loc[4, "feature"]))
+    assert feats.loc[1, "n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_multimodal_stub_raises(spark, docs):
+    assets = multimodal.as_binary_assets(docs, media_type="image/png")
+    with pytest.raises(Exception, match="no codec|NotImplementedError|PythonException"):
+        multimodal.extract_features(assets, fake=False).collect()

@@ -48,10 +48,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception as e:  # noqa: BLE001
