@@ -548,6 +548,26 @@ class SparseFrame:
             return min(stored, 0.0)
         return stored
 
+    def minmax_df(self) -> DataFrame:
+        """max/min as ONE lazy plan (no driver round-trips): implicit zeros
+        participate exactly when the frame is not completely dense
+        (reference sparse_frame.py:152-156's semantics, relational form)."""
+        k = len(self.columns)
+        stats = self._cells.agg(
+            F.max(VAL).alias("mx"),
+            F.min(VAL).alias("mn"),
+            F.count(F.when(F.col(VAL) != 0.0, 1)).alias("nnz"),
+        )
+        nrows = self.index.agg(F.count("*").alias("n"))
+        return stats.crossJoin(nrows).select(
+            F.when(F.col("nnz") < F.col("n") * k, F.greatest(F.col("mx"), F.lit(0.0)))
+            .otherwise(F.col("mx"))
+            .alias("max_value"),
+            F.when(F.col("nnz") < F.col("n") * k, F.least(F.col("mn"), F.lit(0.0)))
+            .otherwise(F.col("mn"))
+            .alias("min_value"),
+        )
+
     # ------------------------------------------------------------------ #
     # UDF surface (reference dask layer, dask/core.py:68-139)            #
     # ------------------------------------------------------------------ #

@@ -855,3 +855,149 @@ def multimodal_meta_q(spark, sf_dir):
     from sparsity_spark.operators.multimodal import binary_meta
 
     return binary_meta(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------- #
+# Coverage batch 2: scalar stats, concat, sort, positional, UDF, I/O    #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "a5_minmax",
+    """
+    SELECT GREATEST(MAX(value), 0.0) AS max_value, LEAST(MIN(value), 0.0) AS min_value
+    FROM events
+    """,
+)
+def a5_minmax(spark, sf_dir):
+    """SURVEY §2.4 A5 (reference sparse_frame.py:152-156): matrix max/min
+    where implicit zeros participate — one lazy plan, no collect."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select("event_id", F.col("event_type").alias(COL), F.col("value").alias(VAL))
+    sf = SparseFrame(cells, ["event_id"], EVENT_TYPES)
+    return sf.minmax_df()
+
+
+@query(
+    "j6_concat",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def j6_concat(spark, sf_dir):
+    """SURVEY §2.3 J6 (reference sparse_frame.py:394-398): fold-concat of
+    three user_id%3 slices along axis=0 reassembles the full frame."""
+    events = load_table(spark, sf_dir, "events")
+    parts = []
+    for m in range(3):
+        sub = events.filter(F.col("user_id") % 3 == m)
+        parts.append(
+            sparse_one_hot(sub, "event_type", EVENT_TYPES, index_col="user_id").groupby_sum(
+                by="user_id"
+            )
+        )
+    return SparseFrame.concat(parts, axis=0).data
+
+
+@query(
+    "o1_sort_index",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT) AS pos,
+           user_id, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def o1_sort_index(spark, sf_dir):
+    """SURVEY §2.5 O1 (reference sparse_frame.py:306-317): sort_index —
+    emitted with explicit rank so sortedness is hash-visible."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.orderBy("user_id")
+    return totals.select(
+        (F.row_number().over(w) - 1).cast("long").alias("pos"), "user_id", "total"
+    )
+
+
+@query(
+    "p3_iloc_slice",
+    """
+    SELECT event_id, event_type AS col, 1.0 AS value FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS pos
+      FROM events
+    ) WHERE pos >= 100 AND pos < 110
+    """,
+)
+def p3_iloc_slice(spark, sf_dir):
+    """SURVEY §2.2 P2/P3 (reference indexing.py:13-21): positional slice via
+    row_number over an explicit order — documented small-frame path."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        events.withColumn("pos", F.row_number().over(w) - 1)
+        .filter((F.col("pos") >= 100) & (F.col("pos") < 110))
+        .select("event_id", F.col("event_type").alias(COL), F.lit(1.0).alias(VAL))
+    )
+
+
+@query(
+    "f1_map_partitions",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) * 2 AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def f1_map_partitions(spark, sf_dir):
+    """SURVEY §2.11 F1 (reference dask/core.py:113-123): arbitrary pandas
+    function per partition via Arrow-batched mapInPandas."""
+    frame = _user_counts_frame(spark, sf_dir)
+
+    def double(pdf):
+        pdf = pdf.copy()
+        pdf[VAL] = pdf[VAL] * 2
+        return pdf
+
+    return frame.map_partitions(double).data
+
+
+@query(
+    "s2_parquet_roundtrip",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def s2_parquet_roundtrip(spark, sf_dir):
+    """SURVEY §2.1 S2/S7 (reference io.py:26-47, dask/io.py:51-86): persist a
+    frame as range-partitioned parquet (sorted files ≙ divisions) and read it
+    back — long-format round trip preserves everything."""
+    import tempfile
+
+    from sparsity_spark.io import read_parquet_frame, write_parquet_frame
+
+    frame = _user_counts_frame(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sparsity_rt_") + "/frame"
+    write_parquet_frame(frame, path)
+    back = read_parquet_frame(spark, path, key_cols=["user_id"])
+    return back.data
+
+
+@query(
+    "s6_from_pandas",
+    """
+    SELECT n_nationkey AS idx, 'n_regionkey' AS col, CAST(n_regionkey AS DOUBLE) AS value
+    FROM nation WHERE n_regionkey != 0
+    """,
+)
+def s6_from_pandas(spark, sf_dir):
+    """SURVEY §2.1 S1/S6 (reference sparse_frame.py:47-100, dask/io.py:15-48):
+    driver-side pandas ingest; zero cells become implicit (dropped), which
+    the oracle must mirror."""
+    from sparsity_spark.io import from_pandas
+
+    nation = load_table(spark, sf_dir, "nation").toPandas()
+    pdf = nation.set_index("n_nationkey")[["n_regionkey"]].astype("float64")
+    pdf.index.name = "idx"
+    sf = from_pandas(spark, pdf)
+    return sf.data.select("idx", COL, VAL)
