@@ -1001,3 +1001,38 @@ def s6_from_pandas(spark, sf_dir):
     pdf.index.name = "idx"
     sf = from_pandas(spark, pdf)
     return sf.data.select("idx", COL, VAL)
+
+
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """SURVEY §2.10 (the reference has NO streaming; this is the Structured
+    Streaming extension): full streaming round trip — file-source readStream
+    → watermarked tumbling-window aggregate → availableNow trigger → memory
+    sink — must equal the batch groupBy the oracle computes."""
+    import tempfile
+    import uuid
+
+    from sparsity_spark.streaming import stream_events, streaming_one_hot_counts
+
+    src = tempfile.mkdtemp(prefix="sparsity_stream_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    name = "swc_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_one_hot_counts(stream_events(spark, src), "1 day", "2 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, col, value FROM {name}"
+    )

@@ -1,0 +1,7 @@
+from sparsity_spark.streaming.ingest import (
+    stream_events,
+    streaming_one_hot_counts,
+    streaming_session_stats,
+)
+
+__all__ = ["stream_events", "streaming_one_hot_counts", "streaming_session_stats"]

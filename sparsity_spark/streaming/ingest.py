@@ -1,0 +1,112 @@
+"""Structured Streaming versions of the engine's ingest + aggregation.
+
+The reference's data domain is event streams (TrailDB trails, reference
+traildb_coo.c:49-91) but all its processing is batch (SURVEY §2.10: no
+streaming operators exist there).  These are the natural Spark extensions:
+
+* ``stream_events``             — file-source readStream over event parquet;
+* ``streaming_one_hot_counts``  — the flagship one-hot → groupby_sum pipeline
+  as a watermarked tumbling-window streaming aggregate (late data handled by
+  the watermark, state bounded);
+* ``streaming_session_stats``   — custom stateful operator per user via
+  ``applyInPandasWithState`` (the reference's map_partitions-style UDF
+  surface, made stateful).
+
+Batch/stream parity: with the ``availableNow`` trigger the streaming
+aggregate must equal the equivalent batch groupBy — pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, schema: StructType = EVENT_SCHEMA) -> DataFrame:
+    """File-source stream over an events directory (one file per micro-batch
+    set; in production this is the Kafka/queue source with the same schema)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_one_hot_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+    field: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window one-hot counts: the streaming form of the
+    flagship pipeline.  One-hot stays a projection; the windowed groupBy is
+    an incremental stateful aggregate whose state is bounded by the
+    watermark (late rows older than it are dropped deterministically).
+
+    Returns (window_start, window_end, col, value)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(field).alias("col"))
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "col",
+            "value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "n_events long, total_value double"
+SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Custom stateful per-user accumulator via applyInPandasWithState:
+    keeps (n_events, total_value) per user across micro-batches and emits
+    the updated totals each batch — the pattern for any custom stateful
+    operator Spark lacks natively."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
