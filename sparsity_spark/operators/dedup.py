@@ -63,10 +63,27 @@ def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(id, shingle) long rows, shingles distinct per doc (set semantics)."""
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     return docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_expr(words_expr(text_col), k))).alias("shingle"),
     )
+
+
+# Universal-hash family for MinHash: minhash_s = min((a_s·h + b_s) mod M)
+# where h is a 32-bit base fingerprint of the shingle (first 8 md5 hex chars).
+# a_s < 2^31 odd, h < 2^32 → a_s·h + b_s < 2^63: overflow-free in any engine,
+# so a SQL oracle reproduces the values with plain integer arithmetic.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic LCG-derived (a, b) constants, shared with the oracle."""
+    a = [((1103515245 * (s + 1) + 12345) % (1 << 31)) | 1 for s in range(num_hashes)]
+    b = [(134775813 * (s + 1) + 1) % (1 << 31) for s in range(num_hashes)]
+    return a, b
 
 
 def minhash_signatures(
@@ -76,15 +93,20 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per doc as long rows (id, seed, minhash).
+    """MinHash signature per doc as long rows (id, seed, minhash: long).
 
-    All H minima are computed in a single groupBy aggregate (H parallel
-    `min(md5(shingle || ':' || seed))` expressions) — one shuffle total,
-    no row multiplication, map-side partial mins.
+    ONE md5 per shingle (the base fingerprint), then H universal-hash
+    variants as pure integer expressions — all H minima in a single groupBy
+    aggregate. Long (mutable) agg buffers keep Spark on HashAggregate with
+    map-side partial mins; a min(string) formulation would silently fall
+    back to SortAggregate and sort every exploded shingle row.
     """
-    sh = shingle_sets(docs, id_col, text_col, k)
+    a, b = minhash_params(num_hashes)
+    sh = shingle_sets(docs, id_col, text_col, k).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))).alias(f"mh{s}")
+        F.min((F.lit(a[s]) * F.col("h") + F.lit(b[s])) % F.lit(MINHASH_PRIME)).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
     wide = sh.groupBy(id_col).agg(*aggs)
@@ -92,7 +114,7 @@ def minhash_signatures(
     return wide.select(
         F.col(id_col),
         F.expr(f"stack({num_hashes}, {stack}) as (seed, minhash)"),
-    ).select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
+    ).select(id_col, F.col("seed").cast("int").alias("seed"), F.col("minhash").cast("long").alias("minhash"))
 
 
 def lsh_bands(
@@ -157,6 +179,9 @@ def simhash(
     Token hash = first 8 hex chars of md5 (32-bit, engine-portable);
     each of the `bits` bit-majorities is one agg expression, so the whole
     fingerprint is a single hash aggregate. Returns (id, simhash: long)."""
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(words_expr(text_col))).alias("tok"),

@@ -555,12 +555,27 @@ _SHINGLE_SQL = """
     )
 """
 
-_MINHASH_SQL = f"""
+def _minhash_oracle() -> str:
+    """Oracle for the universal-hash MinHash — built from the SAME (a, b)
+    constants as the Spark implementation so values match bit-for-bit."""
+    from sparsity_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    a, b = minhash_params(16)
+    arms = " ".join(
+        f"WHEN seed = {s} THEN ({a[s]} * h + {b[s]}) % {MINHASH_PRIME}" for s in range(16)
+    )
+    return f"""
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           MIN(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
-    FROM ({_SHINGLE_SQL}) sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+           MIN(CASE {arms} END) AS minhash
+    FROM (
+      SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM ({_SHINGLE_SQL})
+    ) sh, (SELECT unnest(range(0, 16)) AS seed) seeds
     GROUP BY doc_id, seed
-"""
+    """
+
+
+_MINHASH_SQL = _minhash_oracle()
 
 
 @query(
@@ -593,7 +608,7 @@ def dedup_minhash_signatures_q(spark, sf_dir):
     WITH m AS ({_MINHASH_SQL}),
     bands AS (
       SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
       FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
