@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the scale-critical properties the engine
+promises (SURVEY §4). These pin the *plan shape*, not just results —
+a regression that silently de-optimizes (lost pushdown, lost broadcast,
+SortAggregate fallback, lost partition pruning) fails here."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparsity_spark.data import load_table
+from sparsity_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + "\n" + (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # predicate reaches the scan; only needed columns are read
+    assert "PushedFilters" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_partkey" not in m.group(1), "column pruning lost"
+    assert "HashAggregate" in plan
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))
+    # map-side partial + final aggregate pattern, single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")[0].split(":")) and "value" not in m.group(1), (
+        "one-hot pipeline must not read unused event columns"
+    )
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q5_regional_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, "dimension joins must broadcast"
+
+
+def test_minhash_stays_hash_aggregate(spark, sf_dir):
+    from sparsity_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(minhash_signatures(docs))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan, "minhash fell back to sort aggregation"
+
+
+def test_one_hot_is_shuffle_free(spark, sf_dir):
+    from sparsity_spark.reshape import sparse_one_hot
+
+    events = load_table(spark, sf_dir, "events")
+    sf = sparse_one_hot(events, "event_type", ["click", "error", "purchase", "signup", "view"], index_col="event_id")
+    plan = formatted_plan(sf.data)
+    assert "Exchange" not in plan, "one-hot must be a pure projection"
+
+
+def test_frame_parquet_range_pruning(spark, tmp_path):
+    """The divisions analog (reference dask/io.py:89-112): a loc_range over a
+    range-partitioned frame write must prune files via parquet min/max."""
+    import pandas as pd
+    import numpy as np
+
+    from sparsity_spark.io import from_pandas, read_parquet_frame, write_parquet_frame
+
+    pdf = pd.DataFrame(np.identity(100), index=range(100), columns=[f"c{i}" for i in range(100)])
+    sf = from_pandas(spark, pdf, npartitions=4)
+    path = str(tmp_path / "frame")
+    write_parquet_frame(sf, path)
+    back = read_parquet_frame(spark, path, key_cols=["idx"])
+    sliced = back.loc_range(10, 19)
+    plan = formatted_plan(sliced.data)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
+    # row-group/file pruning: selected rows land in one of 4 range files
+    assert sliced.data.count() == 10
+
+
+def test_cells_scan_prunes_value_column(spark, sf_dir):
+    """Projecting only keys+col must not read the value column."""
+    frame = QUERIES["a1_onehot_groupby_sum"](spark, sf_dir)
+    proj = frame.select("user_id", "col")
+    plan = formatted_plan(proj)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "value" not in m.group(1)
