@@ -1,0 +1,115 @@
+"""Temporal operators Spark lacks natively: as-of join, range join,
+time-hierarchy rollup.
+
+Spark-first constructions that avoid per-key loops and quadratic joins:
+
+* as-of join    — the union/sort/last_value technique: tag both sides, one
+  window per by-key carries the most recent right-side value forward onto
+  left rows. Cost: one shuffle+sort on (by, time) — scales linearly, no
+  range condition ever reaches a join operator.
+* range join    — time-bucketized self-join: join on coarse bucket (plus
+  neighbor bucket) then filter the exact interval. The equi-join key keeps
+  the shuffle hash-partitioned; work scales with true match density, not
+  corpus².
+* time rollup   — multi-granularity aggregate via the native ROLLUP
+  grouping-set support (one pass, partial aggregation per grouping set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the right-side value
+    with the greatest ``on`` <= left's ``on`` within the ``by`` group
+    (DuckDB/pandas `merge_asof` semantics, ties include equal timestamps).
+
+    Implementation: union both sides with a side tag, window-sort once per
+    group ordered by (time, tag) with right rows (tag 0) before left rows at
+    equal time, and carry ``last(value, ignorenulls)`` forward. One
+    shuffle+sort total."""
+    by = by or []
+    lcols = left.columns
+    l = left.select(*lcols).withColumn("__tag__", F.lit(1)).withColumn("__rv__", F.lit(None).cast("double"))
+    r = right.select(
+        *[F.col(c) if c in (by + [on]) else F.lit(None).alias(c) for c in lcols],
+        F.lit(0).alias("__tag__"),
+        F.col(value_col).cast("double").alias("__rv__"),
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(out_col, F.last("__rv__", ignorenulls=True).over(w))
+    return carried.filter(F.col("__tag__") == 1).select(*lcols, out_col)
+
+
+def range_join_pairs(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    max_gap_seconds: int = 3600,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Interval self-join: pairs (a, b) in the same ``by`` group with
+    0 < ts_b − ts_a <= max_gap. Bucketize time to max_gap-width buckets and
+    equi-join each row to its own and the next bucket — the range predicate
+    then filters locally. Returns (by, id_a, id_b, gap_seconds)."""
+    bucket = (F.unix_timestamp(F.col(ts_col)) / max_gap_seconds).cast("long")
+    base = events.select(
+        F.col(by), F.col(id_col), F.col(ts_col), bucket.alias("__b__")
+    )
+    # left side fans out to (its bucket, next bucket) so every in-range pair
+    # meets in exactly one equi-join key without a theta join
+    left = base.withColumn("__jb__", F.explode(F.array(F.col("__b__"), F.col("__b__") + 1))).select(
+        F.col(by), F.col(id_col).alias("id_a"), F.col(ts_col).alias("ts_a"), "__jb__"
+    )
+    right = base.select(
+        F.col(by), F.col(id_col).alias("id_b"), F.col(ts_col).alias("ts_b"), F.col("__b__").alias("__jb__")
+    )
+    gap = F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")
+    return (
+        left.join(right, on=[by, "__jb__"])
+        .filter((F.col("id_a") != F.col("id_b")) & (gap > 0) & (gap <= max_gap_seconds))
+        .select(by, "id_a", "id_b", gap.alias("gap_seconds"))
+        .distinct()
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("year", "month", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one ROLLUP aggregate over
+    the time hierarchy — Spark computes every grouping set in a single pass
+    with partial aggregation. NULL grouping levels are emitted as 'ALL'
+    sentinels so the result is engine-portable."""
+    parts = {
+        "year": F.year(ts_col),
+        "month": F.month(ts_col),
+        "day": F.dayofmonth(ts_col),
+    }
+    cols = [parts[lv].alias(lv) for lv in levels]
+    keyed = events.select(*cols, F.col(value_col))
+    agg = keyed.rollup(*levels).agg(
+        F.round(F.sum(value_col), 4).alias("total"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        *[F.coalesce(F.col(lv).cast("string"), F.lit("ALL")).alias(lv) for lv in levels],
+        "total",
+        "n_events",
+    )

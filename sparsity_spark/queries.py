@@ -1051,3 +1051,74 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.sql(
         f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, col, value FROM {name}"
     )
+
+
+# --------------------------------------------------------------------- #
+# Temporal extensions: as-of join, range join, hypertable rollup        #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "t1_asof_join",
+    """
+    SELECT v.event_id, v.user_id, p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def t1_asof_join(spark, sf_dir):
+    """As-of join (backward): each view event gets the most recent
+    at-or-before purchase value per user. Union/sort/last_value technique —
+    one shuffle+sort, no range predicate in any join."""
+    from sparsity_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(views, purchases, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "asof_value"
+    )
+
+
+@query(
+    "t2_range_join",
+    """
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch(b.ts) - epoch(a.ts) <= 3600
+     AND a.event_id != b.event_id
+    GROUP BY a.user_id
+    """,
+)
+def t2_range_join(spark, sf_dir):
+    """Range join: events of the same user within one hour — bucketized
+    equi-join (bucket + neighbor-bucket fan-out) instead of a theta join."""
+    from sparsity_spark.operators.temporal import range_join_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = range_join_pairs(events, max_gap_seconds=3600)
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "t3_time_rollup",
+    """
+    SELECT COALESCE(CAST(year AS VARCHAR), 'ALL') AS year,
+           COALESCE(CAST(month AS VARCHAR), 'ALL') AS month,
+           COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+           ROUND(SUM(value), 4) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, value FROM events
+    )
+    GROUP BY ROLLUP(year, month, day)
+    """,
+)
+def t3_time_rollup(spark, sf_dir):
+    """Hypertable rollup: year/month/day grouping sets in one pass."""
+    from sparsity_spark.operators.temporal import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))

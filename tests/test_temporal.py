@@ -1,0 +1,79 @@
+"""Temporal operator edge cases: as-of tie-at-equal-ts, no-prior-match
+nulls, range-join bucket boundaries, rollup grouping sets."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sparsity_spark.operators.temporal import asof_join, range_join_pairs, time_rollup
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 100, ts(10)), (3, 100, ts(20)), (4, 200, ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, ts(10), 7.0), (100, ts(15), 9.0), (200, ts(6), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = (
+        asof_join(left, right, on="ts", by=["user_id"])
+        .toPandas()
+        .set_index("event_id")["asof_value"]
+    )
+    assert pd.isna(out[1])  # no right row at or before ts(0)
+    assert out[2] == 7.0  # equal timestamp counts (<= semantics)
+    assert out[3] == 9.0  # most recent prior wins
+    assert pd.isna(out[4])  # other group's rows invisible
+
+
+def test_range_join_boundaries(spark):
+    rows = [
+        (1, 5, ts(0)),
+        (2, 5, ts(30)),   # 1800s after 1 → pair (1,2)
+        (3, 5, ts(60)),   # exactly 3600s after 1 → inclusive pair (1,3)
+        (4, 5, ts(121)),  # 3660s after 2 → NOT a pair with 2... (61 min)
+        (5, 6, ts(1)),    # different user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    pairs = range_join_pairs(df, max_gap_seconds=3600).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (2, 4) not in got  # 91 min > 1h
+    assert (3, 4) not in got  # 61 min > 1h
+    assert all(a != 5 and b != 5 for a, b in got)  # cross-user never pairs
+
+
+def test_range_join_exact_bounds(spark):
+    rows = [(1, 5, ts(0)), (2, 5, ts(60)), (3, 5, ts(121))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.id_a, r.id_b)
+        for r in range_join_pairs(df, max_gap_seconds=3600).toPandas().itertuples()
+    }
+    assert (1, 2) in got      # exactly 3600 → inclusive
+    assert (2, 3) not in got  # 3660 → out
+    assert (1, 3) not in got
+
+
+def test_time_rollup_grouping_sets(spark):
+    rows = [
+        (ts(0), 1.0),
+        (ts(60 * 24), 2.0),          # next day
+        (dt.datetime(2024, 2, 1), 4.0),  # next month
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = time_rollup(df).toPandas()
+    total = out[(out.year == "ALL")]
+    assert len(total) == 1 and total.iloc[0].total == 7.0
+    jan = out[(out.year == "2024") & (out.month == "1") & (out.day == "ALL")]
+    assert len(jan) == 1 and jan.iloc[0].total == 3.0
+    assert len(out[(out.month == "ALL") & (out.year == "2024")]) == 1
