@@ -72,6 +72,21 @@ def from_pandas(
     long_pdf[COL] = long_pdf[COL].astype(str)
     long_pdf[VAL] = long_pdf[VAL].astype("float64")
 
+    return _assemble_frame(
+        spark, idx_pdf, long_pdf, index_names, [str(c) for c in df.columns], npartitions
+    )
+
+
+def _assemble_frame(
+    spark: SparkSession,
+    idx_pdf: pd.DataFrame,
+    long_pdf: pd.DataFrame,
+    index_names: list[str],
+    columns: list[str],
+    npartitions: int | None = None,
+) -> SparseFrame:
+    """Shared assembly: driver-side (pos, col, value) triplets + positional
+    index labels → SparseFrame with labeled cells."""
     index_sdf = spark.createDataFrame(idx_pdf, schema=_pandas_ddl(idx_pdf) if len(idx_pdf) == 0 else None)
     cells_schema = f"`{POS}` long, `{COL}` string, `{VAL}` double"
     cells_sdf = spark.createDataFrame(long_pdf[[POS, COL, VAL]], schema=cells_schema).join(
@@ -80,7 +95,54 @@ def from_pandas(
     cells_sdf = cells_sdf.select(*index_names, POS, COL, VAL)
     if npartitions:
         cells_sdf = cells_sdf.repartitionByRange(npartitions, *index_names)
-    return SparseFrame(cells_sdf, index_names, [str(c) for c in df.columns], index_sdf)
+    return SparseFrame(cells_sdf, index_names, columns, index_sdf)
+
+
+def read_npz(spark: SparkSession, filename: str) -> SparseFrame:
+    """Read a frame persisted in the reference's ``.npz`` layout — keys
+    ``data/indices/indptr/shape`` (the CSR) plus ``frame_index`` /
+    ``frame_columns`` (reference io.py:26-47).  Driver-side compat path for
+    interop with existing archives; the scale path is parquet.  CSR decode
+    is done in plain numpy (no scipy in the runtime): the row id of stored
+    entry j is the bucket of j in indptr."""
+    with np.load(filename, allow_pickle=True) as z:
+        data = np.asarray(z["data"], dtype="float64")
+        indices = np.asarray(z["indices"], dtype="int64")
+        indptr = np.asarray(z["indptr"], dtype="int64")
+        shape = tuple(int(s) for s in z["shape"])
+        index_values = z["frame_index"]
+        columns = [str(c) for c in z["frame_columns"]]
+    rows = np.repeat(np.arange(shape[0], dtype="int64"), np.diff(indptr))
+    idx_pdf = pd.DataFrame({"idx": index_values})
+    idx_pdf[POS] = np.arange(len(idx_pdf), dtype="int64")
+    long_pdf = pd.DataFrame(
+        {POS: rows, COL: [columns[c] for c in indices], VAL: data}
+    )
+    long_pdf = long_pdf[long_pdf[VAL] != 0]
+    return _assemble_frame(spark, idx_pdf, long_pdf, ["idx"], columns)
+
+
+def to_npz(sf: SparseFrame, filename: str):
+    """Write a frame to the reference's ``.npz`` layout (reference
+    io.py:31-35).  Materializes driver-side — compat/export only.  CSR
+    encode in plain numpy: row-major sort of the nonzero triplets, indptr
+    from per-row counts."""
+    dense = sf.todense()
+    mat = dense.to_numpy()
+    n, k = mat.shape
+    r, c = np.nonzero(mat)
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    counts = np.bincount(r, minlength=n)
+    np.savez(
+        filename,
+        data=mat[r, c],
+        indices=c.astype("int32"),
+        indptr=np.concatenate([[0], np.cumsum(counts)]).astype("int32"),
+        shape=np.array([n, k]),
+        frame_index=dense.index.to_numpy(),
+        frame_columns=np.array(sf.columns),
+    )
 
 
 def read_parquet_frame(

@@ -1,0 +1,42 @@
+"""npz compat round-trip (reference io.py:26-47 layout) and parquet frame I/O."""
+
+import numpy as np
+import pandas as pd
+
+from sparsity_spark import from_pandas
+from sparsity_spark.io import read_npz, to_npz
+
+
+def test_npz_roundtrip(spark, tmp_path):
+    rng = np.random.RandomState(5)
+    mat = rng.rand(20, 6)
+    mat[mat < 0.6] = 0
+    pdf = pd.DataFrame(mat, index=np.arange(100, 120), columns=[f"c{i}" for i in range(6)])
+    sf = from_pandas(spark, pdf)
+    path = str(tmp_path / "frame.npz")
+    to_npz(sf, path)
+
+    back = read_npz(spark, path)
+    assert back.columns == [f"c{i}" for i in range(6)]
+    dense = back.todense()
+    np.testing.assert_allclose(dense.to_numpy(), mat)
+    assert list(dense.index) == list(range(100, 120))
+
+
+def test_npz_reference_layout_readable(spark, tmp_path):
+    # write the CSR layout by hand exactly as the reference does (diag 1,2,3),
+    # read with ours
+    path = str(tmp_path / "ref.npz")
+    np.savez(
+        path,
+        data=np.array([1.0, 2.0, 3.0]),
+        indices=np.array([0, 1, 2], dtype="int32"),
+        indptr=np.array([0, 1, 2, 3], dtype="int32"),
+        shape=np.array([3, 3]),
+        frame_index=np.array([7, 8, 9]),
+        frame_columns=np.array(["x", "y", "z"]),
+    )
+    sf = read_npz(spark, path)
+    dense = sf.todense()
+    np.testing.assert_allclose(dense.to_numpy(), np.diag([1.0, 2.0, 3.0]))
+    assert list(dense.index) == [7, 8, 9]
