@@ -569,6 +569,46 @@ class SparseFrame:
         )
 
     # ------------------------------------------------------------------ #
+    # reshape / set ops (extensions; SURVEY §2.6-2.7 list these as       #
+    # absent from the reference — long format provides them cheaply)     #
+    # ------------------------------------------------------------------ #
+
+    def transpose(self, key_as_col: str | None = None) -> "SparseFrame":
+        """Swap rows and columns — for a single-key frame this is a pure
+        column rename in long format (zero shuffle); the reference only
+        transposes internally inside its matmul group-by."""
+        if len(self.key_cols) != 1:
+            raise ValueError("transpose requires a single key column")
+        key = self.key_cols[0]
+        new_key = key_as_col or COL
+        cells = self._bare_cells().select(
+            F.col(COL).alias(new_key),
+            F.col(key).cast("string").alias(COL),
+            F.col(VAL),
+        )
+        new_cols = [
+            str(r[key]) for r in self.index.select(key).distinct().orderBy(key).collect()
+        ]
+        idx = self.spark().createDataFrame([(c,) for c in self.columns], f"`{new_key}` string")
+        return SparseFrame(cells, [new_key], new_cols, idx)
+
+    def intersect_index(self, other: "SparseFrame") -> "SparseFrame":
+        """Keep rows whose key appears in both frames (INTERSECT on the
+        index — left-semi join, no row explosion)."""
+        keys = other.index.select(*self.key_cols).distinct()
+        cells = self._cells.join(keys, on=self.key_cols, how="leftsemi")
+        idx = self.index.join(keys, on=self.key_cols, how="leftsemi")
+        return SparseFrame(cells, self.key_cols, self.columns, idx)
+
+    def except_index(self, other: "SparseFrame") -> "SparseFrame":
+        """Drop rows whose key appears in the other frame (EXCEPT on the
+        index — left-anti join)."""
+        keys = other.index.select(*self.key_cols).distinct()
+        cells = self._cells.join(keys, on=self.key_cols, how="leftanti")
+        idx = self.index.join(keys, on=self.key_cols, how="leftanti")
+        return SparseFrame(cells, self.key_cols, self.columns, idx)
+
+    # ------------------------------------------------------------------ #
     # UDF surface (reference dask layer, dask/core.py:68-139)            #
     # ------------------------------------------------------------------ #
 

@@ -1122,3 +1122,79 @@ def t3_time_rollup(spark, sf_dir):
     from sparsity_spark.operators.temporal import time_rollup
 
     return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------- #
+# Set ops / transpose / selective-scan extensions                       #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "u3_intersect_except",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY user_id, event_type
+    ),
+    spenders AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+    SELECT c.user_id, c.col, c.value, 'both' AS side FROM counts c
+      WHERE c.user_id IN (SELECT user_id FROM spenders)
+    UNION ALL
+    SELECT c.user_id, c.col, c.value, 'only_left' AS side FROM counts c
+      WHERE c.user_id NOT IN (SELECT user_id FROM spenders)
+    """,
+)
+def u3_intersect_except(spark, sf_dir):
+    """SURVEY §2.6 (absent in reference): INTERSECT/EXCEPT on the index via
+    semi/anti joins — tagged union proves the two partitions are disjoint
+    and complete."""
+    counts = _user_counts_frame(spark, sf_dir)
+    spend = _spend_frame(spark, sf_dir)
+    both = counts.intersect_index(spend).data.withColumn("side", F.lit("both"))
+    left_only = counts.except_index(spend).data.withColumn("side", F.lit("only_left"))
+    return both.unionByName(left_only)
+
+
+@query(
+    "r3_transpose",
+    """
+    SELECT event_type AS etype, CAST(user_id AS VARCHAR) AS col,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY event_type, user_id
+    """,
+)
+def r3_transpose(spark, sf_dir):
+    """SURVEY §2.7 (generic transpose absent in reference): in long format a
+    single-key transpose is a zero-shuffle column swap."""
+    frame = _user_counts_frame(spark, sf_dir)
+    return frame.transpose(key_as_col="etype").data
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+    scan, result is a single-row aggregate with no shuffle beyond final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
