@@ -262,6 +262,15 @@ class SparseFrame:
         idx = self._index.filter(pred) if self._index is not None else None
         return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
 
+    def loc_mask(self, mask: Sequence[bool]) -> "SparseFrame":
+        """Boolean-mask row selection (reference test_sparse_frame.py:438-443)
+        — the mask is positional, so it requires a known row order; the
+        driver-side mask joins against positions (small-frame path, like the
+        reference's own use)."""
+        self._require_pos()
+        positions = [i for i, m in enumerate(mask) if m]
+        return self.take(positions)
+
     # -- positional selection (iloc / take) ---------------------------- #
 
     def _require_pos(self):
