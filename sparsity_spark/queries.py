@@ -1198,3 +1198,24 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query(
+    "s1_melt_numeric",
+    """
+    SELECT s_suppkey, col, value FROM (
+      SELECT s_suppkey, 's_acctbal' AS col, CAST(s_acctbal AS DOUBLE) AS value FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 's_nationkey' AS col, CAST(s_nationkey AS DOUBLE) AS value FROM supplier
+    ) WHERE value IS NOT NULL AND value != 0.0
+    """,
+)
+def s1_melt_numeric(spark, sf_dir):
+    """SURVEY §2.1 S1 distributed ingest: melt numeric columns of an
+    ordinary table into a SparseFrame via the built-in stack() expression —
+    zero cells become implicit."""
+    from sparsity_spark.io import melt_numeric
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    sf = melt_numeric(supplier, ["s_suppkey"], ["s_acctbal", "s_nationkey"])
+    return sf.data
