@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality",
     "text_fingerprint",
+    "q6_forecast_revenue",
+    "t1_asof_join",
+    "t2_range_join",
+    "t3_time_rollup",
+    "r3_transpose",
 ]
 
 

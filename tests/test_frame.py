@@ -214,6 +214,11 @@ def test_scalar_stats_dense_denominator(spark):
     col_means = sf.mean(axis=0)
     assert col_means["a"] == pytest.approx(2.0 / 3.0)
     assert col_means["b"] == pytest.approx(-4.0 / 3.0)
+    col_stds = sf.std(axis=0)
+    assert col_stds["a"] == pytest.approx(np.array([2.0, 0, 0]).std())
+    row_sums = sf.sum(axis=1).sort_index()
+    assert list(row_sums) == [2.0, -4.0]  # all-zero rows have no long rows
+    assert sf.head(2).shape == (2, 2)
 
 
 def test_groupby_sum_sorted_keys(spark):
