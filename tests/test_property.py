@@ -1,0 +1,100 @@
+"""Property-based differential tests: random sparse frames, every core op
+checked against the dense pandas oracle (the reference's own semantics).
+Small matrices, bounded examples — the point is edge-shape coverage
+(empty rows, disjoint keys, full overlap), not volume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparsity_spark import from_pandas
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def sparse_pdf(draw, max_rows=8, max_cols=4, key_low=0, key_high=12):
+    n = draw(st.integers(1, max_rows))
+    k = draw(st.integers(1, max_cols))
+    keys = draw(
+        st.lists(st.integers(key_low, key_high), min_size=n, max_size=n, unique=True)
+    )
+    cells = draw(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False).map(lambda v: round(v, 3)),
+            min_size=n * k,
+            max_size=n * k,
+        )
+    )
+    mat = np.array(cells).reshape(n, k)
+    mat[np.abs(mat) < 2.0] = 0.0  # sparsify
+    return pd.DataFrame(mat, index=keys, columns=[f"c{i}" for i in range(k)])
+
+
+@given(a=sparse_pdf(), b=sparse_pdf())
+@settings(**SETTINGS)
+def test_add_outer_matches_pandas(spark, a, b):
+    b = b.reindex(columns=a.columns, fill_value=0.0)
+    got = from_pandas(spark, a).add(from_pandas(spark, b), how="outer").todense().sort_index()
+    want = a.add(b, fill_value=0).fillna(0).sort_index()
+    want.index.name = got.index.name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(a=sparse_pdf(max_cols=3), b=sparse_pdf(max_cols=3), how=st.sampled_from(["outer", "inner", "left", "right"]))
+@settings(**SETTINGS)
+def test_join_axis1_matches_pandas(spark, a, b, how):
+    b = b.copy()
+    b.columns = [f"r{i}" for i in range(len(b.columns))]
+    got = from_pandas(spark, a).join(from_pandas(spark, b), axis=1, how=how).todense().sort_index()
+    want = a.join(b, how=how).fillna(0).sort_index()
+    want.index.name = got.index.name
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(a=sparse_pdf(max_rows=10))
+@settings(**SETTINGS)
+def test_groupby_sum_matches_pandas(spark, a):
+    # non-unique keys: re-key rows into a small range to force collisions
+    a = a.copy()
+    a.index = [k % 3 for k in range(len(a))]
+    got = from_pandas(spark, a).groupby_sum(level=0).todense().sort_index()
+    want = a.groupby(level=0).sum().sort_index()
+    want.index.name = got.index.name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(a=sparse_pdf())
+@settings(**SETTINGS)
+def test_vstack_roundtrip(spark, a):
+    from hypothesis import assume
+
+    sf = from_pandas(spark, a)
+    half = len(a) // 2
+    assume(half != 0 and half != len(a))
+    lo = from_pandas(spark, a.iloc[:half])
+    hi = from_pandas(spark, a.iloc[half:])
+    got = lo.vstack(hi).todense().sort_index()
+    want = a.sort_index()
+    want.index.name = got.index.name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(a=sparse_pdf(), lo=st.integers(0, 12), width=st.integers(0, 6))
+@settings(**SETTINGS)
+def test_loc_range_inclusive_matches_pandas(spark, a, lo, width):
+    a = a.sort_index()
+    got = from_pandas(spark, a).loc_range(lo, lo + width).todense().sort_index()
+    want = a.loc[lo : lo + width]  # pandas label slices are stop-inclusive
+    assert len(got) == len(want)
+    if len(want):
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
