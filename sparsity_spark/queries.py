@@ -1219,3 +1219,20 @@ def s1_melt_numeric(spark, sf_dir):
     supplier = load_table(spark, sf_dir, "supplier")
     sf = melt_numeric(supplier, ["s_suppkey"], ["s_acctbal", "s_nationkey"])
     return sf.data
+
+
+@query(
+    "skew_distinct_count",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_distinct_count(spark, sf_dir):
+    """Skew-safe exact distinct count: value-hash salting spreads any hot
+    key across reducers; per-salt distinct counts are additive because the
+    salt partitions the value space."""
+    from sparsity_spark.operators.skew import distinct_count_skew_safe
+
+    events = load_table(spark, sf_dir, "events")
+    return distinct_count_skew_safe(events, ["event_type"], "user_id", num_salts=16)

@@ -30,6 +30,12 @@ def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed-table support without polluting the repo: warehouse +
+        # derby metastore live under /tmp
+        .config("spark.sql.warehouse.dir", "/tmp/sparsity_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/sparsity_spark_derby"
+        )
         # the driver's testdata parquet carries TIMESTAMP(NANOS) columns,
         # which Spark only reads as long via this legacy flag; data.py
         # converts them back to proper timestamps

@@ -73,6 +73,22 @@ def streaming_one_hot_counts(
     )
 
 
+def streaming_dedup_exact(
+    docs: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins, duplicate content dropped
+    across micro-batches; dedup state expires past the watermark
+    (``dropDuplicatesWithinWatermark``) so it stays bounded on an unbounded
+    stream — the streaming face of operators.dedup.exact_dedup."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col(content_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 SESSION_STATE_SCHEMA = "n_events long, total_value double"
 SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 
