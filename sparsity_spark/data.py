@@ -35,6 +35,9 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # self-sufficient: the driver hands us ITS session, which won't have the
+    # legacy flag — it is runtime-settable, so set it here, always
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         field = dict(zip(df.schema.names, df.schema.fields))[c]
