@@ -482,6 +482,51 @@ class SparseFrame:
     def groupby(self, by=None, level: int = 0) -> "SparseFrame":
         return self.groupby_sum(by=by, level=level)
 
+    def groupby_agg(
+        self, agg: str = "sum", by: str | Sequence[str] | None = None, level: int = 0
+    ) -> "SparseFrame":
+        """Generalized grouped aggregation over stored cells (extension —
+        the reference only has sum). NOTE: max/min/count/mean operate on
+        *stored* cells; implicit zeros do not participate (use groupby_sum
+        + dense arithmetic when zero-aware semantics are needed)."""
+        fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count, "mean": F.avg}
+        if agg not in fns:
+            raise ValueError(f"agg must be one of {sorted(fns)}")
+        keys = [self.key_cols[level]] if by is None else _as_list(by)
+        cells = self._cells.groupBy(*keys, COL).agg(
+            fns[agg](VAL).cast("double").alias(VAL)
+        )
+        return SparseFrame(cells, keys, self.columns, self.index.select(*keys).distinct())
+
+    def persist(self) -> "SparseFrame":
+        """Pin cells (and explicit index) in executor memory for iterative
+        reuse — the analog of dask's task memoization (reference
+        dask/core.py:116-117,142)."""
+        self._cells.persist()
+        if self._index is not None:
+            self._index.persist()
+        return self
+
+    def to_indexed_arrays(self) -> DataFrame:
+        """ML-interop materialization (SURVEY §1.5's SparseVector layout):
+        one row per logical row with sorted (indices, values) arrays and the
+        vector size — built entirely from array expressions, convertible to
+        pyspark.ml SparseVector driver-side without any row-at-a-time UDF."""
+        pos_map = {c: i for i, c in enumerate(self.columns)}
+        mapping = F.create_map(
+            *[x for c, i in pos_map.items() for x in (F.lit(c), F.lit(i))]
+        )
+        entries = self._bare_cells().withColumn("__cpos__", mapping[F.col(COL)])
+        grouped = entries.groupBy(*self.key_cols).agg(
+            F.array_sort(F.collect_list(F.struct("__cpos__", VAL))).alias("__e__")
+        )
+        return grouped.select(
+            *self.key_cols,
+            F.transform(F.col("__e__"), lambda e: e["__cpos__"]).alias("indices"),
+            F.transform(F.col("__e__"), lambda e: e[VAL]).alias("values"),
+            F.lit(len(self.columns)).alias("size"),
+        )
+
     def _dims(self) -> tuple[int, int]:
         n = self.index.count()
         k = len(self.columns)

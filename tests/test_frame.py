@@ -264,3 +264,30 @@ def test_empty_frame(spark):
 def test_non_numeric_raises(spark):
     with pytest.raises(TypeError):
         from_pandas(spark, pd.DataFrame({"a": ["x", "y"]}))
+
+
+def test_groupby_agg_variants(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, 3.0, 0.0, 5.0], "b": [2.0, 0.0, 4.0, 6.0]},
+        index=[0, 0, 1, 1],
+    )
+    from sparsity_spark import from_pandas as fp
+
+    sf = fp(spark, pdf)
+    mx = sf.groupby_agg("max", level=0).todense().sort_index()
+    assert mx.loc[0, "a"] == 3.0 and mx.loc[1, "b"] == 6.0
+    cnt = sf.groupby_agg("count", level=0).todense().sort_index()
+    assert cnt.loc[0, "a"] == 2.0  # stored cells only
+    assert cnt.loc[1, "a"] == 1.0  # the 0.0 cell is implicit, not stored
+
+
+def test_to_indexed_arrays(spark):
+    pdf = pd.DataFrame(
+        [[0.0, 2.0, 0.0], [1.0, 0.0, 3.0]], index=[10, 11], columns=["x", "y", "z"]
+    )
+    from sparsity_spark import from_pandas as fp
+
+    out = fp(spark, pdf).to_indexed_arrays().toPandas().set_index("idx").sort_index()
+    assert list(out.loc[10, "indices"]) == [1] and list(out.loc[10, "values"]) == [2.0]
+    assert list(out.loc[11, "indices"]) == [0, 2] and list(out.loc[11, "values"]) == [1.0, 3.0]
+    assert (out["size"] == 3).all()
