@@ -51,6 +51,17 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table: joins and
     aggregations keyed on bucket_cols read it without a shuffle."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind without a
+    # catalog entry (fresh metastore, persistent warehouse dir) — clear it
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    if warehouse:
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
