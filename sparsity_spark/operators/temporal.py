@@ -87,6 +87,48 @@ def range_join_pairs(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Event-time sessionization: a new session starts after a gap >
+    gap_seconds. Classic lag + cumulative-sum construction — one window
+    pass per group, deterministic tie-break, identical in any SQL engine
+    (for streaming, ``F.session_window`` is the native stateful variant).
+    Adds a ``session_id`` column (0-based per group)."""
+    w = Window.partitionBy(by).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts)) > gap_seconds)
+    ).cast("long")
+    cum = Window.partitionBy(by).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_id", F.sum(new_session).over(cum) - 1)
+
+
+def session_stats(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: event count, duration, value total."""
+    s = sessionize(events, by, ts_col, gap_seconds)
+    return s.groupBy(by, "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))).alias(
+            "duration_seconds"
+        ),
+        F.round(F.sum(value_col), 4).alias("total_value"),
+    )
+
+
 def time_rollup(
     events: DataFrame,
     ts_col: str = "ts",

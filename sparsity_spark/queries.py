@@ -1236,3 +1236,58 @@ def skew_distinct_count(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return distinct_count_skew_safe(events, ["event_type"], "user_id", num_salts=16)
+
+
+@query(
+    "t4_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM s
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def t4_sessionize(spark, sf_dir):
+    """Event-time sessionization (30-min gap): lag + cumulative-sum session
+    assignment, per-session rollup — the canonical clickstream operator for
+    the reference's data domain."""
+    from sparsity_spark.operators.temporal import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=1800)
+
+
+@query(
+    "stats_percentiles",
+    """
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    """,
+)
+def stats_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); the approximate-sketch variant
+    (approx_percentile/HLL) is exercised in tests with tolerance since
+    sketches are not cross-engine reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )

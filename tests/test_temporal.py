@@ -77,3 +77,40 @@ def test_time_rollup_grouping_sets(spark):
     jan = out[(out.year == "2024") & (out.month == "1") & (out.day == "ALL")]
     assert len(jan) == 1 and jan.iloc[0].total == 3.0
     assert len(out[(out.month == "ALL") & (out.year == "2024")]) == 1
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 7, ts(0), 1.0),
+        (2, 7, ts(10), 1.0),    # same session (10 min gap)
+        (3, 7, ts(50), 1.0),    # 40 min > 30 → new session
+        (4, 7, ts(55), 1.0),
+        (5, 8, ts(0), 1.0),     # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    from sparsity_spark.operators.temporal import sessionize, session_stats
+
+    s = sessionize(df, gap_seconds=1800).toPandas().set_index("event_id")
+    assert s.loc[1, "session_id"] == 0 and s.loc[2, "session_id"] == 0
+    assert s.loc[3, "session_id"] == 1 and s.loc[4, "session_id"] == 1
+    assert s.loc[5, "session_id"] == 0
+
+    stats = session_stats(df, gap_seconds=1800).toPandas()
+    first = stats[(stats.user_id == 7) & (stats.session_id == 0)].iloc[0]
+    assert first.n_events == 2 and first.duration_seconds == 600
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    # sketches are not cross-engine reproducible → tolerance tests, not oracles
+    from sparsity_spark.data import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    row = events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    ).collect()[0]
+    assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.1
+    assert abs(row.approx_p50 - row.exact_p50) / max(abs(row.exact_p50), 1e-9) < 0.1
