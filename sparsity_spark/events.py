@@ -89,14 +89,53 @@ def events_coo(
     (uuid, ts) of :func:`read_events`, which needs no global ordering.
     """
     dictionary = field_dictionary(events, field, order_col)
-    w = Window.orderBy(order_col)
-    numbered = events.select(
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("row_idx"),
-        F.col(field).cast("string").alias("value"),
-        F.col(uuid_col).alias("uuid"),
-        F.col(ts_col).alias("ts"),
-    )
+    numbered = scan_order_ids(
+        events.select(
+            F.col(order_col),
+            F.col(field).cast("string").alias("value"),
+            F.col(uuid_col).alias("uuid"),
+            F.col(ts_col).alias("ts"),
+        ),
+        order_col,
+    ).withColumnRenamed("__scan_idx__", "row_idx")
     return (
         numbered.join(F.broadcast(dictionary), on="value", how="inner")
         .select("row_idx", F.col("col_id").alias("col_idx"), "uuid", "ts")
+    )
+
+
+def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
+    """Global 0-based ids in ``order_col`` order WITHOUT a single-partition
+    window: range-partition on the order column, number rows inside each
+    partition in parallel, then add per-partition offsets (a tiny driver
+    aggregate — one row per partition, the standard zipWithIndex shape).
+    Adds ``__scan_idx__``."""
+    spark = df.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, 1)
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    if lo is None:
+        return df.withColumn("__scan_idx__", F.lit(0).cast("long")).limit(0)
+    # deterministic value-range buckets (NOT repartitionByRange, whose
+    # sampled boundaries can differ between the offset job and the final
+    # job); requires a numeric order column
+    span = int(hi) - int(lo) + 1
+    width = max(1, (span + parts - 1) // parts)
+    bucket = F.least(
+        F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width)), F.lit(parts - 1)
+    ).cast("int")
+    bucketed = df.withColumn("__bkt__", bucket)
+    counts = bucketed.groupBy("__bkt__").count().orderBy("__bkt__").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["__bkt__"]), acc))
+        acc += r["count"]
+    offset_df = spark.createDataFrame(offsets, "`__bkt__` int, `__off__` long")
+    w = Window.partitionBy("__bkt__").orderBy(order_col)
+    return (
+        bucketed.repartition(parts, "__bkt__")
+        .join(F.broadcast(offset_df), on="__bkt__")
+        .withColumn(
+            "__scan_idx__", (F.row_number().over(w) - 1 + F.col("__off__")).cast("long")
+        )
+        .drop("__bkt__", "__off__")
     )

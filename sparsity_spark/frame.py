@@ -545,8 +545,17 @@ class SparseFrame:
                 self._cells.groupBy(COL).agg(F.sum(VAL).alias("s")).toPandas().set_index(COL)["s"]
             )
             return pdf.reindex(self.columns, fill_value=0.0)
+        grouped = self._cells.groupBy(*self.key_cols).agg(F.sum(VAL).alias("s"))
+        idx = self.index
+        if POS in idx.columns:
+            idx = idx.drop(POS)
+        # left join from the index so all-zero rows appear with 0.0 (scipy
+        # sums every row of the matrix, not just rows with stored cells)
         pdf = (
-            self._cells.groupBy(*self.key_cols).agg(F.sum(VAL).alias("s")).toPandas()
+            idx.distinct()
+            .join(grouped, on=self.key_cols, how="left")
+            .select(*self.key_cols, F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+            .toPandas()
         )
         return pdf.set_index(self.key_cols)["s"]
 

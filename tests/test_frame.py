@@ -217,7 +217,7 @@ def test_scalar_stats_dense_denominator(spark):
     col_stds = sf.std(axis=0)
     assert col_stds["a"] == pytest.approx(np.array([2.0, 0, 0]).std())
     row_sums = sf.sum(axis=1).sort_index()
-    assert list(row_sums) == [2.0, -4.0]  # all-zero rows have no long rows
+    assert list(row_sums) == [2.0, -4.0, 0.0]  # all-zero row included, like scipy
     assert sf.head(2).shape == (2, 2)
 
 
