@@ -1,0 +1,92 @@
+"""Training-data pipeline primitives: reproducible sampling & splits,
+document chunking, sequence packing.
+
+Everything is deterministic-by-content (md5-based), so runs are reproducible
+across clusters, retries, and engines — the property a 100 TB pipeline needs
+and seeded RNG sampling cannot give (partition order changes the stream).
+All built-in expressions; one window pass where sequential state is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic content bucket 0..buckets-1: first 8 md5 hex chars as
+    an integer, mod buckets. Engine-portable (any SQL engine reproduces)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def sample_hash(df: DataFrame, key_col: str, percent: int) -> DataFrame:
+    """Keep ~percent% of rows by content hash of the key — reproducible
+    sampling: the same key is always in or always out, regardless of
+    partitioning, cluster size, or engine."""
+    return df.filter(hash_bucket(F.col(key_col)) < percent)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket: e.g.
+    {'train': 80, 'val': 10, 'test': 10}. Adds a ``split`` column."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError("split percentages must sum to 100")
+    b = hash_bucket(F.col(key_col))
+    expr = None
+    acc = 0
+    for name, pct in splits.items():
+        acc += pct
+        expr = F.when(b < acc, F.lit(name)) if expr is None else expr.when(b < acc, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    LLM-training preprocessing step, as a pure explode (no UDF, no shuffle).
+    Returns (id, chunk_id, chunk_text, n_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    w = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(w, s, chunk_tokens))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__toks__"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join("__toks__", " ").alias("chunk_text"),
+        F.size("__toks__").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 512,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-budget bins via running-token-count
+    (cumsum // budget): the streaming-friendly approximation of bin packing
+    — one window pass, deterministic given the order column. Returns the
+    input plus ``bin_id``."""
+    order_col = order_col or id_col
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(token_count_col).over(w)
+    return docs.withColumn(
+        "bin_id", F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
+    )

@@ -96,6 +96,45 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def tfidf_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+):
+    """TF-IDF document-term matrix AS a SparseFrame — the document-term
+    matrix is exactly the engine's native long/COO layout: one row per
+    (doc, term) with value tf·idf.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-style). Two hash aggregates + one broadcast-ready join; the
+    vocabulary (ordered by term) becomes the frame's column dictionary."""
+    from sparsity_spark.frame import COL, VAL, SparseFrame
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias(COL)
+    )
+    tf = toks.groupBy(id_col, COL).agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df_counts = tf.groupBy(COL).agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    idf = df_counts.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    )
+    cells = (
+        tf.join(F.broadcast(idf.select(COL, "idf")), on=COL)
+        .select(
+            F.col(id_col),
+            F.col(COL),
+            F.round(F.col("tf") * F.col("idf"), 6).alias(VAL),
+        )
+    )
+    vocab = [r[COL] for r in df_counts.select(COL).orderBy(COL).collect()]
+    index = docs.select(id_col)
+    return SparseFrame(cells, [id_col], vocab, index)
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprinting: full-content md5, a bag fingerprint (md5 of
     the sorted distinct token set — order-insensitive near-identity), and a

@@ -1291,3 +1291,95 @@ def stats_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Training-data pipeline primitives                                     #
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "pipe_split_counts",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    ) GROUP BY split
+    """,
+)
+def pipe_split_counts(spark, sf_dir):
+    """Reproducible train/val/test assignment by content hash — the same
+    doc lands in the same split on any cluster, any engine, any retry."""
+    from sparsity_spark.operators.pipeline import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").groupBy("split").agg(F.count("*").alias("n"))
+
+
+@query(
+    "pipe_chunks",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) // 40 AS INTEGER) AS chunk_id,
+           array_to_string(w[s:s+49], ' ') AS chunk_text,
+           CAST(len(w[s:s+49]) AS INTEGER) AS n_tokens
+    FROM base, unnest(range(1, greatest(len(w) - 10, 1) + 1, 40)) AS t(s)
+    """,
+)
+def pipe_chunks(spark, sf_dir):
+    """Document chunking: 50-token windows with 10-token overlap as a pure
+    explode — the standard LLM preprocessing step, no UDF, no shuffle."""
+    from sparsity_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
+@query(
+    "pipe_pack_bins",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin_id FROM c
+    """,
+)
+def pipe_pack_bins(spark, sf_dir):
+    """Sequence packing into 512-token bins via running-count assignment."""
+    from sparsity_spark.operators.dedup import words_expr
+    from sparsity_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(words_expr("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(with_counts, budget=512)
+
+
+@query(
+    "text_tfidf",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS col FROM documents),
+    tf AS (SELECT doc_id, col, COUNT(*) AS tf FROM toks GROUP BY doc_id, col),
+    dfc AS (SELECT col, COUNT(*) AS df FROM tf GROUP BY col),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.col,
+           ROUND(tf.tf * (ln((n.n + 1.0) / (dfc.df + 1)) + 1), 6) AS value
+    FROM tf JOIN dfc ON tf.col = dfc.col CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF document-term matrix as a native SparseFrame — the
+    document-term matrix IS the engine's long/COO layout."""
+    from sparsity_spark.operators.text import tfidf_frame
+
+    return tfidf_frame(load_table(spark, sf_dir, "documents")).data

@@ -1,0 +1,101 @@
+"""Training-data pipeline primitives + wide-frame stress (the reference's
+headline regime is a 37k-column one-hot; long format must stay flat)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparsity_spark.operators.pipeline import (
+    chunk_documents,
+    pack_sequences,
+    sample_hash,
+    split_assign,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(120))) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_sample_hash_deterministic_and_subset(spark, docs):
+    s10 = sample_hash(docs, "doc_id", 10)
+    s50 = sample_hash(docs, "doc_id", 50)
+    ids10 = {r.doc_id for r in s10.collect()}
+    ids50 = {r.doc_id for r in s50.collect()}
+    assert ids10 <= ids50  # smaller sample nests inside larger (same hash)
+    assert ids10 == {r.doc_id for r in sample_hash(docs, "doc_id", 10).collect()}
+
+
+def test_split_assign_partitions_everything(spark, docs):
+    out = split_assign(docs, "doc_id").groupBy("split").count().toPandas()
+    assert out["count"].sum() == 20
+    assert set(out["split"]) <= {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"a": 50, "b": 20})
+
+
+def test_chunking_shapes_and_overlap(spark, docs):
+    out = chunk_documents(docs, chunk_tokens=50, overlap=10).toPandas()
+    one = out[out.doc_id == 0].sort_values("chunk_id")
+    # 120 tokens, window 50, step 40 → starts 1, 41, 81 → lengths 50, 50, 40
+    assert list(one.n_tokens) == [50, 50, 40]
+    words0 = one.iloc[0].chunk_text.split(" ")
+    words1 = one.iloc[1].chunk_text.split(" ")
+    assert words0[40:] == words1[:10]  # 10-token overlap preserved
+
+
+def test_packing_respects_budget_sequence(spark, docs):
+    counts = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    out = pack_sequences(counts, budget=512).toPandas().sort_values("doc_id")
+    # 120 tokens/doc → cumsum 120,240,... bin = floor(prev_cum/512): 4 docs + change per bin
+    assert out.bin_id.iloc[0] == 0
+    assert (out.bin_id.diff().dropna() >= 0).all()  # monotone assignment
+    per_bin = out.groupby("bin_id")["n_tokens"].sum()
+    assert (per_bin.iloc[:-1] >= 512 - 120).all()  # bins fill up to budget
+
+
+def test_tfidf_frame_semantics(spark):
+    rows = [(1, "a a b"), (2, "a c"), (3, "d d d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparsity_spark.operators.text import tfidf_frame
+
+    sf = tfidf_frame(df)
+    assert sf.columns == ["a", "b", "c", "d"]
+    dense = sf.todense()
+    # 'a' appears in 2 of 3 docs: idf = ln(4/3)+1; doc1 tf=2
+    idf_a = np.log(4 / 3) + 1
+    assert dense.loc[1, "a"] == pytest.approx(round(2 * idf_a, 6))
+    assert dense.loc[3, "a"] == 0.0
+    idf_d = np.log(4 / 2) + 1
+    assert dense.loc[3, "d"] == pytest.approx(round(3 * idf_d, 6))
+
+
+def test_wide_one_hot_regime(spark):
+    """2k categories — the reference's wide regime (37,393 one-hot columns,
+    reference README.md:53-68). Long format keeps every op a flat plan; only
+    todense/pivot would widen, so materialize via indexed arrays instead."""
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "row_key": np.arange(n) % 500,
+            "cat": [f"cat{i % 2000}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cats = [f"cat{i}" for i in range(2000)]
+    from sparsity_spark.reshape import sparse_one_hot
+
+    sf = sparse_one_hot(df, "cat", cats, index_col="row_key")
+    assert len(sf.columns) == 2000
+    g = sf.groupby_sum(by="row_key")
+    # key k holds cats {k, k+500, k+1000, k+1500} mod 2000 → 4 distinct, ×2 each
+    assert g.data.count() == 500 * 4
+    arrays = g.to_indexed_arrays()
+    row = arrays.filter(F.col("row_key") == 0).collect()[0]
+    assert row["size"] == 2000 and len(row["indices"]) == 4
+    # column projection stays a filter, never a 2000-column select
+    sub = g[[f"cat{i}" for i in range(10)]]
+    assert sub.data.count() == 10  # cat c (c<500) belongs to key c only
