@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "t2_range_join",
     "t3_time_rollup",
     "r3_transpose",
+    "t4_sessionize",
+    "text_tfidf",
+    "pipe_chunks",
+    "skew_distinct_count",
 ]
 
 

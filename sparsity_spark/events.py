@@ -104,6 +104,11 @@ def events_coo(
     )
 
 
+# below this row count a single sort partition beats the distributed
+# two-job numbering; module-level so tests can force the at-scale branch
+SCAN_ORDER_SINGLE_PARTITION_MAX = 2_000_000
+
+
 def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     """Global 0-based ids in ``order_col`` order WITHOUT a single-partition
     window: range-partition on the order column, number rows inside each
@@ -112,9 +117,16 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     Adds ``__scan_idx__``."""
     spark = df.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, 1)
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    lo, hi, total = df.agg(
+        F.min(order_col), F.max(order_col), F.count("*")
+    ).collect()[0]
     if lo is None:
         return df.withColumn("__scan_idx__", F.lit(0).cast("long")).limit(0)
+    if total <= SCAN_ORDER_SINGLE_PARTITION_MAX:
+        # small input: a single sort partition beats two extra distributed
+        # jobs; the bucketed path below is the at-scale branch
+        w = Window.orderBy(order_col)
+        return df.withColumn("__scan_idx__", (F.row_number().over(w) - 1).cast("long"))
     # deterministic value-range buckets (NOT repartitionByRange, whose
     # sampled boundaries can differ between the offset job and the final
     # job); requires a numeric order column

@@ -58,3 +58,25 @@ def test_self_add_doubles(spark):
     doubled = sf.add(sf, how="outer").todense()
     single = sf.todense()
     pd.testing.assert_frame_equal(doubled, single * 2, check_dtype=False)
+
+
+def test_scan_order_ids_bucketed_branch(spark, monkeypatch):
+    """Force the at-scale (bucketed) branch and check it produces the same
+    global numbering as the single-partition branch."""
+    import sparsity_spark.events as ev_mod
+
+    ev = tiny_events(spark)
+    small = (
+        ev_mod.scan_order_ids(ev, "event_id")
+        .select("event_id", "__scan_idx__")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    monkeypatch.setattr(ev_mod, "SCAN_ORDER_SINGLE_PARTITION_MAX", 0)
+    big = (
+        ev_mod.scan_order_ids(ev, "event_id")
+        .select("event_id", "__scan_idx__")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    assert list(small["__scan_idx__"]) == list(big["__scan_idx__"]) == list(range(9))
