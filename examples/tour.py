@@ -1,0 +1,76 @@
+"""A guided tour of sparsity_spark — run with: python examples/tour.py
+
+Covers the reference-parity surface (frames, one-hot, group-by, joins,
+slicing) and the north-star extensions (dedup, ANN, text, temporal,
+pipeline) against the sf0.001 testdata.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from sparsity_spark import from_pandas, read_events, sparse_one_hot
+from sparsity_spark.data import load_table
+from sparsity_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def main():
+    spark = get_spark("tour", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("\n== 1. SparseFrame from pandas (labels, implicit zeros) ==")
+    sf = from_pandas(spark, pd.DataFrame(np.identity(4) * 3, index=list("abcd")))
+    print(sf.todense())
+
+    print("\n== 2. Event-log ingest → one-hot → groupby_sum (the flagship) ==")
+    events = load_table(spark, SF, "events")
+    frame = read_events(events, "event_type")
+    per_user = frame.groupby_sum(by="user_id")
+    print(per_user.todense().head(5))
+
+    print("\n== 3. loc / iloc / projection ==")
+    print(sf.loc[["a", "c"]].todense())
+    print(sf.iloc[1:3].todense())
+
+    print("\n== 4. join / add / vstack algebra ==")
+    doubled = per_user.add(per_user)
+    print("sum doubles:", doubled.sum(), "==", 2 * per_user.sum())
+
+    print("\n== 5. dedup & similarity ==")
+    from sparsity_spark.operators.dedup import exact_dedup, lsh_candidate_pairs
+    from sparsity_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, SF, "documents")
+    print("exact dup groups:", exact_dedup(docs).filter("n_docs > 1").count())
+    print("LSH candidate pairs:", lsh_candidate_pairs(docs).count())
+    emb = load_table(spark, SF, "embeddings")
+    from pyspark.sql import functions as F
+
+    print(cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).show(6, False))
+
+    print("\n== 6. temporal: sessionize + as-of ==")
+    from sparsity_spark.operators.temporal import session_stats
+
+    print(session_stats(events).orderBy(F.desc("n_events")).show(3, False))
+
+    print("\n== 7. training-data pipeline: split / chunk / tfidf ==")
+    from sparsity_spark.operators.pipeline import chunk_documents, split_assign
+    from sparsity_spark.operators.text import tfidf_frame
+
+    print(split_assign(docs, "doc_id").groupBy("split").count().show())
+    print("chunks:", chunk_documents(docs).count())
+    tfidf = tfidf_frame(docs)
+    print("tfidf frame:", tfidf.data.count(), "cells,", len(tfidf.columns), "terms")
+
+    spark.stop()
+    print("\nTOUR COMPLETE")
+
+
+if __name__ == "__main__":
+    main()

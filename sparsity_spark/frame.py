@@ -82,6 +82,22 @@ class SparseFrame:
     # ------------------------------------------------------------------ #
 
     @property
+    def loc(self):
+        """Label indexer: scalar / list / stop-inclusive slice / bool mask
+        (reference indexing.py:3-11)."""
+        from sparsity_spark.indexing import LocIndexer
+
+        return LocIndexer(self)
+
+    @property
+    def iloc(self):
+        """Positional indexer: int / list / python slice
+        (reference indexing.py:13-21)."""
+        from sparsity_spark.indexing import IlocIndexer
+
+        return IlocIndexer(self)
+
+    @property
     def data(self) -> DataFrame:
         """The long/COO cell DataFrame (public analog of reference ``.data``,
         reference sparse_frame.py:189-193 — already sans sentinel row, which

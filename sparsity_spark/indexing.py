@@ -1,0 +1,57 @@
+"""loc / iloc indexer objects — the reference's selection syntax
+(reference indexing.py:3-21) as thin sugar over the frame's scalable
+selection methods.
+
+``sf.loc['a']``, ``sf.loc[['a','b']]``, ``sf.loc['2016-10-01':'2016-10-03']``
+(stop-INCLUSIVE label slice), ``sf.loc[bool_mask]``;
+``sf.iloc[3]``, ``sf.iloc[1:4]``, ``sf.iloc[[3, 4]]``.
+"""
+
+from __future__ import annotations
+
+
+class LocIndexer:
+    def __init__(self, frame):
+        self._frame = frame
+
+    def __getitem__(self, item):
+        f = self._frame
+        if isinstance(item, slice):
+            if item.step is not None:
+                raise ValueError("label slices do not support a step")
+            return f.loc_range(item.start, item.stop)
+        if isinstance(item, (list, tuple)):
+            if len(item) and isinstance(item[0], (bool,)) or _is_bool_array(item):
+                return f.loc_mask(list(item))
+            return f.loc_in(list(item))
+        if _is_bool_array(item):
+            return f.loc_mask(list(item))
+        return f.loc_in([item])
+
+
+class IlocIndexer:
+    def __init__(self, frame):
+        self._frame = frame
+
+    def __getitem__(self, item):
+        f = self._frame
+        if isinstance(item, slice):
+            if item.step is not None:
+                raise ValueError("positional slices do not support a step")
+            return f.iloc_slice(item.start, item.stop)
+        if isinstance(item, (list, tuple)):
+            return f.take(list(item))
+        return f.take([int(item)])
+
+
+def _is_bool_array(x) -> bool:
+    try:
+        import numpy as np
+
+        if isinstance(x, np.ndarray):
+            return x.dtype == bool
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(x, (list, tuple)) and x:
+        return all(isinstance(v, (bool,)) for v in x)
+    return False

@@ -291,3 +291,19 @@ def test_to_indexed_arrays(spark):
     assert list(out.loc[10, "indices"]) == [1] and list(out.loc[10, "values"]) == [2.0]
     assert list(out.loc[11, "indices"]) == [0, 2] and list(out.loc[11, "values"]) == [1.0, 3.0]
     assert (out["size"] == 3).all()
+
+
+def test_loc_iloc_indexer_syntax(spark):
+    # the reference's own selection syntax (reference indexing.py:3-21)
+    dates = pd.date_range("2016-10-01", periods=5, freq="D")
+    sf = from_pandas(spark, pd.DataFrame(np.identity(5), index=dates))
+    sliced = sf.loc["2016-10-01":"2016-10-03"]  # stop-inclusive
+    assert sliced.shape[0] == 3
+
+    sf2 = from_pandas(spark, pd.DataFrame(np.identity(5), index=list("ABCDE")))
+    assert sf2.loc["B"].shape[0] == 1
+    assert sf2.loc[["A", "C"]].shape[0] == 2
+    assert sf2.loc[[True, False, True, False, True]].shape[0] == 3
+    assert list(sf2.iloc[1:3].todense().sort_index().index) == ["B", "C"]
+    assert list(sf2.iloc[[0, 4]].todense().sort_index().index) == ["A", "E"]
+    assert sf2.iloc[2].todense().index[0] == "C"
