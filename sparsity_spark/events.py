@@ -122,9 +122,10 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     ).collect()[0]
     if lo is None:
         return df.withColumn("__scan_idx__", F.lit(0).cast("long")).limit(0)
-    if total <= SCAN_ORDER_SINGLE_PARTITION_MAX:
-        # small input: a single sort partition beats two extra distributed
-        # jobs; the bucketed path below is the at-scale branch
+    numeric_order = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    if total <= SCAN_ORDER_SINGLE_PARTITION_MAX or not numeric_order:
+        # small input (or non-numeric order column, which the bucketed math
+        # below can't range-partition): a single sort partition
         w = Window.orderBy(order_col)
         return df.withColumn("__scan_idx__", (F.row_number().over(w) - 1).cast("long"))
     # deterministic value-range buckets (NOT repartitionByRange, whose

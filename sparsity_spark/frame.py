@@ -246,9 +246,16 @@ class SparseFrame:
             else:
                 cells = self._cells.join(keep.select(*self.key_cols), on=self.key_cols, how="leftsemi")
             return SparseFrame(cells, self.key_cols, self.columns, keep)
-        # No order known: duplicate labels hold identical long rows anyway;
-        # dedup the index and cells.
-        return SparseFrame(self._cells.distinct(), self.key_cols, self.columns, self.index.distinct())
+        # Without a known row order "first" is undefined — and cells of
+        # duplicate-label rows are indistinguishable in long format, so no
+        # row can be reconstructed. Refuse loudly rather than silently
+        # merging (the reference's frames are always ordered).
+        raise ValueError(
+            "drop_duplicate_idx needs a frame with a known row order "
+            "(from_pandas / read_npz); for unordered frames express "
+            "keep-first explicitly with a row_number window over your "
+            "ordering column (see the p6_dedup_first query)"
+        )
 
     # -- label-based selection (loc) ----------------------------------- #
 
@@ -297,12 +304,24 @@ class SparseFrame:
                 "loc_* is the scalable path"
             )
 
+    def _current_ranks(self) -> DataFrame:
+        """Index with a ``__rank__`` column: the row's position WITHIN THIS
+        frame (0-based). After row filtering, stored ``__pos__`` values stay
+        absolute (they preserve order and identity); ranks re-number them.
+        One window over the index only — positional ops are documented
+        small-frame territory (reference uses them the same way)."""
+        w = Window.orderBy(F.col(POS))
+        return self._index.withColumn("__rank__", F.row_number().over(w) - 1)
+
     def take(self, positions: Sequence[int]) -> "SparseFrame":
         """Positional row selection (reference sparse_frame.py:165-174).
-        Driver-supplied position list — intended for small frames, like the
-        reference's own use."""
+        Positions are relative to the current frame, like pandas .iloc —
+        driver-supplied list, intended for small frames."""
         self._require_pos()
-        idx = self._index.filter(F.col(POS).isin([int(p) for p in positions]))
+        ranked = self._current_ranks()
+        idx = ranked.filter(
+            F.col("__rank__").isin([int(p) for p in positions])
+        ).drop("__rank__")
         cells = self._gather_cells(idx)
         return SparseFrame(cells, self.key_cols, self.columns, idx)
 
@@ -312,15 +331,15 @@ class SparseFrame:
         return self._cells.join(idx.select(*self.key_cols).distinct(), on=self.key_cols, how="leftsemi")
 
     def iloc_slice(self, start: int | None = None, stop: int | None = None) -> "SparseFrame":
-        """Positional slice [start, stop) — python slice semantics
-        (reference indexing.py:13-21)."""
+        """Positional slice [start, stop) of the CURRENT frame — python
+        slice semantics (reference indexing.py:13-21)."""
         self._require_pos()
         pred = F.lit(True)
         if start is not None:
-            pred = pred & (F.col(POS) >= int(start))
+            pred = pred & (F.col("__rank__") >= int(start))
         if stop is not None:
-            pred = pred & (F.col(POS) < int(stop))
-        idx = self._index.filter(pred)
+            pred = pred & (F.col("__rank__") < int(stop))
+        idx = self._current_ranks().filter(pred).drop("__rank__")
         cells = self._gather_cells(idx)
         return SparseFrame(cells, self.key_cols, self.columns, idx)
 
@@ -414,8 +433,10 @@ class SparseFrame:
             self.has_pos and other.has_pos and self.cells_have_pos and other.cells_have_pos
         )
         if keep_pos:
-            # keep order: other's rows come after self's
-            offset = self.shape[0]
+            # keep order: other's rows come after self's. Offset by
+            # max(pos)+1, NOT row count — after row filtering positions are
+            # non-contiguous and a count-based offset would collide.
+            offset = (self._index.agg(F.max(POS).alias("m")).collect()[0]["m"] or -1) + 1
             li = self._index
             ri = other._index.withColumn(POS, F.col(POS) + F.lit(offset))
             lc = self._cells
@@ -536,10 +557,18 @@ class SparseFrame:
         grouped = entries.groupBy(*self.key_cols).agg(
             F.array_sort(F.collect_list(F.struct("__cpos__", VAL))).alias("__e__")
         )
+        # left join from the index: all-zero rows must appear with empty
+        # arrays, not vanish from the training set
+        idx = self.index
+        if POS in idx.columns:
+            idx = idx.drop(POS)
+        grouped = idx.distinct().join(grouped, on=self.key_cols, how="left")
+        empty = F.array().cast("array<struct<__cpos__:int,value:double>>")
+        e = F.coalesce(F.col("__e__"), empty)
         return grouped.select(
             *self.key_cols,
-            F.transform(F.col("__e__"), lambda e: e["__cpos__"]).alias("indices"),
-            F.transform(F.col("__e__"), lambda e: e[VAL]).alias("values"),
+            F.transform(e, lambda x: x["__cpos__"]).alias("indices"),
+            F.transform(e, lambda x: x[VAL]).alias("values"),
             F.lit(len(self.columns)).alias("size"),
         )
 
@@ -561,12 +590,25 @@ class SparseFrame:
                 self._cells.groupBy(COL).agg(F.sum(VAL).alias("s")).toPandas().set_index(COL)["s"]
             )
             return pdf.reindex(self.columns, fill_value=0.0)
+        # per-PHYSICAL-row sums: group by position when known so duplicate
+        # labels stay distinct rows (scipy semantics); left join from the
+        # index so all-zero rows appear with 0.0
+        if self.has_pos and self.cells_have_pos:
+            grouped = self._cells.groupBy(POS).agg(F.sum(VAL).alias("s"))
+            pdf = (
+                self._index.join(grouped, on=POS, how="left")
+                .select(
+                    *self.key_cols, POS, F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+                )
+                .toPandas()
+                .sort_values(POS)
+                .drop(columns=[POS])
+            )
+            return pdf.set_index(self.key_cols)["s"]
         grouped = self._cells.groupBy(*self.key_cols).agg(F.sum(VAL).alias("s"))
         idx = self.index
         if POS in idx.columns:
             idx = idx.drop(POS)
-        # left join from the index so all-zero rows appear with 0.0 (scipy
-        # sums every row of the matrix, not just rows with stored cells)
         pdf = (
             idx.distinct()
             .join(grouped, on=self.key_cols, how="left")

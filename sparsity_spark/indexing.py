@@ -21,7 +21,7 @@ class LocIndexer:
                 raise ValueError("label slices do not support a step")
             return f.loc_range(item.start, item.stop)
         if isinstance(item, (list, tuple)):
-            if len(item) and isinstance(item[0], (bool,)) or _is_bool_array(item):
+            if _is_bool_array(item):
                 return f.loc_mask(list(item))
             return f.loc_in(list(item))
         if _is_bool_array(item):
@@ -45,13 +45,12 @@ class IlocIndexer:
 
 
 def _is_bool_array(x) -> bool:
-    try:
-        import numpy as np
+    import numpy as np
 
-        if isinstance(x, np.ndarray):
-            return x.dtype == bool
-    except ImportError:  # pragma: no cover
-        pass
+    if isinstance(x, np.ndarray):
+        return x.dtype == bool
     if isinstance(x, (list, tuple)) and x:
-        return all(isinstance(v, (bool,)) for v in x)
+        # np.bool_ is NOT a bool subclass — a list(np.array(...) > 0) mask
+        # must still be recognized as a mask, not label lookups
+        return all(isinstance(v, (bool, np.bool_)) for v in x)
     return False

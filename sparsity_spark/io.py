@@ -161,6 +161,15 @@ def read_parquet_frame(
             with open(meta_path) as fh:
                 columns = json.load(fh)
         except OSError:
+            import warnings
+
+            warnings.warn(
+                f"column-dictionary sidecar {meta_path} not readable; "
+                "reconstructing columns from distinct cell values — category "
+                "ORDER is lost and all-zero columns disappear. Pass columns= "
+                "explicitly to silence.",
+                stacklevel=2,
+            )
             columns = [r[COL] for r in df.select(COL).distinct().orderBy(COL).collect()]
     return SparseFrame(df, key_cols, columns)
 
@@ -182,7 +191,14 @@ def melt_numeric(
     """Turn numeric columns of an ordinary (dense) Spark DataFrame into a
     SparseFrame — the distributed version of constructing from an array.
     Uses the built-in ``stack`` expression (whole-stage codegen; no UDF)."""
-    pairs = ", ".join([f"'{c}', double(`{c}`)" for c in value_cols])
+
+    def _ident(c: str) -> str:  # backtick-escape identifiers
+        return "`" + c.replace("`", "``") + "`"
+
+    def _strlit(c: str) -> str:  # single-quote-escape the label literal
+        return "'" + c.replace("'", "''") + "'"
+
+    pairs = ", ".join([f"{_strlit(c)}, double({_ident(c)})" for c in value_cols])
     expr = f"stack({len(value_cols)}, {pairs}) as ({COL}, {VAL})"
     cells = df.select(*key_cols, F.expr(expr)).filter(F.col(VAL).isNotNull() & (F.col(VAL) != 0.0))
     index = df.select(*key_cols)

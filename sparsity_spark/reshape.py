@@ -42,7 +42,9 @@ def sparse_one_hot(
         unknown = (
             df.select(F.col(column).cast("string").alias(COL))
             .distinct()
-            .filter(~F.col(COL).isin(cats))
+            # NULL must raise too: ~isin() alone evaluates to NULL for NULL
+            # input and would slip through the filter
+            .filter(~F.col(COL).isin(cats) | F.col(COL).isNull())
             .limit(1)
             .collect()
         )
