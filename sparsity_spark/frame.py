@@ -491,6 +491,44 @@ class SparseFrame:
         cells = unioned.groupBy(*ks, COL).agg(F.sum(VAL).alias(VAL))
         return SparseFrame(cells, ks, self.columns, idx)
 
+    def multiply(self, other: "SparseFrame") -> "SparseFrame":
+        """Elementwise (Hadamard) multiplication — extension beyond the
+        reference's add-only arithmetic. Sparse × sparse needs only the
+        INTERSECTION of stored cells (x·0 = 0), so this is one inner join
+        on (keys, col): work scales with the smaller nnz."""
+        if set(self.columns) != set(other.columns):
+            raise ValueError("multiply requires identical column sets")
+        ks = self.key_cols
+        left = self._bare_cells()
+        right = other._bare_cells().select(
+            *ks, COL, F.col(VAL).alias("__rv__")
+        )
+        cells = left.join(right, on=[*ks, COL], how="inner").select(
+            *ks, COL, (F.col(VAL) * F.col("__rv__")).alias(VAL)
+        )
+        idx = self.index.select(*ks).distinct().join(
+            other.index.select(*ks).distinct(), on=ks, how="inner"
+        )
+        return SparseFrame(cells, ks, self.columns, idx)
+
+    def scale(self, factor: float) -> "SparseFrame":
+        """Multiply every stored cell by a scalar (implicit zeros stay 0)."""
+        cells = self._cells.withColumn(VAL, F.col(VAL) * F.lit(float(factor)))
+        return SparseFrame(cells, self.key_cols, self.columns, self._index)
+
+    def __mul__(self, other):
+        if isinstance(other, SparseFrame):
+            return self.multiply(other)
+        return self.scale(other)
+
+    __rmul__ = __mul__
+
+    @property
+    def npartitions(self) -> int:
+        """Partition count of the cell DataFrame (dask-layer parity,
+        reference dask/core.py:64-66)."""
+        return self._cells.rdd.getNumPartitions()
+
     # ------------------------------------------------------------------ #
     # aggregation                                                        #
     # ------------------------------------------------------------------ #

@@ -1383,3 +1383,31 @@ def text_tfidf(spark, sf_dir):
     from sparsity_spark.operators.text import tfidf_frame
 
     return tfidf_frame(load_table(spark, sf_dir, "documents")).data
+
+
+@query(
+    "j7_multiply",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY user_id, event_type
+    ),
+    sums AS (
+      SELECT user_id, event_type AS col, ROUND(SUM(value), 4) AS value
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT c.user_id, c.col, ROUND(c.value * s.value, 4) AS value
+    FROM counts c JOIN sums s ON c.user_id = s.user_id AND c.col = s.col
+    """,
+)
+def j7_multiply(spark, sf_dir):
+    """Elementwise multiply (arithmetic extension): sparse Hadamard product
+    as one inner join — work scales with the smaller nnz."""
+    events = load_table(spark, sf_dir, "events")
+    counts = _user_counts_frame(spark, sf_dir)
+    sum_cells = events.groupBy("user_id", F.col("event_type").alias(COL)).agg(
+        F.round(F.sum("value"), 4).alias(VAL)
+    )
+    sums = SparseFrame(sum_cells, ["user_id"], EVENT_TYPES)
+    prod = counts.multiply(sums)
+    return prod.data.select("user_id", COL, F.round(F.col(VAL), 4).alias(VAL))

@@ -307,3 +307,13 @@ def test_loc_iloc_indexer_syntax(spark):
     assert list(sf2.iloc[1:3].todense().sort_index().index) == ["B", "C"]
     assert list(sf2.iloc[[0, 4]].todense().sort_index().index) == ["A", "E"]
     assert sf2.iloc[2].todense().index[0] == "C"
+
+
+def test_multiply_and_scale(spark):
+    a = from_pandas(spark, pd.DataFrame([[2.0, 0.0], [0.0, 3.0]], index=[0, 1], columns=["x", "y"]))
+    b = from_pandas(spark, pd.DataFrame([[5.0, 7.0], [0.0, 4.0]], index=[0, 1], columns=["x", "y"]))
+    prod = (a * b).todense().sort_index()
+    np.testing.assert_array_equal(prod.to_numpy(), [[10.0, 0.0], [0.0, 12.0]])
+    scaled = (a * 2).todense().sort_index()
+    np.testing.assert_array_equal(scaled.to_numpy(), [[4.0, 0.0], [0.0, 6.0]])
+    assert a.npartitions >= 1
