@@ -61,7 +61,7 @@ def run_one(df) -> None:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("sparsity_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,25 +72,25 @@ def main():
     run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    missing = [n for n in BENCH_QUERIES if n not in QUERIES]
     for name in BENCH_QUERIES:
         if name not in QUERIES:
-            continue
+            continue  # recorded in "missing" — a silent skip would read as a speedup
         t0 = time.perf_counter()
         run_one(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if missing:
+        out["missing_queries"] = missing
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -735,7 +735,11 @@ class SparseFrame:
     def transpose(self, key_as_col: str | None = None) -> "SparseFrame":
         """Swap rows and columns — for a single-key frame this is a pure
         column rename in long format (zero shuffle); the reference only
-        transposes internally inside its matmul group-by."""
+        transposes internally inside its matmul group-by.
+
+        Scale note: the old row keys become the new column dictionary, which
+        lives driver-side — transpose a frame whose key cardinality is
+        dictionary-sized (like the reference's), not corpus-sized."""
         if len(self.key_cols) != 1:
             raise ValueError("transpose requires a single key column")
         key = self.key_cols[0]

@@ -108,7 +108,12 @@ def tfidf_frame(
 
     tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
     scikit-style). Two hash aggregates + one broadcast-ready join; the
-    vocabulary (ordered by term) becomes the frame's column dictionary."""
+    vocabulary (ordered by term) becomes the frame's column dictionary.
+
+    Scale note: the vocabulary is collected driver-side (it is the frame's
+    column dictionary, like the reference's 37k-column Index). For an
+    open-ended 100 TB vocabulary, raise ``min_df`` to bound it, or consume
+    the long ``cells`` DataFrame directly and skip the column dictionary."""
     from sparsity_spark.frame import COL, VAL, SparseFrame
     from sparsity_spark.util import ensure_parallelism
 

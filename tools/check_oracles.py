@@ -41,7 +41,7 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracles", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    spark = get_spark("check_oracles")  # env-var/cpu logic lives in get_spark
 
     con = duckdb.connect()
     for t in TABLES:
@@ -49,8 +49,13 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            sys.exit(2)
         qs = {k: v for k, v in qs.items() if k in only}
     failures = []
+    rows_only = 0
     for name, fn in qs.items():
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
@@ -59,6 +64,7 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             continue
         if name not in oracles:
+            rows_only += 1
             print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle)")
             continue
         try:
@@ -83,7 +89,9 @@ def main():
         else:
             print(f"OK   {name}: {len(got)} rows")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    matched = len(qs) - len(failures) - rows_only
+    suffix = f" ({rows_only} rows-only, unverified)" if rows_only else ""
+    print(f"\n{matched}/{len(qs) - rows_only} queries match{suffix}")
     sys.exit(1 if failures else 0)
 
 
