@@ -92,3 +92,59 @@ def test_stateful_session_stats_match_batch(spark, events_dir):
     assert (got["n_events"] == batch["n_events"]).all()
     # stateful path accumulates in micro-batch order; compare to 1e-6
     assert (got["total_value"] - batch["total_value"]).abs().max() < 1e-4
+
+
+def test_watermark_progression_across_batches(spark, tmp_path):
+    """Late-data machinery: windows accumulate correctly across micro-batches
+    and the watermark advances monotonically (maxFilesPerTrigger=1 forces
+    separate batches). Note: observed Spark 4.1 behavior admits a late row
+    into fresh window state and emits it at the closing batch — window
+    TOTALS stay exact either way, which is what we pin."""
+    import datetime as dt
+
+    d = dt.datetime(2024, 3, 1)
+    src = str(tmp_path / "late_events")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    batch1 = [(i, d + dt.timedelta(hours=10, minutes=i), 1, "click", 1.0, "") for i in range(5)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    # file source orders batches by modification time — make file1 strictly
+    # older so it forms the first micro-batch
+    import time as _time
+
+    _time.sleep(2)
+
+    # second file: one VERY late row (00:30, far behind watermark 09:04) and
+    # one fresh row (12:00)
+    batch2 = [
+        (100, d + dt.timedelta(minutes=30), 1, "click", 1.0, ""),
+        (101, d + dt.timedelta(hours=12), 1, "click", 1.0, ""),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = streaming_one_hot_counts(stream, window_duration="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, value FROM late_test ORDER BY window_start"
+    ).toPandas()
+    # the 10:00 window accumulated all 5 first-batch rows and closed exactly
+    ten = got[got.window_start.dt.hour == 10]
+    assert float(ten.value.sum()) == 5.0
+    # watermark advanced monotonically across batches
+    marks = [
+        p["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if p.get("eventTime", {}).get("watermark")
+    ]
+    assert marks == sorted(marks) and len(set(marks)) >= 2
