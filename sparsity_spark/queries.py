@@ -1411,3 +1411,53 @@ def j7_multiply(spark, sf_dir):
     sums = SparseFrame(sum_cells, ["user_id"], EVENT_TYPES)
     prod = counts.multiply(sums)
     return prod.data.select("user_id", COL, F.round(F.col(VAL), 4).alias(VAL))
+
+
+@query(
+    "pipe_end_to_end",
+    """
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      WHERE len(string_split(d.text, ' ')) >= 30
+    ),
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        FROM quality
+      )
+    ),
+    chunks AS (
+      SELECT a.split, a.doc_id
+      FROM assigned a, unnest(range(1, greatest(len(string_split(a.text, ' ')) - 10, 1) + 1, 40)) AS t(s)
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks GROUP BY split
+    """,
+)
+def pipe_end_to_end(spark, sf_dir):
+    """The composed training-data pipeline as ONE lazy plan:
+    exact-dedup (keep smallest id) → quality gate (≥30 tokens) →
+    reproducible split assignment → chunking → per-split chunk counts.
+    Every stage is an operator from this engine; Catalyst fuses the chain."""
+    from sparsity_spark.operators.dedup import exact_dedup, words_expr
+    from sparsity_spark.operators.pipeline import chunk_documents, split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    surviving = docs.join(keep, on="doc_id", how="leftsemi").filter(
+        F.size(words_expr("text")) >= 30
+    )
+    assigned = split_assign(surviving, "doc_id")
+    chunks = chunk_documents(assigned.select("doc_id", "text"), chunk_tokens=50, overlap=10)
+    with_split = chunks.join(assigned.select("doc_id", "split"), on="doc_id")
+    return with_split.groupBy("split").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
