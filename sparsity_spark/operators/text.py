@@ -121,9 +121,14 @@ def tfidf_frame(
     toks = docs.select(
         F.col(id_col), F.explode(words_expr(text_col)).alias(COL)
     )
-    tf = toks.groupBy(id_col, COL).agg(F.count("*").alias("tf"))
+    # tf feeds the cells AND the document-frequency table, and df_counts
+    # feeds idf AND the vocabulary collect — persist both so the tokenize +
+    # aggregate pass runs once, not three times
+    tf = toks.groupBy(id_col, COL).agg(F.count("*").alias("tf")).persist()
     n_docs = docs.count()
-    df_counts = tf.groupBy(COL).agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    df_counts = (
+        tf.groupBy(COL).agg(F.count("*").alias("df")).filter(F.col("df") >= min_df).persist()
+    )
     idf = df_counts.withColumn(
         "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
     )
