@@ -202,12 +202,45 @@ class SparseFrame:
             "SparseFrame is immutable on Spark; use .assign(name=scalar) which returns a new frame"
         )
 
-    def set_index(self, keys: str | Sequence[str] | None = None, level: int | None = None) -> "SparseFrame":
+    def set_index(
+        self,
+        keys: str | Sequence[str] | None = None,
+        level: int | None = None,
+        column: str | None = None,
+    ) -> "SparseFrame":
         """Re-key the frame (reference sparse_frame.py:476-494).
 
         * ``level=i`` keeps only the i-th key column of a composite key.
         * ``keys=[...]`` re-keys to any subset/reorder of current key columns.
+        * ``column=name`` re-keys from a DATA column's (densified) values —
+          rows without a stored cell in that column get key 0.0, mirroring
+          the reference's dense materialization of the column.
         """
+        if column is not None:
+            if column not in self.columns:
+                raise KeyError(f"{column!r} is not a frame column")
+            key_vals = (
+                self._bare_cells()
+                .filter(F.col(COL) == column)
+                .select(*self.key_cols, F.col(VAL).alias("__newkey__"))
+            )
+            idx = self.index
+            if POS in idx.columns:
+                idx = idx.drop(POS)
+            keyed = idx.distinct().join(key_vals, on=self.key_cols, how="left")
+            keyed = keyed.select(
+                *self.key_cols,
+                F.coalesce(F.col("__newkey__"), F.lit(0.0)).alias(column),
+            )
+            cells = (
+                self._bare_cells()
+                .filter(F.col(COL) != column)
+                .join(keyed, on=self.key_cols, how="inner")
+                .select(F.col(column), COL, VAL)
+            )
+            new_cols = [c for c in self.columns if c != column]
+            new_idx = keyed.select(column)
+            return SparseFrame(cells, [column], new_cols, new_idx)
         if level is not None:
             keys = [self.key_cols[level]]
         keys = _as_list(keys)
@@ -313,10 +346,13 @@ class SparseFrame:
         w = Window.orderBy(F.col(POS))
         return self._index.withColumn("__rank__", F.row_number().over(w) - 1)
 
-    def take(self, positions: Sequence[int]) -> "SparseFrame":
-        """Positional row selection (reference sparse_frame.py:165-174).
-        Positions are relative to the current frame, like pandas .iloc —
-        driver-supplied list, intended for small frames."""
+    def take(self, positions: Sequence[int], axis: int = 0) -> "SparseFrame":
+        """Positional selection along rows (axis=0) or columns (axis=1)
+        (reference sparse_frame.py:165-174). Positions are relative to the
+        current frame, like pandas .take — driver-supplied list, intended
+        for small frames."""
+        if axis == 1:
+            return self[[self.columns[int(p)] for p in positions]]
         self._require_pos()
         ranked = self._current_ranks()
         idx = ranked.filter(
@@ -452,12 +488,17 @@ class SparseFrame:
             idx = li.unionByName(ri.select(*li.columns))
         return SparseFrame(cells, self.key_cols, cols, idx)
 
-    def vstack(self, other: "SparseFrame") -> "SparseFrame":
-        """UNION ALL with identical column sets asserted
+    def vstack(self, other: "SparseFrame | Sequence[SparseFrame]") -> "SparseFrame":
+        """UNION ALL with identical column sets asserted; accepts a single
+        frame or a list, like the reference classmethod
         (reference sparse_frame.py:496-507)."""
-        if set(self.columns) != set(other.columns):
-            raise ValueError("vstack requires identical column sets")
-        return self._vstack_aligned(other)
+        others = other if isinstance(other, (list, tuple)) else [other]
+        out = self
+        for o in others:
+            if set(out.columns) != set(o.columns):
+                raise ValueError("vstack requires identical column sets")
+            out = out._vstack_aligned(o)
+        return out
 
     @staticmethod
     def concat(frames: Sequence["SparseFrame"], axis: int = 0) -> "SparseFrame":
@@ -853,6 +894,15 @@ class SparseFrame:
 
     def to_long_pandas(self) -> pd.DataFrame:
         return self._cells.toPandas()
+
+    def toarray(self):
+        """Dense numpy materialization (reference sparse_frame.py:102-104)."""
+        return self.todense(pandas=False)
+
+    @property
+    def values(self):
+        """Dense numpy values (reference sparse_frame.py:302-304)."""
+        return self.toarray()
 
     def write_parquet(self, path: str, mode: str = "overwrite"):
         """Persist long cells range-partitioned by key — sorted files whose

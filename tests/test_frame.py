@@ -317,3 +317,36 @@ def test_multiply_and_scale(spark):
     scaled = (a * 2).todense().sort_index()
     np.testing.assert_array_equal(scaled.to_numpy(), [[4.0, 0.0], [0.0, 6.0]])
     assert a.npartitions >= 1
+
+
+def test_take_axis1_and_values(spark):
+    pdf = pd.DataFrame(np.arange(6).reshape(2, 3) + 1.0, columns=["a", "b", "c"])
+    sf = from_pandas(spark, pdf)
+    cols = sf.take([2, 0], axis=1)
+    assert cols.columns == ["c", "a"]
+    np.testing.assert_array_equal(sf.values, pdf.to_numpy())
+    np.testing.assert_array_equal(sf.toarray(), pdf.to_numpy())
+
+
+def test_vstack_list(spark):
+    frames = [
+        from_pandas(spark, pd.DataFrame(np.identity(2) * (i + 1), index=[2 * i, 2 * i + 1]))
+        for i in range(3)
+    ]
+    out = frames[0].vstack(frames[1:])
+    dense = out.todense().sort_index()
+    assert dense.shape == (6, 2)
+    assert dense.to_numpy().sum() == 2 * (1 + 2 + 3)
+
+
+def test_set_index_from_data_column(spark):
+    # re-key from a data column's values (reference sparse_frame.py:476-494)
+    pdf = pd.DataFrame(
+        {"k": [10.0, 20.0, 30.0], "v": [1.0, 2.0, 0.0]}, index=[0, 1, 2]
+    )
+    sf = from_pandas(spark, pdf)
+    rekeyed = sf.set_index(column="k")
+    assert rekeyed.key_cols == ["k"] and rekeyed.columns == ["v"]
+    dense = rekeyed.todense().sort_index()
+    assert list(dense.index) == [10.0, 20.0, 30.0]
+    assert list(dense["v"]) == [1.0, 2.0, 0.0]
