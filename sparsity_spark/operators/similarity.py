@@ -78,6 +78,65 @@ def cosine_topk(
     )
 
 
+def projection_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): each coefficient
+    derives from md5("plane:<p>:<d>"), so ANY engine (or a SQL oracle) can
+    reproduce the exact same planes — no RNG, no seed-ordering hazards."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def random_projection_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH: bucket = bit vector of sign(v·plane_p).
+    Cosine-similar vectors collide with high probability; the bucket id is
+    the shuffle key, so near-neighbor search shuffles corpus-linear data.
+    One pass, num_planes dot products per row, all built-in expressions."""
+    planes = projection_planes(num_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def rp_lsh_candidate_pairs(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate near-neighbor pairs sharing an LSH bucket (id_a < id_b)."""
+    b = random_projection_buckets(embeddings, num_planes, dim, id_col, vec_col)
+    left = b.select(F.col(id_col).alias("id_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bucket", "id_a", "id_b")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -1461,3 +1461,32 @@ def pipe_end_to_end(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+def _rp_lsh_oracle(num_planes: int = 8, dim: int = 64) -> str:
+    """Oracle built from the SAME md5-derived hyperplanes as the Spark
+    implementation (coefficients embedded as literals on both sides)."""
+    from sparsity_spark.operators.similarity import projection_planes
+
+    planes = projection_planes(num_planes, dim)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, {terms} AS bucket FROM e)
+    SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    """
+
+
+@query("ann_rp_lsh_pairs", _rp_lsh_oracle())
+def ann_rp_lsh_pairs(spark, sf_dir):
+    """Signed-random-projection LSH candidate pairs: cosine-similar vectors
+    collide in sign-bit buckets — the hyperplanes are md5-derived so the
+    oracle reproduces every bucket bit-for-bit."""
+    from sparsity_spark.operators.similarity import rp_lsh_candidate_pairs
+
+    return rp_lsh_candidate_pairs(load_table(spark, sf_dir, "embeddings"))

@@ -121,3 +121,20 @@ def test_multimodal_stub_raises(spark, docs):
     assets = multimodal.as_binary_assets(docs, media_type="image/png")
     with pytest.raises(Exception, match="no codec|NotImplementedError|PythonException"):
         multimodal.extract_features(assets, fake=False).collect()
+
+
+def test_rp_lsh_similar_vectors_collide(spark):
+    rng = np.random.RandomState(4)
+    base = rng.rand(64).astype("float32")
+    rows = [
+        (0, list(base)),
+        (1, list(base + rng.rand(64).astype("float32") * 0.01)),  # near-identical
+        (2, list(-base)),  # antipodal: all sign bits flip
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    out = similarity.random_projection_buckets(df, num_planes=8, dim=64).toPandas().set_index("vec_id")
+    assert out.loc[0, "bucket"] == out.loc[1, "bucket"]
+    assert out.loc[0, "bucket"] != out.loc[2, "bucket"]
+    pairs = similarity.rp_lsh_candidate_pairs(df, num_planes=8, dim=64).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(0, 1)}
