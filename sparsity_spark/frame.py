@@ -472,7 +472,8 @@ class SparseFrame:
             # keep order: other's rows come after self's. Offset by
             # max(pos)+1, NOT row count — after row filtering positions are
             # non-contiguous and a count-based offset would collide.
-            offset = (self._index.agg(F.max(POS).alias("m")).collect()[0]["m"] or -1) + 1
+            max_pos = self._index.agg(F.max(POS).alias("m")).collect()[0]["m"]
+            offset = (-1 if max_pos is None else max_pos) + 1
             li = self._index
             ri = other._index.withColumn(POS, F.col(POS) + F.lit(offset))
             lc = self._cells

@@ -306,3 +306,67 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over candidate pairs → one cluster id per doc
+    (the component's minimum id — the canonical survivor). Completes the
+    near-dup pipeline: LSH pairs say "these MIGHT be dups"; clustering says
+    "keep doc_id == cluster_id, drop the rest".
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) takes the min label across symmetric edges, (2) compresses
+    label := label(label). Pointer jumping halves chain depth per round, so
+    convergence is O(log diameter) shuffles, not O(diameter) — the same
+    contraction idea as the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Labels only decrease,
+    so a cheap sum(label) aggregate detects the fixpoint (one action per
+    round, no extra join). Each round's labels are persisted and the
+    previous round's unpersisted — the lineage stays O(1) deep.
+
+    `ids` supplies the full universe so singleton docs (never in any pair)
+    still get a cluster (themselves).
+    """
+    a, b = pair_cols
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        ids.select(F.col(id_col).alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("dst", "id")
+        )
+        propagated = labels.join(nbr_min, on="id", how="left").select(
+            "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+        )
+        mapping = propagated.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        jumped = (
+            propagated.join(mapping, propagated["label"] == mapping["__lid"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("__llabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = jumped.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+        labels.unpersist()
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

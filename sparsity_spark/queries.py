@@ -623,6 +623,42 @@ def dedup_lsh_pairs_q(spark, sf_dir):
     return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup clusters: LSH candidate pairs → connected components →
+    (doc_id, cluster_id = component min). Survivors are
+    doc_id == cluster_id; the oracle is a recursive transitive closure."""
+    from sparsity_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_clusters(lsh_candidate_pairs(docs), docs)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)

@@ -138,3 +138,19 @@ def test_rp_lsh_similar_vectors_collide(spark):
     assert out.loc[0, "bucket"] != out.loc[2, "bucket"]
     pairs = similarity.rp_lsh_candidate_pairs(df, num_planes=8, dim=64).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(0, 1)}
+
+
+def test_duplicate_clusters_chain_and_singleton(spark):
+    # chain 1-2-3-4-5 forces multi-round propagation; 7-8 a second
+    # component; 6 appears in no pair and must survive as its own cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    out = (
+        dedup.duplicate_clusters(pairs, ids)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
