@@ -575,6 +575,103 @@ def q22_customers_no_big_order(spark, sf_dir):
 
 
 @query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate, then a
+    two-level aggregate (orders per customer, then the histogram of those
+    counts). count("o_orderkey") counts non-nulls, so no-order customers
+    land in the c_count=0 bucket — outer-join null semantics end-to-end.
+    The first aggregate shuffles on custkey (the join already co-located
+    that key); the histogram re-aggregates ~dozens of distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(o.o_totalprice, 4) AS total_price, s.sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING ROUND(SUM(l_quantity), 4) > 250) s
+      ON o.o_orderkey = s.l_orderkey
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-HAVING subquery joined back to the fact.
+    The quantity rollup shuffles lineitem once on orderkey; the >250 filter
+    keeps a tiny fraction of orders, so the join back broadcasts the
+    aggregated side instead of shuffling the orders scan."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("total_price"),
+        "sum_qty",
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT IN exclusion
+    list (no partsupp table in the testdata — lineitem is the part-supplier
+    link). The exclusion list (suppliers in deficit) and the part dimension
+    both broadcast; the only shuffle is the distinct-count aggregate."""
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        l.join(F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "leftanti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "w1_running_sum",
     """
     SELECT event_id, user_id,
@@ -593,6 +690,54 @@ def w1_running_sum(spark, sf_dir):
     )
     return events.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "w2_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def w2_moving_avg(spark, sf_dir):
+    """Bounded window frame (4-row trailing average): the frame is fully
+    determined by (ts, event_id) order, so both engines average the same
+    rows. One shuffle on user_id; the sort is per-partition."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return events.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+    )
+
+
+@query(
+    "w3_top_events_per_user",
+    """
+    SELECT user_id, event_id, ROUND(value, 4) AS value, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    WHERE rn <= 3
+    """,
+)
+def w3_top_events_per_user(spark, sf_dir):
+    """Top-N-per-group: row_number + filter. Catalyst turns the rn<=3
+    predicate into a per-partition running limit (WindowGroupLimit), so the
+    sort never materializes more than N rows per key past the shuffle.
+    event_id breaks value ties deterministically for the oracle."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
     )
 
 

@@ -98,3 +98,21 @@ def test_cells_scan_prunes_value_column(spark, sf_dir):
     plan = formatted_plan(proj)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "value" not in m.group(1)
+
+
+def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
+    """rn<=3 over row_number must become a partial+final WindowGroupLimit so
+    only N rows per key survive each side of the shuffle — at 100 TB the
+    sort never materializes a full partition."""
+    df = QUERIES["w3_top_events_per_user"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_q16_exclusion_and_dimension_broadcast(spark, sf_dir):
+    """The supplier exclusion list and the part dimension must broadcast;
+    the lineitem side must not shuffle before the aggregate."""
+    df = QUERIES["q16_supplier_part_counts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
