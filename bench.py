@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "text_tfidf",
     "pipe_chunks",
     "skew_distinct_count",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q18_large_volume_orders",
+    "w3_top_events_per_user",
 ]
 
 

@@ -86,6 +86,26 @@ def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Wide MinHash signatures (id, mh0..mhH-1) in ONE hash aggregate —
+    the internal format band keys are derived from without re-shuffling."""
+    a, b = minhash_params(num_hashes)
+    sh = shingle_sets(docs, id_col, text_col, k).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    )
+    aggs = [
+        F.min((F.lit(a[s]) * F.col("h") + F.lit(b[s])) % F.lit(MINHASH_PRIME)).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -101,15 +121,7 @@ def minhash_signatures(
     map-side partial mins; a min(string) formulation would silently fall
     back to SortAggregate and sort every exploded shingle row.
     """
-    a, b = minhash_params(num_hashes)
-    sh = shingle_sets(docs, id_col, text_col, k).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    )
-    aggs = [
-        F.min((F.lit(a[s]) * F.col("h") + F.lit(b[s])) % F.lit(MINHASH_PRIME)).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    wide = _minhash_wide(docs, id_col, text_col, k, num_hashes)
     stack = ", ".join([f"{s}, mh{s}" for s in range(num_hashes)])
     return wide.select(
         F.col(id_col),
@@ -154,10 +166,31 @@ def lsh_candidate_pairs(
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     The self-join shuffles on (band, band_key) — bucket-local, so the
-    output (and work) scales with collision count, not corpus²."""
+    output (and work) scales with collision count, not corpus².
+
+    Band keys are computed on the WIDE signature row (one aggregate total):
+    going through the long (id, seed, minhash) format would re-shuffle and
+    re-aggregate num_hashes rows per doc just to regroup what the first
+    aggregate already co-located. Key construction matches lsh_bands
+    (md5 of the band's minhashes in seed order, comma-joined)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
-    b = lsh_bands(sigs, id_col, bands, rows_per_band)
+    wide = _minhash_wide(docs, id_col, text_col, k, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    b = wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
     left = b.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
