@@ -50,3 +50,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def _event_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# one timestamp format on both write and read keeps text round trips
+# byte-exact regardless of Spark's session defaults
+_TEXT_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def load_events_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """Schema-applied CSV event source. An explicit schema (never
+    inferSchema — that is a full extra pass over 100 TB) plus a pinned
+    timestampFormat makes the read a single streaming-friendly scan that
+    Spark can split per file."""
+    schema = schema or _event_schema()
+    opts = {"header": "true", "timestampFormat": _TEXT_TS_FORMAT, **options}
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def load_events_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """Schema-applied JSON-lines event source (same contract as CSV: no
+    inference pass, pinned timestamp format, splittable per file)."""
+    schema = schema or _event_schema()
+    opts = {"timestampFormat": _TEXT_TS_FORMAT, **options}
+    return spark.read.options(**opts).schema(schema).json(path)
+
+
+def write_events_text(events: DataFrame, path: str, fmt: str = "csv") -> None:
+    """Counterpart writer with the pinned timestamp format (csv or json)."""
+    w = events.write.mode("overwrite").option("timestampFormat", _TEXT_TS_FORMAT)
+    if fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported text format: {fmt}")

@@ -1235,6 +1235,49 @@ def s2_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
+    "src_csv_events",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def src_csv_events(spark, sf_dir):
+    """CSV source (SURVEY §2.1 breadth beyond the reference's npz/traildb):
+    events → CSV → schema-applied read (no inference pass) → the flagship
+    one-hot aggregate. Lossless round trip ⇒ same result as the parquet
+    path the oracle aggregates."""
+    import tempfile
+
+    from sparsity_spark.data import load_events_csv, write_events_text
+
+    path = tempfile.mkdtemp(prefix="sparsity_csv_") + "/events"
+    write_events_text(load_table(spark, sf_dir, "events"), path, fmt="csv")
+    ev = load_events_csv(spark, path)
+    sf = read_events(ev, "event_type", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    return sf.groupby_sum(by="user_id").data
+
+
+@query(
+    "src_json_events",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def src_json_events(spark, sf_dir):
+    """JSON-lines source, same lossless-round-trip contract as CSV."""
+    import tempfile
+
+    from sparsity_spark.data import load_events_json, write_events_text
+
+    path = tempfile.mkdtemp(prefix="sparsity_json_") + "/events"
+    write_events_text(load_table(spark, sf_dir, "events"), path, fmt="json")
+    ev = load_events_json(spark, path)
+    sf = read_events(ev, "event_type", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    return sf.groupby_sum(by="user_id").data
+
+
+@query(
     "s6_from_pandas",
     """
     SELECT n_nationkey AS idx, 'n_regionkey' AS col, CAST(n_regionkey AS DOUBLE) AS value
@@ -1286,6 +1329,46 @@ def stream_windowed_counts(spark, sf_dir):
     q.awaitTermination(300)
     return spark.sql(
         f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, col, value FROM {name}"
+    )
+
+
+@query(
+    "stream_enriched_counts",
+    """
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS DOUBLE) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enriched_counts(spark, sf_dir):
+    """Stream-static enrichment round trip: readStream facts × static
+    customer dimension (broadcast per micro-batch) → windowed rollup per
+    market segment → memory sink. Must equal the batch join+groupBy the
+    oracle computes."""
+    import tempfile
+    import uuid
+
+    from sparsity_spark.streaming import stream_events, streaming_enriched_counts
+
+    src = tempfile.mkdtemp(prefix="sparsity_stream_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    dim = load_table(spark, sf_dir, "customer")
+    name = "sec_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_enriched_counts(stream_events(spark, src), dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT date_format(window_start, 'yyyy-MM-dd') AS day, segment,"
+        f" n_events, total_value FROM {name}"
     )
 
 

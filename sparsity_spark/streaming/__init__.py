@@ -1,7 +1,15 @@
 from sparsity_spark.streaming.ingest import (
     stream_events,
+    streaming_dedup_exact,
+    streaming_enriched_counts,
     streaming_one_hot_counts,
     streaming_session_stats,
 )
 
-__all__ = ["stream_events", "streaming_one_hot_counts", "streaming_session_stats"]
+__all__ = [
+    "stream_events",
+    "streaming_dedup_exact",
+    "streaming_enriched_counts",
+    "streaming_one_hot_counts",
+    "streaming_session_stats",
+]

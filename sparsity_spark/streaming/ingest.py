@@ -73,6 +73,47 @@ def streaming_one_hot_counts(
     )
 
 
+def streaming_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    seg_col: str = "c_mktsegment",
+    value_col: str = "value",
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (broadcast — no stream-side shuffle, re-read per micro-batch
+    so dimension updates are picked up), then a watermarked tumbling-window
+    rollup per dimension segment.  This is the canonical production shape:
+    facts arrive on the stream, dimensions live in a table.
+
+    Returns (window_start, window_end, segment, n_events, total_value)."""
+    ev_key, dim_key = on
+    enriched = events.withWatermark(ts_col, watermark).join(
+        F.broadcast(dim.select(F.col(dim_key).alias(ev_key), F.col(seg_col))),
+        on=ev_key,
+        how="inner",
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col(ts_col), window_duration), F.col(seg_col).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup_exact(
     docs: DataFrame,
     content_col: str = "text",

@@ -40,3 +40,27 @@ def test_npz_reference_layout_readable(spark, tmp_path):
     dense = sf.todense()
     np.testing.assert_allclose(dense.to_numpy(), np.diag([1.0, 2.0, 3.0]))
     assert list(dense.index) == [7, 8, 9]
+
+
+def test_csv_json_sources_roundtrip_events(spark, tmp_path):
+    """CSV and JSON schema-applied reads must reproduce the parquet events
+    exactly (timestamps pinned to one format, quoting handled by Spark)."""
+    from sparsity_spark.data import (
+        load_events_csv,
+        load_events_json,
+        load_table,
+        write_events_text,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = ev.orderBy("event_id").toPandas()
+    for fmt, loader in [("csv", load_events_csv), ("json", load_events_json)]:
+        p = str(tmp_path / fmt)
+        write_events_text(ev, p, fmt=fmt)
+        got = loader(spark, p).orderBy("event_id").toPandas()
+        assert got.shape == want.shape
+        for c in want.columns:
+            if want[c].dtype == object:
+                assert (got[c].fillna("") == want[c].fillna("")).all(), (fmt, c)
+            else:
+                assert (got[c] == want[c]).all(), (fmt, c)

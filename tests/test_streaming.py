@@ -148,3 +148,44 @@ def test_watermark_progression_across_batches(spark, tmp_path):
         if p.get("eventTime", {}).get("watermark")
     ]
     assert marks == sorted(marks) and len(set(marks)) >= 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from sparsity_spark.streaming import streaming_enriched_counts
+
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer")
+    stream = stream_events(spark, events_dir)
+    q = (
+        streaming_enriched_counts(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enriched").toPandas()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"), on="user_id")
+        .groupBy(F.window("ts", "1 day"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "window_end", "segment"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch)
+    assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
+    assert (abs(got["total_value"].to_numpy() - batch["total_value"].to_numpy()) < 1e-6).all()
