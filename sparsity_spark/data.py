@@ -106,3 +106,19 @@ def write_events_text(events: DataFrame, path: str, fmt: str = "csv") -> None:
         w.json(path)
     else:
         raise ValueError(f"unsupported text format: {fmt}")
+
+
+def write_events_partitioned(events: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Data-lake layout: events partitioned by calendar day (hive-style
+    day=... directories). Date-range queries then touch only the matching
+    directories — partition pruning, the coarse-grained analog of the
+    frame's range-partitioned parquet files."""
+    events.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+
+def load_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a day-partitioned events directory; `day` surfaces as a
+    partition column usable in pruning predicates."""
+    return spark.read.parquet(path)

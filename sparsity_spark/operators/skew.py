@@ -70,3 +70,29 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed fact⋈dim join with explicit key salting, for when the dim side
+    is too large to broadcast and one fact key is hot enough to overwhelm a
+    single shuffle partition even after AQE splitting.
+
+    The dim side is replicated num_salts× (explode over the salt range —
+    cheap: |dim|·S rows, dim ≪ fact); each fact row picks ONE deterministic
+    salt from a hash of its whole row, spreading a hot key's rows over
+    num_salts shuffle partitions. Exactly the plain join's result set —
+    pinned against df.join in tests."""
+    salt_col = "__salt__"
+    fact_salted = fact.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(num_salts))
+    )
+    dim_salted = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return fact_salted.join(dim_salted, on=[on, salt_col], how=how).drop(salt_col)

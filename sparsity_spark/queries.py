@@ -1278,6 +1278,67 @@ def src_json_events(spark, sf_dir):
 
 
 @query(
+    "sink_partitioned_day",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_day(spark, sf_dir):
+    """Day-partitioned parquet sink round trip: the date filter on the read
+    side prunes to 7 of the day=... directories (PartitionFilters — asserted
+    in test_plans), so the scan cost is proportional to the window, not the
+    table."""
+    import tempfile
+
+    from sparsity_spark.data import load_events_partitioned, write_events_partitioned
+
+    path = tempfile.mkdtemp(prefix="sparsity_part_") + "/events"
+    write_events_partitioned(load_table(spark, sf_dir, "events"), path)
+    ev = load_events_partitioned(spark, path)
+    return (
+        ev.filter(
+            (F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-15")
+        )
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Explicitly salted fact⋈dim join (for the too-big-to-broadcast,
+    too-hot-for-one-reducer regime): must produce exactly the plain join's
+    aggregate."""
+    from sparsity_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, on="user_id", num_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
     "s6_from_pandas",
     """
     SELECT n_nationkey AS idx, 'n_regionkey' AS col, CAST(n_regionkey AS DOUBLE) AS value

@@ -78,3 +78,54 @@ def test_streaming_dedup_exact(spark, tmp_path):
     got = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text").toPandas()
     assert len(got) == 3
     assert (got["n"] == 1).all()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """90%-hot-key fact joined to a dim: the salted join must reproduce the
+    plain join exactly (row multiset, not just counts)."""
+    from sparsity_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+    got = (
+        salted_join(fact, dim, on="k", num_salts=8)
+        .toPandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    want = (
+        fact.join(dim, on="k")
+        .toPandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape
+    assert (got[["k", "payload", "attr"]].to_numpy() == want[["k", "payload", "attr"]].to_numpy()).all()
+
+
+def test_partitioned_sink_prunes_directories(spark, tmp_path):
+    """A day predicate over the partitioned layout must show up as a
+    PartitionFilters entry (directory pruning), not a data filter."""
+    from sparsity_spark.data import (
+        load_events_partitioned,
+        load_table,
+        write_events_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_day")
+    write_events_partitioned(load_table(spark, "/root/testdata/sf0.001", "events"), path)
+    ev = load_events_partitioned(spark, path)
+    one_week = ev.filter((F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-15"))
+    plan = one_week._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "day" in m[0], plan
+    # 7 of 30 day-directories survive; the filtered count proves pruning kept the right ones
+    total = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
+    ).count()
+    assert one_week.count() == total
