@@ -200,3 +200,19 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", F.col(centroid_id_col), "neighbor_id", "cosine")
     )
+
+
+def grouped_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid (elementwise mean) in long (group, dim, mean_val)
+    format: posexplode + one partial+final hash aggregate — work ∝ N·d with
+    map-side combine, no UDF, no driver-side vectors. The long output IS the
+    engine's native cell layout, so a centroid matrix is itself a
+    SparseFrame-able result. Mirrors IVF centroid (re)training."""
+    ex = embeddings.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    return ex.groupBy(group_col, "dim").agg(F.round(F.avg("x"), 4).alias("mean_val"))

@@ -158,3 +158,20 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(F.concat(F.substring(t, 1, 64), F.substring(t, -64, 64))).alias("edge_md5"),
         F.length(t).alias("n_chars"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Top-k tokens by document frequency (exact). Distinct-per-doc explode
+    then one hash aggregate; the global top-k is a TakeOrdered over ~|vocab|
+    aggregated rows, not the corpus. Ties break on token for determinism."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(words_expr(text_col))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(k)
+    )

@@ -995,6 +995,47 @@ def ann_ivf_topk_q(spark, sf_dir):
 
 
 @query(
+    "text_heavy_hitters",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact top-k tokens by document frequency — the vocabulary-head view a
+    pipeline uses for stopword/boilerplate discovery."""
+    from sparsity_spark.operators.text import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "emb_grouped_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim, ROUND(AVG(x), 4) AS mean_val
+    FROM (
+      SELECT label, embedding[i] AS x, i
+      FROM (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    )
+    GROUP BY label, dim
+    """,
+)
+def emb_grouped_centroids(spark, sf_dir):
+    """Per-label centroid means in long (label, dim, mean_val) format:
+    posexplode + one partial+final hash aggregate — array-native centroid
+    (re)training with no UDF and no driver-side vectors."""
+    from sparsity_spark.operators.similarity import grouped_centroids
+
+    return grouped_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "text_token_stats",
     """
     SELECT doc_id,

@@ -154,3 +154,27 @@ def test_duplicate_clusters_chain_and_singleton(spark):
         .to_dict()
     )
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
+
+
+def test_grouped_centroids_match_numpy(spark, sf_dir):
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import grouped_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = grouped_centroids(emb).toPandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.round(np.mean(np.stack(grp["embedding"].to_numpy()), axis=0), 4)
+        sub = got[got["label"] == label]["mean_val"].to_numpy()
+        assert np.allclose(sub, want, atol=1e-4), label
+
+
+def test_heavy_hitters_match_pandas(spark, docs):
+    got = text.heavy_hitters(docs, k=5).toPandas()
+    pdf = docs.toPandas()
+    df_counts = {}
+    for _, row in pdf.iterrows():
+        for tok in set(row["text"].split(" ")):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    want = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["token"], got["df"])) == want
