@@ -175,3 +175,35 @@ def heavy_hitters(
         .orderBy(F.col("df").desc(), "token")
         .limit(k)
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Within-document repetition filters (Gopher-style): duplicate-token
+    ratio, duplicate-2-gram ratio, and the fraction taken by the single most
+    frequent token. Pure expressions — map-only at any corpus size (the
+    top-token scan is O(distinct·n) per doc, bounded by document length,
+    never by corpus size)."""
+    w = words_expr(text_col)
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(w), lambda t: F.size(F.filter(w, lambda x: x == t))
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(w)) / n, 6).alias("dup_token_ratio"),
+        F.round(
+            F.when(n >= 2, F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_ratio"),
+        F.round(top_cnt / n, 6).alias("top_token_frac"),
+    )

@@ -1036,6 +1036,42 @@ def emb_grouped_centroids(spark, sf_dir):
 
 
 @query(
+    "text_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      GROUP BY doc_id, tok
+    ),
+    tops AS (SELECT doc_id, MAX(c) AS top_cnt FROM counts GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+               THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM base
+    )
+    SELECT g.doc_id,
+           ROUND(1.0 - len(list_distinct(g.w)) / len(g.w), 6) AS dup_token_ratio,
+           ROUND(CASE WHEN len(g.g) > 0
+                 THEN 1.0 - len(list_distinct(g.g)) / len(g.g) ELSE 0.0 END, 6)
+             AS dup_2gram_ratio,
+           ROUND(t.top_cnt / len(g.w), 6) AS top_token_frac
+    FROM grams g JOIN tops t ON g.doc_id = t.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition ratios (Gopher-style quality filters):
+    one map-only projection, no shuffle."""
+    from sparsity_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_token_stats",
     """
     SELECT doc_id,

@@ -178,3 +178,19 @@ def test_heavy_hitters_match_pandas(spark, docs):
             df_counts[tok] = df_counts.get(tok, 0) + 1
     want = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["token"], got["df"])) == want
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, "a b a b a")], "doc_id long, text string"
+    )
+    got = text.repetition_stats(df).toPandas().set_index("doc_id")
+    assert abs(got.loc[1, "dup_token_ratio"] - (1 - 2 / 3)) < 1e-6
+    assert got.loc[1, "dup_2gram_ratio"] == 0.0
+    assert abs(got.loc[1, "top_token_frac"] - 2 / 3) < 1e-6
+    assert got.loc[2, "dup_token_ratio"] == 0.0
+    assert got.loc[2, "dup_2gram_ratio"] == 0.0
+    assert got.loc[2, "top_token_frac"] == 1.0
+    assert abs(got.loc[3, "dup_token_ratio"] - 0.6) < 1e-6
+    assert abs(got.loc[3, "dup_2gram_ratio"] - 0.5) < 1e-6
+    assert abs(got.loc[3, "top_token_frac"] - 0.6) < 1e-6
