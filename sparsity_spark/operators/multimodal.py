@@ -89,18 +89,92 @@ def extract_features(
     )
     schema = f"{id_col} long, feature array<double>, n_bytes long"
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # the closure must be self-contained (stdlib imports inside, no
+    # module-level globals): cloudpickle would otherwise ship it as a
+    # reference to this module, which the executors may not have on their
+    # PYTHONPATH when the driver process runs outside the repo
+    def _extract(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def fake_features(payload: bytes) -> list[float]:
+            out: list[float] = []
+            seed = payload
+            while len(out) < dim:
+                seed = hashlib.md5(seed).digest()
+                for i in range(0, 16, 4):
+                    out.append(int.from_bytes(seed[i : i + 4], "big") / 2**32)
+            return out[:dim]
+
         for pdf in batches:
             feats, nbytes = [], []
             for payload, mt in zip(pdf["content"], pdf["media_type"]):
                 raw = bytes(payload)
                 if fake:
-                    feats.append(_fake_features(raw, dim))
+                    feats.append(fake_features(raw))
                 else:
-                    feats.append(decode_stub(raw, mt))
+                    raise NotImplementedError(
+                        f"no codec available for {mt}; install a decoder or pass fake=True"
+                    )
                 nbytes.append(len(raw))
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "feature": feats, "n_bytes": nbytes}
             )
 
     return flat.mapInPandas(_extract, schema=schema)
+
+
+def frame_sample(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    every_k: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling plumbing: the sampled frame indices are derived
+    and exploded JVM-side (sequence over the metadata frame count, stride
+    every_k) so the Python UDF only receives rows it must actually decode;
+    the per-frame decode is Arrow-batched mapInPandas at the same stubbed
+    codec seam as extract_features (fake=True → md5(payload:idx), the
+    deterministic stand-in an oracle can reproduce).
+
+    Returns (id, frame_idx, frame_md5)."""
+    flat = assets.select(
+        F.col(id_col),
+        F.col("content"),
+        F.col("meta.chunk_count").alias("n_frames"),
+    ).filter(F.col("n_frames") >= 1)
+    sampled = flat.select(
+        F.col(id_col),
+        F.col("content"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    )
+    schema = f"{id_col} long, frame_idx int, frame_md5 string"
+
+    # self-contained closure — see extract_features for why (executors may
+    # not have this module importable)
+    def _decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no codec available for video/*; install a decoder or pass fake=True"
+                )
+            md5s = [
+                hashlib.md5(bytes(c) + b":" + str(int(i)).encode()).hexdigest()
+                for c, i in zip(pdf["content"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame_md5": md5s,
+                }
+            )
+
+    return sampled.mapInPandas(_decode, schema=schema)

@@ -1185,6 +1185,29 @@ def multimodal_meta_q(spark, sf_dir):
     return binary_meta(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "multimodal_frames",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(encode(text) || ':' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1, 4)) AS i
+      FROM documents
+    )
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: JVM-side stride explode over metadata frame
+    counts, Arrow-batched per-frame 'decode' (deterministic fake at the
+    codec seam) — the oracle reproduces the fake byte-for-byte."""
+    from sparsity_spark.operators.multimodal import as_binary_assets, frame_sample
+
+    assets = as_binary_assets(load_table(spark, sf_dir, "documents"))
+    return frame_sample(assets, every_k=4, fake=True)
+
+
 # --------------------------------------------------------------------- #
 # Coverage batch 2: scalar stats, concat, sort, positional, UDF, I/O    #
 # --------------------------------------------------------------------- #
@@ -1280,10 +1303,12 @@ def f1_map_partitions(spark, sf_dir):
     """SURVEY §2.11 F1 (reference dask/core.py:113-123): arbitrary pandas
     function per partition via Arrow-batched mapInPandas."""
     frame = _user_counts_frame(spark, sf_dir)
+    val_col = VAL  # captured by value: the pickled closure must not
+    # reference this module's globals (executors may not have it importable)
 
     def double(pdf):
         pdf = pdf.copy()
-        pdf[VAL] = pdf[VAL] * 2
+        pdf[val_col] = pdf[val_col] * 2
         return pdf
 
     return frame.map_partitions(double).data

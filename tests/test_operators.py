@@ -194,3 +194,19 @@ def test_repetition_stats_hand_computed(spark):
     assert abs(got.loc[3, "dup_token_ratio"] - 0.6) < 1e-6
     assert abs(got.loc[3, "dup_2gram_ratio"] - 0.5) < 1e-6
     assert abs(got.loc[3, "top_token_frac"] - 0.6) < 1e-6
+
+
+def test_frame_sample_stride_and_stub(spark, docs):
+    import math
+
+    assets = multimodal.as_binary_assets(docs)
+    got = multimodal.frame_sample(assets, every_k=2, fake=True).toPandas()
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        n_frames = math.ceil(len(row["text"].encode()) / 64)
+        want_idx = list(range(0, n_frames, 2))
+        sub = got[got["doc_id"] == row["doc_id"]].sort_values("frame_idx")
+        assert list(sub["frame_idx"]) == want_idx, row["doc_id"]
+    # the real-codec path must surface the NotImplementedError contract
+    with pytest.raises(Exception, match="no codec"):
+        multimodal.frame_sample(assets, every_k=2, fake=False).collect()
