@@ -11,8 +11,6 @@ stands in, so batch shapes, schemas and partitioning are exercised for real.
 from __future__ import annotations
 
 import hashlib
-import math
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
