@@ -90,3 +90,27 @@ def pack_sequences(
     return docs.withColumn(
         "bin_id", F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join: an update row replaces
+    the whole base row for its key, unmatched updates insert, unmatched base
+    rows survive. No driver loop, no per-row Python — at scale this is the
+    standard snapshot-upsert (slowly-changing table) shape, and AQE picks
+    broadcast vs shuffle by the updates side's size."""
+    marker = "__is_update__"
+    u = updates.withColumn(marker, F.lit(1))
+    joined = base.alias("b").join(u.alias("u"), on=key_cols, how="full_outer")
+    non_keys = [c for c in base.columns if c not in key_cols]
+    take_update = F.col(f"u.{marker}").isNotNull()
+    return joined.select(
+        *key_cols,
+        *[
+            F.when(take_update, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+            for c in non_keys
+        ],
+    )

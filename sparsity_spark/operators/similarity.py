@@ -216,3 +216,25 @@ def grouped_centroids(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
     )
     return ex.groupBy(group_col, "dim").agg(F.round(F.avg("x"), 4).alias("mean_val"))
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization, the standard ANN memory/IO reduction
+    (4 bytes/dim → 1): per-vector scale = max|x|, code = ⌊x·127/scale + ½⌋.
+
+    floor(x + 0.5) instead of round() — round() tie-breaking differs
+    between engines (HALF_UP vs banker's) while floor is bit-identical
+    everywhere, so an oracle reproduces codes exactly. Map-only; emits long
+    (id, dim, code, scale) rows — the engine's native cell layout."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    codes = F.transform(x, lambda v: F.floor(v * 127.0 / scale + 0.5).cast("int"))
+    return embeddings.select(
+        F.col(id_col),
+        F.posexplode(codes).alias("dim", "code"),
+        F.round(scale, 6).alias("scale"),
+    ).select(id_col, "dim", "code", "scale")

@@ -1177,6 +1177,64 @@ def text_repetition(spark, sf_dir):
 
 
 @query(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0 / s + 0.5) AS INTEGER) AS code,
+           ROUND(s, 6) AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — codes must match
+    the oracle bit-for-bit (floor(x+1/2), not round: tie-breaking is the
+    only engine-dependent step and floor removes it)."""
+    from sparsity_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "pipe_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+             ROUND(c_acctbal + 1000, 4) AS c_acctbal, c_nationkey
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END
+             AS c_mktsegment,
+           ROUND(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END, 4)
+             AS c_acctbal
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def pipe_merge_upsert(spark, sf_dir):
+    """MERGE INTO shape: every 10th customer gets a whole-row update; the
+    merged snapshot must equal the oracle's full-outer-join formulation."""
+    from sparsity_spark.operators.pipeline import merge_upsert
+
+    base = load_table(spark, sf_dir, "customer")
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000, 4).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    merged = merge_upsert(base, updates, key_cols=["c_custkey"])
+    return merged.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+
+
+@query(
     "text_token_stats",
     """
     SELECT doc_id,

@@ -210,3 +210,42 @@ def test_frame_sample_stride_and_stub(spark, docs):
     # the real-codec path must surface the NotImplementedError contract
     with pytest.raises(Exception, match="no codec"):
         multimodal.frame_sample(assets, every_k=2, fake=False).collect()
+
+
+def test_quantize_embeddings_roundtrip_error(spark, sf_dir):
+    import numpy as np
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = quantize_embeddings(emb).toPandas()
+    assert q["code"].abs().max() <= 127
+    orig = emb.toPandas()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for _, r in orig.iterrows()}
+    for vec_id, grp in q.groupby("vec_id"):
+        grp = grp.sort_values("dim")
+        scale = grp["scale"].iloc[0]
+        deq = grp["code"].to_numpy() * scale / 127.0
+        # half-step quantization error bound (+ rounding slack on scale)
+        assert np.abs(deq - vecs[vec_id]).max() <= scale / 254.0 + 1e-4
+
+
+def test_merge_upsert_semantics(spark):
+    from sparsity_spark.operators.pipeline import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B!", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = (
+        merge_upsert(base, updates, key_cols=["k"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == [1, 2, 3, 4]
+    assert list(got["name"]) == ["a", "B!", "c", "d"]   # update wins, insert lands
+    assert list(got["v"]) == [10.0, 99.0, 30.0, 40.0]
