@@ -155,3 +155,40 @@ def time_rollup(
         "total",
         "n_events",
     )
+
+
+def gap_fill_daily_counts(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    start: str = "2024-01-01",
+    end: str = "2024-01-30",
+) -> DataFrame:
+    """Dense daily grid per entity with zero-filled gaps — the resample/
+    gap-fill shape time-series stores special-case. The calendar axis is a
+    generated sequence (explode of |days| rows — tiny), cross-joined against
+    the distinct entity set, then left-joined to the real daily counts:
+    grid size is |entities|·|days|, never a function of the event count, and
+    the only full-data pass is the one counting aggregate.
+
+    Returns (id, day: 'yyyy-MM-dd' string, n_events)."""
+    days = events.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    entities = events.select(F.col(id_col)).distinct()
+    counts = events.groupBy(
+        F.col(id_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        entities.crossJoin(F.broadcast(days))
+        .join(counts, on=[id_col, "day"], how="left")
+        .select(
+            F.col(id_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )

@@ -1371,6 +1371,34 @@ def multimodal_frames(spark, sf_dir):
     return frame_sample(assets, every_k=4, fake=True)
 
 
+@query(
+    "t5_gap_fill_daily",
+    """
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    counts AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM users u
+    CROSS JOIN days d
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = d.day
+    """,
+)
+def t5_gap_fill_daily(spark, sf_dir):
+    """Time-series gap fill: dense per-user daily grid with zero-filled
+    days — generated calendar axis, |users|·|days| output, one counting
+    pass over the events."""
+    from sparsity_spark.operators.temporal import gap_fill_daily_counts
+
+    return gap_fill_daily_counts(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------- #
 # Coverage batch 2: scalar stats, concat, sort, positional, UDF, I/O    #
 # --------------------------------------------------------------------- #

@@ -114,3 +114,24 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.1
     assert abs(row.approx_p50 - row.exact_p50) / max(abs(row.exact_p50), 1e-9) < 0.1
+
+
+def test_gap_fill_daily_zero_days(spark):
+    from sparsity_spark.operators.temporal import gap_fill_daily_counts
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-03 11:00:00", 7), (3, "2024-01-01 09:00:00", 8)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    got = (
+        gap_fill_daily_counts(events, start="2024-01-01", end="2024-01-03")
+        .toPandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    # dense grid: 2 users x 3 days, gaps zero-filled
+    assert len(got) == 6
+    u7 = got[got["user_id"] == 7]["n_events"].tolist()
+    u8 = got[got["user_id"] == 8]["n_events"].tolist()
+    assert u7 == [1, 0, 1]
+    assert u8 == [1, 0, 0]
