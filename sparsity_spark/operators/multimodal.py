@@ -176,3 +176,47 @@ def frame_sample(
             )
 
     return sampled.mapInPandas(_decode, schema=schema)
+
+
+def resize_images(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched mapInPandas whose UDF contract
+    is (id, content, n_bytes) → (id, width, height, thumb_md5, out_bytes).
+    The resample kernel lives at the stubbed codec seam (fake=True → the
+    deterministic md5(payload:WxH) stand-in, out_bytes = 3·W·H as an RGB
+    thumbnail would be); partitioning, batch shape and declared schema are
+    the production plumbing."""
+    flat = assets.select(
+        F.col(id_col), F.col("content"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    schema = f"{id_col} long, width int, height int, thumb_md5 string, out_bytes long"
+
+    # self-contained closure — executors may not have this module importable
+    def _resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no codec available for image/*; install a decoder or pass fake=True"
+                )
+            tag = f":{width}x{height}".encode()
+            md5s = [hashlib.md5(bytes(c) + tag).hexdigest() for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "thumb_md5": md5s,
+                    "out_bytes": 3 * width * height,
+                }
+            )
+
+    return flat.mapInPandas(_resize, schema=schema)

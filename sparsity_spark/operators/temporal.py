@@ -65,7 +65,12 @@ def range_join_pairs(
     """Interval self-join: pairs (a, b) in the same ``by`` group with
     0 < ts_b − ts_a <= max_gap. Bucketize time to max_gap-width buckets and
     equi-join each row to its own and the next bucket — the range predicate
-    then filters locally. Returns (by, id_a, id_b, gap_seconds)."""
+    then filters locally. Returns (by, id_a, id_b, gap_seconds).
+
+    The gap compares in integer MICROseconds (unix_micros ≙ DuckDB
+    epoch_us): whole-second truncation would disagree with a sub-second-
+    aware oracle on boundary pairs (same-second pairs, exactly-max_gap
+    pairs) once data is dense enough — caught at sf0.1."""
     bucket = (F.unix_timestamp(F.col(ts_col)) / max_gap_seconds).cast("long")
     base = events.select(
         F.col(by), F.col(id_col), F.col(ts_col), bucket.alias("__b__")
@@ -78,11 +83,15 @@ def range_join_pairs(
     right = base.select(
         F.col(by), F.col(id_col).alias("id_b"), F.col(ts_col).alias("ts_b"), F.col("__b__").alias("__jb__")
     )
-    gap = F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")
+    gap_us = F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))
     return (
         left.join(right, on=[by, "__jb__"])
-        .filter((F.col("id_a") != F.col("id_b")) & (gap > 0) & (gap <= max_gap_seconds))
-        .select(by, "id_a", "id_b", gap.alias("gap_seconds"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (gap_us > 0)
+            & (gap_us <= max_gap_seconds * 1_000_000)
+        )
+        .select(by, "id_a", "id_b", (gap_us / 1_000_000.0).alias("gap_seconds"))
         .distinct()
     )
 

@@ -1372,6 +1372,24 @@ def multimodal_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize",
+    """
+    SELECT doc_id, 64 AS width, 64 AS height,
+           md5(encode(text) || ':64x64') AS thumb_md5,
+           CAST(3 * 64 * 64 AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (Arrow-batched, codec stubbed): the oracle
+    reproduces the deterministic fake byte-for-byte."""
+    from sparsity_spark.operators.multimodal import as_binary_assets, resize_images
+
+    assets = as_binary_assets(load_table(spark, sf_dir, "documents"))
+    return resize_images(assets, width=64, height=64, fake=True)
+
+
+@query(
     "t5_gap_fill_daily",
     """
     WITH days AS (
@@ -1761,7 +1779,7 @@ def t1_asof_join(spark, sf_dir):
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts
-     AND epoch(b.ts) - epoch(a.ts) <= 3600
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(3600 AS BIGINT) * 1000000
      AND a.event_id != b.event_id
     GROUP BY a.user_id
     """,

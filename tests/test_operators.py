@@ -249,3 +249,18 @@ def test_merge_upsert_semantics(spark):
     assert list(got["k"]) == [1, 2, 3, 4]
     assert list(got["name"]) == ["a", "B!", "c", "d"]   # update wins, insert lands
     assert list(got["v"]) == [10.0, 99.0, 30.0, 40.0]
+
+
+def test_resize_images_contract(spark, docs):
+    import hashlib
+
+    assets = multimodal.as_binary_assets(docs)
+    got = multimodal.resize_images(assets, width=32, height=8, fake=True).toPandas()
+    assert (got["width"] == 32).all() and (got["height"] == 8).all()
+    assert (got["out_bytes"] == 3 * 32 * 8).all()
+    pdf = docs.toPandas().set_index("doc_id")
+    for _, row in got.iterrows():
+        want = hashlib.md5(pdf.loc[row["doc_id"], "text"].encode() + b":32x8").hexdigest()
+        assert row["thumb_md5"] == want
+    with pytest.raises(Exception, match="no codec"):
+        multimodal.resize_images(assets, fake=False).collect()
