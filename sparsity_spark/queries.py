@@ -1704,6 +1704,35 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+@query("stream_session_stats")  # rows-only: applyInPandasWithState is not SQL-expressible
+def stream_session_stats(spark, sf_dir):
+    """Custom stateful streaming operator round trip: per-user accumulator
+    via applyInPandasWithState (update mode), availableNow trigger. No SQL
+    oracle exists for cross-batch state; the driver records a rows-only
+    check and pytest pins batch parity."""
+    import tempfile
+    import uuid
+
+    from sparsity_spark.streaming import stream_events, streaming_session_stats
+
+    src = tempfile.mkdtemp(prefix="sparsity_stream_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    name = "sss_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_session_stats(stream_events(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, max_by(n_events, n_events) AS n_events,"
+        f" max_by(total_value, n_events) AS total_value FROM {name} GROUP BY user_id"
+    )
+
+
 @query(
     "stream_enriched_counts",
     """
