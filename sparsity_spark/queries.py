@@ -777,6 +777,75 @@ def q14_promo_revenue_share(spark, sf_dir):
 
 
 @query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size <= 25 AND l.l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides. The
+    part dimension broadcasts; Catalyst pushes the brand/size disjunction's
+    common subtree to the part scan and the quantity bounds to the lineitem
+    scan, so the join input is pre-filtered on both sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 40)
+    )
+    return joined.filter(cond).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "q11_top_value_nations",
+    """
+    WITH nation_value AS (
+      SELECT n.n_name, ROUND(SUM(l.l_extendedprice), 4) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, value
+    FROM nation_value
+    WHERE value > (SELECT SUM(value) * 0.04 FROM nation_value)
+    """,
+)
+def q11_top_value_nations(spark, sf_dir):
+    """TPC-H Q11 shape: groups filtered against a scalar of the SAME
+    aggregate (share-of-total HAVING). The per-nation rollup is computed
+    once and self-joined against its own global sum via crossJoin of a
+    1-row aggregate — Spark broadcasts the scalar, no recompute of the base
+    aggregate thanks to plan reuse."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nation_value = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("value"))
+    )
+    threshold = nation_value.agg((F.sum("value") * 0.04).alias("__thr__"))
+    return (
+        nation_value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thr__"))
+        .select("n_name", "value")
+    )
+
+
+@query(
     "w1_running_sum",
     """
     SELECT event_id, user_id,
