@@ -846,6 +846,61 @@ def q11_top_value_nations(spark, sf_dir):
 
 
 @query(
+    "q21_sole_returned_supplier",
+    """
+    WITH sup_orders AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    returned AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    multi AS (
+      SELECT l_orderkey FROM sup_orders GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2
+    )
+    SELECT r.l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM returned r
+    WHERE EXISTS (SELECT 1 FROM multi m WHERE m.l_orderkey = r.l_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM returned r2
+                      WHERE r2.l_orderkey = r.l_orderkey
+                        AND r2.l_suppkey <> r.l_suppkey)
+    GROUP BY r.l_suppkey
+    """,
+)
+def q21_sole_returned_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS and NOT EXISTS against the same fact —
+    suppliers solely responsible for the returned lines of a multi-supplier
+    order. Both membership tests are distinct-projected semi/anti joins on
+    orderkey, so each is one shuffle of a deduplicated (order, supplier)
+    set, never a row-multiplying join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sup_orders = l.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    )
+    multi = (
+        sup_orders.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns__"))
+        .filter(F.col("__ns__") >= 2)
+        .select("l_orderkey")
+    )
+    others = returned.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("__other__")
+    )
+    return (
+        returned.join(multi, on="l_orderkey", how="leftsemi")
+        .join(
+            others,
+            (returned.l_orderkey == others.l_orderkey)
+            & (returned.l_suppkey != others.__other__),
+            "leftanti",
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
     "w1_running_sum",
     """
     SELECT event_id, user_id,
