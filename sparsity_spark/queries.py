@@ -901,6 +901,35 @@ def q21_sole_returned_supplier(spark, sf_dir):
 
 
 @query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS thr
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.thr
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: each row compared against a scalar aggregate of its
+    OWN group (below 20% of the part's average quantity). One aggregate
+    pass builds the per-part thresholds, then a join-back — the correlated
+    subquery decorrelated by hand, which is exactly what Catalyst would do.
+    Exact across engines: quantity sums are integer-valued doubles, so the
+    threshold arithmetic is bit-identical."""
+    l = load_table(spark, sf_dir, "lineitem")
+    thr = l.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        (0.2 * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        l.join(thr, l.l_partkey == thr.__pk__)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
     "w1_running_sum",
     """
     SELECT event_id, user_id,

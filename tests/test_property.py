@@ -98,3 +98,31 @@ def test_loc_range_inclusive_matches_pandas(spark, a, lo, width):
     assert len(got) == len(want)
     if len(want):
         np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+
+
+@given(
+    keys=st.lists(st.integers(0, 20), min_size=1, max_size=30),
+    upd_keys=st.lists(st.integers(0, 25), min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_pandas_combine(spark, keys, upd_keys):
+    """merge_upsert == pandas 'update wins, insert lands, base survives'."""
+    import pandas as pd
+
+    from sparsity_spark.operators.pipeline import merge_upsert
+
+    base_pdf = pd.DataFrame({"k": sorted(set(keys)), "v": [float(k) for k in sorted(set(keys))]})
+    upd_pdf = pd.DataFrame(
+        {"k": sorted(set(upd_keys)), "v": [float(k) + 100 for k in sorted(set(upd_keys))]}
+    )
+    base = spark.createDataFrame(base_pdf, "k long, v double")
+    upd = spark.createDataFrame(upd_pdf, "k long, v double") if len(upd_pdf) else base.limit(0)
+    got = (
+        merge_upsert(base, upd, key_cols=["k"]).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        pd.concat([base_pdf[~base_pdf["k"].isin(upd_pdf["k"])], upd_pdf])
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
