@@ -68,6 +68,22 @@ def main():
     tfidf = tfidf_frame(docs)
     print("tfidf frame:", tfidf.data.count(), "cells,", len(tfidf.columns), "terms")
 
+    print("\n== 8. quantize / upsert / gap-fill / repetition / multimodal ==")
+    from sparsity_spark.operators.multimodal import as_binary_assets, frame_sample
+    from sparsity_spark.operators.pipeline import merge_upsert
+    from sparsity_spark.operators.similarity import quantize_embeddings
+    from sparsity_spark.operators.temporal import gap_fill_daily_counts
+    from sparsity_spark.operators.text import repetition_stats
+
+    print("int8 codes:", quantize_embeddings(emb).count())
+    cust = load_table(spark, SF, "customer")
+    upd = cust.limit(5).withColumn("c_mktsegment", F.lit("UPDATED"))
+    merged = merge_upsert(cust, upd, key_cols=["c_custkey"])
+    print("upserted rows:", merged.filter("c_mktsegment = 'UPDATED'").count())
+    print("gap-filled grid:", gap_fill_daily_counts(events).count())
+    print(repetition_stats(docs).show(3, False))
+    print("sampled frames:", frame_sample(as_binary_assets(docs), fake=True).count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 
