@@ -126,3 +126,28 @@ def test_merge_upsert_matches_pandas_combine(spark, keys, upd_keys):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
+
+
+@given(
+    fact_keys=st.lists(st.integers(0, 10), min_size=1, max_size=40),
+    n_salts=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_salted_join_matches_plain_join(spark, fact_keys, n_salts):
+    """salted_join(fact, dim) row-multiset == plain join for any salt count."""
+    from sparsity_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(k, k * 2) for k in range(0, 11, 2)], "k long, attr long")
+    got = (
+        salted_join(fact, dim, on="k", num_salts=n_salts)
+        .toPandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    want = fact.join(dim, on="k").toPandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    assert got.shape == want.shape
+    if len(want):
+        assert (got[want.columns].to_numpy() == want.to_numpy()).all()
