@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q16_supplier_part_counts",
     "q18_large_volume_orders",
     "w3_top_events_per_user",
+    "q10_returned_item_revenue",
+    "q17_small_quantity_revenue",
+    "q21_sole_returned_supplier",
 ]
 
 
