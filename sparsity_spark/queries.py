@@ -971,6 +971,57 @@ def q15_top_supplier(spark, sf_dir):
 
 
 @query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+       OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation dimension joined in TWO roles (customer's
+    nation via orders→customer, supplier's nation via lineitem→supplier)
+    with an OR over the role pair. One fact-to-fact shuffle
+    (lineitem⋈orders); every dimension broadcasts, including both nation
+    aliases; grouping adds the derived ship year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("__ck__"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("cust_nation") == "NATION_11") & (F.col("supp_nation") == "NATION_20")
+    ) | ((F.col("cust_nation") == "NATION_20") & (F.col("supp_nation") == "NATION_11"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("__ck__"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("__sk__"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
     "w1_running_sum",
     """
     SELECT event_id, user_id,
