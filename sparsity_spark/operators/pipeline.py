@@ -114,3 +114,40 @@ def merge_upsert(
             for c in non_keys
         ],
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word k-gram with a benchmark/eval corpus (the standard n-gram-overlap
+    decontamination step of LLM training pipelines; no reference
+    counterpart).
+
+    Shingles both corpora with the shared dedup tokenization (distinct
+    k-grams per doc), then hash-joins on the gram string. The benchmark
+    side of the join is broadcast — eval corpora are tiny next to 100 TB of
+    training text, so the contamination check is a map-side join over the
+    training shingles with no shuffle of the big side; the only shuffle is
+    the final per-doc aggregate.
+
+    Returns (id_col, n_shared_grams, n_bench_docs) for contaminated docs
+    only; clean docs are absent."""
+    from sparsity_spark.operators.dedup import shingle_sets
+
+    tr = shingle_sets(train, id_col, text_col, k)
+    be = shingle_sets(benchmark, id_col, text_col, k).select(
+        F.col("shingle"), F.col(id_col).alias("__bench_id__")
+    )
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("__bench_id__").alias("n_bench_docs"),
+        )
+    )

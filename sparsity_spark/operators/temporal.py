@@ -201,3 +201,77 @@ def gap_fill_daily_counts(
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel over an event log: a user is counted at step i
+    only if their first step-i event happens AFTER their first qualifying
+    step-(i-1) event (classic product-analytics funnel; no reference
+    counterpart — the reference stops at batch one-hot counts).
+
+    Plan shape: every stage is a groupBy on the SAME key (user_col), so all
+    shuffles hash-partition identically and each stage's join against the
+    previous stage is key-co-located; the per-stage count aggregates are
+    single-row and the final assembly is a driver-free cross join of 1-row
+    DataFrames. Timestamps compare as integer microseconds so a SQL oracle
+    on nanosecond-precision data agrees on ties.
+
+    Returns one row: (n_step1, ..., n_stepK) user counts."""
+    us = F.unix_micros(F.col(ts_col))
+    prev = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias("t1"))
+    )
+    stages = [prev]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col), us.alias("__t__"))
+            .join(prev.select(user_col, f"t{i - 1}"), user_col)
+            .filter(F.col("__t__") > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__t__").alias(f"t{i}"))
+        )
+        stages.append(prev)
+    out = stages[0].agg(F.count("*").alias("n_step1"))
+    for i, st in enumerate(stages[1:], start=2):
+        out = out.crossJoin(st.agg(F.count("*").alias(f"n_step{i}")))
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-activity day, counted
+    once per (cohort, period offset) in which they were active.
+
+    Two aggregates on the same user key (first-day + distinct activity) and
+    one final count keyed by the small (cohort, offset) grid; the event scan
+    is touched twice but both aggregates combine map-side. Output size is
+    |cohorts| x |periods|, independent of event count.
+
+    Returns (cohort_day: 'yyyy-MM-dd', period_off: int, n_users)."""
+    first = events.groupBy(user_col).agg(F.min(F.to_date(F.col(ts_col))).alias("__d0__"))
+    active = (
+        events.select(F.col(user_col), F.to_date(F.col(ts_col)).alias("__d__"))
+        .join(first, user_col)
+        .select(
+            F.date_format("__d0__", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff(F.col("__d__"), F.col("__d0__")) / period_days)
+            .cast("int")
+            .alias("period_off"),
+            F.col(user_col),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "period_off").agg(F.count("*").alias("n_users"))

@@ -2455,3 +2455,202 @@ def ann_rp_lsh_pairs(spark, sf_dir):
     from sparsity_spark.operators.similarity import rp_lsh_candidate_pairs
 
     return rp_lsh_candidate_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(CASE WHEN n2.n_name = 'NATION_9'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year — a
+    conditional ratio over a seven-table star. The only shuffle is the
+    lineitem⋈orders fact join; customer/region/supplier/part and both
+    nation roles broadcast, and the region + part-type filters prune their
+    dimensions before broadcasting."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select(F.col("n_nationkey").alias("__ck__"), "n_regionkey")
+    n2 = n.select(F.col("n_nationkey").alias("__sk__"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("__ck__"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("__sk__"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.4 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern (the testdata has no partsupp table, so supply
+    cost is proxied from p_retailprice — same join/agg topology). The name
+    filter prunes part before its broadcast; lineitem⋈orders is the one
+    shuffle join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@query(
+    "evt_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_step1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_step2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_step3
+    """,
+)
+def evt_funnel(spark, sf_dir):
+    """Strict-order view→click→purchase funnel: per-step user counts where
+    each step's first event must follow the previous step's first event.
+    All stages shuffle on the same user key; microsecond-integer time
+    comparison keeps nanosecond-precision oracles in agreement."""
+    from sparsity_spark.operators.temporal import funnel_steps
+
+    return funnel_steps(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "evt_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+                 CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS INTEGER)
+                   AS period_off,
+                 e.user_id
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, period_off, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_day, period_off
+    """,
+)
+def evt_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention grid keyed by each user's first-activity day.
+    Output is |cohorts|×|weeks| regardless of event volume."""
+    from sparsity_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipe_decontaminate",
+    """
+    WITH g AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    t AS (SELECT doc_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 <> 0),
+    b AS (SELECT doc_id AS bench_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 = 0)
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM t JOIN b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (19/20 hash split) sharing
+    any word 3-gram with the held-out benchmark slice. The benchmark
+    shingle set broadcasts, so the training corpus is never shuffled before
+    the per-doc aggregate."""
+    from sparsity_spark.operators.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0), docs.filter(F.col("doc_id") % 20 == 0)
+    )
+
+
+@query(
+    "stats_grouped_corr",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(stddev_samp(l_quantity), 4) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_grouped_corr(spark, sf_dir):
+    """Grouped bivariate statistics (Pearson correlation, sample covariance,
+    sample stddev) — one partial+final hash aggregate, all moments combined
+    map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+    )

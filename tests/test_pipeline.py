@@ -99,3 +99,27 @@ def test_wide_one_hot_regime(spark):
     # column projection stays a filter, never a 2000-column select
     sub = g[[f"cat{i}" for i in range(10)]]
     assert sub.data.count() == 10  # cat c (c<500) belongs to key c only
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from sparsity_spark.operators.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares "the quick brown"+"quick brown fox" w/ bench 100
+            (2, "totally novel training text here"),
+            (3, "quick brown fox leaps high"),     # shares "quick brown fox" with bench 100
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs"), (101, "unrelated benchmark words entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in decontaminate(train, bench).toPandas().itertuples()
+    }
+    assert set(got) == {1, 3}  # doc 2 is clean and absent
+    assert got[1] == (2, 1)  # "the quick brown" + "quick brown fox"; "brown fox jumps" differs
+    assert got[3] == (1, 1)

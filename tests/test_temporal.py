@@ -135,3 +135,57 @@ def test_gap_fill_daily_zero_days(spark):
     u8 = got[got["user_id"] == 8]["n_events"].tolist()
     assert u7 == [1, 0, 1]
     assert u8 == [1, 0, 0]
+
+
+def test_funnel_strict_order(spark):
+    from sparsity_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # user 1: view -> click -> purchase in order: counts at every step
+        (1, 1, "view", ts(0)), (2, 1, "click", ts(1)), (3, 1, "purchase", ts(2)),
+        # user 2: click BEFORE first view: step2 must not count the early click
+        (4, 2, "click", ts(0)), (5, 2, "view", ts(1)), (6, 2, "purchase", ts(2)),
+        # user 3: view only
+        (7, 3, "view", ts(0)),
+        # user 4: purchase before click: stops at step 2
+        (8, 4, "view", ts(0)), (9, 4, "purchase", ts(1)), (10, 4, "click", ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = funnel_steps(df, ["view", "click", "purchase"]).toPandas().iloc[0]
+    assert out.n_step1 == 4  # all four users viewed
+    assert out.n_step2 == 2  # user 1; user 4 clicked after view; user 2's click too early
+    assert out.n_step3 == 1  # only user 1 purchased after a qualifying click
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    from sparsity_spark.operators.temporal import funnel_steps
+
+    rows = [(1, 1, "view", ts(0)), (2, 1, "click", ts(0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = funnel_steps(df, ["view", "click"]).toPandas().iloc[0]
+    assert out.n_step1 == 1 and out.n_step2 == 0  # strict >: simultaneous click ignored
+
+
+def test_cohort_retention_grid(spark):
+    from sparsity_spark.operators.temporal import cohort_retention
+
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1 first seen Jan 1, active again day 8 (week 1) twice (dedup to one)
+        (1, 1, T0), (2, 1, T0 + 8 * day), (3, 1, T0 + 8 * day + dt.timedelta(hours=1)),
+        # user 2 same cohort day, active only week 0
+        (4, 2, T0 + dt.timedelta(hours=3)),
+        # user 3 cohort Jan 3, active week 2
+        (5, 3, T0 + 2 * day), (6, 3, T0 + 16 * day),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.cohort_day, r.period_off): r.n_users
+        for r in cohort_retention(df).toPandas().itertuples()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-03", 0): 1,
+        ("2024-01-03", 2): 1,
+    }
