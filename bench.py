@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q10_returned_item_revenue",
     "q17_small_quantity_revenue",
     "q21_sole_returned_supplier",
+    "q8_market_share",
+    "a7_cube_revenue",
+    "w4_event_transitions",
+    "evt_funnel",
+    "pipe_decontaminate",
 ]
 
 

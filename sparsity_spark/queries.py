@@ -2654,3 +2654,139 @@ def stats_grouped_corr(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
     )
+
+
+@query(
+    "w4_event_transitions",
+    """
+    WITH s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def w4_event_transitions(spark, sf_dir):
+    """First-order journey transitions (Markov counts): lead() over each
+    user's event sequence, counted by (from, to) pair. One shuffle on the
+    user key for the window, then a tiny 25-cell aggregate; ordering ties
+    break on (µs-integer time, event_id) so any engine agrees."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "r4_pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def r4_pivot_event_counts(spark, sf_dir):
+    """Generic pivot (the reference stops at one-hot): long events → wide
+    per-user counts, expressed as conditional aggregates over pinned pivot
+    values. Spark's `.pivot()` API plans TWO exchanges (a (key,value)
+    pre-aggregate feeding pivotfirst); `count(when(...))` per column is ONE
+    partial+final hash aggregate — test_plans pins the single-exchange
+    shape."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+@query(
+    "a7_cube_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a7_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass — Spark expands the cube map-side, so partial aggregation still
+    combines before the single shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "w5_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, n.n_name AS nation, ROUND(SUM(o.o_totalprice), 4) AS spend
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_custkey, n.n_name
+    ),
+    d AS (
+      SELECT nation, spend,
+             CAST(ntile(4) OVER (PARTITION BY nation
+                                 ORDER BY spend, c_custkey) AS INTEGER) AS quartile
+      FROM spend
+    )
+    SELECT nation, quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(spend), 4) AS avg_spend
+    FROM d GROUP BY nation, quartile
+    """,
+)
+def w5_spend_quartiles(spark, sf_dir):
+    """Within-nation customer-spend quartiles via ntile: the window
+    partitions on nation (parallel, never a global sort), spend is rounded
+    BEFORE ranking and ties break on custkey so the quartile assignment is
+    engine-deterministic; the result is the small (nation × 4) summary."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+    )
+    w = Window.partitionBy("nation").orderBy("spend", "c_custkey")
+    return (
+        spend.select("nation", "spend", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("nation", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("spend"), 4).alias("avg_spend"),
+        )
+    )

@@ -116,3 +116,37 @@ def test_q16_exclusion_and_dimension_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin LeftAnti" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted plans name each operator twice (tree + detail header);
+    # count only the numbered detail headers
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_pivot_is_single_aggregate_pass(spark, sf_dir):
+    # conditional-agg pivot → no pivotfirst pre-pass, one shuffle total
+    plan = formatted_plan(QUERIES["r4_pivot_event_counts"](spark, sf_dir))
+    assert n_exchanges(plan) == 1, "pivot should be one hash-partition exchange"
+    assert "HashAggregate" in plan
+
+
+def test_cube_keeps_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(QUERIES["a7_cube_revenue"](spark, sf_dir))
+    assert "Expand" in plan  # grouping-set expansion is map-side
+    assert n_exchanges(plan) == 1, "cube should shuffle once after partial agg"
+
+
+def test_q8_single_fact_shuffle_rest_broadcast(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q8_market_share"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 6, (
+        "all dimensions must broadcast"
+    )
+    # at most the lineitem⋈orders join may shuffle (AQE may broadcast even
+    # that at small SF — also fine)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    plan = formatted_plan(QUERIES["pipe_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "benchmark shingles must broadcast"
