@@ -151,3 +151,25 @@ def decontaminate(
             F.countDistinct("__bench_id__").alias("n_bench_docs"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_percent: int = 0,
+) -> DataFrame:
+    """Per-stratum reproducible sampling: each stratum keeps its own percent
+    of rows, selected by content hash of the key (rebalancing a skewed
+    corpus — e.g. downsample the dominant language — is a standard
+    training-mix step). Pure filter: no shuffle, no RNG, the same row
+    survives on any cluster/engine/retry; strata absent from ``fractions``
+    keep ``default_percent``."""
+    b = hash_bucket(F.col(key_col))
+    expr = None
+    for stratum, pct in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (b < pct)
+        expr = cond if expr is None else expr | cond
+    fallback = (~F.col(strata_col).isin(list(fractions))) & (b < default_percent)
+    return df.filter(expr | fallback if expr is not None else fallback)

@@ -275,3 +275,36 @@ def cohort_retention(
         .distinct()
     )
     return active.groupBy("cohort_day", "period_off").agg(F.count("*").alias("n_users"))
+
+
+def daily_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active / new / returning user counts. Built from the distinct
+    (user, day) activity set: "new" means first-ever active day, "returning"
+    means also active the previous calendar day (a self left-join of the
+    activity set shifted by one day — both sides shuffle on the same
+    (user, day) key). Output is one row per day.
+
+    Returns (day: 'yyyy-MM-dd', active, new_users, returning)."""
+    ud = events.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("__d__")
+    ).distinct()
+    first = ud.groupBy(user_col).agg(F.min("__d__").alias("__d0__"))
+    prev = ud.select(
+        F.col(user_col),
+        F.date_add("__d__", 1).alias("__d__"),
+        F.lit(1).alias("__was_active__"),
+    )
+    return (
+        ud.join(first, user_col)
+        .join(prev, [user_col, "__d__"], "left")
+        .groupBy(F.date_format("__d__", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("active"),
+            F.count(F.when(F.col("__d__") == F.col("__d0__"), 1)).alias("new_users"),
+            F.count("__was_active__").alias("returning"),
+        )
+    )

@@ -2790,3 +2790,128 @@ def w5_spend_quartiles(spark, sf_dir):
             F.round(F.avg("spend"), 4).alias("avg_spend"),
         )
     )
+
+
+@query(
+    "pipe_stratified_sample",
+    """
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM b
+    WHERE (lang = 'en' AND bucket < 25)
+       OR (lang = 'zh' AND bucket < 60)
+       OR (lang NOT IN ('en', 'zh') AND bucket < 90)
+    GROUP BY lang
+    """,
+)
+def pipe_stratified_sample(spark, sf_dir):
+    """Training-mix rebalancing: downsample dominant English to 25%, keep
+    60% of Chinese, 90% of everything else — reproducible content-hash
+    selection, zero shuffle before the count."""
+    from sparsity_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 25, "zh": 60}, default_percent=90
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "evt_daily_engagement",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id)
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS active,
+           CAST(COUNT(CASE WHEN ud.d = f.d0 THEN 1 END) AS BIGINT) AS new_users,
+           CAST(COUNT(p.user_id) AS BIGINT) AS returning
+    FROM ud
+    JOIN f ON ud.user_id = f.user_id
+    LEFT JOIN ud p ON p.user_id = ud.user_id AND p.d = ud.d - 1
+    GROUP BY ud.d
+    """,
+)
+def evt_daily_engagement(spark, sf_dir):
+    """Daily active/new/returning users from the distinct (user, day)
+    activity set — the previous-day check is a shifted self left-join on
+    the same key, never a per-user collect."""
+    from sparsity_spark.operators.temporal import daily_engagement
+
+    return daily_engagement(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "text_length_histogram",
+    """
+    SELECT CAST(len(w) // 50 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(len(w)) AS INTEGER) AS min_tokens,
+           CAST(MAX(len(w)) AS INTEGER) AS max_tokens
+    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Token-count histogram (fixed-width 50-token bins): the corpus length
+    profile every curation pass starts from. Map-only tokenize + one tiny
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(F.floor(n / 50).cast("int").alias("bucket"), n.alias("__n__"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("__n__").cast("int").alias("min_tokens"),
+            F.max("__n__").cast("int").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "text_source_quality",
+    """
+    WITH base AS (
+      SELECT source, text, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT source,
+             len(w) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   * 1.0 / length(text), 6) AS alpha_ratio
+      FROM base
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio)), 6)
+             AS mean_quality,
+           CAST(CASE WHEN AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio))
+                          >= 0.4 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m GROUP BY source
+    """,
+)
+def text_source_quality(spark, sf_dir):
+    """Source-level curation gate: mean composite quality per provenance
+    source with a keep/drop flag — the aggregate that decides which crawls
+    survive. One map-only scoring pass + one small aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        / F.length(F.col("text")),
+        6,
+    )
+    q = F.least(n / F.lit(100.0), F.lit(1.0)) * (F.lit(0.5) + F.lit(0.5) * alpha_ratio)
+    return (
+        docs.select("source", q.alias("__q__"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("__q__"), 6).alias("mean_quality"),
+            F.when(F.avg("__q__") >= 0.4, 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

@@ -123,3 +123,32 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert set(got) == {1, 3}  # doc 2 is clean and absent
     assert got[1] == (2, 1)  # "the quick brown" + "quick brown fox"; "brown fox jumps" differs
     assert got[3] == (1, 1)
+
+
+@pytest.fixture()
+def lang_docs(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr")) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_respects_strata(spark, lang_docs):
+    from sparsity_spark.operators.pipeline import hash_bucket, stratified_sample
+
+    sampled = stratified_sample(lang_docs, "doc_id", "lang", {"en": 30}, default_percent=100)
+    pdf = sampled.withColumn("b", hash_bucket(F.col("doc_id"))).toPandas()
+    en = pdf[pdf.lang == "en"]
+    assert (en.b < 30).all()  # only low-hash english rows survive
+    full = lang_docs.toPandas()
+    non_en_total = (full.lang != "en").sum()
+    assert (pdf.lang != "en").sum() == non_en_total  # default 100% keeps all others
+    # deterministic: same call → identical surviving ids
+    again = stratified_sample(lang_docs, "doc_id", "lang", {"en": 30}, default_percent=100)
+    assert sorted(again.toPandas().doc_id) == sorted(pdf.doc_id)
+
+
+def test_stratified_sample_default_zero_drops_unlisted(spark, lang_docs):
+    from sparsity_spark.operators.pipeline import stratified_sample
+
+    sampled = stratified_sample(lang_docs, "doc_id", "lang", {"en": 100}).toPandas()
+    assert set(sampled.lang) <= {"en"}
+    assert len(sampled) == (lang_docs.toPandas().lang == "en").sum()

@@ -189,3 +189,26 @@ def test_cohort_retention_grid(spark):
         ("2024-01-03", 0): 1,
         ("2024-01-03", 2): 1,
     }
+
+
+def test_daily_engagement_new_vs_returning(spark):
+    from sparsity_spark.operators.temporal import daily_engagement
+
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, 1, T0),                # user 1: day 1 (new)
+        (2, 1, T0 + day),          # day 2 (returning)
+        (3, 2, T0),                # user 2: day 1 (new)
+        (4, 2, T0 + 2 * day),      # day 3 after a gap: active, NOT returning
+        (5, 2, T0 + 2 * day),      # same day duplicate — counted once
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.day: (r.active, r.new_users, r.returning)
+        for r in daily_engagement(df).toPandas().itertuples()
+    }
+    assert got == {
+        "2024-01-01": (2, 2, 0),
+        "2024-01-02": (1, 0, 1),
+        "2024-01-03": (1, 0, 0),
+    }
