@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "w4_event_transitions",
     "evt_funnel",
     "pipe_decontaminate",
+    "emb_pq_codes",
+    "q2_min_cost_supplier",
 ]
 
 

@@ -143,10 +143,12 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    n: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine (deterministic
-    tie-break on centroid id). Centroids are broadcast; one pass over the
-    corpus. Returns (vec_id, centroid_id, vec_d, norm)."""
+    """Assign every vector to its n nearest centroids by cosine
+    (deterministic tie-break on centroid id; n=1 is plain assignment,
+    n>1 is the multi-probe query path). Centroids are broadcast; one pass
+    over the corpus. Returns (vec_id, centroid_id, vec_d, norm)."""
     corpus = with_norm(embeddings, vec_col).select(id_col, "vec_d", "norm")
     cents = with_norm(centroids, vec_col).select(
         F.col(centroid_id_col).alias("__cid__"),
@@ -159,7 +161,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("__cid__"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n)
         .select(id_col, F.col("__cid__").alias(centroid_id_col), "vec_d", "norm")
     )
 
@@ -172,12 +174,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: search only within the query's bucket.
-    Bucket assignment shuffles on centroid_id; the per-bucket join scales
-    with bucket population — the 100 TB path where brute force can't go."""
+    """IVF approximate top-k: search only within the query's nprobe nearest
+    buckets (nprobe>1 trades a proportional candidate-set increase for
+    recall — the knob that closes IVF's recall gap without touching the
+    corpus layout). Bucket assignment shuffles on centroid_id; the
+    per-bucket join scales with bucket population — the 100 TB path where
+    brute force can't go."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col, centroid_id_col)
-    qa = ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col).select(
+    qa = ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col, n=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(centroid_id_col),
         F.col("vec_d").alias("vq"),
@@ -238,3 +244,57 @@ def quantize_embeddings(
         F.posexplode(codes).alias("dim", "code"),
         F.round(scale, 6).alias("scale"),
     ).select(id_col, "dim", "code", "scale")
+
+
+def pq_codebook(m: int, k: int, sub_dim: int) -> list[list[list[float]]]:
+    """md5-derived product-quantization codebook: codeword[s][j] is a
+    sub_dim vector in [-1, 1), derived like projection_planes so any engine
+    reproduces it exactly."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"pq:{s}:{j}:{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1
+                for d in range(sub_dim)
+            ]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into m sub-vectors and
+    assign each to its nearest (L2) of k codewords — 64 floats compress to
+    m small ints, the standard memory-bound ANN representation. Pure
+    map-side expression: the codebook is embedded as literals (no join, no
+    shuffle, no UDF); argmin via array_min over (rounded distance, index)
+    structs, ties to the lowest index. Returns (id, subspace, code) long
+    rows."""
+    sub = dim // m
+    book = pq_codebook(m, k, sub)
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(m):
+        xs = F.slice(v, s * sub + 1, sub)
+        cands = []
+        for j, cw in enumerate(book[s]):
+            c = F.array(*[F.lit(x) for x in cw])
+            d2 = F.aggregate(
+                F.zip_with(xs, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(F.round(d2, 6).alias("d"), F.lit(j).alias("j")))
+        codes.append(F.array_min(F.array(*cands)).getField("j"))
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*codes)).alias("subspace", "code")
+    )

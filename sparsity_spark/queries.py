@@ -2915,3 +2915,179 @@ def text_source_quality(spark, sf_dir):
             F.when(F.avg("__q__") >= 0.4, 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+def _pq_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    from sparsity_spark.operators.similarity import pq_codebook
+
+    sub = dim // m
+    book = pq_codebook(m, k, sub)
+    rows = ",\n      ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in book[s][j])}]::DOUBLE[])"
+        for s in range(m)
+        for j in range(k)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb(s, j, c) AS (VALUES
+      {rows}),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb
+    )
+    SELECT vec_id, CAST(s AS INTEGER) AS subspace, CAST(j AS INTEGER) AS code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+          FROM d)
+    WHERE rn = 1
+    """
+
+
+@query("emb_pq_codes", _pq_oracle())
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantization codes (m=4 subspaces × k=16 codewords over
+    64-dim vectors): the compact-code ANN representation, computed as one
+    map-side expression with the md5-derived codebook embedded as literals
+    — bit-exact reproducible in any engine."""
+    from sparsity_spark.operators.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_ivf_probe2",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    r AS (
+      SELECT n.vec_id, cent.cid, n.v, n.nrm,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 6) DESC,
+                        cent.cid) AS rn
+      FROM n, cent
+    ),
+    asg AS (SELECT vec_id, cid, v, nrm FROM r WHERE rn = 1),
+    qa AS (SELECT vec_id, cid, v, nrm FROM r WHERE rn <= 2 AND vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM qa q JOIN asg c ON q.cid = c.cid AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivf_probe2(spark, sf_dir):
+    """IVF with nprobe=2: queries search their two nearest buckets —
+    double the candidates, better recall, corpus layout untouched."""
+    from sparsity_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), centroids, k=3, nprobe=2
+    ).select("query_id", "neighbor_id", "cosine")
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5 AND p_type = 'ECONOMY'),
+    ps AS (SELECT DISTINCT l.l_partkey, l.l_suppkey
+           FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey),
+    cost AS (
+      SELECT ps.l_partkey AS partkey, s.s_name, s.s_acctbal, n.n_name AS nation
+      FROM ps
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    m AS (SELECT partkey, min(s_acctbal) AS min_bal FROM cost GROUP BY partkey)
+    SELECT c.partkey, c.s_name, ROUND(c.s_acctbal, 4) AS acctbal, c.nation
+    FROM cost c JOIN m ON c.partkey = m.partkey AND c.s_acctbal = m.min_bal
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin supplier (no partsupp table — the
+    observed part↔supplier pairs come from lineitem, cost from s_acctbal).
+    The part filter prunes before everything; the distinct pair set and the
+    min join-back both shuffle on partkey so the exchanges line up; the
+    equality join-back keeps ties (as Q2 does)."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ps = (
+        l.join(F.broadcast(pk), l.l_partkey == pk.p_partkey)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cost = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            "s_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    m = cost.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cost.join(m, "partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("partkey", "s_name", F.round("s_acctbal", 4).alias("acctbal"), "nation")
+    )
+
+
+@query(
+    "q20_volume_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    vol AS (SELECT l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem l JOIN red ON l.l_partkey = red.p_partkey
+            GROUP BY l_suppkey)
+    SELECT s.s_name, n.n_name AS nation, ROUND(v.qty, 4) AS red_qty
+    FROM vol v
+    JOIN supplier s ON v.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE v.qty > 1.1 * (SELECT AVG(qty) FROM vol)
+    """,
+)
+def q20_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers whose shipped volume of the filtered part
+    set clears a scale-invariant threshold (1.1× the per-supplier mean — a
+    broadcast scalar, like Q15's argmax). Quantities are integral doubles,
+    so the sums and the threshold comparison are exact in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = vol.agg((F.lit(1.1) * F.avg("qty")).alias("__t__"))
+    return (
+        vol.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("__t__"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"), F.round("qty", 4).alias("red_qty"))
+    )

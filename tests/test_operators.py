@@ -264,3 +264,45 @@ def test_resize_images_contract(spark, docs):
         assert row["thumb_md5"] == want
     with pytest.raises(Exception, match="no codec"):
         multimodal.resize_images(assets, fake=False).collect()
+
+
+def test_pq_encode_matches_numpy(spark):
+    vecs = [
+        (i, [float(((i * 31 + d) % 17) / 17.0 * 2 - 1) for d in range(64)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = (
+        similarity.pq_encode(df)
+        .toPandas()
+        .set_index(["vec_id", "subspace"])["code"]
+        .to_dict()
+    )
+    book = np.array(similarity.pq_codebook(4, 16, 16))  # (m, k, sub)
+    for i, v in vecs:
+        x = np.array(v, dtype=np.float32).astype(np.float64)  # float storage, double math
+        for s in range(4):
+            xs = x[s * 16 : (s + 1) * 16]
+            d2 = np.round(((xs - book[s]) ** 2).sum(axis=1), 6)
+            expect = int(np.argmin(d2))  # np.argmin ties → lowest index, same rule
+            assert got[(i, s)] == expect, (i, s)
+
+
+def test_ivf_probe2_superset_of_probe1(spark, sf_dir):
+    from sparsity_spark.data import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    p1 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, q, cents, k=1000).collect()
+    }
+    p2 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, q, cents, k=1000, nprobe=2).collect()
+    }
+    assert p1 <= p2  # probing a second bucket only adds candidates
+    assert len(p2) > len(p1)  # and the second bucket is not empty
