@@ -3091,3 +3091,79 @@ def q20_volume_suppliers(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"), F.round("qty", 4).alias("red_qty"))
     )
+
+
+@query(
+    "r5_feature_hash",
+    """
+    WITH tok AS (
+      SELECT user_id,
+             'f' || CAST(CAST(('0x' || substring(md5('event_type=' || event_type), 1, 8))
+                             AS BIGINT) % 16 AS VARCHAR) AS col,
+             1.0 AS v
+      FROM events
+    )
+    SELECT user_id, col, ROUND(SUM(v), 4) AS value
+    FROM tok GROUP BY user_id, col
+    """,
+)
+def r5_feature_hash(spark, sf_dir):
+    """Hashing-trick encoder: event types md5-bucketed into a fixed 16-wide
+    feature space, collisions summed — the unbounded-vocabulary companion
+    to one-hot. Zero-shuffle projection + ONE hash aggregate."""
+    from sparsity_spark.reshape import feature_hash
+
+    events = load_table(spark, sf_dir, "events")
+    sf = feature_hash(events, ["event_type"], "user_id", num_features=16)
+    return sf.data.select("user_id", COL, F.round(VAL, 4).alias(VAL))
+
+
+@query(
+    "fn_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """JSON property extraction (get_json_object) aggregated per type —
+    stays inside whole-stage codegen, no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "w6_rolling_time_window",
+    """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 4) AS val_1h
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN CAST(3600 AS BIGINT) * 1000000 PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def w6_rolling_time_window(spark, sf_dir):
+    """Trailing one-hour per-user rolling count/sum with a RANGE (time)
+    frame — unlike w2's row frame, the frame width follows the clock, the
+    shape rate-limiters and trailing-exposure metrics need. Ordering key is
+    integer microseconds; RANGE peers (equal timestamps) are included by
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("val_1h"),
+    )

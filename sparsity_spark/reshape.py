@@ -71,3 +71,38 @@ def one_hot_encode(
     """Distributed one-hot (reference dask/reshape.py:7-41).  Identical to
     :func:`sparse_one_hot` — Spark partitions transparently."""
     return sparse_one_hot(df, column, categories, index_col=index_col)
+
+
+def feature_hash(
+    df: DataFrame,
+    columns: list[str],
+    index_col: str | list[str],
+    num_features: int = 64,
+) -> SparseFrame:
+    """Hashing-trick encoder: each "col=value" token is md5-bucketed into a
+    fixed-width feature space (columns f0..f{D-1}); colliding tokens sum.
+    Unlike one-hot, the schema never grows with cardinality — the standard
+    trick for unbounded categorical vocabularies at training scale. One
+    union of per-column zero-shuffle projections + ONE hash aggregate,
+    work ∝ rows × |columns|; the md5 bucket is engine-reproducible."""
+    from sparsity_spark.operators.pipeline import hash_bucket
+
+    keys = [index_col] if isinstance(index_col, str) else list(index_col)
+    parts = []
+    for c in columns:
+        tok = F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+        parts.append(
+            df.select(
+                *[F.col(k) for k in keys],
+                F.concat(F.lit("f"), hash_bucket(tok, num_features)).alias(COL),
+                F.lit(1.0).alias(VAL),
+            )
+        )
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
+    summed = cells.groupBy(*keys, COL).agg(F.sum(VAL).alias(VAL))
+    index = df.select(*keys).distinct()
+    return SparseFrame(
+        summed, keys, [f"f{i}" for i in range(num_features)], index=index
+    )

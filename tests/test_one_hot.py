@@ -59,3 +59,23 @@ def test_one_hot_composite_key(spark, clickstream):
     gd = g.todense()
     assert gd.to_numpy().sum() == 100
     assert (gd.sum(axis=1) == 1).all()
+
+
+def test_feature_hash_buckets_and_sums(spark):
+    from sparsity_spark.reshape import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (1, "b", "x"), (2, "b", "y")],
+        "k long, c string, d string",
+    )
+    sf = feature_hash(df, ["c"], "k", num_features=4)
+    assert sf.columns == ["f0", "f1", "f2", "f3"]  # width fixed, not data-driven
+    dense = sf.todense()
+    assert dense.loc[1].sum() == 3.0  # mass = row count, collisions only merge
+    assert dense.loc[2].sum() == 1.0
+    # same token → same bucket in a separate invocation (md5, not RNG)
+    again = feature_hash(df, ["c"], "k", num_features=4).todense()
+    assert (again == dense).all().all()
+    # multi-column hashing adds one unit of mass per column
+    two = feature_hash(df, ["c", "d"], "k", num_features=8).todense()
+    assert two.loc[1].sum() == 6.0 and two.loc[2].sum() == 2.0
