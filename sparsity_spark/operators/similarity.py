@@ -274,27 +274,41 @@ def pq_encode(
 ) -> DataFrame:
     """Product-quantization codes: split each vector into m sub-vectors and
     assign each to its nearest (L2) of k codewords — 64 floats compress to
-    m small ints, the standard memory-bound ANN representation. Pure
-    map-side expression: the codebook is embedded as literals (no join, no
-    shuffle, no UDF); argmin via array_min over (rounded distance, index)
-    structs, ties to the lowest index. Returns (id, subspace, code) long
+    m small ints, the standard memory-bound ANN representation. Arrow-
+    batched mapInPandas: per batch one broadcasting (n × k × sub) distance
+    tensor per subspace — a pure-expression formulation (zip_with +
+    aggregate per codeword) is interpreted row-at-a-time by Spark's
+    higher-order functions and benched ~10× slower. Distances round to 6
+    decimals before the argmin (ties → lowest index) so a SQL oracle
+    reproduces every code; the closure is self-contained (codebook bound as
+    a default arg, imports inside). Returns (id, subspace, code) long
     rows."""
     sub = dim // m
     book = pq_codebook(m, k, sub)
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
-    for s in range(m):
-        xs = F.slice(v, s * sub + 1, sub)
-        cands = []
-        for j, cw in enumerate(book[s]):
-            c = F.array(*[F.lit(x) for x in cw])
-            d2 = F.aggregate(
-                F.zip_with(xs, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+
+    def batches(it, _book=book, _m=m, _sub=sub, _id=id_col, _vec=vec_col):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(_book, dtype=np.float64)  # (m, k, sub)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            codes = np.empty((n, _m), dtype=np.int32)
+            for s in range(_m):
+                xs = X[:, s * _sub : (s + 1) * _sub]
+                d2 = ((xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2).round(6)
+                codes[:, s] = d2.argmin(axis=1)  # np.argmin ties → lowest index
+            yield pd.DataFrame(
+                {
+                    _id: np.repeat(pdf[_id].to_numpy(), _m),
+                    "subspace": np.tile(np.arange(_m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
             )
-            cands.append(F.struct(F.round(d2, 6).alias("d"), F.lit(j).alias("j")))
-        codes.append(F.array_min(F.array(*cands)).getField("j"))
-    return embeddings.select(
-        F.col(id_col), F.posexplode(F.array(*codes)).alias("subspace", "code")
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        batches, schema=f"{id_col} long, subspace int, code int"
     )
