@@ -84,6 +84,30 @@ def main():
     print(repetition_stats(docs).show(3, False))
     print("sampled frames:", frame_sample(as_binary_assets(docs), fake=True).count())
 
+    print("\n== 9. analytics: funnel / retention / engagement ==")
+    from sparsity_spark.operators.temporal import (
+        cohort_retention,
+        daily_engagement,
+        funnel_steps,
+    )
+
+    print(funnel_steps(events, ["view", "click", "purchase"]).show())
+    print("retention cells:", cohort_retention(events).count())
+    print(daily_engagement(events).orderBy("day").show(3, False))
+
+    print("\n== 10. curation: decontaminate / stratify / feature-hash / PQ ==")
+    from sparsity_spark.operators.pipeline import decontaminate, stratified_sample
+    from sparsity_spark.operators.similarity import pq_encode
+    from sparsity_spark.reshape import feature_hash
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    print("contaminated docs:", decontaminate(train, bench).count())
+    print("stratified sample:", stratified_sample(docs, "doc_id", "lang", {"en": 25}, 90).count())
+    fh = feature_hash(events, ["event_type"], "user_id", num_features=16)
+    print("hashed features:", fh.data.count(), "cells,", len(fh.columns), "buckets")
+    print("pq codes:", pq_encode(emb).count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 

@@ -3167,3 +3167,40 @@ def w6_rolling_time_window(spark, sf_dir):
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("val_1h"),
     )
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    SELECT strftime(date_trunc('day', ts) - (o * INTERVAL 1 DAY), '%Y-%m-%d')
+             AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, (VALUES (0), (1)) AS t(o)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding-window streaming round trip: 2-day windows sliding daily —
+    every event feeds two overlapping windows; the full readStream →
+    watermarked sliding aggregate → availableNow → memory-sink path must
+    equal the batch double-count the oracle computes."""
+    import tempfile
+    import uuid
+
+    from sparsity_spark.streaming import stream_events, streaming_sliding_counts
+
+    src = tempfile.mkdtemp(prefix="sparsity_stream_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    name = "ssc_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_sliding_counts(stream_events(spark, src), "2 days", "1 day")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT date_format(window_start, 'yyyy-MM-dd') AS window_start, n FROM {name}"
+    )

@@ -4,6 +4,7 @@ from sparsity_spark.streaming.ingest import (
     streaming_enriched_counts,
     streaming_one_hot_counts,
     streaming_session_stats,
+    streaming_sliding_counts,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_enriched_counts",
     "streaming_one_hot_counts",
     "streaming_session_stats",
+    "streaming_sliding_counts",
 ]

@@ -167,3 +167,30 @@ def streaming_session_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    window_duration: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "2 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts: each event contributes to
+    window_duration/slide overlapping windows (Spark expands the assignment
+    map-side; state per open window is bounded by the watermark exactly as
+    in the tumbling case). Windows are epoch-aligned multiples of the
+    slide, so a batch oracle reproduces the starts with date_trunc
+    arithmetic.
+
+    Returns (window_start, window_end, n)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )

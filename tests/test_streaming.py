@@ -189,3 +189,33 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     assert len(got) == len(batch)
     assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
     assert (abs(got["total_value"].to_numpy() - batch["total_value"].to_numpy()) < 1e-6).all()
+
+
+def test_sliding_counts_match_batch(spark, events_dir):
+    from sparsity_spark.streaming import streaming_sliding_counts
+
+    stream = stream_events(spark, events_dir)
+    agg = streaming_sliding_counts(stream, "2 days", "1 day", watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n)
+        for r in spark.sql("SELECT CAST(window_start AS STRING) window_start, n FROM sliding").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "2 days", "1 day"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").cast("string").alias("window_start"), "n")
+    )
+    expect = {(r.window_start, r.n) for r in batch.collect()}
+    assert got == expect
+    # every event lands in exactly window/slide = 2 windows
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(n for _, n in got) == 2 * n_events
