@@ -122,6 +122,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_bench_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word k-gram with a benchmark/eval corpus (the standard n-gram-overlap
@@ -135,6 +136,13 @@ def decontaminate(
     training shingles with no shuffle of the big side; the only shuffle is
     the final per-doc aggregate.
 
+    ``max_bench_df`` drops benchmark shingles appearing in more than that
+    many benchmark docs before the join. Ubiquitous k-grams ("of the and")
+    are not contamination evidence, and they are exactly the keys whose
+    join fanout explodes at scale — the 10× sweep showed the unguarded
+    join growing super-linearly on corpora with repeated boilerplate. The
+    cap bounds per-shingle fanout to |train-side matches| × max_bench_df.
+
     Returns (id_col, n_shared_grams, n_bench_docs) for contaminated docs
     only; clean docs are absent."""
     from sparsity_spark.operators.dedup import shingle_sets
@@ -143,6 +151,15 @@ def decontaminate(
     be = shingle_sets(benchmark, id_col, text_col, k).select(
         F.col("shingle"), F.col(id_col).alias("__bench_id__")
     )
+    if max_bench_df is not None:
+        # one aggregate does filter + survivor list: the benchmark side is
+        # small (eval sets), so collect_set per shingle is bounded by it
+        be = (
+            be.groupBy("shingle")
+            .agg(F.collect_set("__bench_id__").alias("__ids__"))
+            .filter(F.size("__ids__") <= max_bench_df)
+            .select("shingle", F.explode("__ids__").alias("__bench_id__"))
+        )
     return (
         tr.join(F.broadcast(be), "shingle")
         .groupBy(id_col)

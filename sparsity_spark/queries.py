@@ -2614,7 +2614,10 @@ def evt_cohort_retention(spark, sf_dir):
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ),
     t AS (SELECT doc_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 <> 0),
-    b AS (SELECT doc_id AS bench_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 = 0)
+    b0 AS (SELECT doc_id AS bench_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 = 0),
+    bk AS (SELECT shingle FROM b0 GROUP BY shingle
+           HAVING COUNT(DISTINCT bench_id) <= 20),
+    b AS (SELECT b0.* FROM b0 JOIN bk ON b0.shingle = bk.shingle)
     SELECT t.doc_id, CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams,
            CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
     FROM t JOIN b ON t.shingle = b.shingle
@@ -2623,14 +2626,18 @@ def evt_cohort_retention(spark, sf_dir):
 )
 def pipe_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs (19/20 hash split) sharing
-    any word 3-gram with the held-out benchmark slice. The benchmark
-    shingle set broadcasts, so the training corpus is never shuffled before
-    the per-doc aggregate."""
+    any discriminative word 3-gram with the held-out benchmark slice —
+    shingles present in >20 benchmark docs are boilerplate, not evidence,
+    and dropping them bounds the join fanout (the 10× sweep's superlinear
+    risk). The benchmark shingle set broadcasts, so the training corpus is
+    never shuffled before the per-doc aggregate."""
     from sparsity_spark.operators.pipeline import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
     return decontaminate(
-        docs.filter(F.col("doc_id") % 20 != 0), docs.filter(F.col("doc_id") % 20 == 0)
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        max_bench_df=20,
     )
 
 
