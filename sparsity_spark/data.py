@@ -122,3 +122,11 @@ def load_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a day-partitioned events directory; `day` surfaces as a
     partition column usable in pruning predicates."""
     return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the full ANSI-SQL
+    surface (spark.sql) is a first-class entry point alongside the
+    DataFrame API — the same Catalyst plans either way."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -203,3 +203,24 @@ def melt_numeric(
     cells = df.select(*key_cols, F.expr(expr)).filter(F.col(VAL).isNotNull() & (F.col(VAL) != 0.0))
     index = df.select(*key_cols)
     return SparseFrame(cells, key_cols, value_cols, index)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet dataset into target_files
+    files, optionally range-sorted so footer min/max stats prune reads.
+    The small-files problem is the dominant degradation mode of long-lived
+    100 TB tables (every file costs a task + footer fetch); compaction is a
+    single repartition(+sort) pass, no driver-side row handling."""
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(dst)

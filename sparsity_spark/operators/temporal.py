@@ -28,10 +28,14 @@ def asof_join(
     by: list[str] | None = None,
     value_col: str = "value",
     out_col: str = "asof_value",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: attach to every left row the right-side value
     with the greatest ``on`` <= left's ``on`` within the ``by`` group
     (DuckDB/pandas `merge_asof` semantics, ties include equal timestamps).
+    ``tolerance_seconds`` additionally nulls matches staler than the bound
+    (pandas merge_asof's ``tolerance``) — staleness is judged in integer
+    microseconds.
 
     Implementation: union both sides with a side tag, window-sort once per
     group ordered by (time, tag) with right rows (tag 0) before left rows at
@@ -39,11 +43,17 @@ def asof_join(
     shuffle+sort total."""
     by = by or []
     lcols = left.columns
-    l = left.select(*lcols).withColumn("__tag__", F.lit(1)).withColumn("__rv__", F.lit(None).cast("double"))
+    l = (
+        left.select(*lcols)
+        .withColumn("__tag__", F.lit(1))
+        .withColumn("__rv__", F.lit(None).cast("double"))
+        .withColumn("__rt__", F.lit(None).cast("long"))
+    )
     r = right.select(
         *[F.col(c) if c in (by + [on]) else F.lit(None).alias(c) for c in lcols],
         F.lit(0).alias("__tag__"),
         F.col(value_col).cast("double").alias("__rv__"),
+        F.unix_micros(F.col(on)).alias("__rt__"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -52,6 +62,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(out_col, F.last("__rv__", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        carried = carried.withColumn(
+            "__mt__", F.last("__rt__", ignorenulls=True).over(w)
+        ).withColumn(
+            out_col,
+            F.when(
+                F.unix_micros(F.col(on)) - F.col("__mt__")
+                <= F.lit(int(tolerance_seconds * 1_000_000)),
+                F.col(out_col),
+            ),
+        )
     return carried.filter(F.col("__tag__") == 1).select(*lcols, out_col)
 
 

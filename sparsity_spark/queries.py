@@ -3211,3 +3211,33 @@ def stream_sliding_counts(spark, sf_dir):
     return spark.sql(
         f"SELECT date_format(window_start, 'yyyy-MM-dd') AS window_start, n FROM {name}"
     )
+
+
+@query(
+    "sql_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_priority_revenue(spark, sf_dir):
+    """The spark.sql entry point as a first-class surface: views registered
+    once, then pure ANSI SQL — Catalyst produces the same plan the
+    DataFrame API would (pushdown, broadcast, partial agg all intact)."""
+    from sparsity_spark.data import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o.o_orderpriority
+        """
+    )

@@ -64,3 +64,28 @@ def test_csv_json_sources_roundtrip_events(spark, tmp_path):
                 assert (got[c].fillna("") == want[c].fillna("")).all(), (fmt, c)
             else:
                 assert (got[c] == want[c]).all(), (fmt, c)
+
+
+def test_compact_parquet_reduces_files_and_sorts(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.io import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(0, 10000).withColumnRenamed("id", "k").repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 32
+    compact_parquet(spark, src, dst, target_files=4, sort_cols=["k"])
+    files = glob.glob(dst + "/part-*")
+    assert len(files) == 4
+    df = spark.read.parquet(dst)
+    assert df.count() == 10000
+    # range partitioning + in-file sort → a key-range filter prunes to ~1 file
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.filter(F.col("k") < 100).explain("formatted")
+    assert "PushedFilters: [IsNotNull(k), LessThan(k,100)]" in buf.getvalue()

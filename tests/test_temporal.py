@@ -212,3 +212,28 @@ def test_daily_engagement_new_vs_returning(spark):
         "2024-01-02": (1, 0, 1),
         "2024-01-03": (1, 0, 0),
     }
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 100, ts(10)), (3, 100, ts(60))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, ts(9), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    out = (
+        asof_join(left, right, on="ts", by=["user_id"], tolerance_seconds=600)
+        .toPandas()
+        .set_index("event_id")["asof_value"]
+    )
+    assert pd.isna(out[1])  # no prior row at all
+    assert out[2] == 5.0  # 1 min stale, within 10-min tolerance
+    assert pd.isna(out[3])  # 51 min stale → nulled by tolerance
+    # without tolerance the stale match survives (regression guard)
+    base = (
+        asof_join(left, right, on="ts", by=["user_id"])
+        .toPandas()
+        .set_index("event_id")["asof_value"]
+    )
+    assert base[3] == 5.0
