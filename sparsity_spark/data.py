@@ -42,9 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _TS_COLS.get(name, []):
         field = dict(zip(df.schema.names, df.schema.fields))[c]
         if isinstance(field.dataType, LongType):
-            # nano-epoch long → micros → timestamp (values are far coarser
-            # than microsecond precision, so the truncation is lossless)
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # nano-epoch long → micros → timestamp. MUST be integer
+            # division: `/` is double division and nano-epochs (~1.7e18)
+            # exceed double's 2^53 exact range, which lands some
+            # timestamps ±1 µs off
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

@@ -3241,3 +3241,51 @@ def sql_priority_revenue(spark, sf_dir):
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@query(
+    "a8_session_window",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tus, ts, value, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       >= CAST(1800 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def a8_session_window(spark, sf_dir):
+    """Built-in session windows: F.session_window grows a per-key window
+    while consecutive gaps stay under 30 min (strictly — a gap of exactly
+    the duration closes it, hence the oracle's >=). The same incremental
+    state machine Structured Streaming would run; here verified in batch
+    against the lag+cumsum construction at microsecond precision."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
