@@ -190,3 +190,47 @@ def stratified_sample(
         expr = cond if expr is None else expr | cond
     fallback = (~F.col(strata_col).isin(list(fractions))) & (b < default_percent)
     return df.filter(expr | fallback if expr is not None else fallback)
+
+
+def url_parts(url_col):
+    """Decompose a URL column into (scheme, host, registered_domain, path)
+    with Spark's built-in ``parse_url`` (pure JVM projection) plus a
+    ``substring_index`` suffix for the registrable domain. Map-only — the
+    web-corpus provenance primitive (CommonCrawl-style curation keys on
+    host/domain)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.parse_url(c, F.lit("HOST"))
+    return {
+        "scheme": F.parse_url(c, F.lit("PROTOCOL")),
+        "host": host,
+        "domain": F.substring_index(host, ".", -2),
+        "path": F.parse_url(c, F.lit("PATH")),
+    }
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    max_docs: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``max_docs`` docs per
+    registrable domain, by ascending ``order_col`` — the anti-domination
+    pass every web-scale corpus runs (no single site floods the training
+    mix). Deterministic survivors (explicit total order), never a sample.
+
+    Scale shape: one hash-shuffle on domain + per-partition rank. Spark
+    rewrites the rank filter into WindowGroupLimit, so each shuffle
+    partition keeps only max_docs rows per domain BEFORE the full sort —
+    state is O(domains · max_docs), not O(rows). Heavily skewed domains
+    (one host = 30% of a crawl) are exactly the rows the limit discards
+    early."""
+    parts = url_parts(url_col)
+    w = Window.partitionBy("__domain").orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__domain", parts["domain"])
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_docs)
+        .drop("__rank")
+        .withColumnRenamed("__domain", "domain")
+    )

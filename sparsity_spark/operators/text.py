@@ -207,3 +207,47 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         ).alias("dup_2gram_ratio"),
         F.round(top_cnt / n, 6).alias("top_token_frac"),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB/Go): character classes and bounded repetition only — no
+# lookarounds, no backreferences, no \b (RE2 supports \b but keeping to the
+# portable core makes the oracle trustworthy).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing for corpus curation: replace every match of each
+    pattern with ``<KIND>`` and report per-kind match counts. The standard
+    pre-training privacy pass (emails, phone numbers, SSNs, IPs).
+
+    Scale shape: a single map-only projection — each pattern is one
+    ``regexp_count`` + one ``regexp_replace``, all JVM-side inside one
+    whole-stage-codegen span. No shuffle, no UDF; at 100 TB the cost is one
+    streaming pass over the text bytes. Counts are computed BEFORE any
+    replacement so overlapping pattern families (an IPv4 inside a URL, a
+    phone inside an address) each report against the original text.
+
+    The reference has no text layer at all (SURVEY §2.8: no scalar string
+    functions); this extends the curation suite (quality_score, lang_id).
+    """
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{k}") for k, p in pats.items()
+    ]
+    redacted = F.col(text_col)
+    for k, p in pats.items():
+        redacted = F.regexp_replace(redacted, p, f"<{k.upper()}>")
+    return docs.select(
+        F.col(id_col), *counts, redacted.alias("redacted_text")
+    )

@@ -3289,3 +3289,151 @@ def a8_session_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "text_redact_pii",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com ip 10.0.'
+                  || (doc_id % 256) || '.' || ((doc_id // 7) % 256)
+                  || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+?[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+                   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing demo: the synthetic corpus carries no PII, so the query
+    first APPENDS deterministic pseudo-PII (an email, an IP, a phone number
+    derived from doc_id) on BOTH engine sides, then runs the generic
+    operator. Counts are per-kind regexp_count on the pre-redaction text;
+    the redacted text round-trips as an md5 so the full byte-level
+    replacement chain is what's compared. Map-only — no shuffle at any
+    corpus size."""
+    from sparsity_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256), F.lit("."), ((F.col("doc_id") / 7).cast("long") % 256),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+@query(
+    "web_domain_cap",
+    r"""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             'https://www.' || source || (doc_id % 5) || '.org/p/' || doc_id AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                            '([^.]+\.[^.]+)$', 1) AS domain
+      FROM urls
+    ), ranked AS (
+      SELECT doc_id, n_chars, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r
+      FROM parts
+    )
+    SELECT doc_id, domain, n_chars FROM ranked WHERE r <= 100
+    """,
+)
+def web_domain_cap(spark, sf_dir):
+    """Web-corpus domain capping: derive a deterministic URL per doc (both
+    engine sides), parse the registrable domain (Spark parse_url HOST +
+    substring_index vs the oracle's regex), keep at most 100 docs per
+    domain by ascending doc_id. Plan: one domain-shuffle; the row_number
+    filter rewrites to WindowGroupLimit so per-domain state is bounded at
+    the cap — the anti-domination pass a crawl-scale corpus needs."""
+    from sparsity_spark.operators.pipeline import cap_per_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://www."), F.col("source"), (F.col("doc_id") % 5),
+            F.lit(".org/p/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    return cap_per_domain(urls, "url", 100, "doc_id").select("doc_id", "domain", "n_chars")
+
+
+@query(
+    "stream_attribution_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS l_event_id,
+           p.event_id AS r_event_id,
+           ROUND((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6) AS lag_s,
+           ROUND(v.value, 4) AS l_value,
+           ROUND(p.value, 4) AS r_value
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + CAST(600 AS BIGINT) * 1000000
+    """,
+)
+def stream_attribution_join(spark, sf_dir):
+    """Stream-stream interval join round trip (view → purchase attribution
+    within 10 min per user): two watermarked readStreams, event-time-bounded
+    inner join, availableNow trigger, memory sink — must equal the batch
+    self-join the oracle computes. The interval bound is what keeps join
+    state finite on an unbounded stream."""
+    import tempfile
+    import uuid
+
+    from sparsity_spark.streaming import stream_events, streaming_attribution_join
+
+    src = tempfile.mkdtemp(prefix="sparsity_stream_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    views = stream_events(spark, src).filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, src).filter(F.col("event_type") == "purchase")
+    name = "saj_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_attribution_join(views, purchases, within="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, l_event_id, r_event_id, ROUND(lag_s, 6) AS lag_s,"
+        f" ROUND(l_value, 4) AS l_value, ROUND(r_value, 4) AS r_value FROM {name}"
+    )

@@ -1,5 +1,6 @@
 from sparsity_spark.streaming.ingest import (
     stream_events,
+    streaming_attribution_join,
     streaming_dedup_exact,
     streaming_enriched_counts,
     streaming_one_hot_counts,
@@ -9,6 +10,7 @@ from sparsity_spark.streaming.ingest import (
 
 __all__ = [
     "stream_events",
+    "streaming_attribution_join",
     "streaming_dedup_exact",
     "streaming_enriched_counts",
     "streaming_one_hot_counts",

@@ -194,3 +194,55 @@ def streaming_sliding_counts(
             "n",
         )
     )
+
+
+def streaming_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the attribution shape: pair each
+    left-stream event (e.g. a view) with every right-stream event from the
+    SAME key within ``(0, within]`` AFTER it (e.g. the purchases it may
+    have driven).
+
+    Both streams carry a watermark and the join condition bounds event time
+    on both sides, so Spark can expire buffered state: left rows older than
+    (watermark + within) can never match a future right row and are
+    dropped. Without the interval bound the state store grows without
+    bound — THE stream-stream join pitfall at scale. Inner join + a
+    watermark delay ≥ the join window ⇒ results equal the batch join
+    exactly.
+
+    Returns (key, left ts/event_id/value, right ts/event_id/value, lag_s).
+    """
+    lt = left.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", watermark)
+    rt = right.select(
+        F.col(key_col).alias("k2"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    joined = lt.join(
+        rt,
+        F.expr(
+            f"k = k2 AND r_ts > l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("k").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1e6).alias("lag_s"),
+        "l_value",
+        "r_value",
+    )

@@ -306,3 +306,50 @@ def test_ivf_probe2_superset_of_probe1(spark, sf_dir):
     }
     assert p1 <= p2  # probing a second bucket only adds candidates
     assert len(p2) > len(p1)  # and the second bucket is not empty
+
+
+def test_redact_pii_replacements_and_counts(spark):
+    rows = [
+        (1, "mail a.b-c%x@mail.example.org now", 1, 0, 0, 0),
+        (2, "call +1-555-123-4567 or 020 7946 0958", 1 - 1, 2, 0, 0),
+        (3, "ssn 123-45-6789 ip 192.168.0.1", 0, 0, 1, 1),
+        (4, "nothing to hide here", 0, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    for doc_id, _, ne, np_, ns, nip in rows:
+        r = out[doc_id]
+        assert (r["n_email"], r["n_phone"], r["n_ssn"], r["n_ipv4"]) == (ne, np_, ns, nip), doc_id
+    assert out[1]["redacted_text"] == "mail <EMAIL> now"
+    assert out[3]["redacted_text"] == "ssn <SSN> ip <IPV4>"
+    assert "555" not in out[2]["redacted_text"]
+    assert out[4]["redacted_text"] == "nothing to hide here"
+
+
+def test_cap_per_domain_bound_and_order(spark):
+    from sparsity_spark.operators.pipeline import cap_per_domain
+
+    rows = [(i, f"https://www.site{i % 2}.org/p/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_domain(df, "url", max_docs=3, order_col="doc_id").toPandas()
+    assert set(out.domain) == {"site0.org", "site1.org"}
+    # exactly the 3 LOWEST doc_ids survive per domain (deterministic, not a sample)
+    assert sorted(out[out.domain == "site0.org"].doc_id) == [0, 2, 4]
+    assert sorted(out[out.domain == "site1.org"].doc_id) == [1, 3, 5]
+
+
+def test_url_parts_decomposition(spark):
+    from sparsity_spark.operators.pipeline import url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x/y?q=1")], "id long, url string"
+    )
+    p = url_parts("url")
+    row = df.select(
+        p["scheme"].alias("s"), p["host"].alias("h"), p["domain"].alias("d"), p["path"].alias("p")
+    ).collect()[0]
+    assert (row["s"], row["h"], row["d"], row["p"]) == (
+        "https", "a.b.example.com", "example.com", "/x/y"
+    )

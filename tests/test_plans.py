@@ -150,3 +150,12 @@ def test_q8_single_fact_shuffle_rest_broadcast(spark, sf_dir):
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = formatted_plan(QUERIES["pipe_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "benchmark shingles must broadcast"
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """cap_per_domain's row_number filter must rewrite to partial+final
+    WindowGroupLimit — per-domain state bounded at the cap on both shuffle
+    sides, so one mega-domain (crawl skew) can't blow a partition."""
+    df = QUERIES["web_domain_cap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan

@@ -219,3 +219,39 @@ def test_sliding_counts_match_batch(spark, events_dir):
     # every event lands in exactly window/slide = 2 windows
     n_events = spark.read.parquet(events_dir).count()
     assert sum(n for _, n in got) == 2 * n_events
+
+
+def test_attribution_join_matches_batch(spark, events_dir):
+    from sparsity_spark.streaming import streaming_attribution_join
+
+    views = stream_events(spark, events_dir).filter(F.col("event_type") == "view")
+    purch = stream_events(spark, events_dir).filter(F.col("event_type") == "purchase")
+    q = (
+        streaming_attribution_join(views, purch, within="10 minutes")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT l_event_id, r_event_id FROM attrib").toPandas()
+
+    ev = spark.read.parquet(events_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"), F.col("event_id").alias("ve")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("pts"), F.col("event_id").alias("pe")
+    )
+    want = (
+        v.join(p, (F.col("u") == F.col("u2"))
+               & (F.col("pts") > F.col("vts"))
+               & (F.col("pts") <= F.col("vts") + F.expr("interval 10 minutes")))
+        .select("ve", "pe")
+        .toPandas()
+    )
+    assert len(want) > 0, "fixture produced no attributable pairs"
+    got_set = set(map(tuple, got.values.tolist()))
+    want_set = set(map(tuple, want[["ve", "pe"]].values.tolist()))
+    assert got_set == want_set
