@@ -224,3 +224,58 @@ def compact_parquet(
     else:
         df = df.repartition(target_files)
     df.write.mode("overwrite").parquet(dst)
+
+
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 10, out_col: str = "zcode"):
+    """Morton (Z-order) interleave code over integral columns: each column
+    is min/max-normalized into ``bits``-bit buckets (one tiny agg,
+    broadcast back — no extra shuffle of the fact table), then the bucket
+    bits are interleaved JVM-side with shift/and/or expressions (whole-stage
+    codegen; no UDF).
+
+    Z-ordering is the multi-dimensional data-skipping layout: sorting by
+    the interleaved code clusters rows so EVERY participating dimension has
+    tight per-file min/max footer stats — a predicate on any of the columns
+    prunes files, not just the leading sort key. Timestamps should be
+    passed as integer epochs (``F.unix_micros``)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = (mx - mn).cast("long")
+        scaled = F.when(span <= 0, F.lit(0)).otherwise(
+            F.expr(f"(({c} - __mn_{c}) * {top}) div (__mx_{c} - __mn_{c})").cast("long")
+        )
+        buckets.append(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
+            )
+    return out.withColumn(out_col, z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+
+
+def zorder_write(
+    df: DataFrame, cols: list[str], path: str, n_files: int = 8, bits: int = 10
+):
+    """Write ``df`` parquet clustered by the Z-order code of ``cols``:
+    range-partition on the code (balanced files regardless of data skew in
+    any single dimension) and sort within each file so parquet row-group
+    stats are tight on all dimensions at once. The layout analog of
+    compact_parquet, for multi-dimensional read patterns."""
+    coded = zorder_code(df, cols, bits=bits)
+    (
+        coded.repartitionByRange(n_files, F.col("zcode"))
+        .sortWithinPartitions("zcode")
+        .drop("zcode")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -329,3 +329,42 @@ def daily_engagement(
             F.count("__was_active__").alias("returning"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, in ``order_col``
+    order — pandas ``ewm(alpha, adjust=True)`` semantics, as pure window
+    expressions (no UDF, no recursion):
+
+        ewma_t = Σ_{i≤t} (1-α)^(t-i)·v_i / Σ_{i≤t} (1-α)^(t-i)
+               = cumsum(v_i·r^{-i}) / cumsum(r^{-i}),  r = 1-α
+
+    The r^t factor cancels between numerator and denominator, so each row
+    costs two cumulative sums over one (key, order) sort — a single
+    shuffle, same cost as any running aggregate. Numerical note: r^{-i}
+    grows with the per-key series POSITION, so this closed form is for
+    bounded series (≤ ~700 points at α=0.3 before double overflow) — the
+    daily-rollup shape it's meant for. Unbounded streams should use the
+    stateful streaming accumulator instead."""
+    r = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    ) - 1
+    decay = F.pow(F.lit(r), -idx)
+    return (
+        df.withColumn("__w", decay)
+        .withColumn(out_col, F.sum(F.col(value_col) * F.col("__w")).over(w) / F.sum("__w").over(w))
+        .drop("__w")
+    )

@@ -3437,3 +3437,76 @@ def stream_attribution_join(spark, sf_dir):
         f"SELECT user_id, l_event_id, r_event_id, ROUND(lag_s, 6) AS lag_s,"
         f" ROUND(l_value, 4) AS l_value, ROUND(r_value, 4) AS r_value FROM {name}"
     )
+
+
+@query(
+    "evt_daily_ewma",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ), i AS (
+      SELECT user_id, day, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS idx
+      FROM d
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(SUM(v * pow(0.7, -idx)) OVER w / SUM(pow(0.7, -idx)) OVER w, 4)
+             AS ewma
+    FROM i
+    WINDOW w AS (PARTITION BY user_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def evt_daily_ewma(spark, sf_dir):
+    """Per-user daily-value EWMA (α=0.3, pandas adjust=True semantics) as
+    pure window expressions — the r^t factor cancels in the closed form, so
+    the whole smoothing pass is one shuffle on user_id plus two cumulative
+    sums. The trend-smoothing shape behind engagement/health metrics."""
+    from sparsity_spark.operators.temporal import ewma
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    return ewma(daily, "user_id", "day", "v", alpha=0.3).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("ewma"), 4).alias("ewma"),
+    )
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    terms = " | ".join(
+        f"(((bu >> {i}) & 1) << {2 * i}) | (((bt >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    top = (1 << bits) - 1
+    return f"""
+    WITH bnds AS (
+      SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+             min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt
+      FROM events
+    ), s AS (
+      SELECT event_id,
+             CASE WHEN mxu <= mnu THEN 0
+                  ELSE ((user_id - mnu) * {top}) // (mxu - mnu) END AS bu,
+             CASE WHEN mxt <= mnt THEN 0
+                  ELSE ((epoch_us(ts) - mnt) * {top}) // (mxt - mnt) END AS bt
+      FROM events, bnds
+    )
+    SELECT event_id, CAST({terms} AS BIGINT) AS zcode FROM s
+    """
+
+
+@query("io_zorder_code", _zorder_oracle(10))
+def io_zorder_code(spark, sf_dir):
+    """Morton (Z-order) codes over (user_id, event time): the
+    multi-dimensional clustering key behind zorder_write's data-skipping
+    layout — bit-exact against the oracle's interleave. One broadcast of a
+    two-row stats agg; the code itself is pure shift/and/or codegen."""
+    from sparsity_spark.io import zorder_code
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tsus")
+    )
+    return zorder_code(e, ["user_id", "tsus"], bits=10).select("event_id", "zcode")

@@ -89,3 +89,51 @@ def test_compact_parquet_reduces_files_and_sorts(spark, tmp_path):
     with redirect_stdout(buf):
         df.filter(F.col("k") < 100).explain("formatted")
     assert "PushedFilters: [IsNotNull(k), LessThan(k,100)]" in buf.getvalue()
+
+
+def test_zorder_write_tightens_all_dims(spark, tmp_path):
+    """Z-order layout must (a) preserve rows and (b) give tighter per-file
+    bounding boxes across BOTH dimensions than a 1-D sort — the property
+    that makes footer-stat file pruning work for either predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.io import zorder_write
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tsus")
+    )
+    n = e.count()
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(e, ["user_id", "tsus"], zdir, n_files=16)
+    (
+        e.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def dim_spans(d):
+        """Per-dimension average normalized per-file span."""
+        boxes = []
+        for f in glob.glob(d + "/*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "tsus"]).to_pandas()
+            boxes.append({c: (t[c].min(), t[c].max()) for c in t})
+        spans = {}
+        for c in ("user_id", "tsus"):
+            gmn = min(b[c][0] for b in boxes)
+            gmx = max(b[c][1] for b in boxes)
+            spans[c] = sum((b[c][1] - b[c][0]) / max(gmx - gmn, 1) for b in boxes) / len(boxes)
+        return spans
+
+    assert spark.read.parquet(zdir).count() == n
+    z, lin = dim_spans(zdir), dim_spans(ldir)
+    # 1-D sort: perfect on the sort key, NO pruning on the other dim
+    # (its per-file ts span is ~the full range). Z-order bounds the span
+    # on EVERY dim, so its worst dim must beat the linear worst dim by 2x.
+    assert max(z.values()) < max(lin.values()) / 2, (z, lin)
+    # and each z dim individually prunes (span well under the full range)
+    assert all(v < 0.7 for v in z.values()), z

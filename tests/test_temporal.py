@@ -237,3 +237,22 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         .set_index("event_id")["asof_value"]
     )
     assert base[3] == 5.0
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from sparsity_spark.operators.temporal import ewma
+
+    rows = [("u1", i, v) for i, v in enumerate([10.0, 0.0, 5.0, 5.0, 20.0, 1.0])]
+    rows += [("u2", i, v) for i, v in enumerate([3.0, 4.0])]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = (
+        ewma(df, "k", "t", "v", alpha=0.3)
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    for k, grp in got.groupby("k"):
+        want = grp.v.ewm(alpha=0.3, adjust=True).mean().to_numpy()
+        assert abs(grp.ewma.to_numpy() - want).max() < 1e-9, k
