@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "pipe_decontaminate",
     "emb_pq_codes",
     "q2_min_cost_supplier",
+    "text_redact_pii",
+    "web_domain_cap",
+    "evt_daily_ewma",
+    "io_zorder_code",
+    "a8_session_window",
+    "pipe_curate_e2e",
 ]
 
 

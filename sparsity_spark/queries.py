@@ -3510,3 +3510,74 @@ def io_zorder_code(spark, sf_dir):
         "event_id", "user_id", F.unix_micros("ts").alias("tsus")
     )
     return zorder_code(e, ["user_id", "tsus"], bits=10).select("event_id", "zcode")
+
+
+@query(
+    "pipe_curate_e2e",
+    """
+    WITH q AS (
+      SELECT doc_id, text, source, len(string_split(text, ' ')) AS n_tokens,
+             ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                   * (0.5 + 0.5 * ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                        * 1.0 / length(text), 6)), 6) AS quality
+      FROM documents
+    ), kept AS (
+      SELECT * FROM q WHERE quality >= 0.4
+    ), survivors AS (
+      SELECT * FROM kept
+      WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+    ), urls AS (
+      SELECT *, 'https://www.' || source || (doc_id % 5) || '.org/p/' || doc_id AS url
+      FROM survivors
+    ), capped AS (
+      SELECT doc_id, n_tokens, quality,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain,
+             row_number() OVER (
+               PARTITION BY regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                                           '([^.]+\\.[^.]+)$', 1)
+               ORDER BY doc_id) AS r
+      FROM urls
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM capped WHERE r <= 100
+    GROUP BY domain
+    """,
+)
+def pipe_curate_e2e(spark, sf_dir):
+    """End-to-end corpus curation — the flagship pipeline composition:
+    quality gate (C4-style composite ≥ 0.4) → exact-dedup survivors
+    (keep-first per content hash, computed AFTER the gate so the canonical
+    copy is a surviving one) → per-domain cap (100 docs) → per-domain
+    curation report (docs kept, mean quality, token budget).
+
+    Every stage is one of the library's own operators; the whole chain is
+    three shuffles (dedup hash-agg, domain window, final rollup) — the
+    quality gate and URL derivation stay map-side fused. At 100 TB each
+    stage's scale posture has already been proven in isolation; this entry
+    proves they COMPOSE."""
+    from sparsity_spark.operators.dedup import exact_dedup
+    from sparsity_spark.operators.pipeline import cap_per_domain
+    from sparsity_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.4)
+    keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id")
+    urls = survivors.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), (F.col("doc_id") % 5),
+            F.lit(".org/p/"), F.col("doc_id"),
+        ),
+    )
+    capped = cap_per_domain(urls, "url", 100, "doc_id")
+    return capped.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
