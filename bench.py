@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "io_zorder_code",
     "a8_session_window",
     "pipe_curate_e2e",
+    "evt_anomaly_zscore",
+    "pipe_weighted_sample",
+    "stats_user_entropy",
+    "pipe_incremental_newdocs",
 ]
 
 

@@ -234,3 +234,63 @@ def cap_per_domain(
         .drop("__rank")
         .withColumnRenamed("__domain", "domain")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows, deterministic
+    by content (Efraimidis-Spirakis A-Res: pick the k smallest
+    ``-ln(u) / w`` keys, u uniform in (0,1)).
+
+    u is derived from the row's content hash instead of an RNG — the first
+    8 md5 hex chars as a 32-bit integer — so the "random" draw is a pure
+    column expression: reproducible across engines, retries, partitionings,
+    and cluster sizes, and the whole operator is a map-side projection
+    followed by a global top-k (TakeOrderedAndProject: per-partition heaps
+    of k rows, no global sort — the same plan at 100 TB keeps only
+    k·partitions candidate rows).
+
+    Returns the sampled rows with the selection key exposed as ``skey``
+    (scaled ×1e6, rounded) for auditability.
+    """
+    h = F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)  # (0, 1]: h in [0, 2^32-1]
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("skey", F.round(F.col("__key") * 1e6, 4))
+        .drop("__key")
+    )
+
+
+def group_entropy(df: DataFrame, key_col: str, cat_col: str) -> DataFrame:
+    """Shannon entropy (nats) of the categorical distribution within each
+    group: ``H = -sum(p_c ln p_c)`` over categories c.
+
+    Shape: one hash aggregate on (key, cat), then a window total per key
+    (reuses the hash partitioning — no second shuffle of the raw rows),
+    then a per-key aggregate of the handful of category rows. Work after
+    the first aggregate is O(groups x categories), independent of row
+    count — the quality-signal primitive (source diversity, user behavior
+    spread) at corpus scale.
+
+    Returns (key_col, n: bigint, entropy: double, rounded to 4).
+    """
+    cnt = df.groupBy(key_col, cat_col).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(key_col)
+    p = F.col("__c") / F.col("__t")
+    return (
+        cnt.withColumn("__t", F.sum("__c").over(w))
+        .groupBy(key_col)
+        .agg(
+            F.max("__t").alias("n"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )

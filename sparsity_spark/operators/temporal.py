@@ -368,3 +368,41 @@ def ewma(
         .withColumn(out_col, F.sum(F.col(value_col) * F.col("__w")).over(w) / F.sum("__w").over(w))
         .drop("__w")
     )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_days: int = 5,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-entity volume anomalies: flag (key, day) cells whose daily event
+    count deviates from that entity's own mean by ``z_threshold`` population
+    standard deviations. The self-normalizing formulation needs no global
+    model — each key is scored against its own history, so the operator is
+    embarrassingly parallel after ONE hash aggregate.
+
+    Shape: groupBy(key, day) count, then mean/stddev/ndays as window
+    aggregates over the key partition (AQE reuses the aggregate's hash
+    distribution — the window does not reshuffle raw events), then a
+    map-side filter. Keys with < min_days active days or zero variance are
+    excluded (a constant series has no anomaly scale).
+
+    z is rounded to 4 decimals BEFORE thresholding so an SQL oracle applies
+    the identical cut.
+    """
+    daily = events.groupBy(
+        key_col, F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(key_col)
+    scored = (
+        daily.withColumn("__mu", F.avg("n").over(w))
+        .withColumn("__sd", F.stddev_pop("n").over(w))
+        .withColumn("__days", F.count("*").over(w))
+        .filter((F.col("__days") >= min_days) & (F.col("__sd") > 0))
+        .withColumn("z", F.round((F.col("n") - F.col("__mu")) / F.col("__sd"), 4))
+    )
+    return scored.filter(F.abs(F.col("z")) >= z_threshold).select(
+        key_col, "day", F.col("n").cast("long").alias("n"), "z"
+    )

@@ -3581,3 +3581,178 @@ def pipe_curate_e2e(spark, sf_dir):
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "evt_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, day, n,
+             AVG(n) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(n) OVER (PARTITION BY user_id) AS sd,
+             COUNT(*) OVER (PARTITION BY user_id) AS days
+      FROM daily
+    )
+    SELECT user_id, day, CAST(n AS BIGINT) AS n, ROUND((n - mu) / sd, 4) AS z
+    FROM s
+    WHERE days >= 5 AND sd > 0 AND abs(ROUND((n - mu) / sd, 4)) >= 2.0
+    """,
+)
+def evt_anomaly_zscore(spark, sf_dir):
+    """Per-user daily-volume anomalies (|z| >= 2 vs the user's own daily
+    mean/stddev) — the self-normalizing outlier detector: one hash
+    aggregate + per-key window, no global model, no second shuffle of raw
+    events. Bot/abuse detection shape for a 100 TB event log."""
+    from sparsity_spark.operators.temporal import daily_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return daily_anomalies(events, "user_id", "ts", min_days=5, z_threshold=2.0)
+
+
+@query(
+    "w7_month_over_month",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS pct_change
+    FROM m
+    """,
+)
+def w7_month_over_month(spark, sf_dir):
+    """Month-over-month revenue growth: monthly rollup, then lag() period
+    comparison. pct_change is computed from the ROUNDED monthly revenues on
+    both sides, so engine summation-order differences cannot leak into the
+    ratio. The unpartitioned window runs on ~80 month rows AFTER full
+    aggregation — a driver-sized series, not a data-sized sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+@query(
+    "stats_user_entropy",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS t FROM cnt
+    ), ent AS (
+      SELECT user_id, CAST(MAX(t) AS BIGINT) AS n,
+             ROUND(-SUM((c * 1.0 / t) * ln(c * 1.0 / t)), 4) AS entropy
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id, n, entropy FROM ent
+    WHERE n >= 20
+    ORDER BY entropy DESC, user_id LIMIT 20
+    """,
+)
+def stats_user_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix (behavioral-diversity
+    quality signal): top-20 most-diverse users with >= 20 events.
+
+    After the (user, type) hash aggregate everything is O(users x 5): the
+    per-user total is a window over the aggregate (no re-shuffle of raw
+    events) and the top-k is TakeOrderedAndProject on rounded entropy with
+    an id tiebreak — deterministic across engines."""
+    from sparsity_spark.operators.pipeline import group_entropy
+
+    events = load_table(spark, sf_dir, "events")
+    ent = group_entropy(events, "user_id", "event_type")
+    return (
+        ent.filter(F.col("n") >= 20)
+        .select("user_id", F.col("n").cast("long").alias("n"), "entropy")
+        .orderBy(F.col("entropy").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "pipe_incremental_newdocs",
+    """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), corpus AS (
+      SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8
+    ), batch AS (
+      SELECT * FROM d WHERE doc_id % 10 >= 8
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM corpus) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_new
+    FROM batch GROUP BY source
+    """,
+)
+def pipe_incremental_newdocs(spark, sf_dir):
+    """Incremental ingest: which docs in an incoming batch are genuinely
+    new vs already in the corpus? Content-hash left-ANTI join (batch
+    against the deduped corpus hash set) — the only-process-new-data
+    primitive of a continuously crawling pipeline. At 100 TB the corpus
+    side is a pre-deduped hash index (one slim column), the anti-join
+    shuffles hashes not documents, and AQE broadcasts small daily batches.
+    80/20 split simulated on doc_id % 10."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    new = batch.join(corpus, "h", "left_anti").groupBy("source").agg(
+        F.count("*").alias("n_new")
+    )
+    return (
+        batch.groupBy("source")
+        .agg(F.count("*").alias("n_batch"))
+        .join(new, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+
+
+@query(
+    "pipe_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source,
+             -ln((h + 1) / 4294967297.0) / n_chars AS key
+      FROM d
+    )
+    SELECT doc_id, source, ROUND(key * 1000000.0, 4) AS skey
+    FROM k ORDER BY key, doc_id LIMIT 50
+    """,
+)
+def pipe_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, k=50, weight = n_chars): u comes from the content hash,
+    not an RNG, so the sample is reproducible across engines / retries /
+    partitionings. Plan is a map-side key projection + TakeOrderedAndProject
+    (per-partition k-heaps, no global sort) — the same plan at 100 TB."""
+    from sparsity_spark.operators.pipeline import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 50, "text", "doc_id").select(
+        "doc_id", "source", "skey"
+    )

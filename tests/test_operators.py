@@ -353,3 +353,82 @@ def test_url_parts_decomposition(spark):
     assert (row["s"], row["h"], row["d"], row["p"]) == (
         "https", "a.b.example.com", "example.com", "/x/y"
     )
+
+
+# --- weighted sampling / entropy / anomaly operators -----------------------
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    import hashlib
+    import math
+
+    from sparsity_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, f"document number {i}", 10 + 90 * (i % 7 == 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, wt long")
+
+    got = weighted_sample(df, "wt", 20, "text", "doc_id").toPandas()
+    assert len(got) == 20
+    # exact replay of the A-Res keys driver-side
+    def key(i, text, wt):
+        h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+        return -math.log((h + 1) / 4294967297.0) / wt
+
+    expect = sorted(rows, key=lambda r: (key(*r), r[0]))[:20]
+    assert sorted(got.doc_id) == sorted(r[0] for r in expect)
+    # a second run returns the identical sample (no RNG anywhere)
+    again = weighted_sample(df, "wt", 20, "text", "doc_id").toPandas()
+    assert sorted(got.doc_id) == sorted(again.doc_id)
+    # heavy rows (9x weight, 1/7 of the pool) dominate the sample
+    assert (got.doc_id % 7 == 0).mean() > 0.5
+
+
+def test_group_entropy_known_values(spark):
+    import math
+
+    from sparsity_spark.operators.pipeline import group_entropy
+
+    rows = (
+        [("u", c) for c in ["a", "b", "c", "d"]]  # uniform over 4 -> ln(4)
+        + [("v", "a")] * 5  # single category -> 0
+        + [("w", "a")] * 3
+        + [("w", "b")]  # 3:1 mix
+    )
+    out = {
+        r["k"]: r
+        for r in group_entropy(
+            spark.createDataFrame(rows, "k string, cat string"), "k", "cat"
+        ).collect()
+    }
+    assert out["u"]["entropy"] == round(math.log(4), 4) and out["u"]["n"] == 4
+    assert out["v"]["entropy"] == 0.0 and out["v"]["n"] == 5
+    expect_w = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["w"]["entropy"] == round(expect_w, 4)
+
+
+def test_daily_anomalies_flags_spike_only(spark):
+    import datetime as dt
+
+    from sparsity_spark.operators.temporal import daily_anomalies
+
+    rows = []
+    eid = 0
+    # user 1: 10 steady days of 5 events, one day of 50 -> spike flagged
+    for d in range(11):
+        for _ in range(50 if d == 10 else 5):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1 + d, 12, 0, 0)))
+            eid += 1
+    # user 2: constant 5/day (sd=0) -> never flagged
+    for d in range(11):
+        for _ in range(5):
+            rows.append((eid, 2, dt.datetime(2024, 1, 1 + d, 12, 0, 0)))
+            eid += 1
+    # user 3: only 2 active days -> below min_days, excluded
+    for d in range(2):
+        rows.append((eid, 3, dt.datetime(2024, 1, 1 + d, 12, 0, 0)))
+        eid += 1
+
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = daily_anomalies(ev, "user_id", "ts", min_days=5, z_threshold=2.0).collect()
+    assert [(r["user_id"], r["day"], r["n"]) for r in got] == [(1, "2024-01-11", 50)]
+    assert got[0]["z"] > 3.0
