@@ -274,12 +274,11 @@ def group_entropy(df: DataFrame, key_col: str, cat_col: str) -> DataFrame:
     """Shannon entropy (nats) of the categorical distribution within each
     group: ``H = -sum(p_c ln p_c)`` over categories c.
 
-    Shape: one hash aggregate on (key, cat), then a window total per key
-    (reuses the hash partitioning — no second shuffle of the raw rows),
-    then a per-key aggregate of the handful of category rows. Work after
-    the first aggregate is O(groups x categories), independent of row
-    count — the quality-signal primitive (source diversity, user behavior
-    spread) at corpus scale.
+    Shape: one hash aggregate on (key, cat) with map-side combine — the
+    only pass over raw rows — then a window total and per-key aggregate
+    over the O(groups x categories) cells (their exchange is tiny relative
+    to the input). The quality-signal primitive (source diversity, user
+    behavior spread) at corpus scale.
 
     Returns (key_col, n: bigint, entropy: double, rounded to 4).
     """

@@ -383,11 +383,12 @@ def daily_anomalies(
     model — each key is scored against its own history, so the operator is
     embarrassingly parallel after ONE hash aggregate.
 
-    Shape: groupBy(key, day) count, then mean/stddev/ndays as window
-    aggregates over the key partition (AQE reuses the aggregate's hash
-    distribution — the window does not reshuffle raw events), then a
-    map-side filter. Keys with < min_days active days or zero variance are
-    excluded (a constant series has no anomaly scale).
+    Shape: groupBy(key, day) count with map-side partial aggregation (the
+    only pass over raw events), then mean/stddev/ndays as window aggregates
+    over the key partition — that second exchange moves only the aggregated
+    (key, day) cells, |keys|·|days| rows, not the event log. Keys with
+    < min_days active days or zero variance are excluded (a constant series
+    has no anomaly scale).
 
     z is rounded to 4 decimals BEFORE thresholding so an SQL oracle applies
     the identical cut.

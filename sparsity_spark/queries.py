@@ -3702,28 +3702,27 @@ def stats_user_entropy(spark, sf_dir):
 )
 def pipe_incremental_newdocs(spark, sf_dir):
     """Incremental ingest: which docs in an incoming batch are genuinely
-    new vs already in the corpus? Content-hash left-ANTI join (batch
-    against the deduped corpus hash set) — the only-process-new-data
-    primitive of a continuously crawling pipeline. At 100 TB the corpus
-    side is a pre-deduped hash index (one slim column), the anti-join
-    shuffles hashes not documents, and AQE broadcasts small daily batches.
-    80/20 split simulated on doc_id % 10."""
+    new vs already in the corpus? Content-hash membership join (batch
+    left-outer against the deduped corpus hash index, which is distinct on
+    h so the join is 1:<=1 — no fanout) — the only-process-new-data
+    primitive of a continuously crawling pipeline, in ONE pass over the
+    batch: the null-probe marks new docs and the same rows feed both
+    counters. At 100 TB the corpus side is a pre-deduped slim hash column
+    and the join shuffles hashes, not documents. 80/20 split simulated on
+    doc_id % 10."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("h")
     )
-    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
-    batch = docs.filter(F.col("doc_id") % 10 >= 8)
-    new = batch.join(corpus, "h", "left_anti").groupBy("source").agg(
-        F.count("*").alias("n_new")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select("h").distinct().withColumn(
+        "seen", F.lit(1)
     )
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
     return (
-        batch.groupBy("source")
-        .agg(F.count("*").alias("n_batch"))
-        .join(new, "source", "left")
-        .select(
-            "source",
-            "n_batch",
-            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        batch.join(corpus, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_new"),
         )
     )
 
@@ -3756,3 +3755,38 @@ def pipe_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, "n_chars", 50, "text", "doc_id").select(
         "doc_id", "source", "skey"
     )
+
+
+@query(
+    "dedup_jaccard_prefix_join",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1
+    ), pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM pair
+    JOIN sz sa ON ia = sa.doc_id
+    JOIN sz sb ON ib = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+    """,
+)
+def dedup_jaccard_prefix_join(spark, sf_dir):
+    """All-pairs exact Jaccard >= 0.9 via PPJoin prefix filtering — the
+    oracle does the naive any-shared-token join (correct but explodes on
+    the Zipf head at scale); the Spark side proves the prefix-filtered
+    plan returns the IDENTICAL pair set while only ever joining on each
+    doc's rarest ~|d|·(1-t) tokens. 10% doc sample keeps the naive oracle
+    tractable; the Spark operator needs no such mercy."""
+    from sparsity_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.9)
