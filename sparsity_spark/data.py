@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 # timestamp-typed columns per table (FIXTURES.md §7 schemas)
 _TS_COLS = {
@@ -47,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exceed double's 2^53 exact range, which lands some
             # timestamps ±1 µs off
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif not isinstance(field.dataType, TimestampType):
+            # TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false)
+            # or DATE: cast to session-tz TimestampType. Session tz is
+            # pinned to UTC (session.py), so the cast is value-preserving
+            # and every unix_micros()/window call site downstream works
+            # regardless of which logical type the writer chose
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

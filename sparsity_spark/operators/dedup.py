@@ -248,20 +248,60 @@ def simhash_pairs(
     max_hamming: int = 3,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance within blocking keys.
-    For true 100 TB scale, block on simhash byte-chunks (pigeonhole) —
-    here metadata blocks keep the demo join bounded."""
+    """Near-dup pairs by simhash hamming distance.
+
+    With ``block_cols`` the self-join is bounded by the metadata blocks.
+    Without them, pigeonhole chunk blocking makes the all-pairs search a
+    LOSSLESS equi-join: the ``bits``-bit fingerprint is split into
+    ``max_hamming + 1`` chunks, and any pair within hamming distance
+    ``max_hamming`` differs in at most ``max_hamming`` chunks, so at least
+    one chunk matches exactly — candidate generation is a shuffle join on
+    (chunk_index, chunk_value), work ∝ chunk collisions, never N²
+    (no CartesianProduct in the plan; asserted in tests/test_plans.py)."""
     sims = simhash(docs, id_col, text_col, bits)
     if block_cols:
         sims = sims.join(docs.select(id_col, *block_cols), on=id_col)
-    left = sims.select(
-        *(block_cols or []), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
-    )
-    right = sims.select(
-        *(block_cols or []), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
-    )
-    on = block_cols or None
-    joined = left.crossJoin(right) if on is None else left.join(right, on=on)
+        left = sims.select(
+            *block_cols, F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+        )
+        right = sims.select(
+            *block_cols, F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        )
+        joined = left.join(right, on=block_cols)
+    else:
+        nchunks = max_hamming + 1
+        chunk_bits = -(-bits // nchunks)  # ceil: chunks cover all bits
+        mask = (1 << chunk_bits) - 1
+        keyed = sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("ci"),
+                            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("cv"),
+                        )
+                        for i in range(nchunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select(id_col, "simhash", F.col("ck.ci").alias("ci"), F.col("ck.cv").alias("cv"))
+        left = keyed.select(
+            "ci", "cv", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+        )
+        right = keyed.select(
+            "ci", "cv", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+        )
+        # a pair can collide in several chunks — dedup before the distance
+        # filter so each (id_a, id_b) is scored once
+        joined = (
+            left.join(right, on=["ci", "cv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))

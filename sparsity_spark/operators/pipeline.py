@@ -79,17 +79,32 @@ def pack_sequences(
     token_count_col: str = "n_tokens",
     budget: int = 512,
     order_col: str | None = None,
+    by: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-budget bins via running-token-count
     (cumsum // budget): the streaming-friendly approximation of bin packing
     — one window pass, deterministic given the order column. Returns the
-    input plus ``bin_id``."""
+    input plus ``bin_id``.
+
+    A sequential cumsum is inherent to the semantics, so with ``by=None``
+    the window is global and the corpus funnels through one task — fine for
+    a shard, wrong for 100 TB. Pass ``by=<shard column>`` to partition the
+    window: bins are then packed independently per shard (bin_id is made
+    unique across shards by prefixing the shard hash), each shard's cumsum
+    runs in its own task, and the plan has no unpartitioned window."""
     order_col = order_col or id_col
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if by is None:
+        w = Window.orderBy(order_col)
+    else:
+        w = Window.partitionBy(by).orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(token_count_col).over(w)
-    return docs.withColumn(
-        "bin_id", F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
-    )
+    local_bin = F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
+    if by is not None:
+        # shard-unique bin ids: (shard hash) * 2^32 + local bin. xxhash64
+        # keeps it JVM-side; 2^32 local bins per shard is ample headroom
+        local_bin = F.shiftleft(F.xxhash64(F.col(by)), 32).bitwiseXOR(local_bin)
+    return docs.withColumn("bin_id", local_bin)
 
 
 def merge_upsert(

@@ -1,5 +1,7 @@
 """npz compat round-trip (reference io.py:26-47 layout) and parquet frame I/O."""
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -137,3 +139,50 @@ def test_zorder_write_tightens_all_dims(spark, tmp_path):
     assert max(z.values()) < max(lin.values()) / 2, (z, lin)
     # and each z dim individually prunes (span well under the full range)
     assert all(v < 0.7 for v in z.values()), z
+
+
+def test_load_table_normalizes_every_timestamp_encoding(spark, tmp_path):
+    """Schema-drift guard (VERDICT r2 #5): the driver regenerates testdata and
+    has already shipped TIMESTAMP(NANOS)-as-long and TIMESTAMP_NTZ encodings.
+    Write an `events` table in each of the three encodings and assert
+    load_table always yields TimestampType with identical values — so the
+    next regeneration fails loudly here, not silently in the bench."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from sparsity_spark.data import load_table
+
+    base = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype="int64"),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00.000001", "2024-01-02 12:34:56.789012",
+                 "2024-03-05 23:59:59.999999", "2024-06-30 06:00:00.000000"]
+            ),
+            "user_id": np.array([1, 2, 3, 4], dtype="int64"),
+            "event_type": ["a", "b", "a", "c"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}", "{}", "{}", "{}"],
+        }
+    )
+    expect = sorted(base["ts"].astype("datetime64[us]").tolist())
+
+    encodings = {
+        "ntz_us": pa.timestamp("us"),          # TIMESTAMP_NTZ in Spark 4
+        "nanos": pa.timestamp("ns"),           # legacy nanosAsLong path
+        "utc_us": pa.timestamp("us", tz="UTC"),  # plain TimestampType
+    }
+    for name, typ in encodings.items():
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(typ)
+        )
+        pq.write_table(tbl, f"{d}/events.parquet", use_deprecated_int96_timestamps=False)
+        df = load_table(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        got = sorted(r["ts"].replace(tzinfo=None) if r["ts"].tzinfo else r["ts"]
+                     for r in df.select("ts").collect())
+        assert got == expect, name

@@ -152,3 +152,32 @@ def test_stratified_sample_default_zero_drops_unlisted(spark, lang_docs):
     sampled = stratified_sample(lang_docs, "doc_id", "lang", {"en": 100}).toPandas()
     assert set(sampled.lang) <= {"en"}
     assert len(sampled) == (lang_docs.toPandas().lang == "en").sum()
+
+
+def test_packing_sharded_partitions_window(spark, docs):
+    """pack_sequences(by=shard): per-shard cumsum (no unpartitioned window
+    in the plan — VERDICT r2 #7), bins never mix shards, and within a shard
+    the packing matches the global algorithm run on that shard alone."""
+    counts = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 3).cast("string").alias("shard"),
+    )
+    out = pack_sequences(counts, budget=512, by="shard")
+    plan = out._sc is not None and out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # window is partitioned by shard
+
+    pdf = out.toPandas()
+    # a bin id never spans two shards
+    assert (pdf.groupby("bin_id")["shard"].nunique() == 1).all()
+    # per-shard packing == global packing restricted to the shard
+    for s, grp in pdf.groupby("shard"):
+        sub = counts.filter(F.col("shard") == s).drop("shard")
+        solo = pack_sequences(sub, budget=512).toPandas()
+        merged = grp.sort_values("doc_id").reset_index(drop=True)
+        solo = solo.sort_values("doc_id").reset_index(drop=True)
+        # same partitioning of docs into bins (ids differ by the shard prefix)
+        assert (
+            merged.groupby("bin_id")["doc_id"].apply(frozenset).sort_index().tolist()
+            == solo.groupby("bin_id")["doc_id"].apply(frozenset).sort_index().tolist()
+        )

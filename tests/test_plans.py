@@ -159,3 +159,16 @@ def test_domain_cap_uses_window_group_limit(spark, sf_dir):
     df = QUERIES["web_domain_cap"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_simhash_pairs_no_cartesian_product(spark, sf_dir):
+    """Unblocked simhash_pairs must use pigeonhole chunk equi-joins, never
+    an all-pairs CartesianProduct / BroadcastNestedLoopJoin (VERDICT r2 #6)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(simhash_pairs(docs, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
