@@ -207,6 +207,7 @@ class SparseFrame:
         keys: str | Sequence[str] | None = None,
         level: int | None = None,
         column: str | None = None,
+        idx=None,
     ) -> "SparseFrame":
         """Re-key the frame (reference sparse_frame.py:476-494).
 
@@ -215,7 +216,38 @@ class SparseFrame:
         * ``column=name`` re-keys from a DATA column's (densified) values —
           rows without a stored cell in that column get key 0.0, mirroring
           the reference's dense materialization of the column.
+        * ``idx=array`` re-keys positionally from an explicit array
+          (reference sparse_frame.py:476-486: row i gets ``idx[i]``) — row
+          order is the tracked position when known, else the sorted key
+          order. Driver-sized by construction (the caller holds the array),
+          like the reference; the single global row_number window here is
+          bounded by len(idx).
         """
+        if idx is not None:
+            vals = list(idx)
+            n = self.index.count()
+            if len(vals) != n:
+                raise AssertionError(f"len(idx)={len(vals)} != nrows={n}")
+            spark = self._cells.sparkSession
+            # temp name avoids collision with an existing key named "idx"
+            new_map = spark.createDataFrame(
+                pd.DataFrame({"__ord__": range(len(vals)), "__newidx__": vals})
+            )
+            order_cols = [POS] if self.has_pos else self.key_cols
+            w = Window.orderBy(*[F.col(c) for c in order_cols])
+            old = self.index.withColumn("__ord__", F.row_number().over(w) - 1)
+            keyed = old.join(F.broadcast(new_map), on="__ord__").drop("__ord__")
+            pos_join = self.has_pos and self.cells_have_pos
+            join_on = self.key_cols + ([POS] if pos_join else [])
+            pos_cols = [POS] if pos_join else []
+            cells = (
+                self._cells.join(keyed.select(*join_on, "__newidx__"), on=join_on, how="inner")
+                .select(F.col("__newidx__").alias("idx"), *pos_cols, COL, VAL)
+            )
+            new_idx = keyed.select(
+                F.col("__newidx__").alias("idx"), *([POS] if self.has_pos else [])
+            )
+            return SparseFrame(cells, ["idx"], self.columns, new_idx)
         if column is not None:
             if column not in self.columns:
                 raise KeyError(f"{column!r} is not a frame column")
@@ -341,10 +373,12 @@ class SparseFrame:
         """Index with a ``__rank__`` column: the row's position WITHIN THIS
         frame (0-based). After row filtering, stored ``__pos__`` values stay
         absolute (they preserve order and identity); ranks re-number them.
-        One window over the index only — positional ops are documented
-        small-frame territory (reference uses them the same way)."""
-        w = Window.orderBy(F.col(POS))
-        return self._index.withColumn("__rank__", F.row_number().over(w) - 1)
+        Numbering is distributed (range-sort + partition offsets via
+        util.zip_with_position), never a single-task global window — the
+        cost is one metadata-sized count job at plan-build time."""
+        from sparsity_spark.util import zip_with_position
+
+        return zip_with_position(self._index, [POS], "__rank__")
 
     def take(self, positions: Sequence[int], axis: int = 0) -> "SparseFrame":
         """Positional selection along rows (axis=0) or columns (axis=1)
@@ -398,11 +432,13 @@ class SparseFrame:
         hidden position column so downstream positional ops follow label
         order, and range-partition the cells so a write produces sorted files
         (the divisions analog)."""
+        from sparsity_spark.util import zip_with_position
+
         idx = self.index
         if POS in idx.columns:
-            # stable sort: ties broken by prior position
-            w = Window.orderBy(*[F.col(k) for k in self.key_cols], F.col(POS))
-            mapping = idx.withColumn("__newpos__", F.row_number().over(w) - F.lit(1))
+            # stable sort: ties broken by prior position; renumbering is
+            # distributed (range-sort + partition offsets), no global window
+            mapping = zip_with_position(idx, self.key_cols + [POS], "__newpos__")
             new_idx = mapping.select(*self.key_cols, F.col("__newpos__").alias(POS))
             cells = self._cells
             if self.cells_have_pos:
@@ -414,8 +450,7 @@ class SparseFrame:
                 )
             cells = cells.repartitionByRange(*[F.col(k) for k in self.key_cols])
             return SparseFrame(cells, self.key_cols, self.columns, new_idx)
-        w = Window.orderBy(*[F.col(k) for k in self.key_cols])
-        idx = idx.withColumn(POS, F.row_number().over(w) - F.lit(1))
+        idx = zip_with_position(idx, self.key_cols, POS)
         cells = self._bare_cells().repartitionByRange(*[F.col(k) for k in self.key_cols])
         return SparseFrame(cells, self.key_cols, self.columns, idx)
 
@@ -880,7 +915,10 @@ class SparseFrame:
 
     def todense(self, pandas: bool = True):
         """Materialize to dense pandas, labels as index
-        (reference sparse_frame.py:102-123)."""
+        (reference sparse_frame.py:102-123). Mirrors the reference's
+        squeeze: a single-column frame comes back as a ``pd.Series`` named
+        after the column (and 1-row/1-col numpy comes back 1-D when
+        ``pandas=False``); multi-column frames stay DataFrames."""
         wide = self.to_wide()
         pdf = wide.toPandas()
         if POS in pdf.columns:
@@ -890,7 +928,14 @@ class SparseFrame:
         pdf = pdf.set_index(self.key_cols if len(self.key_cols) > 1 else self.key_cols[0])
         pdf = pdf[self.columns]
         if not pandas:
-            return pdf.to_numpy()
+            arr = pdf.to_numpy()
+            # reference sparse_frame.py:111-112: 1-row or 1-col → 1-D
+            if len(pdf) and (arr.shape[0] == 1 or arr.shape[1] == 1):
+                return arr.reshape(-1)
+            return arr
+        if len(self.columns) == 1 and len(pdf):
+            # reference sparse_frame.py:116-118: Series named after the col
+            return pdf[self.columns[0]]
         return pdf
 
     def to_long_pandas(self) -> pd.DataFrame:

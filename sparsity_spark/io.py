@@ -128,6 +128,8 @@ def to_npz(sf: SparseFrame, filename: str):
     encode in plain numpy: row-major sort of the nonzero triplets, indptr
     from per-row counts."""
     dense = sf.todense()
+    if isinstance(dense, pd.Series):  # 1-col frames squeeze to Series
+        dense = dense.to_frame()
     mat = dense.to_numpy()
     n, k = mat.shape
     r, c = np.nonzero(mat)

@@ -19,3 +19,59 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zip_with_position(
+    df: DataFrame, order_cols: list[str], out_col: str, persist: bool = True
+) -> DataFrame:
+    """Distributed 0-based position by ``order_cols`` — the scale-safe
+    replacement for ``row_number() OVER (ORDER BY ...)``.
+
+    A global window funnels every row through ONE task; here the work is a
+    range-partitioned sort (the same shuffle a global sort needs anyway)
+    plus one metadata-sized job: per-partition row counts (one long per
+    partition) are collected, turned into cumulative offsets, and each
+    partition numbers its own rows locally with offset + local index via
+    Arrow-batched mapInPandas. Work per task is bounded by partition size
+    at any data scale.
+
+    The sorted frame is persisted (storage-level MEMORY_AND_DISK) so the
+    count job and the numbering job see the identical partitioning — range
+    boundaries are sampled, so recomputing between jobs could drift.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    sorted_df = df.repartitionByRange(
+        n_part, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    if persist:
+        sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        sorted_df.withColumn("__pid__", F.spark_partition_id())
+        .groupBy("__pid__")
+        .count()
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = acc
+        acc += row["count"]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(list(sorted_df.schema.fields) + [StructField(out_col, LongType())])
+
+    def number_partition(iterator):
+        from pyspark import TaskContext
+
+        start = b_offsets.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf[out_col] = range(start + seen, start + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(number_partition, schema=out_schema)

@@ -348,5 +348,46 @@ def test_set_index_from_data_column(spark):
     rekeyed = sf.set_index(column="k")
     assert rekeyed.key_cols == ["k"] and rekeyed.columns == ["v"]
     dense = rekeyed.todense().sort_index()
+    # 1-col frame squeezes to a named Series (reference sparse_frame.py:116-118)
+    assert isinstance(dense, pd.Series) and dense.name == "v"
     assert list(dense.index) == [10.0, 20.0, 30.0]
-    assert list(dense["v"]) == [1.0, 2.0, 0.0]
+    assert list(dense) == [1.0, 2.0, 0.0]
+
+
+def test_set_index_from_array(spark):
+    """Reference test_sparse_frame.py:199-200 — re-key positionally from an
+    explicit array."""
+    pdf = pd.DataFrame(
+        np.eye(5), index=[10, 20, 30, 40, 50], columns=[f"c{i}" for i in range(5)]
+    )
+    sf = from_pandas(spark, pdf)
+    rekeyed = sf.set_index(idx=np.arange(5))
+    assert rekeyed.key_cols == ["idx"]
+    dense = rekeyed.todense().sort_index()
+    assert list(dense.index) == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose(dense.to_numpy(), np.eye(5))
+
+    # length mismatch is an assertion, as in the reference (:481)
+    try:
+        sf.set_index(idx=np.arange(3))
+        raise RuntimeError("expected AssertionError")
+    except AssertionError:
+        pass
+
+
+def test_todense_squeeze_parity(spark):
+    """Reference sparse_frame.py:111-123: 1-col frames → named Series;
+    1-row/1-col numpy → 1-D; multi-col frames stay DataFrames."""
+    one_col = pd.DataFrame({"only": [1.0, 0.0, 3.0]}, index=[5, 6, 7])
+    sf1 = from_pandas(spark, one_col)
+    s = sf1.todense()
+    assert isinstance(s, pd.Series) and s.name == "only"
+    assert list(s.sort_index()) == [1.0, 0.0, 3.0]
+    arr = sf1.toarray()
+    assert arr.ndim == 1 and len(arr) == 3
+
+    multi = pd.DataFrame(np.eye(3), index=[1, 2, 3], columns=["a", "b", "c"])
+    sfm = from_pandas(spark, multi)
+    assert isinstance(sfm.todense(), pd.DataFrame)
+    one_row = sfm.loc_range(2, 2)
+    assert one_row.toarray().ndim == 1  # 1-row numpy squeezes too

@@ -37,11 +37,20 @@ def sparse_pdf(draw, max_rows=8, max_cols=4, key_low=0, key_high=12):
     return pd.DataFrame(mat, index=keys, columns=[f"c{i}" for i in range(k)])
 
 
+def _dense_df(frame):
+    """todense() with the reference's 1-col Series squeeze undone, so the
+    hypothesis comparisons stay frame-vs-frame regardless of column count."""
+    out = frame.todense()
+    if isinstance(out, pd.Series):
+        out = out.to_frame()
+    return out
+
+
 @given(a=sparse_pdf(), b=sparse_pdf())
 @settings(**SETTINGS)
 def test_add_outer_matches_pandas(spark, a, b):
     b = b.reindex(columns=a.columns, fill_value=0.0)
-    got = from_pandas(spark, a).add(from_pandas(spark, b), how="outer").todense().sort_index()
+    got = _dense_df(from_pandas(spark, a).add(from_pandas(spark, b), how="outer")).sort_index()
     want = a.add(b, fill_value=0).fillna(0).sort_index()
     want.index.name = got.index.name
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
@@ -52,7 +61,7 @@ def test_add_outer_matches_pandas(spark, a, b):
 def test_join_axis1_matches_pandas(spark, a, b, how):
     b = b.copy()
     b.columns = [f"r{i}" for i in range(len(b.columns))]
-    got = from_pandas(spark, a).join(from_pandas(spark, b), axis=1, how=how).todense().sort_index()
+    got = _dense_df(from_pandas(spark, a).join(from_pandas(spark, b), axis=1, how=how)).sort_index()
     want = a.join(b, how=how).fillna(0).sort_index()
     want.index.name = got.index.name
     if len(want) == 0:
@@ -67,7 +76,7 @@ def test_groupby_sum_matches_pandas(spark, a):
     # non-unique keys: re-key rows into a small range to force collisions
     a = a.copy()
     a.index = [k % 3 for k in range(len(a))]
-    got = from_pandas(spark, a).groupby_sum(level=0).todense().sort_index()
+    got = _dense_df(from_pandas(spark, a).groupby_sum(level=0)).sort_index()
     want = a.groupby(level=0).sum().sort_index()
     want.index.name = got.index.name
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
@@ -83,7 +92,7 @@ def test_vstack_roundtrip(spark, a):
     assume(half != 0 and half != len(a))
     lo = from_pandas(spark, a.iloc[:half])
     hi = from_pandas(spark, a.iloc[half:])
-    got = lo.vstack(hi).todense().sort_index()
+    got = _dense_df(lo.vstack(hi)).sort_index()
     want = a.sort_index()
     want.index.name = got.index.name
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
@@ -93,7 +102,7 @@ def test_vstack_roundtrip(spark, a):
 @settings(**SETTINGS)
 def test_loc_range_inclusive_matches_pandas(spark, a, lo, width):
     a = a.sort_index()
-    got = from_pandas(spark, a).loc_range(lo, lo + width).todense().sort_index()
+    got = _dense_df(from_pandas(spark, a).loc_range(lo, lo + width)).sort_index()
     want = a.loc[lo : lo + width]  # pandas label slices are stop-inclusive
     assert len(got) == len(want)
     if len(want):
