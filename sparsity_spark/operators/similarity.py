@@ -312,3 +312,76 @@ def pq_encode(
     return embeddings.select(id_col, vec_col).mapInPandas(
         batches, schema=f"{id_col} long, subspace int, code int"
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF centroid (re)training.
+
+    The 100 TB shape: the corpus is persisted once and NEVER shuffled;
+    each iteration is (1) assignment as a pure map — the k centroids ride
+    into the plan as a literal array (metadata-sized: k·d doubles), each
+    row scores them with a codegen fold and `array_min`'s lexicographic
+    struct ordering gives argmin with ties to the lowest centroid id — and
+    (2) one posexplode + hash aggregate to re-average per (centroid,
+    dimension), where map-side partial aggregation reduces the shuffle to
+    ≤ k·d rows per input partition.
+    Centroids are collected to the driver between iterations (k·d values,
+    the standard bounded-lineage pattern for iterative algorithms — the
+    corpus itself never moves). Components are rounded to 6 decimals after
+    every re-average so the fit is engine-portable (the DuckDB oracle
+    unrolls the same iterations in SQL). Deterministic init: the k vectors
+    with the lowest ids. Empty clusters drop out, as in classic Lloyd.
+
+    Returns (centroid_id: long, embedding: array<double>).
+    """
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    init_rows = vecs.orderBy(id_col).limit(k).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+
+    for _ in range(iters):
+        # centroids as a literal array of structs → assignment is a PURE MAP
+        # (no join, no shuffle of the corpus): score every centroid with a
+        # codegen fold, then array_min's lexicographic struct ordering is
+        # exactly argmin-with-lowest-id-tie-break
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, c in centroids
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        assigned = vecs.withColumn("cid", F.array_min(scored)["cid"])
+        new_cent = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
+        )
+        centroids = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+        centroids.sort()
+    vecs.unpersist()
+    return spark.createDataFrame(centroids, "centroid_id long, embedding array<double>")

@@ -3813,6 +3813,61 @@ def dedup_jaccard_prefix_join(spark, sf_dir):
     return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.9)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL — same deterministic init
+    (k lowest vec_ids), same argmin tie-break (lowest centroid id), same
+    round-to-6 re-average as operators.similarity.kmeans_fit."""
+    assign = """
+{out} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, {cin}.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_distance(v.e, {cin}.c), {cin}.cid) AS rn
+    FROM v CROSS JOIN {cin}) t WHERE rn = 1
+)"""
+    recompute = """
+{out} AS (
+  SELECT cid, list(m ORDER BY dim) AS c FROM (
+    SELECT cid, dim, ROUND(AVG(x), 6) AS m
+    FROM (SELECT cid, UNNEST(e) AS x, UNNEST(range(len(e))) AS dim FROM {ain}) u
+    GROUP BY cid, dim) g
+  GROUP BY cid
+)"""
+    parts = [
+        """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS c
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for i in range(iters):
+        parts.append(assign.format(out=f"a{i + 1}", cin=f"c{i}").strip())
+        parts.append(recompute.format(out=f"c{i + 1}", ain=f"a{i + 1}").strip())
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cid AS centroid_id, CAST(u.dim AS INT) AS dim, u.x AS val
+FROM (SELECT cid, UNNEST(c) AS x, UNNEST(range(len(c))) AS dim FROM c{iters}) u
+"""
+    )
+
+
+@query("ann_kmeans_centroids", _kmeans_oracle(8, 2))
+def ann_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (IVF centroid training): corpus persisted
+    once, per-iteration broadcast-assign (codegen argmin) + one posexplode
+    hash re-average; centroids driver-collected between rounds (k·d values
+    — metadata-sized, the bounded-lineage iterative pattern). The oracle
+    unrolls the identical two iterations in SQL."""
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    cents = kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return cents.select(
+        "centroid_id", F.posexplode("embedding").alias("dim", "val")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the

@@ -432,3 +432,36 @@ def test_daily_anomalies_flags_spike_only(spark):
     got = daily_anomalies(ev, "user_id", "ts", min_days=5, z_threshold=2.0).collect()
     assert [(r["user_id"], r["day"], r["n"]) for r in got] == [(1, "2024-01-11", 50)]
     assert got[0]["z"] > 3.0
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    """Two well-separated blobs, k=2: Lloyd must converge to the blob means
+    (matching a numpy reference run of the same deterministic algorithm)."""
+    rng = np.random.RandomState(11)
+    blob_a = rng.randn(30, 4) * 0.05 + np.array([1.0, 1.0, 1.0, 1.0])
+    blob_b = rng.randn(30, 4) * 0.05 + np.array([-1.0, -1.0, -1.0, -1.0])
+    pts = np.vstack([blob_a, blob_b])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+    )
+    emb = spark.createDataFrame(pdf)
+    cents = similarity.kmeans_fit(emb, k=2, iters=3).toPandas().sort_values("centroid_id")
+    got = np.array([np.array(c) for c in cents["embedding"]])
+    # one centroid per blob, each within noise distance of the blob mean
+    means = np.array([blob_a.mean(axis=0), blob_b.mean(axis=0)])
+    d = np.linalg.norm(got[:, None, :] - means[None, :, :], axis=2)
+    assert sorted(d.argmin(axis=1).tolist()) == [0, 1]  # both blobs claimed
+    assert d.min(axis=1).max() < 0.1
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """k larger than the number of distinct points: surplus centroids lose
+    all members and drop out, classic Lloyd semantics."""
+    pts = [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": pts})
+    )
+    cents = similarity.kmeans_fit(emb, k=3, iters=2).toPandas()
+    assert len(cents) <= 3
+    got = {tuple(np.round(c, 6)) for c in cents["embedding"]}
+    assert (10.0, 10.0) in got and (0.0, 0.0) in got
