@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "pipe_weighted_sample",
     "stats_user_entropy",
     "pipe_incremental_newdocs",
+    "dedup_simhash_pairs",
+    "ann_kmeans_centroids",
 ]
 
 

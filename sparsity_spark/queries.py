@@ -362,6 +362,53 @@ def a3_mean_dense_denominator(spark, sf_dir):
 
 
 @query(
+    "s11_head",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS view
+    FROM events
+    WHERE user_id IN (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5)
+    GROUP BY user_id
+    """,
+)
+def s11_head(spark, sf_dir):
+    """SURVEY §2.1 S11 (reference sparse_frame.py:382-387): head(5) of the
+    label-sorted user-counts frame — sort_index() pins the row order, so
+    head is the 5 lowest user_ids, densified."""
+    frame = _user_counts_frame(spark, sf_dir).sort_index()
+    pdf = frame.head(5).reset_index()
+    return spark.createDataFrame(pdf)
+
+
+@query(
+    "a4_std_dense_denominator",
+    """
+    WITH cells AS (
+      SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY user_id, event_type
+    ), n AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
+    SELECT col,
+           ROUND(SQRT(SUM(value * value) / n.n - POW(SUM(value) / n.n, 2)), 6) AS std_value
+    FROM cells, n GROUP BY col, n.n
+    """,
+)
+def a4_std_dense_denominator(spark, sf_dir):
+    """SURVEY §2.4 A4 (reference sparse_frame.py:149-150): per-column std
+    with the DENSE denominator — sqrt(E[x²] − E[x]²) over all N·K cells
+    including implicit zeros. Runs SparseFrame.std(axis=0) itself (its
+    driver-side Series output is the operator's contract) and re-frames it
+    for the oracle compare."""
+    frame = _user_counts_frame(spark, sf_dir)
+    s = frame.std(0).round(6)
+    pdf = s.rename("std_value").rename_axis("col").reset_index()
+    return spark.createDataFrame(pdf)
+
+
+@query(
     "a6_nnz",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS nnz FROM (
