@@ -308,3 +308,47 @@ def group_entropy(df: DataFrame, key_col: str, cat_col: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture resampling across domains (the multilingual
+    /multi-source rebalancing step of LLM data recipes): domain weights
+    p_d ∝ n_d^(1/T), so T=1 keeps natural proportions and T→∞ approaches
+    uniform over domains; per-domain keep-rate is
+    min(1, target_total · p_d / n_d).
+
+    Scale shape: one hash aggregate for the per-domain counts (a
+    domain-cardinality-sized result, broadcast back), then a map-only
+    deterministic content-hash filter — the same md5 draw as sample_hash,
+    so the selection is reproducible across runs, partitionings, and
+    engines. Keep-rates are rounded to 9 decimals to stay engine-portable.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n__"))
+    total = df.count()
+    weighted = counts.withColumn("__w__", F.pow(F.col("__n__").cast("double"), 1.0 / temperature))
+    wsum = weighted.agg(F.sum("__w__").alias("s")).collect()[0]["s"]
+    rates = weighted.select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total) * float(target_fraction)) * F.col("__w__") / (F.lit(float(wsum)) * F.col("__n__")),
+            ),
+            9,
+        ).alias("__rate__"),
+    )
+    h = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(h < F.col("__rate__") * F.lit(buckets))
+        .drop("__rate__")
+    )

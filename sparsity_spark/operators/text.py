@@ -251,3 +251,49 @@ def redact_pii(
     return docs.select(
         F.col(id_col), *counts, redacted.alias("redacted_text")
     )
+
+
+def model_quality_score(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear-model quality filter inference — the fastText/classifier
+    scoring stage of a curation pipeline, with the model as broadcast-able
+    plan constants.
+
+    Features are the cheap per-doc statistics (token count scaled,
+    stopword ratio, alpha ratio, mean word length scaled); the score is
+    sigmoid(w·x + b). Everything is one codegen projection: at 100 TB this
+    is a map-only pass whose model cost is O(|weights|) literals in the
+    plan — the shape any learned-filter inference should take (a real
+    fastText model swaps in via the same seam as a Pandas-UDF batch
+    scorer, but the plumbing and the filter semantics are exactly this).
+    """
+    weights = weights or {
+        "tok": 1.2,
+        "stop": 2.0,
+        "alpha": 1.5,
+        "wordlen": -0.8,
+    }
+    w = words_expr(text_col)
+    n = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) / n
+    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")) / F.length(
+        F.col(text_col)
+    )
+    mean_wordlen = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
+    z = (
+        F.lit(float(bias))
+        + F.lit(float(weights["tok"])) * F.least(n / F.lit(200.0), F.lit(1.0))
+        + F.lit(float(weights["stop"])) * stop_ratio
+        + F.lit(float(weights["alpha"])) * alpha_ratio
+        + F.lit(float(weights["wordlen"])) * (mean_wordlen / F.lit(10.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("model_quality"),
+    )

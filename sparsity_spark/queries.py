@@ -3860,6 +3860,68 @@ def dedup_jaccard_prefix_join(spark, sf_dir):
     return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.9)
 
 
+@query(
+    "text_quality_model",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n,
+             len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) * 1.0 / len(w) AS stop_ratio,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+             length(replace(text, ' ', '')) * 1.0 / len(w) AS mean_wordlen
+      FROM base
+    ), z AS (
+      SELECT doc_id,
+             0.0 + 1.2 * least(n / 200.0, 1.0) + 2.0 * stop_ratio
+                 + 1.5 * alpha_ratio - 0.8 * (mean_wordlen / 10.0) AS z
+      FROM m
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS model_quality FROM z
+    """,
+)
+def text_quality_model_q(spark, sf_dir):
+    """Linear-model quality-filter inference (fastText-classifier shape):
+    sigmoid(w·x + b) over cheap doc features, model as plan constants —
+    map-only at any scale; the oracle replays the identical arithmetic."""
+    from sparsity_spark.operators.text import model_quality_score
+
+    return model_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_temperature_mix",
+    """
+    WITH n AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), tot AS (SELECT COUNT(*) AS total FROM documents),
+    w AS (SELECT lang, cnt, POW(CAST(cnt AS DOUBLE), 0.5) AS wt FROM n),
+    s AS (SELECT SUM(wt) AS wsum FROM w),
+    rates AS (
+      SELECT lang,
+             ROUND(LEAST(1.0, tot.total * 0.5 * wt / (s.wsum * cnt)), 9) AS rate
+      FROM w, s, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.rate * 1000000
+    """,
+)
+def pipe_temperature_mix_q(spark, sf_dir):
+    """Temperature resampling across domains (T=2: p_d ∝ n_d^(1/2), the
+    multilingual rebalance of LLM data recipes): one domain-cardinality
+    count agg broadcast back, then a map-only deterministic md5 draw —
+    same selection on any engine, partitioning, or run."""
+    from sparsity_spark.operators.pipeline import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "doc_id", "lang", temperature=2.0, target_fraction=0.5
+    ).select("doc_id", "lang")
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd iterations in DuckDB SQL — same deterministic init
     (k lowest vec_ids), same argmin tie-break (lowest centroid id), same

@@ -465,3 +465,23 @@ def test_kmeans_empty_cluster_drops(spark):
     assert len(cents) <= 3
     got = {tuple(np.round(c, 6)) for c in cents["embedding"]}
     assert (10.0, 10.0) in got and (0.0, 0.0) in got
+
+
+def test_model_quality_score_orders_sensibly(spark):
+    from sparsity_spark.operators.text import model_quality_score
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the cat sat on the mat and it is a good day in the sun",
+                "zzzz 123 @@@@ ???? 999",
+            ],
+        }
+    )
+    out = (
+        model_quality_score(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")["model_quality"]
+    )
+    assert 0.0 < out[2] < out[1] < 1.0  # fluent English beats junk

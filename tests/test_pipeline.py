@@ -181,3 +181,28 @@ def test_packing_sharded_partitions_window(spark, docs):
             merged.groupby("bin_id")["doc_id"].apply(frozenset).sort_index().tolist()
             == solo.groupby("bin_id")["doc_id"].apply(frozenset).sort_index().tolist()
         )
+
+
+def test_temperature_mix_flattens_domains(spark, lang_docs):
+    from sparsity_spark.operators.pipeline import temperature_mix
+
+    pdf = lang_docs.toPandas()
+    natural = pdf.lang.value_counts(normalize=True)
+    # high temperature → domain shares move toward uniform relative to natural
+    mixed = temperature_mix(
+        lang_docs, "doc_id", "lang", temperature=8.0, target_fraction=0.5
+    ).toPandas()
+    got = mixed.lang.value_counts(normalize=True)
+    for lang in got.index:
+        if natural[lang] < natural.max():  # minority domains gain share
+            assert got[lang] >= natural[lang] * 0.8
+    # determinism: same inputs → identical selection
+    again = temperature_mix(
+        lang_docs, "doc_id", "lang", temperature=8.0, target_fraction=0.5
+    ).toPandas()
+    assert sorted(again.doc_id) == sorted(mixed.doc_id)
+    # T must be positive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(lang_docs, "doc_id", "lang", temperature=0)
