@@ -37,7 +37,11 @@ def zip_with_position(
 
     The sorted frame is persisted (storage-level MEMORY_AND_DISK) so the
     count job and the numbering job see the identical partitioning — range
-    boundaries are sampled, so recomputing between jobs could drift.
+    boundaries are sampled, so recomputing between jobs could drift. The
+    partition id is BAKED INTO the cached data as a column (not read from
+    TaskContext at numbering time): when this plan later runs inside a
+    union, the executing task's physical partition id is renumbered across
+    branches and would miss the offsets map — the frozen column can't.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -45,31 +49,31 @@ def zip_with_position(
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    sorted_df = df.repartitionByRange(
-        n_part, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
+    sorted_df = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__zip_pid__", F.spark_partition_id())
+    )
     if persist:
         sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = (
-        sorted_df.withColumn("__pid__", F.spark_partition_id())
-        .groupBy("__pid__")
-        .count()
-        .collect()
-    )
+    counts = sorted_df.groupBy("__zip_pid__").count().collect()
     offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["__pid__"]):
-        offsets[row["__pid__"]] = acc
+    for row in sorted(counts, key=lambda r: r["__zip_pid__"]):
+        offsets[row["__zip_pid__"]] = acc
         acc += row["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = StructType(list(sorted_df.schema.fields) + [StructField(out_col, LongType())])
+    out_fields = [f for f in sorted_df.schema.fields if f.name != "__zip_pid__"]
+    out_schema = StructType(out_fields + [StructField(out_col, LongType())])
 
     def number_partition(iterator):
-        from pyspark import TaskContext
-
-        start = b_offsets.value.get(TaskContext.get().partitionId(), 0)
         seen = 0
         for pdf in iterator:
-            pdf = pdf.copy()
+            if not len(pdf):
+                continue
+            # strict lookup: a missing pid means the count job and this job
+            # saw different partitionings — corrupt positions; fail loudly
+            start = b_offsets.value[int(pdf["__zip_pid__"].iloc[0])]
+            pdf = pdf.drop(columns=["__zip_pid__"])
             pdf[out_col] = range(start + seen, start + seen + len(pdf))
             seen += len(pdf)
             yield pdf

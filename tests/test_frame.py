@@ -391,3 +391,21 @@ def test_todense_squeeze_parity(spark):
     assert isinstance(sfm.todense(), pd.DataFrame)
     one_row = sfm.loc_range(2, 2)
     assert one_row.toarray().ndim == 1  # 1-row numpy squeezes too
+
+
+def test_zip_with_position_stable_inside_union(spark):
+    """Regression: the numbering must come from the partition id frozen in
+    the cached data, not the executing task's id — inside a union the
+    task-level partition ids are renumbered across branches and a
+    TaskContext-based lookup silently numbers every partition from 0."""
+    from sparsity_spark.util import zip_with_position
+
+    pdf = pd.DataFrame({"k": list(range(20))})
+    df = spark.createDataFrame(pdf).repartition(6)
+    z1 = zip_with_position(df, ["k"], "p").filter("p >= 10")
+    z2 = zip_with_position(df, ["k"], "p").filter("p < 10")
+    both = z1.unionByName(z2).toPandas().sort_values("k")
+    assert len(both) == 20
+    # every row keeps its correct global position (p == k here) even though
+    # both branches executed inside one union plan
+    assert list(both.p) == list(range(20))

@@ -172,3 +172,15 @@ def test_simhash_pairs_no_cartesian_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """temperature_mix's per-domain rate table is domain-cardinality-sized
+    and must broadcast — the corpus side never shuffles for the join."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.pipeline import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(temperature_mix(docs, "doc_id", "lang", 2.0, 0.5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
