@@ -209,17 +209,30 @@ def simhash(
 ) -> DataFrame:
     """SimHash over distinct whitespace tokens (weight 1 each).
 
-    Token hash = first 8 hex chars of md5 (32-bit, engine-portable);
-    each of the `bits` bit-majorities is one agg expression, so the whole
-    fingerprint is a single hash aggregate. Returns (id, simhash: long)."""
+    Token hash is md5-derived and engine-portable: first 8 hex chars as a
+    32-bit value for ``bits <= 32``; for wider fingerprints, two 32-bit
+    halves combined as ``(h1 - 2^31)·2^32 + h2`` — a signed 64-bit value
+    built without overflow in any engine (bit b extraction via arithmetic
+    shift + &1 is sign-safe). Each of the `bits` bit-majorities is one agg
+    expression, so the whole fingerprint is a single hash aggregate.
+    Returns (id, simhash: long); bit 63's weight wraps to the two's-
+    complement constant so the reconstruction stays in-range."""
     from sparsity_spark.util import ensure_parallelism
 
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
     docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(words_expr(text_col))).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    md5 = F.md5(F.col("tok"))
+    h32 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    if bits <= 32:
+        h = h32
+    else:
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        h = (h32 - F.lit(2147483648)) * F.lit(4294967296) + h2
     toks = toks.withColumn("h", h)
     aggs = [
         F.sum(
@@ -230,7 +243,10 @@ def simhash(
     wide = toks.groupBy(id_col).agg(*aggs)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else sim + term
     return wide.select(F.col(id_col), sim.alias("simhash"))
 
@@ -244,7 +260,7 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -257,7 +273,13 @@ def simhash_pairs(
     ``max_hamming`` differs in at most ``max_hamming`` chunks, so at least
     one chunk matches exactly — candidate generation is a shuffle join on
     (chunk_index, chunk_value), work ∝ chunk collisions, never N²
-    (no CartesianProduct in the plan; asserted in tests/test_plans.py)."""
+    (no CartesianProduct in the plan; asserted in tests/test_plans.py).
+
+    Default ``bits=64`` (not the fingerprint op's 32): chunk width is
+    bits/(max_hamming+1), and random-collision candidate volume scales
+    with N²/2^chunk_bits — 16-bit chunks (65,536 buckets) keep random
+    collisions negligible where 8-bit chunks (256 buckets) went quadratic
+    on a 50k-doc 10× sweep (SCALE.md)."""
     sims = simhash(docs, id_col, text_col, bits)
     if block_cols:
         sims = sims.join(docs.select(id_col, *block_cols), on=id_col)

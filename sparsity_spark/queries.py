@@ -1261,12 +1261,23 @@ def _simhash_oracle(bits: int = 32) -> str:
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
     )
     terms = " + ".join(
-        f"(CASE WHEN b{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        # bit 63's weight wraps to the two's-complement constant, matching
+        # operators.dedup.simhash — arithmetic shift + &1 is sign-safe
+        f"(CASE WHEN b{b} >= 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
         for b in range(bits)
     )
+    if bits <= 32:
+        h_expr = "CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)"
+    else:
+        # (h1 - 2^31)·2^32 + h2: signed 64-bit, built without overflow
+        h_expr = (
+            "(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) - 2147483648)"
+            " * 4294967296 + CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT)"
+        )
     return f"""
     WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM t),
+    h AS (SELECT doc_id, {h_expr} AS h FROM t),
     s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
     SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM s
     """
@@ -1283,7 +1294,7 @@ def dedup_simhash_q(spark, sf_dir):
 @query(
     "dedup_simhash_pairs",
     f"""
-    WITH sim AS ({_simhash_oracle(32)})
+    WITH sim AS ({_simhash_oracle(64)})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -1293,9 +1304,10 @@ def dedup_simhash_q(spark, sf_dir):
 def dedup_simhash_pairs_q(spark, sf_dir):
     """Pigeonhole-blocked simhash near-dup pairs: the oracle is the naive
     O(N²) hamming join (fine at sf0.01); the Spark side must return the
-    IDENTICAL pair set while only ever equi-joining on 4 exact
+    IDENTICAL pair set while only ever equi-joining on 4 exact 16-bit
     (chunk_index, chunk_value) keys per doc — lossless for
-    max_hamming ≤ chunks-1, no CartesianProduct at any scale."""
+    max_hamming ≤ chunks-1, no CartesianProduct at any scale, random
+    collisions suppressed by the 64-bit fingerprint (SCALE.md)."""
     from sparsity_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
