@@ -201,54 +201,77 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_expr(text_col: str, bits: int = 32):
+    """The whole SimHash fingerprint as ONE per-row expression — a fold
+    over the distinct whitespace tokens accumulating all ``bits``
+    bit-majority counters, then a weighted sign readout. No explode, no
+    aggregate, no shuffle: fingerprinting 100 TB is a pure projection
+    (and the same Column works under Structured Streaming, where an
+    explode+groupBy form would need a stateful aggregation).
+
+    Token hash is md5-derived and engine-portable: first 8 hex chars as a
+    32-bit value for ``bits <= 32``; for wider fingerprints, two 32-bit
+    halves combined as ``(h1 - 2^31)·2^32 + h2`` — a signed 64-bit value
+    built without overflow in any engine (bit b extraction via arithmetic
+    shift + &1 is sign-safe). Bit 63's weight wraps to the two's-complement
+    constant so the readout stays in-range."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
+
+    def tok_hash(tok):
+        md5 = F.md5(tok)
+        h32 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        if bits <= 32:
+            return h32
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        return (h32 - F.lit(2147483648)) * F.lit(4294967296) + h2
+
+    def sign_bits(h):
+        # ±1 per bit; the bit index is a Python constant, so the arithmetic
+        # shift stays a plain literal expression
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
+
+    hashes = F.transform(F.array_distinct(words_expr(text_col)), tok_hash)
+    counters = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(bits)]),
+        lambda acc, h: F.zip_with(acc, sign_bits(h), lambda a, s: a + s),
+    )
+    weights = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            weights,
+            lambda c, w: F.when(c >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """SimHash over distinct whitespace tokens (weight 1 each).
-
-    Token hash is md5-derived and engine-portable: first 8 hex chars as a
-    32-bit value for ``bits <= 32``; for wider fingerprints, two 32-bit
-    halves combined as ``(h1 - 2^31)·2^32 + h2`` — a signed 64-bit value
-    built without overflow in any engine (bit b extraction via arithmetic
-    shift + &1 is sign-safe). Each of the `bits` bit-majorities is one agg
-    expression, so the whole fingerprint is a single hash aggregate.
-    Returns (id, simhash: long); bit 63's weight wraps to the two's-
-    complement constant so the reconstruction stays in-range."""
+    """SimHash fingerprints, (id, simhash: long) — see simhash_expr for the
+    zero-shuffle expression form this wraps (asserted shuffle-free in
+    tests/test_plans.py)."""
     from sparsity_spark.util import ensure_parallelism
 
-    if not 1 <= bits <= 64:
-        raise ValueError("bits must be in 1..64")
     docs = ensure_parallelism(docs)
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(words_expr(text_col))).alias("tok"),
-    )
-    md5 = F.md5(F.col("tok"))
-    h32 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    if bits <= 32:
-        h = h32
-    else:
-        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-        h = (h32 - F.lit(2147483648)) * F.lit(4294967296) + h2
-    toks = toks.withColumn("h", h)
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    wide = toks.groupBy(id_col).agg(*aggs)
-    sim = None
-    for b in range(bits):
-        weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
-        term = F.when(F.col(f"b{b}") >= 0, F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
-    return wide.select(F.col(id_col), sim.alias("simhash"))
+    return docs.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
 
 
 def hamming_distance(a, b, bits: int = 32):

@@ -2,6 +2,7 @@ from sparsity_spark.streaming.ingest import (
     stream_events,
     streaming_attribution_join,
     streaming_dedup_exact,
+    streaming_dedup_neardup,
     streaming_enriched_counts,
     streaming_one_hot_counts,
     streaming_session_stats,
@@ -12,6 +13,7 @@ __all__ = [
     "stream_events",
     "streaming_attribution_join",
     "streaming_dedup_exact",
+    "streaming_dedup_neardup",
     "streaming_enriched_counts",
     "streaming_one_hot_counts",
     "streaming_session_stats",

@@ -130,6 +130,28 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_dedup_neardup(
+    docs: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    bits: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: first doc per 64-bit SimHash
+    fingerprint wins, so trivially-perturbed copies (reordered whitespace
+    tokens, tiny insertions that don't flip any bit-majority) are dropped
+    across micro-batches. Possible only because simhash_expr is a pure
+    per-row projection — an explode+groupBy fingerprint would need a
+    second stateful aggregation; here the ONLY state is
+    ``dropDuplicatesWithinWatermark``'s bounded fingerprint set."""
+    from sparsity_spark.operators.dedup import simhash_expr
+
+    keyed = docs.withColumn("simhash", simhash_expr(content_col, bits))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 SESSION_STATE_SCHEMA = "n_events long, total_value double"
 SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 

@@ -184,3 +184,18 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
     plan = formatted_plan(temperature_mix(docs, "doc_id", "lang", 2.0, 0.5))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_is_shuffle_free(spark, sf_dir):
+    """The expression-form simhash is a pure projection: fingerprinting
+    never shuffles (no Exchange, no aggregate) — the property that lets it
+    run over 100 TB as a map and inside streaming without state."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(simhash(docs, bits=64))
+    # the only allowed exchange is ensure_parallelism's input roundrobin
+    # (a no-op on real many-file inputs); never a key shuffle or aggregate
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan

@@ -255,3 +255,59 @@ def test_attribution_join_matches_batch(spark, events_dir):
     got_set = set(map(tuple, got.values.tolist()))
     want_set = set(map(tuple, want[["ve", "pe"]].values.tolist()))
     assert got_set == want_set
+
+
+def test_streaming_neardup_dedup_drops_fingerprint_twins(spark, tmp_path):
+    """Docs streamed across two micro-batch files: a later doc whose token
+    SET equals an earlier doc's (identical SimHash) is dropped; genuinely
+    different docs survive. First-seen-wins across batches."""
+    import pandas as pd
+
+    from sparsity_spark.streaming.ingest import streaming_dedup_neardup
+
+    src = str(tmp_path / "docs_src")
+    schema = "doc_id long, ts timestamp, text string"
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00"]),
+            "text": ["the quick brown fox", "entirely different content here"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            # doc 3 = doc 1's tokens reordered+repeated → same distinct-token
+            # set → identical fingerprint → dropped across batches
+            "ts": pd.to_datetime(["2024-01-01 00:02:00", "2024-01-01 00:03:00"]),
+            "text": ["quick the fox brown quick", "a third unique document text"],
+        }
+    )
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    for name, pdf in [("f1", b1), ("f2", b2)]:
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, f"{src}/{name}.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    dedup = streaming_dedup_neardup(stream, "text", "ts")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from neardup").toPandas()
+    kept = set(got.doc_id)
+    # exactly ONE representative of the fingerprint-twin pair {1, 3}
+    assert len(kept & {1, 3}) == 1
+    assert {2, 4} <= kept and len(kept) == 3
