@@ -94,7 +94,14 @@ def _minhash_wide(
     num_hashes: int = 16,
 ) -> DataFrame:
     """Wide MinHash signatures (id, mh0..mhH-1) in ONE hash aggregate —
-    the internal format band keys are derived from without re-shuffling."""
+    the internal format band keys are derived from without re-shuffling.
+
+    Measured note: a zero-shuffle expression form (hash array + H
+    `array_min(transform())` passes, like simhash_expr) was tried and is
+    ~2.7× SLOWER here — H per-row array passes cost more than the tiny
+    partial-agg exchange they save, because the aggregate's long buffers
+    update all H minima in one pass over each shingle. Shuffle volume is
+    already ≤ one row per (doc, partial) either way."""
     a, b = minhash_params(num_hashes)
     sh = shingle_sets(docs, id_col, text_col, k).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
