@@ -468,6 +468,13 @@ class SparseFrame:
         reference (whose axis=0 general case is dead code raising
         NotImplementedError, reference sparse_frame.py:265-274), column
         alignment comes free in long format.
+
+        Duplicate row labels MERGE on the key (their cells coexist and a
+        later todense sums them) rather than pandas' cross-product
+        alignment — the union plan needs zero joins for how='outer', which
+        is the right trade at scale; the reference never tests dup-label
+        joins. Call drop_duplicate_idx() first when labels may repeat
+        (pinned in tests/test_frame.py::test_join_duplicate_labels_merge).
         """
         if axis == 0:
             return self._vstack_aligned(other)

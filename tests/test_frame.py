@@ -409,3 +409,21 @@ def test_zip_with_position_stable_inside_union(spark):
     # every row keeps its correct global position (p == k here) even though
     # both branches executed inside one union plan
     assert list(both.p) == list(range(20))
+
+
+def test_join_duplicate_labels_merge(spark):
+    """Pinned semantic: duplicate row labels merge on the key in axis=1
+    joins (cells coexist; todense sums) — NOT pandas' cross-product
+    alignment. The union plan needs zero joins for how='outer'; callers
+    wanting pandas alignment dedup labels first (see join docstring)."""
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0]}, index=[1, 1, 2])
+    b = pd.DataFrame({"y": [10.0, 20.0, 30.0]}, index=[1, 2, 2])
+    out = (
+        from_pandas(spark, a)
+        .join(from_pandas(spark, b), axis=1, how="outer")
+        .todense()
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert list(out["x"]) == [3.0, 3.0]   # 1+2 merged on label 1
+    assert list(out["y"]) == [10.0, 50.0]  # 20+30 merged on label 2
