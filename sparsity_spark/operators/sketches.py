@@ -1,0 +1,59 @@
+"""Mergeable cardinality sketches, engine-deterministic by construction.
+
+KMV (k-minimum-values): keep the k smallest 32-bit md5 hashes of the
+distinct values; the classic unbiased estimate is ``(k-1) / kth_min_norm``
+where the kth minimum is normalized into (0, 1]. Unlike HLL register
+implementations (whose estimates differ across engines), KMV over a fixed
+hash is a pure deterministic function of the value set — so a DuckDB
+oracle reproduces the sketch AND the estimate bit-for-bit, while the
+sketch stays mergeable (union = k smallest of the concatenated minima),
+which is what a 100 TB pipeline needs: per-partition/day sketches roll up
+without rescanning.
+
+Scale shape: hashing is a map; the k-minima come from ONE TakeOrdered-
+style aggregate over distinct hashes (k is tiny — the driver-side sketch
+is metadata). No UDFs, no state beyond k longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)
+
+
+def _h32(col):
+    """First 8 md5 hex chars as a 32-bit integer — the same engine-portable
+    draw used across dedup/pipeline (any SQL engine reproduces it)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """The sketch itself: (rank, h) — the k smallest distinct hash values,
+    rank 1-based in ascending hash order. Distinct-then-sort-limit is one
+    hash aggregate plus a TakeOrderedAndProject of k rows."""
+    hashes = df.select(_h32(F.col(value_col)).alias("h")).distinct()
+    ranked = hashes.orderBy("h").limit(k)
+    # window over ≤ k rows — metadata-sized by construction
+    return ranked.select(F.row_number().over(Window.orderBy("h")).alias("rank"), "h")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Cardinality estimate from a sketch: (k-1)/normalized kth minimum.
+    If fewer than k distinct values exist, the sketch IS the exact distinct
+    set and the count is returned directly."""
+    agg = sketch.agg(
+        F.count("*").alias("n"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(F.round((F.lit(float(k - 1))) / ((F.col("kth") + 1) / F.lit(HASH_SPACE)), 4))
+    return agg.select(est.alias("distinct_estimate"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two sketches: k smallest of the union of minima — the property
+    that lets per-day/per-partition sketches roll up without rescanning."""
+    merged = a.select("h").unionByName(b.select("h")).distinct().orderBy("h").limit(k)
+    return merged.select(F.row_number().over(Window.orderBy("h")).alias("rank"), "h")

@@ -3934,6 +3934,48 @@ def pipe_temperature_mix_q(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@query(
+    "stats_kmv_sketch",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank, h FROM (
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM events
+    ) ORDER BY h LIMIT 64
+    """,
+)
+def stats_kmv_sketch_q(spark, sf_dir):
+    """KMV distinct sketch of events.user_id: the k smallest distinct md5
+    hashes — deterministic, so the oracle reproduces the SKETCH ITSELF
+    bit-for-bit (HLL registers can't be cross-engine-checked like this).
+    Mergeable: per-day sketches roll up via kmv_union without rescanning."""
+    from sparsity_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch(load_table(spark, sf_dir, "events"), "user_id", k=64)
+
+
+@query(
+    "stats_kmv_estimate",
+    """
+    WITH sk AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+      ) ORDER BY h LIMIT 64
+    ), agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM sk)
+    SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+           ELSE ROUND(63.0 / ((kth + 1) / 4294967296.0), 4) END AS distinct_estimate
+    FROM agg
+    """,
+)
+def stats_kmv_estimate_q(spark, sf_dir):
+    """Cardinality estimate from the KMV sketch — (k-1)/normalized kth
+    minimum, exact count when the value set is smaller than k."""
+    from sparsity_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(load_table(spark, sf_dir, "events"), "user_id", k=64)
+    return kmv_estimate(sk, k=64)
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd iterations in DuckDB SQL — same deterministic init
     (k lowest vec_ids), same argmin tie-break (lowest centroid id), same

@@ -485,3 +485,24 @@ def test_model_quality_score_orders_sensibly(spark):
         .set_index("doc_id")["model_quality"]
     )
     assert 0.0 < out[2] < out[1] < 1.0  # fluent English beats junk
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    from sparsity_spark.operators.sketches import kmv_estimate, kmv_sketch, kmv_union
+
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "v")
+    sk = kmv_sketch(df, "v", k=256)
+    est = kmv_estimate(sk, k=256).collect()[0]["distinct_estimate"]
+    assert abs(est - n) / n < 0.15  # k=256 → ~6% stderr; generous bound
+
+    # mergeability: union of two half-sketches == sketch of the union
+    lo = kmv_sketch(df.filter("v < 2500"), "v", k=256)
+    hi = kmv_sketch(df.filter("v >= 2500"), "v", k=256)
+    merged = kmv_union(lo, hi, k=256).toPandas()
+    direct = kmv_sketch(df, "v", k=256).toPandas()
+    assert list(merged.h) == list(direct.h)
+
+    # below-k sets are exact
+    small = kmv_sketch(spark.range(10).withColumnRenamed("id", "v"), "v", k=64)
+    assert kmv_estimate(small, k=64).collect()[0]["distinct_estimate"] == 10.0
