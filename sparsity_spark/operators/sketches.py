@@ -57,3 +57,20 @@ def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     that lets per-day/per-partition sketches roll up without rescanning."""
     merged = a.select("h").unionByName(b.select("h")).distinct().orderBy("h").limit(k)
     return merged.select(F.row_number().over(Window.orderBy("h")).alias("rank"), "h")
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Sketch-based Jaccard estimate between two value sets: the k smallest
+    hashes of the UNION form the comparison frame; the fraction of them
+    present in both sketches estimates J(A,B). Deterministic given the two
+    sketches — union and intersection of metadata-sized sketches, never of
+    the underlying sets (the whole point at 100 TB)."""
+    u = (
+        a.select("h").unionByName(b.select("h")).distinct().orderBy("h").limit(k)
+    )
+    both = u.join(a.select("h"), on="h", how="leftsemi").join(
+        b.select("h"), on="h", how="leftsemi"
+    )
+    return u.agg(F.count("*").alias("n_union")).crossJoin(
+        both.agg(F.count("*").alias("n_both"))
+    ).select(F.round(F.col("n_both") / F.col("n_union"), 4).alias("jaccard_estimate"))

@@ -3976,6 +3976,34 @@ def stats_kmv_estimate_q(spark, sf_dir):
     return kmv_estimate(sk, k=64)
 
 
+@query(
+    "stats_kmv_jaccard",
+    """
+    WITH ha AS (
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ), hb AS (
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) ORDER BY h LIMIT 64),
+    inter AS (SELECT u.h FROM u WHERE u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb))
+    SELECT ROUND((SELECT COUNT(*) FROM inter) * 1.0 / (SELECT COUNT(*) FROM u), 4) AS jaccard_estimate
+    """,
+)
+def stats_kmv_jaccard_q(spark, sf_dir):
+    """Sketch-based Jaccard between clicker and purchaser user sets —
+    union/intersection of two 64-value sketches, never of the sets."""
+    from sparsity_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(ev.filter(F.col("event_type") == "click"), "user_id", k=64)
+    b = kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id", k=64)
+    return kmv_jaccard(a, b, k=64)
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd iterations in DuckDB SQL — same deterministic init
     (k lowest vec_ids), same argmin tie-break (lowest centroid id), same

@@ -506,3 +506,15 @@ def test_kmv_sketch_merge_and_accuracy(spark):
     # below-k sets are exact
     small = kmv_sketch(spark.range(10).withColumnRenamed("id", "v"), "v", k=64)
     assert kmv_estimate(small, k=64).collect()[0]["distinct_estimate"] == 10.0
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    from sparsity_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    a = spark.range(0, 3000).withColumnRenamed("id", "v")       # 0..2999
+    b = spark.range(1500, 4500).withColumnRenamed("id", "v")    # 1500..4499
+    # true J = 1500 / 4500 = 0.3333
+    ska = kmv_sketch(a, "v", k=256)
+    skb = kmv_sketch(b, "v", k=256)
+    est = kmv_jaccard(ska, skb, k=256).collect()[0]["jaccard_estimate"]
+    assert abs(est - 1 / 3) < 0.1
