@@ -29,12 +29,31 @@ def _h32(col):
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
-def kmv_sketch(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame, value_col: str, k: int = 64, prefilter_sample: int | None = 100_000
+) -> DataFrame:
     """The sketch itself: (rank, h) — the k smallest distinct hash values,
-    rank 1-based in ascending hash order. Distinct-then-sort-limit is one
-    hash aggregate plus a TakeOrderedAndProject of k rows."""
-    hashes = df.select(_h32(F.col(value_col)).alias("h")).distinct()
-    ranked = hashes.orderBy("h").limit(k)
+    rank 1-based in ascending hash order.
+
+    The naive plan's distinct shuffles EVERY unique hash (billions of rows
+    for a high-cardinality column at 100 TB). The prefilter makes that
+    shuffle candidate-sized, provably losslessly: the kth-smallest hash of
+    ANY sample is >= the true kth smallest of the full set, so filtering
+    ``h <= sample_kth`` (a map) can never drop a true minimum — the
+    surviving candidate set is tiny (expected ~k·N/sample per partition of
+    hash space) and only IT is shuffled for the distinct + TakeOrdered.
+    Skipped automatically when the sample holds fewer than k distinct
+    hashes (the set is sketch-sized anyway). One metadata-sized sample job,
+    eager at build time — the same bounded-driver-state pattern as the
+    iterative operators."""
+    hashes = df.select(_h32(F.col(value_col)).alias("h"))
+    if prefilter_sample:
+        sample = (
+            hashes.limit(prefilter_sample).distinct().orderBy("h").limit(k).collect()
+        )
+        if len(sample) >= k:
+            hashes = hashes.filter(F.col("h") <= sample[-1]["h"])
+    ranked = hashes.distinct().orderBy("h").limit(k)
     # window over ≤ k rows — metadata-sized by construction
     return ranked.select(F.row_number().over(Window.orderBy("h")).alias("rank"), "h")
 

@@ -518,3 +518,12 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     skb = kmv_sketch(b, "v", k=256)
     est = kmv_jaccard(ska, skb, k=256).collect()[0]["jaccard_estimate"]
     assert abs(est - 1 / 3) < 0.1
+
+
+def test_kmv_prefilter_is_lossless(spark):
+    from sparsity_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(50_000).withColumnRenamed("id", "v")
+    fast = kmv_sketch(df, "v", k=128, prefilter_sample=1_000).toPandas()
+    naive = kmv_sketch(df, "v", k=128, prefilter_sample=None).toPandas()
+    assert list(fast.h) == list(naive.h)
