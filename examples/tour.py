@@ -108,6 +108,23 @@ def main():
     print("hashed features:", fh.data.count(), "cells,", len(fh.columns), "buckets")
     print("pq codes:", pq_encode(emb).count())
 
+    print("\n== 11. round 3: k-means IVF training / sketches / mixture / model filter ==")
+    from sparsity_spark.operators.pipeline import temperature_mix
+    from sparsity_spark.operators.similarity import ivf_topk, kmeans_fit
+    from sparsity_spark.operators.sketches import kmv_estimate, kmv_jaccard, kmv_sketch
+    from sparsity_spark.operators.text import model_quality_score
+
+    cents = kmeans_fit(emb, k=8, iters=2)
+    print("trained centroids:", cents.count())
+    print("ivf neighbors via trained centroids:", ivf_topk(emb, emb.limit(3), cents, k=2).count())
+    sk = kmv_sketch(events, "user_id", k=64)
+    print("kmv distinct-user estimate:", kmv_estimate(sk, k=64).collect()[0]["distinct_estimate"])
+    clickers = kmv_sketch(events.filter("event_type = 'click'"), "user_id", k=64)
+    buyers = kmv_sketch(events.filter("event_type = 'purchase'"), "user_id", k=64)
+    print("clicker/buyer jaccard:", kmv_jaccard(clickers, buyers, k=64).collect()[0]["jaccard_estimate"])
+    print("temperature-mixed docs:", temperature_mix(docs, "doc_id", "lang", 2.0, 0.5).count())
+    print(model_quality_score(docs).orderBy(F.desc("model_quality")).show(3, False))
+
     spark.stop()
     print("\nTOUR COMPLETE")
 

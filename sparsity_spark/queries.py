@@ -1894,6 +1894,27 @@ def src_csv_events(spark, sf_dir):
 
 
 @query(
+    "src_orc_events",
+    """
+    SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def src_orc_events(spark, sf_dir):
+    """ORC source/sink (columnar alternative to parquet, native in Spark —
+    same predicate-pushdown/column-pruning machinery): events → ORC →
+    read → flagship one-hot aggregate; lossless round trip ⇒ same result
+    as the parquet path the oracle aggregates."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sparsity_orc_") + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+    ev = spark.read.orc(path)
+    sf = read_events(ev, "event_type", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    return sf.groupby_sum(by="user_id").data
+
+
+@query(
     "src_json_events",
     """
     SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
