@@ -4103,7 +4103,7 @@ _FIRST_50 = [
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_probe2",
     "ann_rp_lsh_pairs",
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "text_heavy_hitters", "text_repetition", "text_tfidf",
+    "dedup_simhash_pairs", "ann_kmeans_centroids", "text_tfidf",
     "multimodal_meta", "pipe_decontaminate", "t1_asof_join", "t2_range_join",
 ]
 
