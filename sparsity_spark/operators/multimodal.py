@@ -220,3 +220,31 @@ def resize_images(
             )
 
     return flat.mapInPandas(_resize, schema=schema)
+
+
+def load_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Ingest raw media files (images/audio/video blobs) via Spark's native
+    ``binaryFile`` source into the same asset schema as as_binary_assets:
+    (asset_id: file path, content: binary, meta struct). The source is
+    file-splittable across executors and prunes by ``pathGlobFilter`` —
+    the real on-ramp for multimodal corpora (decode stays behind the
+    documented codec seam, exactly as for table-borne payloads)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    n_bytes = F.octet_length(F.col("content"))
+    return raw.select(
+        F.col("path").alias("asset_id"),
+        F.col("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            n_bytes.alias("n_bytes"),
+            F.ceil(n_bytes / F.lit(64)).cast("int").alias("chunk_count"),
+        ).alias("meta"),
+    )
