@@ -1795,13 +1795,14 @@ def j6_concat(spark, sf_dir):
 )
 def o1_sort_index(spark, sf_dir):
     """SURVEY §2.5 O1 (reference sparse_frame.py:306-317): sort_index —
-    emitted with explicit rank so sortedness is hash-visible."""
+    emitted with explicit rank so sortedness is hash-visible. Rank comes
+    from the distributed range-sort + partition-offset numbering
+    (util.zip_with_position), not a single-task global window."""
+    from sparsity_spark.util import zip_with_position
+
     events = load_table(spark, sf_dir, "events")
     totals = events.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
-    w = Window.orderBy("user_id")
-    return totals.select(
-        (F.row_number().over(w) - 1).cast("long").alias("pos"), "user_id", "total"
-    )
+    return zip_with_position(totals, ["user_id"], "pos").select("pos", "user_id", "total")
 
 
 @query(
@@ -1815,12 +1816,14 @@ def o1_sort_index(spark, sf_dir):
     """,
 )
 def p3_iloc_slice(spark, sf_dir):
-    """SURVEY §2.2 P2/P3 (reference indexing.py:13-21): positional slice via
-    row_number over an explicit order — documented small-frame path."""
+    """SURVEY §2.2 P2/P3 (reference indexing.py:13-21): positional slice —
+    positions from the distributed numbering (util.zip_with_position), so
+    even the demo query has no single-task global window."""
+    from sparsity_spark.util import zip_with_position
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
     return (
-        events.withColumn("pos", F.row_number().over(w) - 1)
+        zip_with_position(events, ["event_id"], "pos")
         .filter((F.col("pos") >= 100) & (F.col("pos") < 110))
         .select("event_id", F.col("event_type").alias(COL), F.lit(1.0).alias(VAL))
     )
