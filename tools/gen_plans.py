@@ -1,0 +1,77 @@
+"""Regenerate PLANS.md: formatted physical plans of representative queries
+with commentary. Usage: python tools/gen_plans.py [sf_dir]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparsity_spark.session import get_spark
+
+PICKS = {
+    "a1_onehot_groupby_sum": (
+        "Flagship: events scan → zero-shuffle one-hot projection → ONE "
+        "partial+final HashAggregate. The scan reads only the 4 needed "
+        "columns; no Python anywhere."
+    ),
+    "q1_pricing_summary": (
+        "TPC-H Q1: predicate pushed to the parquet footer (PushedFilters), "
+        "column-pruned ReadSchema, partial aggregation before the single "
+        "key shuffle."
+    ),
+    "q5_regional_revenue": (
+        "Multi-join star query: the fact table shuffles once; every "
+        "dimension arrives as a BroadcastHashJoin — no dimension shuffle "
+        "at any scale."
+    ),
+    "dedup_simhash_pairs": (
+        "Pigeonhole near-dup pairs: fingerprint is a pure projection (no "
+        "aggregate), candidates come from an equi-join on 16-bit chunk "
+        "keys — no CartesianProduct node exists."
+    ),
+    "dedup_lsh_pairs": (
+        "MinHash-LSH: one HashAggregate computes all 16 minima; band keys "
+        "derive from it without re-shuffling; the self-join keys on "
+        "(band, band_key) so work tracks collisions."
+    ),
+    "pipe_decontaminate": (
+        "Decontamination: benchmark side broadcast (small), training side "
+        "never shuffled before its final per-doc aggregate; fanout capped "
+        "upstream."
+    ),
+}
+
+HEADER = """# PLANS — physical-plan audit of representative queries
+
+Generated from `.explain("formatted")` at sf0.001 (plan shape is
+scale-independent; AQE re-plans sizes at runtime). Each plan is the one we
+WANT at 100 TB — pushdown + pruning at the scan, partial aggregation before
+any shuffle, broadcasts for small sides, no Python in hot paths. Regenerate
+with `python tools/gen_plans.py`.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("gen_plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparsity_spark.queries import QUERIES
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    out = [HEADER]
+    for name, note in PICKS.items():
+        df = QUERIES[name](spark, sf_dir)
+        tree = df._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
