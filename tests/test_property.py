@@ -160,3 +160,42 @@ def test_salted_join_matches_plain_join(spark, fact_keys, n_salts):
     assert got.shape == want.shape
     if len(want):
         assert (got[want.columns].to_numpy() == want.to_numpy()).all()
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    max_hamming=st.integers(1, 6),
+)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_simhash_pairs_pigeonhole_lossless(spark, seed, max_hamming):
+    """Property: the pigeonhole chunk join returns EXACTLY the pairs a
+    brute-force hamming scan finds — lossless for any max_hamming, with
+    near-dup docs constructed by token perturbation."""
+    import itertools
+
+    from sparsity_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    base_docs = []
+    for i in range(12):
+        toks = list(rng.choice(vocab, size=rng.randint(5, 25)))
+        base_docs.append(" ".join(toks))
+        if rng.rand() < 0.5:  # perturbed twin → likely small hamming
+            twin = toks.copy()
+            if len(twin) > 3:
+                twin[rng.randint(len(twin))] = rng.choice(vocab)
+            base_docs.append(" ".join(twin))
+    pdf = pd.DataFrame({"doc_id": range(len(base_docs)), "text": base_docs})
+    docs = spark.createDataFrame(pdf)
+
+    got = simhash_pairs(docs, max_hamming=max_hamming).toPandas()
+    got_pairs = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=64).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sims), 2):
+        d = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        if d <= max_hamming:
+            want[(a, b)] = d
+    assert got_pairs == want
