@@ -352,3 +352,28 @@ def temperature_mix(
         .filter(h < F.col("__rate__") * F.lit(buckets))
         .drop("__rate__")
     )
+
+
+def materialize_bins(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str = "n_tokens",
+    bin_col: str = "bin_id",
+    sep: str = " <|eos|> ",
+) -> DataFrame:
+    """Turn pack_sequences' bin assignment into actual training sequences:
+    one row per bin with the member texts concatenated in id order behind
+    an EOS separator, plus token/doc accounting. ONE hash aggregate on the
+    bin key; in-bin ordering is array_sort over the collected (id, text)
+    structs — bounded by the token budget, never by corpus size. Returns
+    (bin_id, packed_text, n_tokens, n_docs)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(text_col)))),
+        lambda s: s[text_col],
+    )
+    return packed.groupBy(bin_col).agg(
+        F.array_join(ordered, sep).alias("packed_text"),
+        F.sum(token_count_col).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )

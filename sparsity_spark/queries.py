@@ -2435,6 +2435,41 @@ def pipe_pack_bins(spark, sf_dir):
 
 
 @query(
+    "pipe_pack_texts",
+    """
+    WITH t AS (
+      SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), b AS (
+      SELECT doc_id, text, n_tokens,
+             CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin_id FROM c
+    )
+    SELECT bin_id,
+           string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS packed_text,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY bin_id
+    """,
+)
+def pipe_pack_texts(spark, sf_dir):
+    """Materialized training sequences: 512-token bins concatenated in id
+    order behind an EOS separator — one hash aggregate on the bin key,
+    in-bin sort bounded by the token budget."""
+    from sparsity_spark.operators.dedup import words_expr
+    from sparsity_spark.operators.pipeline import materialize_bins, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(words_expr("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512)
+    return materialize_bins(packed)
+
+
+@query(
     "text_tfidf",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS col FROM documents),
