@@ -502,6 +502,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
+    k: int = 1,
 ) -> DataFrame:
     """Exact all-pairs Jaccard similarity join with PPJoin-style prefix
     filtering (Xiao et al., WWW'08) — LOSSLESS candidate pruning, unlike
@@ -524,11 +525,22 @@ def jaccard_prefix_join(
     prefix ranks, one pair-dedup aggregate, one verification join.
     Everything is built-in expressions; work scales with candidate pairs,
     which t controls.
+
+    ``k`` sets the token unit: 1 = single words, >1 = word k-gram shingles.
+    Prefix filtering only prunes when the rare end of the vocabulary is
+    actually rare — on a small-vocabulary corpus (the sf0.1 testdata has
+    31 distinct words, so every word appears in ~8-78%% of docs) the word
+    unit degenerates to a near-all-pairs join, while k=3 shingles give a
+    combinatorial vocabulary whose df tail is genuinely sparse (measured:
+    word-unit DNF >500 s on 5k docs; k=3 finishes in seconds — SCALE.md).
     """
     t = float(threshold)
+    unit = (
+        words_expr(text_col) if k <= 1 else shingles_expr(words_expr(text_col), k)
+    )
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(words_expr(text_col))).alias("tok"),
+        F.explode(F.array_distinct(unit)).alias("tok"),
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
@@ -558,7 +570,7 @@ def jaccard_prefix_join(
     )
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(words_expr(text_col)).alias("g"),
+        F.array_distinct(unit).alias("g"),
     )
     ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))

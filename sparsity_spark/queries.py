@@ -3932,6 +3932,43 @@ def dedup_jaccard_prefix_join(spark, sf_dir):
 
 
 @query(
+    "dedup_jaccard_prefix_shingles",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (len(sa.grams) + len(sb.grams) - c), 4) AS jaccard
+    FROM pair
+    JOIN g sa ON ia = sa.doc_id
+    JOIN g sb ON ib = sb.doc_id
+    WHERE c * 1.0 / (len(sa.grams) + len(sb.grams) - c) >= 0.9
+    """,
+)
+def dedup_jaccard_prefix_shingles(spark, sf_dir):
+    """The SCALE configuration of the PPJoin: k=3 shingle tokens over the
+    FULL corpus (no sample). On a small-vocabulary corpus, word tokens are
+    never rare and prefix filtering degenerates to near-all-pairs (measured
+    DNF >500 s on 5k docs); 3-gram shingles give a combinatorial vocabulary
+    (df max 25 on the same corpus) — 9.6 s full corpus, 3× wall on 10×
+    data (SCALE.md). Oracle is the naive shared-shingle join."""
+    from sparsity_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.9, k=3)
+
+
+@query(
     "text_quality_model",
     """
     WITH base AS (
