@@ -35,9 +35,26 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoize the normalized plan per session: a DataFrame is an immutable
+    # logical plan, and rebuilding it per query repeats the driver-side file
+    # listing + parquet footer read + analysis (measured as a diffuse few-ms
+    # tax on every bench query). The cache lives on the session object so its
+    # lifetime is exactly the session's. Reusing the plan also reuses the
+    # resolved InMemoryFileIndex, so Catalyst skips re-listing the directory.
+    cache = getattr(spark, "_sparsity_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sparsity_table_cache = cache
+    key = (sf_dir.rstrip("/"), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     # self-sufficient: the driver hands us ITS session, which won't have the
-    # legacy flag — it is runtime-settable, so set it here, always
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # legacy flag — it is runtime-settable. One conf RPC per session, not per
+    # table load.
+    if not getattr(spark, "_sparsity_nanos_conf_set", False):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark._sparsity_nanos_conf_set = True
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         field = dict(zip(df.schema.names, df.schema.fields))[c]
@@ -54,6 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # and every unix_micros()/window call site downstream works
             # regardless of which logical type the writer chose
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    cache[key] = df
     return df
 
 

