@@ -1874,6 +1874,52 @@ def s2_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s3_traildb_binary",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(floor(epoch(ts))) AS BIGINT) AS min_ts,
+           CAST(MAX(floor(epoch(ts))) AS BIGINT) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def s3_traildb_binary(spark, sf_dir):
+    """SURVEY §2.1 S3, binary-container form (reference _traildb.pyx:17-44
+    + traildb_coo.c:12-115): events → a real ``.tdb`` tar container
+    (huffman/literal bitstream format) → pure-Python distributed decode →
+    per-type rollup. The fixture write collects to the driver (test-sized
+    by construction); the DECODE path is the product: trail ranges fan out
+    across executors via mapInPandas."""
+    import tempfile
+
+    from sparsity_spark.traildb import traildb_event_table, write_tdb
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("s"),
+            "event_type",
+            "event_id",
+        )
+        .orderBy("user_id", "s", "event_id")
+        .collect()
+    )
+    trails: dict[int, list] = {}
+    for r in rows:
+        trails.setdefault(r["user_id"], []).append(
+            (r["s"], {"event_type": r["event_type"]})
+        )
+    path = tempfile.mkdtemp(prefix="sparsity_tdb_") + "/events.tdb"
+    write_tdb(path, [(f"{uid:032x}", evs) for uid, evs in sorted(trails.items())])
+    back = traildb_event_table(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
     "src_csv_events",
     """
     SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
@@ -2053,12 +2099,25 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
-@query("stream_session_stats")  # rows-only: applyInPandasWithState is not SQL-expressible
+@query(
+    "stream_session_stats",
+    # The stateful operator is a per-user running accumulator; after an
+    # availableNow run has drained the source, the LATEST update per user
+    # (max_by on n_events below) is exactly the batch per-user rollup —
+    # so the final output IS SQL-expressible even though the cross-batch
+    # state transitions are not.
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_session_stats(spark, sf_dir):
     """Custom stateful streaming operator round trip: per-user accumulator
-    via applyInPandasWithState (update mode), availableNow trigger. No SQL
-    oracle exists for cross-batch state; the driver records a rows-only
-    check and pytest pins batch parity."""
+    via applyInPandasWithState (update mode), availableNow trigger. The
+    oracle checks the drained end-state (per-user count/sum); the
+    cross-batch state transitions themselves are pinned by the batch-parity
+    test in tests/test_streaming.py."""
     import tempfile
     import uuid
 

@@ -1,0 +1,390 @@
+"""Pure-Python reader for TrailDB binary containers (``.tdb`` files).
+
+Closes SURVEY §2 S3 fully: the reference links the native traildb C library
+(reference _traildb.pyx:17-44 + src/traildb_coo.c:12-115) to scan ``.tdb``
+files into COO triples; this module parses the same on-disk format with no
+native dependency, so a user holding real ``.tdb`` files can load them
+directly into the Spark-native event table / SparseFrame path.
+
+On-disk format (reverse-engineered from the public TrailDB format against
+the reference's own test fixtures ``tiny.tdb`` / ``pydata.tdb``, and
+validated event-for-event against their published counts):
+
+* The container is a **tar archive** with members ``version`` (``"1"``),
+  ``info`` (text: ``num_trails num_events min_timestamp max_timestamp
+  max_timestamp_delta``), ``fields`` (newline-separated field names; field
+  id 0 is the implicit ``time`` field), ``lexicon.<field>`` (string pool:
+  ``u32 count`` + ``u32 offsets[count+1]`` measured from file start +
+  concatenated bytes; value id 0 is NULL/empty, id *i* ≥ 1 is string
+  *i−1*), ``uuids`` (16 bytes per trail), ``trails.toc`` (``u32``
+  byte-offsets into ``trails.data``, ``num_trails+1`` entries),
+  ``trails.data`` and ``trails.codebook``.
+
+* ``trails.codebook`` is a 65536-entry peek table of packed
+  ``{u64 symbol_lo, u64 symbol_hi, u32 code_bits}`` records: the decoder
+  peeks the next 16 bits of the stream (LSB-first) and indexes the table
+  directly; ``code_bits`` says how many of those bits the canonical
+  huffman code actually uses.  A symbol is a *gram*: one or two packed
+  items (``symbol_hi == 0`` → unigram).
+
+* An **item** packs ``field = item & 127`` (wide flag at bit 7 extends the
+  field id by 8 bits and shifts the value to bit 16) and
+  ``value = item >> 8``.  Field 0 items carry the event's timestamp delta
+  in seconds; other fields carry lexicon value ids.
+
+* Each **trail** is a little-endian, LSB-first bitstream:
+  ``[3-bit pad count][grams...][zero padding]`` — the 3-bit header gives
+  the number of unused bits at the end of the trail's byte span, i.e. the
+  content ends at ``8*len − pad``.  Each gram is ``[flag bit]`` +
+  (flag=1: huffman code via the peek table; flag=0: literal
+  ``[field: field_id_bits][value: field_bits[field]]`` with
+  ``field_id_bits = bit_length(num_fields)``,
+  ``field_bits[0] = bit_length(max_timestamp_delta)``,
+  ``field_bits[f] = bit_length(lexicon_size(f))``).
+
+* **Event assembly** (edge encoding): per trail, a running value per field
+  starts at NULL and the timestamp at ``min_timestamp``; every field-0
+  item starts a new event (``ts += delta``), non-zero-field items update
+  the running values, and each event exposes the *current* value of every
+  field — exactly the cursor semantics the reference's C scanner consumes
+  (traildb_coo.c:47-88: ``tdb_cursor_next`` events carry all fields).
+
+Scale design: a single ``.tdb`` is a single-node artifact (the reference
+engine itself is single-node), but decode is distributed anyway —
+``traildb_event_table`` splits the trail id space into ranges and each
+Spark task re-opens the container (tar member offsets are computed once,
+cheaply) and decodes only its range via the per-trail toc, so ingest
+parallelism scales with executors while the driver never materializes the
+events.
+"""
+
+from __future__ import annotations
+
+import struct
+import tarfile
+from dataclasses import dataclass
+
+
+@dataclass
+class TdbMeta:
+    path: str
+    num_trails: int
+    num_events: int
+    min_timestamp: int
+    max_timestamp: int
+    max_timestamp_delta: int
+    fields: list[str]  # ofield names (field id = index + 1; 0 is time)
+    lexicons: dict[str, list[str]]
+    member_spans: dict[str, tuple[int, int]]  # member -> (abs offset, size)
+
+    @property
+    def field_id_bits(self) -> int:
+        # field ids 0..len(fields) → bits for num_fields (incl. time)
+        return (len(self.fields) + 1).bit_length()
+
+    def field_bits(self, fid: int) -> int:
+        if fid == 0:
+            return max(1, self.max_timestamp_delta.bit_length())
+        return max(1, len(self.lexicons[self.fields[fid - 1]]).bit_length())
+
+
+def _parse_lexicon(raw: bytes) -> list[str]:
+    (count,) = struct.unpack_from("<I", raw, 0)
+    offs = struct.unpack_from(f"<{count + 1}I", raw, 4)
+    return [raw[offs[i] : offs[i + 1]].decode("utf-8") for i in range(count)]
+
+
+def open_tdb(path: str) -> TdbMeta:
+    """Parse container metadata + record absolute member offsets so tasks
+    can later ``pread`` raw slices without re-walking the tar."""
+    spans: dict[str, tuple[int, int]] = {}
+    with tarfile.open(path, "r:") as tf:
+        for m in tf.getmembers():
+            spans[m.name] = (m.offset_data, m.size)
+
+        def read(name: str) -> bytes:
+            f = tf.extractfile(name)
+            assert f is not None, f"missing tdb member {name}"
+            return f.read()
+
+        version = read("version").decode().strip()
+        if version != "1":
+            raise ValueError(f"unsupported TrailDB version {version!r}")
+        info = read("info").decode().split()
+        fields = [f for f in read("fields").decode().split("\n") if f]
+        lexicons = {f: _parse_lexicon(read(f"lexicon.{f}")) for f in fields}
+    return TdbMeta(
+        path=path,
+        num_trails=int(info[0]),
+        num_events=int(info[1]),
+        min_timestamp=int(info[2]),
+        max_timestamp=int(info[3]),
+        max_timestamp_delta=int(info[4]),
+        fields=fields,
+        lexicons=lexicons,
+        member_spans=spans,
+    )
+
+
+def _pread(path: str, span: tuple[int, int]) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(span[0])
+        return f.read(span[1])
+
+
+def _item(x: int) -> tuple[int, int]:
+    if x & 128:  # wide item: 15-bit field, value from bit 16
+        return (x & 127) | (((x >> 8) & 0xFF) << 7), x >> 16
+    return x & 127, x >> 8
+
+
+def decode_trails(
+    meta: TdbMeta,
+    trail_ids: range | None = None,
+    codebook: bytes | None = None,
+    toc: bytes | None = None,
+):
+    """Yield ``(trail_id, timestamp, {field_name: value_str})`` per event
+    for the given trail id range (default: all)."""
+    codebook = codebook if codebook is not None else _pread(
+        meta.path, meta.member_spans["trails.codebook"]
+    )
+    toc = toc if toc is not None else _pread(meta.path, meta.member_spans["trails.toc"])
+    trail_ids = trail_ids if trail_ids is not None else range(meta.num_trails)
+    if len(trail_ids) == 0:
+        return
+    # toc entry width: num_trails+1 u32s, or u64s for >4 GiB data sections
+    n_toc = meta.num_trails + 1
+    if len(toc) >= 8 * n_toc:
+        offs = struct.unpack_from(f"<{n_toc}Q", toc, 0)
+    else:
+        offs = struct.unpack_from(f"<{n_toc}I", toc, 0)
+
+    lo, hi = trail_ids[0], trail_ids[-1] + 1
+    data_span = meta.member_spans["trails.data"]
+    byte_lo, byte_hi = offs[lo], offs[hi]
+    data = _pread(meta.path, (data_span[0] + byte_lo, byte_hi - byte_lo))
+
+    fid_bits = meta.field_id_bits
+    fbits = [meta.field_bits(f) for f in range(len(meta.fields) + 1)]
+    names = meta.fields
+    lex = [meta.lexicons[f] for f in names]
+    n_fields = len(names)
+
+    for tid in range(lo, hi):
+        b = data[offs[tid] - byte_lo : offs[tid + 1] - byte_lo]
+        if not b:
+            continue
+        # bitstream helpers: LSB-first within little-endian bytes
+        stream = int.from_bytes(b, "little")
+        nbits = 8 * len(b)
+        pad = stream & 7
+        end = nbits - pad
+        off = 3
+        ts = meta.min_timestamp
+        cur = [0] * n_fields  # running lexicon value id per ofield
+        started = False
+
+        def emit():
+            return (
+                tid,
+                ts,
+                {
+                    names[i]: (lex[i][cur[i] - 1] if cur[i] else "")
+                    for i in range(n_fields)
+                },
+            )
+
+        while off < end:
+            if (stream >> off) & 1:  # huffman gram via 16-bit peek table
+                idx = (stream >> (off + 1)) & 0xFFFF
+                s_lo, s_hi, nb = struct.unpack_from("<QQI", codebook, idx * 20)
+                if nb == 0:
+                    raise ValueError(
+                        f"corrupt trail {tid}: no code at bit {off} (idx {idx:#06x})"
+                    )
+                off += nb + 1
+                items = [_item(s_lo)] + ([_item(s_hi)] if s_hi else [])
+            else:  # literal: [0][field][value]
+                fid = (stream >> (off + 1)) & ((1 << fid_bits) - 1)
+                if fid > n_fields:
+                    raise ValueError(f"corrupt trail {tid}: field {fid} at bit {off}")
+                val = (stream >> (off + 1 + fid_bits)) & ((1 << fbits[fid]) - 1)
+                off += 1 + fid_bits + fbits[fid]
+                items = [(fid, val)]
+            for fid, val in items:
+                if fid == 0:  # timestamp delta → new event
+                    if started:
+                        yield emit()
+                    ts += val
+                    started = True
+                else:
+                    cur[fid - 1] = val
+        if started:
+            yield emit()
+
+
+def read_uuids(meta: TdbMeta) -> list[str]:
+    raw = _pread(meta.path, meta.member_spans["uuids"])
+    return [raw[i * 16 : (i + 1) * 16].hex() for i in range(meta.num_trails)]
+
+
+def traildb_event_table(spark, path: str, num_partitions: int | None = None):
+    """Distributed ``.tdb`` → Spark event table (uuid, ts, <fields...>).
+
+    The driver parses only the container metadata; each task decodes a
+    contiguous trail id range (work ∝ its slice of ``trails.data``).
+    ``path`` must be reachable from executors, like any Spark input.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pandas as pd
+
+    meta = open_tdb(path)
+    uuids = read_uuids(meta)
+    n_parts = num_partitions or min(max(1, meta.num_trails // 256), 64)
+    bounds = spark.range(n_parts).select("id")
+    n_trails, n_fields = meta.num_trails, list(meta.fields)
+
+    def decode_part(batches):
+        for pdf in batches:
+            for pid in pdf["id"]:
+                lo = int(pid) * n_trails // n_parts
+                hi = (int(pid) + 1) * n_trails // n_parts
+                rows = {
+                    "uuid": [],
+                    "ts": [],
+                    "trail_id": [],
+                    "row": [],
+                    **{f: [] for f in n_fields},
+                }
+                pos = 0
+                last_tid = -1
+                for tid, ts, vals in decode_trails(meta, range(lo, hi)):
+                    pos = pos + 1 if tid == last_tid else 0
+                    last_tid = tid
+                    rows["uuid"].append(uuids[tid])
+                    rows["ts"].append(ts)
+                    rows["trail_id"].append(tid)
+                    # cursor-scan order (trail-major): reproduces the C
+                    # scanner's first-seen column ordering, which is NOT
+                    # time order (traildb_coo.c:47-60 iterates trails)
+                    rows["row"].append((tid << 32) | pos)
+                    for f in n_fields:
+                        rows[f].append(vals[f])
+                if rows["uuid"]:
+                    yield pd.DataFrame(rows)
+
+    schema = "uuid string, ts long, trail_id long, row long, " + ", ".join(
+        f"`{f}` string" for f in n_fields
+    )
+    return bounds.mapInPandas(decode_part, schema=schema)
+
+
+def read_traildb(spark, path: str, field: str, num_partitions: int | None = None):
+    """``.tdb`` → SparseFrame one-hot of ``field`` keyed by (uuid, ts) —
+    full reference ``SparseFrame.read_traildb`` parity (sparse_frame.py:
+    410-421 + traildb_coo.c first-seen column order) from the binary
+    container, no native traildb needed."""
+    from sparsity_spark.events import read_events
+
+    events = traildb_event_table(spark, path, num_partitions)
+    return read_events(events, field, uuid_col="uuid", ts_col="ts", order_col="row")
+
+
+def write_tdb(path: str, trails: list[tuple[str, list[tuple[int, dict]]]]) -> None:
+    """Minimal TrailDB writer (literal-only encoding) for round-trip tests
+    and fixture generation: every gram is emitted as a flag-0 literal, so
+    no huffman codebook construction is needed (the 65536-entry table is
+    all zeros — the decoder only consults it behind flag=1).
+
+    ``trails``: list of (uuid_hex_32chars, [(timestamp, {field: value})]),
+    events pre-sorted by timestamp within each trail.
+    """
+    import io as _io
+
+    fields = sorted({f for _, evs in trails for _, vals in evs for f in vals})
+    all_ts = [ts for _, evs in trails for ts, _ in evs]
+    num_events = len(all_ts)
+    min_ts, max_ts = (min(all_ts), max(all_ts)) if all_ts else (0, 0)
+    # lexicons: first-seen value order (ids are 1-based; 0 is NULL)
+    lex: dict[str, dict[str, int]] = {f: {} for f in fields}
+    max_delta = 1
+    for _, evs in trails:
+        prev = min_ts
+        for ts, vals in evs:
+            max_delta = max(max_delta, ts - prev)
+            prev = ts
+            for f, v in vals.items():
+                lex[f].setdefault(str(v), len(lex[f]) + 1)
+
+    # field_bits must mirror the reader's TdbMeta exactly
+    fid_bits = (len(fields) + 1).bit_length()
+    fbits = [max(1, max_delta.bit_length())] + [
+        max(1, len(lex[f]).bit_length()) for f in fields
+    ]
+
+    def encode_trail(evs) -> bytes:
+        bits: list[tuple[int, int]] = []  # (value, nbits) appended LSB-first
+
+        def put(value: int, n: int):
+            bits.append((value, n))
+
+        prev_ts = min_ts
+        cur = {f: 0 for f in fields}
+        for ts, vals in evs:
+            put(0, 1)  # literal flag
+            put(0, fid_bits)  # field 0: timestamp delta
+            put(ts - prev_ts, fbits[0])
+            prev_ts = ts
+            for i, f in enumerate(fields):
+                vid = lex[f][str(vals[f])] if f in vals else cur[f]
+                if vid != cur[f]:  # edge encoding: only changed values
+                    cur[f] = vid
+                    put(0, 1)
+                    put(i + 1, fid_bits)
+                    put(vid, fbits[i + 1])
+        content = sum(n for _, n in bits) + 3
+        pad = (8 - content % 8) % 8
+        stream = pad  # 3-bit pad header
+        off = 3
+        for value, n in bits:
+            stream |= (value & ((1 << n) - 1)) << off
+            off += n
+        return stream.to_bytes((content + pad) // 8, "little")
+
+    blobs = [encode_trail(evs) for _, evs in trails]
+    toc = b"".join(
+        struct.pack("<I", o)
+        for o in [sum(len(b) for b in blobs[:i]) for i in range(len(blobs) + 1)]
+    )
+
+    def lex_blob(f: str) -> bytes:
+        strs = list(lex[f])
+        head = 4 + 4 * (len(strs) + 1)
+        offs, pos = [], head
+        for s in strs:
+            offs.append(pos)
+            pos += len(s.encode())
+        offs.append(pos)
+        return (
+            struct.pack("<I", len(strs))
+            + struct.pack(f"<{len(strs) + 1}I", *offs)
+            + "".join(strs).encode()
+        )
+
+    members = {
+        "version": b"1",
+        "info": f"{len(trails)} {num_events} {min_ts} {max_ts} {max_delta}\n".encode(),
+        "fields": ("\n".join(fields) + "\n\n").encode(),
+        **{f"lexicon.{f}": lex_blob(f) for f in fields},
+        "uuids": b"".join(bytes.fromhex(u) for u, _ in trails),
+        "trails.codebook": bytes(65536 * 20),
+        "trails.toc": toc,
+        "trails.data": b"".join(blobs),
+    }
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, blob in members.items():
+            ti = tarfile.TarInfo(name)
+            ti.size = len(blob)
+            tf.addfile(ti, _io.BytesIO(blob))

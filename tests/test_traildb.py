@@ -1,0 +1,125 @@
+"""Pure-Python TrailDB binary reader (SURVEY §2 S3, closed fully in r4).
+
+Golden source: the reference's own fixtures (tiny.tdb: test_coo.py:11-22's
+9-event/3-column pattern; pydata.tdb: the 109,626-event ingest-benchmark
+db) — read-only, gated behind existence so the repo stays standalone; the
+writer round-trip covers the format without them.
+"""
+
+import os
+
+import pytest
+
+from sparsity_spark.traildb import (
+    decode_trails,
+    open_tdb,
+    read_traildb,
+    read_uuids,
+    traildb_event_table,
+    write_tdb,
+)
+
+TINY = "/root/reference/sparsity/test/tiny.tdb"
+PYDATA = "/root/reference/sparsity/test/pydata.tdb"
+
+
+@pytest.mark.skipif(not os.path.exists(TINY), reason="reference fixture absent")
+def test_tiny_golden_coo_pattern():
+    """Reference test_coo.py golden: 9 events, username column ids come in
+    trail-major first-seen blocks [0,0,0,1,1,1,2,2,2]."""
+    meta = open_tdb(TINY)
+    assert meta.num_trails == 3 and meta.num_events == 9
+    assert meta.fields == ["username", "action"]
+    evs = list(decode_trails(meta))
+    assert len(evs) == 9
+    cols: dict = {}
+    c_idx = [cols.setdefault(e[2]["username"], len(cols)) for e in evs]
+    assert c_idx == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert [e[2]["action"] for e in evs] == ["open", "save", "close"] * 3
+    ts = [e[1] for e in evs]
+    assert min(ts) == meta.min_timestamp and max(ts) == meta.max_timestamp
+
+
+@pytest.mark.skipif(not os.path.exists(PYDATA), reason="reference fixture absent")
+def test_pydata_full_decode_counts():
+    """The 109,626-event benchmark db decodes completely: exact event count
+    and exact [min,max] timestamp range from the info header, exercising
+    huffman bigrams, literals, and 37k-entry lexicons."""
+    meta = open_tdb(PYDATA)
+    n, tmin, tmax = 0, 1 << 62, 0
+    for _, ts, _vals in decode_trails(meta):
+        n += 1
+        tmin, tmax = min(tmin, ts), max(tmax, ts)
+    assert n == meta.num_events == 109626
+    assert tmin == meta.min_timestamp and tmax == meta.max_timestamp
+
+
+def test_write_read_roundtrip(tmp_path):
+    """Literal-only writer → reader round trip, including edge encoding
+    (unchanged fields re-surface on later events) and NULL (missing field
+    before first set → empty string)."""
+    path = str(tmp_path / "rt.tdb")
+    trails = [
+        (
+            "0" * 31 + "1",
+            [
+                (1000, {"color": "red", "shape": "circle"}),
+                (1060, {"shape": "square"}),  # color carries over
+                (1060, {"color": "blue"}),  # same-ts event, shape carries
+            ],
+        ),
+        (
+            "0" * 31 + "2",
+            [(1500, {"shape": "circle"})],  # color never set -> NULL
+        ),
+    ]
+    write_tdb(path, trails)
+    meta = open_tdb(path)
+    assert meta.num_trails == 2 and meta.num_events == 4
+    evs = list(decode_trails(meta))
+    assert evs == [
+        (0, 1000, {"color": "red", "shape": "circle"}),
+        (0, 1060, {"color": "red", "shape": "square"}),
+        (0, 1060, {"color": "blue", "shape": "square"}),
+        (1, 1500, {"color": "", "shape": "circle"}),
+    ]
+    assert read_uuids(meta) == ["0" * 31 + "1", "0" * 31 + "2"]
+
+
+@pytest.mark.skipif(not os.path.exists(TINY), reason="reference fixture absent")
+def test_event_table_and_sparse_frame(spark):
+    """Distributed decode → event table → SparseFrame one-hot parity:
+    column order is first-seen in trail-scan order (the C scanner's
+    ordering), todense row sums are all 1."""
+    ev = traildb_event_table(spark, TINY, num_partitions=2)
+    rows = ev.orderBy("row").collect()
+    assert len(rows) == 9
+    assert [r["action"] for r in rows] == ["open", "save", "close"] * 3
+
+    sf = read_traildb(spark, TINY, "username")
+    # first-seen = trail order (NOT time order): trail0's user is col 0
+    first_user = rows[0]["username"]
+    assert sf.columns[0] == first_user
+    dense = sf.todense()
+    assert dense.shape == (9, 3)
+    assert dense.sum().sum() == 9.0
+    assert (dense.sum(axis=1) == 1.0).all()
+
+
+def test_event_table_distributed_partitions(spark, tmp_path):
+    """Writer fixture through the Spark path with several partitions: every
+    event lands exactly once regardless of the trail->partition split."""
+    path = str(tmp_path / "many.tdb")
+    trails = [
+        (f"{i:032x}", [(1000 + 60 * j, {"kind": f"k{j % 3}"}) for j in range(5)])
+        for i in range(17)
+    ]
+    write_tdb(path, trails)
+    ev = traildb_event_table(spark, path, num_partitions=4)
+    assert ev.count() == 17 * 5
+    got = ev.groupBy("kind").count().orderBy("kind").collect()
+    assert [(r["kind"], r["count"]) for r in got] == [
+        ("k0", 34),
+        ("k1", 34),
+        ("k2", 17),
+    ]
