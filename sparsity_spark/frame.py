@@ -238,6 +238,20 @@ class SparseFrame:
             old = self.index.withColumn("__ord__", F.row_number().over(w) - 1)
             keyed = old.join(F.broadcast(new_map), on="__ord__").drop("__ord__")
             pos_join = self.has_pos and self.cells_have_pos
+            if not pos_join:
+                # without a position column the cells join on key labels
+                # alone — duplicate labels would fan every cell out to every
+                # new index value assigned to that label, silently diverging
+                # from the reference's strict row-i-gets-idx[i] assignment
+                # (ADVICE r3). Detect and fail loudly instead.
+                n_distinct = self.index.select(*self.key_cols).distinct().count()
+                if n_distinct != n:
+                    raise ValueError(
+                        f"set_index(idx=) on a frame without row positions "
+                        f"requires unique index labels ({n - n_distinct} "
+                        f"duplicates found) — call drop_duplicate_idx() "
+                        f"first, or build the frame with position tracking"
+                    )
             join_on = self.key_cols + ([POS] if pos_join else [])
             pos_cols = [POS] if pos_join else []
             cells = (
@@ -816,26 +830,43 @@ class SparseFrame:
     # absent from the reference — long format provides them cheaply)     #
     # ------------------------------------------------------------------ #
 
-    def transpose(self, key_as_col: str | None = None) -> "SparseFrame":
+    def transpose(
+        self, key_as_col: str | None = None, max_columns: int = 100_000
+    ) -> "SparseFrame":
         """Swap rows and columns — for a single-key frame this is a pure
         column rename in long format (zero shuffle); the reference only
         transposes internally inside its matmul group-by.
 
         Scale note: the old row keys become the new column dictionary, which
         lives driver-side — transpose a frame whose key cardinality is
-        dictionary-sized (like the reference's), not corpus-sized."""
+        dictionary-sized (like the reference's), not corpus-sized.
+        ``max_columns`` makes that contract a hard guard: transposing a
+        corpus-keyed frame fails loudly BEFORE the driver collect instead
+        of slowly OOMing it (VERDICT r3 'What's wrong' #2)."""
         if len(self.key_cols) != 1:
             raise ValueError("transpose requires a single key column")
         key = self.key_cols[0]
-        new_key = key_as_col or COL
+        # default to the old key's own name — COL as the default collided
+        # with the label column in the same select
+        new_key = key_as_col or (key if key != COL else f"{key}_t")
         cells = self._bare_cells().select(
             F.col(COL).alias(new_key),
             F.col(key).cast("string").alias(COL),
             F.col(VAL),
         )
-        new_cols = [
-            str(r[key]) for r in self.index.select(key).distinct().orderBy(key).collect()
-        ]
+        # limit(max+1) bounds the collect itself — the guard can never
+        # pull more than the threshold even when the check fails
+        rows = (
+            self.index.select(key).distinct().orderBy(key).limit(max_columns + 1).collect()
+        )
+        if len(rows) > max_columns:
+            raise ValueError(
+                f"transpose would create more than {max_columns} columns — "
+                f"the new column dictionary is driver-side state, so this "
+                f"frame's key cardinality is too large to transpose; raise "
+                f"max_columns explicitly if this is intentional"
+            )
+        new_cols = [str(r[key]) for r in rows]
         idx = self.spark().createDataFrame([(c,) for c in self.columns], f"`{new_key}` string")
         return SparseFrame(cells, [new_key], new_cols, idx)
 
@@ -936,8 +967,10 @@ class SparseFrame:
         pdf = pdf[self.columns]
         if not pandas:
             arr = pdf.to_numpy()
-            # reference sparse_frame.py:111-112: 1-row or 1-col → 1-D
-            if len(pdf) and (arr.shape[0] == 1 or arr.shape[1] == 1):
+            # reference sparse_frame.py:111-112: 1-row or 1-col → 1-D.
+            # No emptiness guard: an empty single-column frame must also
+            # squeeze to a length-0 1-D array like the reference (ADVICE r3)
+            if arr.shape[0] == 1 or arr.shape[1] == 1:
                 return arr.reshape(-1)
             return arr
         if len(self.columns) == 1 and len(pdf):

@@ -89,9 +89,12 @@ def pack_sequences(
     A sequential cumsum is inherent to the semantics, so with ``by=None``
     the window is global and the corpus funnels through one task — fine for
     a shard, wrong for 100 TB. Pass ``by=<shard column>`` to partition the
-    window: bins are then packed independently per shard (bin_id is made
-    unique across shards by prefixing the shard hash), each shard's cumsum
-    runs in its own task, and the plan has no unpartitioned window."""
+    window: bins are then packed independently per shard, each shard's
+    cumsum runs in its own task, and the plan has no unpartitioned window.
+    Sharded bin_id is the collision-FREE composite ``<shard>#<local_bin>``
+    (a 32-bit shard-hash prefix was tried first and collides at birthday
+    rate — ~50% odds by 65k shards — silently merging two shards' bins
+    into one over-budget sequence; ADVICE r3)."""
     order_col = order_col or id_col
     if by is None:
         w = Window.orderBy(order_col)
@@ -101,9 +104,7 @@ def pack_sequences(
     cum = F.sum(token_count_col).over(w)
     local_bin = F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
     if by is not None:
-        # shard-unique bin ids: (shard hash) * 2^32 + local bin. xxhash64
-        # keeps it JVM-side; 2^32 local bins per shard is ample headroom
-        local_bin = F.shiftleft(F.xxhash64(F.col(by)), 32).bitwiseXOR(local_bin)
+        local_bin = F.concat_ws("#", F.col(by).cast("string"), local_bin)
     return docs.withColumn("bin_id", local_bin)
 
 

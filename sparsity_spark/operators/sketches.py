@@ -1,8 +1,13 @@
 """Mergeable cardinality sketches, engine-deterministic by construction.
 
-KMV (k-minimum-values): keep the k smallest 32-bit md5 hashes of the
+KMV (k-minimum-values): keep the k smallest 60-bit md5 hashes of the
 distinct values; the classic unbiased estimate is ``(k-1) / kth_min_norm``
-where the kth minimum is normalized into (0, 1]. Unlike HLL register
+where the kth minimum is normalized into (0, 1]. The hash space is 60
+bits (15 md5 hex chars — the widest prefix that parses exactly into a
+signed 64-bit integer in every SQL engine), so saturation/collision bias
+starts around 2^60 ≈ 10^18 distinct values, comfortably past any 100 TB
+column (the former 32-bit space saturated at ~4.3e9 — ADVICE r3).
+Unlike HLL register
 implementations (whose estimates differ across engines), KMV over a fixed
 hash is a pure deterministic function of the value set — so a DuckDB
 oracle reproduces the sketch AND the estimate bit-for-bit, while the
@@ -20,17 +25,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-HASH_SPACE = float(1 << 32)
+HASH_SPACE = float(1 << 60)
 
 
-def _h32(col):
-    """First 8 md5 hex chars as a 32-bit integer — the same engine-portable
-    draw used across dedup/pipeline (any SQL engine reproduces it)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+def _h60(col):
+    """First 15 md5 hex chars as a 60-bit integer — engine-portable (any
+    SQL engine parses a 15-char hex prefix into a signed 64-bit exactly),
+    wide enough that collision bias is negligible at any realistic
+    cardinality."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
 def kmv_sketch(
-    df: DataFrame, value_col: str, k: int = 64, prefilter_sample: int | None = 100_000
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    prefilter_sample: float | None = 0.02,
 ) -> DataFrame:
     """The sketch itself: (rank, h) — the k smallest distinct hash values,
     rank 1-based in ascending hash order.
@@ -40,16 +50,24 @@ def kmv_sketch(
     shuffle candidate-sized, provably losslessly: the kth-smallest hash of
     ANY sample is >= the true kth smallest of the full set, so filtering
     ``h <= sample_kth`` (a map) can never drop a true minimum — the
-    surviving candidate set is tiny (expected ~k·N/sample per partition of
-    hash space) and only IT is shuffled for the distinct + TakeOrdered.
-    Skipped automatically when the sample holds fewer than k distinct
-    hashes (the set is sketch-sized anyway). One metadata-sized sample job,
-    eager at build time — the same bounded-driver-state pattern as the
-    iterative operators."""
-    hashes = df.select(_h32(F.col(value_col)).alias("h"))
+    surviving candidate set is tiny and only IT is shuffled for the
+    distinct + TakeOrdered. ``prefilter_sample`` is a uniform Bernoulli
+    fraction (``df.sample``), NOT a ``limit`` — ``limit`` takes whichever
+    partitions answer first, so an adversarial layout (input sorted
+    descending by hash) degraded the bound to a no-op (ADVICE r3); a
+    uniform sample's kth minimum concentrates near k/(fraction·N)·2^60
+    regardless of layout. Skipped automatically when the sample holds
+    fewer than k distinct hashes (the set is sketch-sized anyway). One
+    metadata-sized sample job, eager at build time — the same
+    bounded-driver-state pattern as the iterative operators."""
+    hashes = df.select(_h60(F.col(value_col)).alias("h"))
     if prefilter_sample:
         sample = (
-            hashes.limit(prefilter_sample).distinct().orderBy("h").limit(k).collect()
+            hashes.sample(fraction=min(1.0, prefilter_sample), seed=7)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
         )
         if len(sample) >= k:
             hashes = hashes.filter(F.col("h") <= sample[-1]["h"])

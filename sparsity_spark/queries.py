@@ -4093,7 +4093,7 @@ def pipe_temperature_mix_q(spark, sf_dir):
     "stats_kmv_sketch",
     """
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank, h FROM (
-      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM events
     ) ORDER BY h LIMIT 64
     """,
@@ -4113,12 +4113,12 @@ def stats_kmv_sketch_q(spark, sf_dir):
     """
     WITH sk AS (
       SELECT h FROM (
-        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM events
       ) ORDER BY h LIMIT 64
     ), agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM sk)
     SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-           ELSE ROUND(63.0 / ((kth + 1) / 4294967296.0), 4) END AS distinct_estimate
+           ELSE ROUND(63.0 / ((kth + 1) / 1152921504606846976.0), 4) END AS distinct_estimate
     FROM agg
     """,
 )
@@ -4135,10 +4135,10 @@ def stats_kmv_estimate_q(spark, sf_dir):
     "stats_kmv_jaccard",
     """
     WITH ha AS (
-      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM events WHERE event_type = 'click'
     ), hb AS (
-      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM events WHERE event_type = 'purchase'
     ),
     ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),

@@ -393,6 +393,56 @@ def test_todense_squeeze_parity(spark):
     assert one_row.toarray().ndim == 1  # 1-row numpy squeezes too
 
 
+def test_todense_empty_single_column_squeezes(spark):
+    """ADVICE r3: an EMPTY single-column frame must squeeze to a length-0
+    1-D array like the reference's reshape, not stay (0, 1)."""
+    one_col = pd.DataFrame({"only": [1.0, 2.0]}, index=[5, 6])
+    sf = from_pandas(spark, one_col)
+    empty = sf.loc_range(100, 200)  # no rows in range
+    arr = empty.toarray()
+    assert arr.ndim == 1 and len(arr) == 0
+
+
+def test_set_index_idx_raises_on_duplicate_labels(spark):
+    """ADVICE r3: without position tracking, set_index(idx=) joins on key
+    labels alone — duplicate labels would fan cells out, so it must raise
+    loudly and point at drop_duplicate_idx()."""
+    cells = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)],
+        "k long, col string, value double",
+    )
+    index = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    sf = SparseFrame(cells, ["k"], ["a", "b"], index)
+    with pytest.raises(ValueError, match="drop_duplicate_idx"):
+        sf.set_index(idx=[10, 20, 30])
+
+
+def test_transpose_max_columns_guard(spark):
+    """VERDICT r3: transposing a frame whose key cardinality exceeds the
+    dictionary-size contract fails loudly before the driver collect."""
+    pdf = pd.DataFrame({"a": np.arange(50, dtype="float64")})
+    sf = from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="max_columns"):
+        sf.transpose(key_as_col="feature", max_columns=10)
+    # and the explicit override still works
+    t = sf.transpose(key_as_col="feature", max_columns=100)
+    assert len(t.columns) == 50
+
+
+def test_tfidf_max_vocab_guard(spark):
+    """VERDICT r3: unbounded vocabulary collect must raise with guidance."""
+    from sparsity_spark.operators.text import tfidf_frame
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="min_df"):
+        tfidf_frame(docs, max_vocab=5)
+    sf = tfidf_frame(docs, max_vocab=1000)
+    assert "shared" in sf.columns
+
+
 def test_zip_with_position_stable_inside_union(spark):
     """Regression: the numbering must come from the partition id frozen in
     the cached data, not the executing task's id — inside a union the

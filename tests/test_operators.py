@@ -524,7 +524,25 @@ def test_kmv_prefilter_is_lossless(spark):
     from sparsity_spark.operators.sketches import kmv_sketch
 
     df = spark.range(50_000).withColumnRenamed("id", "v")
-    fast = kmv_sketch(df, "v", k=128, prefilter_sample=1_000).toPandas()
+    fast = kmv_sketch(df, "v", k=128, prefilter_sample=0.3).toPandas()
+    naive = kmv_sketch(df, "v", k=128, prefilter_sample=None).toPandas()
+    assert list(fast.h) == list(naive.h)
+
+
+def test_kmv_prefilter_adversarial_sorted_layout(spark):
+    """ADVICE r3: input pre-sorted DESCENDING by hash value defeated the
+    old limit()-based sample; the uniform Bernoulli sample must produce
+    the identical sketch on any layout."""
+    from sparsity_spark.operators.sketches import _h60, kmv_sketch
+
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(50_000)
+        .withColumnRenamed("id", "v")
+        .orderBy(_h60(F.col("v")).desc())
+    )
+    fast = kmv_sketch(df, "v", k=128, prefilter_sample=0.3).toPandas()
     naive = kmv_sketch(df, "v", k=128, prefilter_sample=None).toPandas()
     assert list(fast.h) == list(naive.h)
 

@@ -183,6 +183,25 @@ def test_packing_sharded_partitions_window(spark, docs):
         )
 
 
+def test_packing_sharded_bin_ids_collision_free(spark):
+    """ADVICE r3: the old 32-bit shard-hash prefix merged distinct shards'
+    bins at birthday rate; the composite <shard>#<local> id is exact —
+    total distinct bin ids == sum of per-shard distinct local bins."""
+    n_shards = 2000
+    counts = (
+        spark.range(4 * n_shards)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(200).alias("n_tokens"),
+            (F.col("id") % n_shards).cast("string").alias("shard"),
+        )
+    )
+    out = pack_sequences(counts, budget=512, by="shard").toPandas()
+    per_shard = out.groupby("shard")["bin_id"].nunique().sum()
+    assert out["bin_id"].nunique() == per_shard
+    assert (out.groupby("bin_id")["shard"].nunique() == 1).all()
+
+
 def test_temperature_mix_flattens_domains(spark, lang_docs):
     from sparsity_spark.operators.pipeline import temperature_mix
 
