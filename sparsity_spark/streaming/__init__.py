@@ -4,6 +4,7 @@ from sparsity_spark.streaming.ingest import (
     streaming_dedup_exact,
     streaming_dedup_neardup,
     streaming_enriched_counts,
+    streaming_ewma,
     streaming_one_hot_counts,
     streaming_session_stats,
     streaming_sliding_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_dedup_neardup",
     "streaming_enriched_counts",
+    "streaming_ewma",
     "streaming_one_hot_counts",
     "streaming_session_stats",
     "streaming_sliding_counts",

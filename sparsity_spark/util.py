@@ -42,6 +42,14 @@ def zip_with_position(
     TaskContext at numbering time): when this plan later runs inside a
     union, the executing task's physical partition id is renumbered across
     branches and would miss the offsets map — the frozen column can't.
+    If a cached partition is evicted AND lost-and-recomputed into a
+    different row distribution (executor loss), the numbering job fails
+    loudly: each stream validates pid uniformity and its exact row count
+    against the count job's tally (ADVICE r3) rather than silently
+    emitting shifted positions. The cache entry itself is cleaned by
+    Spark's ContextCleaner when the plan is garbage-collected; callers
+    doing many positional ops in one long-lived session can pass
+    ``persist=False`` and persist/unpersist explicitly around the op.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -59,23 +67,46 @@ def zip_with_position(
     counts = sorted_df.groupBy("__zip_pid__").count().collect()
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r["__zip_pid__"]):
-        offsets[row["__zip_pid__"]] = acc
+        offsets[row["__zip_pid__"]] = (acc, row["count"])
         acc += row["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
     out_fields = [f for f in sorted_df.schema.fields if f.name != "__zip_pid__"]
     out_schema = StructType(out_fields + [StructField(out_col, LongType())])
 
     def number_partition(iterator):
-        seen = 0
+        # Validation (ADVICE r3): if a cached partition is lost and
+        # recomputed, repartitionByRange may redistribute rows across the
+        # SAME pid set — a missing pid isn't the only corruption mode. So
+        # (a) every batch must carry the stream's single frozen pid, and
+        # (b) the rows seen must equal the count job's tally for that pid.
+        seen, pid, start, expect = 0, None, 0, 0
         for pdf in iterator:
             if not len(pdf):
                 continue
-            # strict lookup: a missing pid means the count job and this job
-            # saw different partitionings — corrupt positions; fail loudly
-            start = b_offsets.value[int(pdf["__zip_pid__"].iloc[0])]
+            pids = pdf["__zip_pid__"].unique()
+            if pid is None:
+                if len(pids) != 1 or int(pids[0]) not in b_offsets.value:
+                    raise ValueError(
+                        f"zip_with_position: partition ids {list(pids)} do not "
+                        f"match the count job's partitioning — cached data was "
+                        f"recomputed differently; positions would be corrupt"
+                    )
+                pid = int(pids[0])
+                start, expect = b_offsets.value[pid]
+            elif len(pids) != 1 or int(pids[0]) != pid:
+                raise ValueError(
+                    f"zip_with_position: mixed partition ids {list(pids)} in "
+                    f"one stream (expected {pid}) — positions would be corrupt"
+                )
             pdf = pdf.drop(columns=["__zip_pid__"])
             pdf[out_col] = range(start + seen, start + seen + len(pdf))
             seen += len(pdf)
             yield pdf
+        if pid is not None and seen != expect:
+            raise ValueError(
+                f"zip_with_position: partition {pid} produced {seen} rows but "
+                f"the count job saw {expect} — cached data was recomputed "
+                f"differently; positions would be corrupt"
+            )
 
     return sorted_df.mapInPandas(number_partition, schema=out_schema)

@@ -393,6 +393,43 @@ def test_todense_squeeze_parity(spark):
     assert one_row.toarray().ndim == 1  # 1-row numpy squeezes too
 
 
+def test_to_indexed_arrays_drives_pyspark_ml(spark):
+    """VERDICT r3 #9: the ML-interop layout must actually feed pyspark.ml —
+    build VectorUDT SparseVectors from (indices, values, size) and fit a
+    model; cluster assignment must separate the two obvious groups."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import Row
+
+    # two clearly-separated groups in a 4-col one-hot space
+    pdf = pd.DataFrame(
+        {
+            "a": [5.0, 5.0, 5.0, 0.0, 0.0, 0.0],
+            "b": [4.0, 5.0, 4.0, 0.0, 0.0, 0.0],
+            "c": [0.0, 0.0, 0.0, 5.0, 4.0, 5.0],
+            "d": [0.0, 0.0, 0.0, 4.0, 5.0, 4.0],
+        },
+        index=[0, 1, 2, 3, 4, 5],
+    )
+    sf = from_pandas(spark, pdf)
+    arrays = sf.to_indexed_arrays()
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(size, indices, values):
+        return SparseVector(size, [int(i) for i in indices], [float(v) for v in values])
+
+    feats = arrays.select(
+        F.col(sf.key_cols[0]).alias("row_id"),
+        to_vec("size", "indices", "values").alias("features"),
+    )
+    model = MLKMeans(k=2, seed=1).fit(feats)
+    pred = {r["row_id"]: r["prediction"] for r in model.transform(feats).collect()}
+    assert len({pred[0], pred[1], pred[2]}) == 1
+    assert len({pred[3], pred[4], pred[5]}) == 1
+    assert pred[0] != pred[3]
+
+
 def test_todense_empty_single_column_squeezes(spark):
     """ADVICE r3: an EMPTY single-column frame must squeeze to a length-0
     1-D array like the reference's reshape, not stay (0, 1)."""

@@ -311,3 +311,90 @@ def test_streaming_neardup_dedup_drops_fingerprint_twins(spark, tmp_path):
     # exactly ONE representative of the fingerprint-twin pair {1, 3}
     assert len(kept & {1, 3}) == 1
     assert {2, 4} <= kept and len(kept) == 3
+
+
+def test_streaming_ewma_matches_batch_closed_form(spark, events_dir):
+    """availableNow replay == temporal.ewma closed form on bounded series
+    (same order: ts; pandas ewm(adjust=True) semantics)."""
+    import uuid
+
+    import numpy as np
+
+    from sparsity_spark.operators.temporal import ewma
+    from sparsity_spark.streaming import streaming_ewma
+
+    name = "ewma_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_ewma(stream_events(spark, events_dir), alpha=0.3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(f"SELECT user_id, ts, ewma FROM {name}")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ewma(spark.read.parquet(events_dir), "user_id", "ts", "value", alpha=0.3)
+        .select("user_id", "ts", "ewma")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert np.allclose(got["ewma"].to_numpy(), want["ewma"].to_numpy(), rtol=1e-9)
+
+
+def test_streaming_ewma_survives_long_series(spark, tmp_path):
+    """Past ~2000 points per key at alpha=0.3 the closed form's r^-i
+    weights overflow double range (inf/inf -> nan); the stateful
+    recurrence stays finite and exact at any length."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from sparsity_spark.operators.temporal import ewma
+    from sparsity_spark.streaming import streaming_ewma
+
+    n = 2500
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "user_id": np.int64(1),
+            "event_type": "x",
+            "value": 5.0,
+            "props": "{}",
+        }
+    )
+    src = str(tmp_path / "long_events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    closed = (
+        ewma(spark.read.parquet(src), "user_id", "ts", "value", alpha=0.3)
+        .agg(F.max(F.isnan("ewma").cast("int")).alias("any_nan"))
+        .collect()[0]["any_nan"]
+    )
+    assert closed == 1  # the documented closed-form failure mode
+
+    name = "ewma_long_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_ewma(stream_events(spark, src), alpha=0.3, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT ts, ewma FROM {name}").toPandas().sort_values("ts")
+    assert len(got) == n
+    assert np.isfinite(got["ewma"]).all()
+    # constant series: ewma == the constant at every step
+    assert np.allclose(got["ewma"].to_numpy(), 5.0)

@@ -35,6 +35,49 @@ def test_asof_backward_and_ties(spark):
     assert pd.isna(out[4])  # other group's rows invisible
 
 
+def test_asof_multi_column_mixed_type_payload(spark):
+    """VERDICT r3 #10: several payload columns of different types (string +
+    long + double) ride one struct carry through the same window pass."""
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 100, ts(12)), (3, 100, ts(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, ts(10), "gold", 5, 7.5), (100, ts(15), "silver", 9, 1.25)],
+        "user_id long, ts timestamp, tier string, qty long, price double",
+    )
+    out = (
+        asof_join(
+            left,
+            right,
+            on="ts",
+            by=["user_id"],
+            value_col=["tier", "qty", "price"],
+            out_col=["tier", "qty", "price"],
+        )
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert pd.isna(out.loc[1, "tier"]) and pd.isna(out.loc[1, "price"])
+    assert (out.loc[2, "tier"], out.loc[2, "qty"], out.loc[2, "price"]) == (
+        "gold",
+        5,
+        7.5,
+    )
+    assert (out.loc[3, "tier"], out.loc[3, "qty"], out.loc[3, "price"]) == (
+        "silver",
+        9,
+        1.25,
+    )
+    # single-string form unchanged (back-compat)
+    single = (
+        asof_join(left, right, on="ts", by=["user_id"], value_col="price")
+        .toPandas()
+        .set_index("event_id")["asof_value"]
+    )
+    assert single[3] == 1.25
+
+
 def test_range_join_boundaries(spark):
     rows = [
         (1, 5, ts(0)),
