@@ -81,11 +81,64 @@ BENCH_QUERIES = [
 ]
 
 
+# scale-soak subset (bench.py --scale N): the quadratic-risk and
+# scan-bound headliners, run against a key-shifted N-fold replica of sf0.1
+# (tools/make_scale_data.py) — the committed, repeatable form of SCALE.md's
+# 10x sweep (VERDICT r3 #4)
+SCALE_QUERIES = [
+    "a1_onehot_groupby_sum",
+    "q1_pricing_summary",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_prefix_join",
+    "ann_ivf_topk",
+    "t4_sessionize",
+]
+
+
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_scale(factor: int) -> None:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from make_scale_data import replicate_sf
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = replicate_sf(src, f"/tmp/sparsity_scale_x{factor}", factor)
+    spark = get_spark("sparsity_spark_bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sparsity_spark.queries import QUERIES
+
+    run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))  # warmup
+    timings = {}
+    for name in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        run_one(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "scale_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": round(0.1 * factor, 3),
+        "scale_factor": factor,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_sf{factor // 10 if factor % 10 == 0 else factor}.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
 def main():
+    if "--scale" in sys.argv:
+        run_scale(int(sys.argv[sys.argv.index("--scale") + 1]))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
