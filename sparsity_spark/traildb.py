@@ -175,10 +175,13 @@ def decode_trails(
         b = data[offs[tid] - byte_lo : offs[tid + 1] - byte_lo]
         if not b:
             continue
-        # bitstream helpers: LSB-first within little-endian bytes
-        stream = int.from_bytes(b, "little")
+        # Bitstream: LSB-first within little-endian bytes, read through a
+        # sliding 64-bit window like the C decoder (word at off>>3 shifted
+        # by off&7). A whole-trail big integer would make every shift
+        # O(trail size) — quadratic on large trails (a 155 KB trail in the
+        # reference's own pydata.tdb took ~3 s that way, ~80 ms this way).
         nbits = 8 * len(b)
-        pad = stream & 7
+        pad = b[0] & 7
         end = nbits - pad
         off = 3
         ts = meta.min_timestamp
@@ -196,8 +199,12 @@ def decode_trails(
             )
 
         while off < end:
-            if (stream >> off) & 1:  # huffman gram via 16-bit peek table
-                idx = (stream >> (off + 1)) & 0xFFFF
+            byte = off >> 3
+            # 8-byte window ≥ 1 flag + max(16-bit peek, field+value literal)
+            # after the ≤7-bit intra-byte shift; short slice near EOF is fine
+            word = int.from_bytes(b[byte : byte + 8], "little") >> (off & 7)
+            if word & 1:  # huffman gram via 16-bit peek table
+                idx = (word >> 1) & 0xFFFF
                 s_lo, s_hi, nb = struct.unpack_from("<QQI", codebook, idx * 20)
                 if nb == 0:
                     raise ValueError(
@@ -206,10 +213,10 @@ def decode_trails(
                 off += nb + 1
                 items = [_item(s_lo)] + ([_item(s_hi)] if s_hi else [])
             else:  # literal: [0][field][value]
-                fid = (stream >> (off + 1)) & ((1 << fid_bits) - 1)
+                fid = (word >> 1) & ((1 << fid_bits) - 1)
                 if fid > n_fields:
                     raise ValueError(f"corrupt trail {tid}: field {fid} at bit {off}")
-                val = (stream >> (off + 1 + fid_bits)) & ((1 << fbits[fid]) - 1)
+                val = (word >> (1 + fid_bits)) & ((1 << fbits[fid]) - 1)
                 off += 1 + fid_bits + fbits[fid]
                 items = [(fid, val)]
             for fid, val in items:
@@ -243,14 +250,36 @@ def traildb_event_table(spark, path: str, num_partitions: int | None = None):
     meta = open_tdb(path)
     uuids = read_uuids(meta)
     n_parts = num_partitions or min(max(1, meta.num_trails // 256), 64)
+    # Byte-balanced boundaries, not trail-count-balanced: real trail sizes
+    # are heavy-tailed (in the reference's pydata.tdb ONE trail holds 35%
+    # of trails.data; count-splitting put 90% of decode work in one task).
+    # Split the toc's cumulative byte range into equal quantiles instead —
+    # the giant trail still lower-bounds the critical path (a huffman
+    # stream is sequential), but every other task gets equal bytes.
+    toc_raw = _pread(meta.path, meta.member_spans["trails.toc"])
+    n_toc = meta.num_trails + 1
+    if len(toc_raw) >= 8 * n_toc:
+        toc_offs = struct.unpack_from(f"<{n_toc}Q", toc_raw, 0)
+    else:
+        toc_offs = struct.unpack_from(f"<{n_toc}I", toc_raw, 0)
+    total_bytes = toc_offs[-1]
+    cuts = [0]
+    for p in range(1, n_parts):
+        target = p * total_bytes // n_parts
+        # first trail whose start offset reaches the byte target
+        import bisect
+
+        cuts.append(max(cuts[-1], bisect.bisect_left(toc_offs, target)))
+    cuts.append(meta.num_trails)
+    ranges = [(cuts[p], cuts[p + 1]) for p in range(n_parts)]
+
     bounds = spark.range(n_parts).select("id")
-    n_trails, n_fields = meta.num_trails, list(meta.fields)
+    n_fields = list(meta.fields)
 
     def decode_part(batches):
         for pdf in batches:
             for pid in pdf["id"]:
-                lo = int(pid) * n_trails // n_parts
-                hi = (int(pid) + 1) * n_trails // n_parts
+                lo, hi = ranges[int(pid)]
                 rows = {
                     "uuid": [],
                     "ts": [],
