@@ -1001,6 +1001,34 @@ class SparseFrame:
             .parquet(path)
         )
 
+    def __sizeof__(self):
+        """Driver-side memory footprint (reference sparse_frame.py:339-344).
+
+        The reference sums its CSR arrays because the data lives in the
+        driver process; here the cells live on executors, so the honest
+        driver-side figure is the metadata: key names + the column
+        dictionary (the one corpus-independent driver-resident structure).
+        Use ``cells_bytes()`` for an estimate of the distributed payload."""
+        import sys
+
+        return (
+            object.__sizeof__(self)
+            + sum(sys.getsizeof(k) for k in self.key_cols)
+            + sys.getsizeof(self.columns)
+            + sum(sys.getsizeof(c) for c in self.columns)
+        )
+
+    def cells_bytes(self) -> int:
+        """Estimated distributed size of the stored cells: nnz × the
+        schema's fixed-width field sizes (strings estimated at their
+        average length via one aggregate). One metadata-sized job."""
+        avg_col = self._cells.agg(
+            F.coalesce(F.avg(F.length(F.col(COL))), F.lit(0.0)).alias("a"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        per_row = 8 * (len(self.key_cols) + 1) + int(avg_col["a"]) + 8
+        return int(avg_col["n"]) * per_row
+
     def __repr__(self):
         cols_preview = self.columns[:25]
         return (

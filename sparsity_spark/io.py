@@ -122,6 +122,43 @@ def read_npz(spark: SparkSession, filename: str) -> SparseFrame:
     return _assemble_frame(spark, idx_pdf, long_pdf, ["idx"], columns)
 
 
+def read_npz_glob(spark: SparkSession, pattern: str, sorted: bool = False) -> SparseFrame:
+    """Multi-file ``.npz`` read (reference dask/io.py:51-86): ``pattern``
+    may contain ``*``; shards are read in sorted path order and vstacked.
+    With ``sorted=True`` the per-shard index ranges must be monotone
+    non-overlapping — the reference's ``divisions`` contract
+    (dask/io.py:89-112) — and a violation raises instead of silently
+    producing an unsorted frame. Driver-side compat path like
+    ``read_npz``; parquet is the scale path."""
+    import builtins  # the reference-parity kwarg `sorted` shadows the builtin
+    from glob import glob
+
+    paths = sorted_paths = builtins.sorted(glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no npz files match {pattern!r}")
+    frames = [read_npz(spark, p) for p in sorted_paths]
+    cols0 = frames[0].columns
+    for p, f in zip(paths[1:], frames[1:]):
+        if f.columns != cols0:
+            raise ValueError(f"npz shard {p} columns differ from first shard")
+    if sorted:
+        prev_max = None
+        for p in paths:
+            with np.load(p, allow_pickle=True) as z:
+                vals = z["frame_index"]
+            lo, hi = vals.min(), vals.max()
+            if prev_max is not None and lo <= prev_max:
+                raise ValueError(
+                    f"sorted=True but shard {p} index range [{lo}, {hi}] "
+                    f"overlaps the previous shard (max {prev_max})"
+                )
+            prev_max = hi
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.vstack(f)
+    return out
+
+
 def to_npz(sf: SparseFrame, filename: str):
     """Write a frame to the reference's ``.npz`` layout (reference
     io.py:31-35).  Materializes driver-side — compat/export only.  CSR

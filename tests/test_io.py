@@ -186,3 +186,44 @@ def test_load_table_normalizes_every_timestamp_encoding(spark, tmp_path):
         got = sorted(r["ts"].replace(tzinfo=None) if r["ts"].tzinfo else r["ts"]
                      for r in df.select("ts").collect())
         assert got == expect, name
+
+
+def test_read_npz_glob_vstack_and_sorted_contract(spark, tmp_path):
+    """Multi-file npz read (reference dask/io.py:51-86): sorted path order,
+    vstack of shards, divisions overlap check under sorted=True."""
+    import numpy as np
+    import pytest
+
+    from sparsity_spark import from_pandas
+    from sparsity_spark.io import read_npz_glob, to_npz
+
+    a = pd.DataFrame(np.eye(3), index=[0, 1, 2], columns=["x", "y", "z"])
+    b = pd.DataFrame(np.eye(3) * 2, index=[10, 11, 12], columns=["x", "y", "z"])
+    to_npz(from_pandas(spark, a), str(tmp_path / "part0.npz"))
+    to_npz(from_pandas(spark, b), str(tmp_path / "part1.npz"))
+
+    sf = read_npz_glob(spark, str(tmp_path / "part*.npz"), sorted=True)
+    dense = sf.todense()
+    assert len(dense) == 6
+    assert dense.loc[1, "y"] == 1.0 and dense.loc[11, "y"] == 2.0
+
+    # overlapping shard ranges must raise under sorted=True
+    c = pd.DataFrame(np.eye(3), index=[5, 6, 7], columns=["x", "y", "z"])
+    to_npz(from_pandas(spark, c), str(tmp_path / "part2.npz"))
+    with pytest.raises(ValueError, match="overlaps"):
+        read_npz_glob(spark, str(tmp_path / "part*.npz"), sorted=True)
+    # but reads fine unsorted
+    assert len(read_npz_glob(spark, str(tmp_path / "part*.npz")).todense()) == 9
+
+
+def test_sizeof_and_cells_bytes(spark):
+    """__sizeof__ parity (reference sparse_frame.py:339-344): driver-side
+    metadata footprint; cells_bytes estimates the distributed payload."""
+    import numpy as np
+
+    from sparsity_spark import from_pandas
+
+    sf = from_pandas(spark, pd.DataFrame(np.eye(4), columns=list("abcd")))
+    assert sf.__sizeof__() > 0
+    est = sf.cells_bytes()
+    assert est >= 4 * (8 + 8 + 1 + 8)  # 4 nnz, key+pos+col+val lower bound
