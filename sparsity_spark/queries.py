@@ -3150,6 +3150,65 @@ def _pq_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
     """
 
 
+def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64, topk: int = 5) -> str:
+    # codebook derives from the TABLE (subspaces of the k lowest-id
+    # vectors), so the oracle tracks pq_sampled_codebook on any sf
+    sub = dim // m
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs(s) AS (SELECT UNNEST(range({m}))),
+    cb AS (
+      SELECT subs.s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS BIGINT) AS j,
+             list_transform(range(1, {sub + 1}), i -> b.v[subs.s*{sub} + i]) AS c
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}) b, subs
+    ),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT e.vec_id AS query_id, cb.s, cb.j AS code,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb WHERE e.vec_id < 10
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(SUM(l.d2), 6) AS adc_d2
+      FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rn FROM scored)
+    WHERE rn <= {topk}
+    """
+
+
+@query("ann_pq_adc_topk", _pq_adc_oracle())
+def ann_pq_adc_topk(spark, sf_dir):
+    """IVF-PQ's search half: asymmetric-distance top-k where the corpus is
+    represented only by its PQ codes and each query scores docs through a
+    broadcast (query × subspace × codeword) lookup table — raw corpus
+    vectors never read at query time. Code table ⨝ broadcast LUT on
+    (subspace, code), one partial+final hash aggregate per (query, doc)."""
+    from sparsity_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 @query("emb_pq_codes", _pq_oracle())
 def emb_pq_codes(spark, sf_dir):
     """Product-quantization codes (m=4 subspaces × k=16 codewords over

@@ -621,3 +621,51 @@ def test_ann_recall_vs_bruteforce(spark):
     truth_pairs = {(min(q, n), max(q, n)) for q, n in truth}
     lsh_recall = len(truth_pairs & pairs) / len(truth_pairs)
     assert lsh_recall >= 3 * chance, (lsh_recall, chance)
+
+
+def test_pq_adc_topk_matches_numpy(spark):
+    """ADC distances equal the numpy LUT computation exactly (same round-6
+    discipline), and ADC recall vs exact L2 top-k is meaningfully high on
+    the real embeddings (compressed 64 floats -> 4 codes, so it's lossy)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import pq_adc_topk, pq_sampled_codebook
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pq_adc_topk(emb, queries, topk=5).toPandas()
+
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    m, k, dim = 4, 16, 64
+    sub = dim // m
+    # data-sampled codebook: subspaces of the k lowest-id vectors
+    order = np.argsort(ids)[:k]
+    C = np.stack([[X[i, s * sub : (s + 1) * sub] for i in order] for s in range(m)])
+    # codes: per vec per subspace, argmin of round6 distances (ties->lowest)
+    codes = np.empty((len(X), m), dtype=int)
+    for s in range(m):
+        d2 = (((X[:, s * sub : (s + 1) * sub])[:, None, :] - C[s][None]) ** 2).sum(2).round(6)
+        codes[:, s] = d2.argmin(1)
+    id2row = {int(v): i for i, v in enumerate(ids)}
+    for q in range(10):
+        qv = X[id2row[q]]
+        lut = np.empty((m, k))
+        for s in range(m):
+            lut[s] = (((qv[s * sub : (s + 1) * sub])[None, :] - C[s]) ** 2).sum(1).round(6)
+        adc = np.array([round(sum(lut[s, codes[i, s]] for s in range(m)), 6) for i in range(len(X))])
+        order = sorted((adc[i], int(ids[i])) for i in range(len(X)) if int(ids[i]) != q)[:5]
+        got = out[out.query_id == q].sort_values(["adc_d2", "neighbor_id"])
+        assert [int(x) for x in got.neighbor_id] == [j for _, j in order], q
+        np.testing.assert_allclose(got.adc_d2.to_numpy(), [d for d, _ in order], atol=1e-9)
+
+    # recall vs exact L2 top-5 (quantify the compression loss; pin a floor)
+    hits = 0
+    for q in range(10):
+        qv = X[id2row[q]]
+        l2 = ((X - qv) ** 2).sum(1)
+        exact = [int(ids[i]) for i in np.argsort(l2) if int(ids[i]) != q][:5]
+        got5 = set(out[out.query_id == q].neighbor_id.astype(int))
+        hits += len(got5 & set(exact))
+    recall = hits / 50
+    assert recall >= 0.2, recall  # lossy 64->4 compression; catches collapse
