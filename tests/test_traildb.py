@@ -123,3 +123,56 @@ def test_event_table_distributed_partitions(spark, tmp_path):
         ("k1", 34),
         ("k2", 17),
     ]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def tdb_trails(draw):
+    """Random trail sets: 1-5 trails, 1-8 events each, 1-3 fields with
+    values drawn from a small vocab plus sparse field presence (exercises
+    edge encoding, NULL carry-in, equal timestamps, large deltas)."""
+    fields = draw(st.lists(st.sampled_from(["f1", "f2", "f3"]), min_size=1, max_size=3, unique=True))
+    n_trails = draw(st.integers(1, 5))
+    base = draw(st.integers(0, 2**31))
+    trails = []
+    for t in range(n_trails):
+        n_ev = draw(st.integers(1, 8))
+        tss = sorted(
+            draw(st.lists(st.integers(0, 10**6), min_size=n_ev, max_size=n_ev))
+        )
+        evs = []
+        for ts_off in tss:
+            vals = {}
+            for f in fields:
+                if draw(st.booleans()):
+                    vals[f] = draw(st.sampled_from(["a", "bb", "ccc", "dddd"]))
+            evs.append((base + ts_off, vals))
+        trails.append((f"{t:032x}", evs))
+    return trails
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(trails=tdb_trails())
+def test_tdb_roundtrip_property(tmp_path_factory, trails):
+    """write_tdb -> decode_trails reproduces every event with the edge-
+    encoding carry semantics: each event shows each field's most recent
+    value in the trail ('' before first set)."""
+    path = str(tmp_path_factory.mktemp("tdbprop") / "p.tdb")
+    write_tdb(path, trails)
+    meta = open_tdb(path)
+    got = list(decode_trails(meta))
+    # build expected with pure-python carry
+    fields = meta.fields
+    expect = []
+    for tid, (_, evs) in enumerate(trails):
+        cur = {f: "" for f in fields}
+        for ts, vals in evs:
+            for f, v in vals.items():
+                cur[f] = v
+            expect.append((tid, ts, dict(cur)))
+    assert got == expect
+    assert meta.num_events == len(expect)
