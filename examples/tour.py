@@ -125,6 +125,23 @@ def main():
     print("temperature-mixed docs:", temperature_mix(docs, "doc_id", "lang", 2.0, 0.5).count())
     print(model_quality_score(docs).orderBy(F.desc("model_quality")).show(3, False))
 
+    print("\n== 12. binary TrailDB containers + PQ ADC search (r4) ==")
+    import tempfile
+
+    from sparsity_spark.operators.similarity import pq_adc_topk
+    from sparsity_spark.traildb import traildb_event_table, write_tdb
+
+    tdb = tempfile.mkdtemp(prefix="tour_tdb_") + "/demo.tdb"
+    write_tdb(
+        tdb,
+        [
+            ("0" * 31 + "1", [(1000, {"action": "open"}), (1060, {"action": "save"})]),
+            ("0" * 31 + "2", [(2000, {"action": "open"})]),
+        ],
+    )
+    print("decoded .tdb events:", traildb_event_table(spark, tdb).count())
+    print("pq-adc neighbors:", pq_adc_topk(emb, emb.filter(F.col("vec_id") < 2), topk=3).count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 
