@@ -582,3 +582,71 @@ def jaccard_prefix_join(
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup statistics (the Lee et al. "Deduplicating
+    Training Data" operator family): find every token n-gram that occurs
+    more than once in the corpus (across documents OR repeated within one),
+    and report per document how much of it is covered by such repeated
+    spans — the signal used to cut duplicated passages out of training
+    text, which document-level dedup cannot see.
+
+    Spark shape, one declarative plan: (1) n-gram positions explode
+    JVM-side via sequence/transform/slice (corpus blowup is the inherent
+    n-gram fan-out; a rolling hash would cut the concat cost constant, not
+    the row count); (2) ONE hash aggregate finds grams with total
+    occurrence count > 1 — work ∝ distinct grams with map-side combine;
+    (3) positions of repeated grams join back (shuffle ∝ repeated
+    positions, not corpus) and a per-doc sort-window merges overlapping
+    [pos, pos+n) hits into islands with the classic lag + cumsum — the
+    same construction as sessionize, so any SQL oracle reproduces it.
+
+    Returns (doc_id, n_dup_grams, n_spans, dup_tokens) where dup_tokens is
+    the number of token positions covered by at least one repeated n-gram;
+    docs with no repeated spans are absent (left-join + coalesce at the
+    call site if zeros are wanted)."""
+    from pyspark.sql import Window
+
+    words = words_expr(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(words, n)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g"))
+    dup_g = (
+        grams.groupBy("g").agg(F.count("*").alias("occ")).filter(F.col("occ") > 1)
+    )
+    hits = grams.join(dup_g.select("g"), on="g")
+
+    prev_end = F.max(F.col("pos") + n).over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    new_span = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    spans = (
+        hits.withColumn("ns", new_span)
+        .withColumn(
+            "span_id",
+            F.sum("ns").over(
+                Window.partitionBy(id_col)
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.count("*").alias("grams_in_span"),
+            (F.max(F.col("pos") + n) - F.min("pos")).alias("span_tokens"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.sum("grams_in_span").cast("long").alias("n_dup_grams"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )

@@ -3150,6 +3150,54 @@ def _pq_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
     """
 
 
+@query(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(w[i : i + 19], ' ')) AS gh
+      FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
+      WHERE len(w) >= 20
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 20) OVER w1 IS NULL
+                    OR pos > MAX(pos + 20) OVER w1 THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, COUNT(*) AS grams_in_span,
+             MAX(pos + 20) - MIN(pos) AS span_tokens
+      FROM spans GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(grams_in_span) AS BIGINT) AS n_dup_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+    FROM per_span GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-level dedup (repeated 20-gram spans — the signal for
+    cutting duplicated passages that document-level dedup can't see): one
+    hash aggregate over exploded n-gram hashes finds repeats, positions
+    join back, and a per-doc lag/cumsum window merges overlapping hits
+    into spans."""
+    from sparsity_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(load_table(spark, sf_dir, "documents"), n=20)
+
+
 def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64, topk: int = 5) -> str:
     # codebook derives from the TABLE (subspaces of the k lowest-id
     # vectors), so the oracle tracks pq_sampled_codebook on any sf

@@ -669,3 +669,39 @@ def test_pq_adc_topk_matches_numpy(spark):
         hits += len(got5 & set(exact))
     recall = hits / 50
     assert recall >= 0.2, recall  # lossy 64->4 compression; catches collapse
+
+
+def test_substring_dup_spans_fixture(spark):
+    """Lee-et-al-style substring dedup on a constructed corpus: a passage
+    shared by two docs is flagged in both, within-doc repetition is
+    flagged, unique text is not; overlapping hits merge into one span."""
+    shared = " ".join(f"s{i}" for i in range(25))  # 25 tokens > n=20
+    uniq_a = " ".join(f"a{i}" for i in range(30))
+    uniq_b = " ".join(f"b{i}" for i in range(30))
+    rep = " ".join(f"r{i % 20}" for i in range(40))  # 20-token block twice
+    docs = spark.createDataFrame(
+        [
+            (1, uniq_a + " " + shared),
+            (2, shared + " " + uniq_b),
+            (3, rep),
+            (4, " ".join(f"c{i}" for i in range(60))),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup.substring_dup_spans(docs, n=20)
+        .toPandas()
+        .set_index("doc_id")
+        .to_dict("index")
+    )
+    assert 4 not in out  # unique doc untouched
+    assert set(out) == {1, 2, 3}
+    # shared 25-token passage -> 6 overlapping 20-gram hits -> ONE span of
+    # exactly 25 covered tokens in each doc
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["n_dup_grams"] == 6
+        assert out[d]["dup_tokens"] == 25
+    # the periodic doc repeats its 20-gram everywhere -> one full-doc span
+    assert out[3]["n_spans"] == 1
+    assert out[3]["dup_tokens"] == 40
