@@ -74,8 +74,31 @@ class TdbMeta:
     max_timestamp: int
     max_timestamp_delta: int
     fields: list[str]  # ofield names (field id = index + 1; 0 is time)
-    lexicons: dict[str, list[str]]
     member_spans: dict[str, tuple[int, int]]  # member -> (abs offset, size)
+    _lexicons: dict[str, list[str]] | None = None  # lazy; see `lexicons`
+
+    @property
+    def lexicons(self) -> dict[str, list[str]]:
+        """Lexicons load lazily from the container on first access (and the
+        cache is excluded from pickling): a TdbMeta shipped to executors in
+        a task closure stays header-sized, and each task preads the string
+        pools itself — at real scale the lexicons are the largest metadata
+        member and must not ride through the driver per task."""
+        if self._lexicons is None:
+            object.__setattr__(
+                self,
+                "_lexicons",
+                {
+                    f: _parse_lexicon(_pread(self.path, self.member_spans[f"lexicon.{f}"]))
+                    for f in self.fields
+                },
+            )
+        return self._lexicons
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_lexicons"] = None  # never pickle the string pools
+        return state
 
     @property
     def field_id_bits(self) -> int:
@@ -112,7 +135,6 @@ def open_tdb(path: str) -> TdbMeta:
             raise ValueError(f"unsupported TrailDB version {version!r}")
         info = read("info").decode().split()
         fields = [f for f in read("fields").decode().split("\n") if f]
-        lexicons = {f: _parse_lexicon(read(f"lexicon.{f}")) for f in fields}
     return TdbMeta(
         path=path,
         num_trails=int(info[0]),
@@ -121,7 +143,6 @@ def open_tdb(path: str) -> TdbMeta:
         max_timestamp=int(info[3]),
         max_timestamp_delta=int(info[4]),
         fields=fields,
-        lexicons=lexicons,
         member_spans=spans,
     )
 
@@ -248,7 +269,6 @@ def traildb_event_table(spark, path: str, num_partitions: int | None = None):
     import pandas as pd
 
     meta = open_tdb(path)
-    uuids = read_uuids(meta)
     n_parts = num_partitions or min(max(1, meta.num_trails // 256), 64)
     # Byte-balanced boundaries, not trail-count-balanced: real trail sizes
     # are heavy-tailed (in the reference's pydata.tdb ONE trail holds 35%
@@ -276,10 +296,17 @@ def traildb_event_table(spark, path: str, num_partitions: int | None = None):
     bounds = spark.range(n_parts).select("id")
     n_fields = list(meta.fields)
 
+    uuid_off = meta.member_spans["uuids"][0]
+
     def decode_part(batches):
         for pdf in batches:
             for pid in pdf["id"]:
                 lo, hi = ranges[int(pid)]
+                # each task preads ITS OWN uuid slice — neither uuids nor
+                # lexicons ride through the driver/closure (16 B/trail and
+                # the string pools are the two members that grow with the
+                # container; the closure stays header-sized)
+                raw_uuids = _pread(meta.path, (uuid_off + 16 * lo, 16 * (hi - lo)))
                 rows = {
                     "uuid": [],
                     "ts": [],
@@ -292,7 +319,9 @@ def traildb_event_table(spark, path: str, num_partitions: int | None = None):
                 for tid, ts, vals in decode_trails(meta, range(lo, hi)):
                     pos = pos + 1 if tid == last_tid else 0
                     last_tid = tid
-                    rows["uuid"].append(uuids[tid])
+                    rows["uuid"].append(
+                        raw_uuids[16 * (tid - lo) : 16 * (tid - lo + 1)].hex()
+                    )
                     rows["ts"].append(ts)
                     rows["trail_id"].append(tid)
                     # cursor-scan order (trail-major): reproduces the C
