@@ -387,6 +387,50 @@ def ewma(
     )
 
 
+def ewma_stable(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Batch EWMA for UNBOUNDED per-key series via the stable recurrence
+    (num_t = v + r·num, den_t = 1 + r·den — the same accumulator as
+    ``streaming.streaming_ewma``): identical results to :func:`ewma` where
+    both are defined, but no r^-i weight growth, so series longer than the
+    closed form's ~2000-point double-range limit stay exact. One grouped
+    Arrow pass (``applyInPandas``); per-group memory is the group's rows —
+    the per-KEY series, not the corpus."""
+    import pandas as pd
+
+    r = 1.0 - alpha
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"`{key_col}` {fields[key_col]}, `{order_col}` {fields[order_col]}, "
+        f"`{value_col}` double, `{out_col}` double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        num = den = 0.0
+        out = []
+        for v in pdf[value_col].astype(float):
+            num = v + r * num
+            den = 1.0 + r * den
+            out.append(num / den)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                value_col: pdf[value_col].astype(float).to_numpy(),
+                out_col: out,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema=out_schema)
+
+
 def daily_anomalies(
     events: DataFrame,
     key_col: str = "user_id",

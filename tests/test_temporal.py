@@ -299,3 +299,26 @@ def test_ewma_matches_pandas(spark):
     for k, grp in got.groupby("k"):
         want = grp.v.ewm(alpha=0.3, adjust=True).mean().to_numpy()
         assert abs(grp.ewma.to_numpy() - want).max() < 1e-9, k
+
+
+def test_ewma_stable_matches_closed_form_and_survives_long_series(spark):
+    """ewma_stable == ewma where the closed form is defined; past ~2000
+    points the closed form NaNs out and the recurrence stays exact."""
+    import numpy as np
+
+    from sparsity_spark.operators.temporal import ewma, ewma_stable
+
+    short = spark.createDataFrame(
+        [(1, i, float((i * 7) % 13)) for i in range(200)], "k long, o long, v double"
+    )
+    a = ewma(short, "k", "o", "v").select("o", "ewma").toPandas().sort_values("o")
+    b = ewma_stable(short, "k", "o", "v").select("o", "ewma").toPandas().sort_values("o")
+    assert np.allclose(a["ewma"].to_numpy(), b["ewma"].to_numpy(), rtol=1e-9)
+
+    long = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(2500)], "k long, o long, v double"
+    )
+    closed = ewma(long, "k", "o", "v").selectExpr("max(cast(isnan(ewma) as int)) m").collect()[0]["m"]
+    assert closed == 1
+    stable = ewma_stable(long, "k", "o", "v").toPandas()
+    assert np.isfinite(stable["ewma"]).all() and np.allclose(stable["ewma"], 5.0)
