@@ -41,6 +41,18 @@ PICKS = {
         "never shuffled before its final per-doc aggregate; fanout capped "
         "upstream."
     ),
+    "ann_pq_adc_topk": (
+        "PQ ADC search (r4): the corpus code table equi-joins a BROADCAST "
+        "per-query lookup table on (subspace, code) — raw corpus vectors "
+        "never read at query time; one partial+final HashAggregate sums "
+        "the m partial distances per (query, doc)."
+    ),
+    "dedup_substring_spans": (
+        "Substring-level dedup (r4): n-gram positions explode JVM-side, "
+        "ONE HashAggregate finds repeated grams, the join back is bounded "
+        "by repeated positions, and span merging is a per-doc window — "
+        "no cartesian anywhere."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
