@@ -127,8 +127,11 @@ def run_scale(factor: int) -> None:
     }
     line = json.dumps(out)
     print(line)
+    # file named by the RESULT scale factor ("sf1" for 10x of sf0.1), not
+    # the replica count - no collisions between --scale 3 and --scale 30
+    sf_label = f"{0.1 * factor:g}"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_sf{factor // 10 if factor % 10 == 0 else factor}.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_sf{sf_label}.json"),
         "w",
     ) as f:
         f.write(line + "\n")

@@ -45,7 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._sparsity_table_cache = cache
-    key = (sf_dir.rstrip("/"), name)
+    # the file's mtime is part of the key: a rewritten/regenerated table
+    # invalidates naturally instead of serving the stale cached relation
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        import os
+
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (sf_dir.rstrip("/"), name, mtime)
     hit = cache.get(key)
     if hit is not None:
         return hit

@@ -145,7 +145,9 @@ def read_npz_glob(spark: SparkSession, pattern: str, sorted: bool = False) -> Sp
         prev_max = None
         for p in paths:
             with np.load(p, allow_pickle=True) as z:
-                vals = z["frame_index"]
+                vals = z["frame_index"]  # member-level lazy read
+            if len(vals) == 0:
+                continue  # an empty shard constrains nothing
             lo, hi = vals.min(), vals.max()
             if prev_max is not None and lo <= prev_max:
                 raise ValueError(

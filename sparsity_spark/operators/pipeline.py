@@ -103,8 +103,13 @@ def pack_sequences(
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(token_count_col).over(w)
     local_bin = F.floor((cum - F.col(token_count_col)) / F.lit(budget)).cast("long")
+    # bin_id is a STRING in both modes (bare number unsharded,
+    # <shard>#<local> sharded) so the output schema does not depend on
+    # the by= argument — unions/appends across modes stay legal
     if by is not None:
         local_bin = F.concat_ws("#", F.col(by).cast("string"), local_bin)
+    else:
+        local_bin = local_bin.cast("string")
     return docs.withColumn("bin_id", local_bin)
 
 

@@ -337,6 +337,10 @@ def pq_sampled_codebook(
         .limit(k)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_sampled_codebook: embeddings table is empty")
+    # a corpus smaller than k simply yields a smaller codebook (codes still
+    # valid; the SQL oracle's LIMIT k picks the same rows)
     return [
         [[float(x) for x in r["v"][s * sub : (s + 1) * sub]] for r in rows]
         for s in range(m)
@@ -382,8 +386,10 @@ def pq_adc_topk(
     spark = embeddings.sparkSession
     book = codebook or pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
     codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
+    # iterate the book's ACTUAL width — a corpus smaller than k_code yields
+    # a shorter codebook, not an IndexError
     cb = spark.createDataFrame(
-        [(s, j, book[s][j]) for s in range(m) for j in range(k_code)],
+        [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
         "subspace int, code int, c array<double>",
     )
     q = queries.select(

@@ -40,7 +40,7 @@ def kmv_sketch(
     df: DataFrame,
     value_col: str,
     k: int = 64,
-    prefilter_sample: float | None = 0.02,
+    prefilter_fraction: float | None = 0.02,
 ) -> DataFrame:
     """The sketch itself: (rank, h) — the k smallest distinct hash values,
     rank 1-based in ascending hash order.
@@ -51,7 +51,7 @@ def kmv_sketch(
     ANY sample is >= the true kth smallest of the full set, so filtering
     ``h <= sample_kth`` (a map) can never drop a true minimum — the
     surviving candidate set is tiny and only IT is shuffled for the
-    distinct + TakeOrdered. ``prefilter_sample`` is a uniform Bernoulli
+    distinct + TakeOrdered. ``prefilter_fraction`` is a uniform Bernoulli
     fraction (``df.sample``), NOT a ``limit`` — ``limit`` takes whichever
     partitions answer first, so an adversarial layout (input sorted
     descending by hash) degraded the bound to a no-op (ADVICE r3); a
@@ -61,9 +61,17 @@ def kmv_sketch(
     metadata-sized sample job, eager at build time — the same
     bounded-driver-state pattern as the iterative operators."""
     hashes = df.select(_h60(F.col(value_col)).alias("h"))
-    if prefilter_sample:
+    if prefilter_fraction:
+        if not 0.0 < prefilter_fraction <= 1.0:
+            # loud: the pre-r4 parameter was a ROW COUNT; silently clamping
+            # an old-style integer to fraction 1.0 would run the full
+            # distinct scan twice
+            raise ValueError(
+                f"prefilter_fraction must be in (0, 1], got {prefilter_fraction} "
+                f"(the old prefilter_sample row-count parameter is gone)"
+            )
         sample = (
-            hashes.sample(fraction=min(1.0, prefilter_sample), seed=7)
+            hashes.sample(fraction=prefilter_fraction, seed=7)
             .distinct()
             .orderBy("h")
             .limit(k)

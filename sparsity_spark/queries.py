@@ -2478,7 +2478,7 @@ def pipe_chunks(spark, sf_dir):
              SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
     )
-    SELECT doc_id, n_tokens, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin_id FROM c
+    SELECT doc_id, n_tokens, CAST(CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR) AS bin_id FROM c
     """,
 )
 def pipe_pack_bins(spark, sf_dir):
@@ -2505,7 +2505,7 @@ def pipe_pack_bins(spark, sf_dir):
       FROM t
     ), b AS (
       SELECT doc_id, text, n_tokens,
-             CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin_id FROM c
+             CAST(CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR) AS bin_id FROM c
     )
     SELECT bin_id,
            string_agg(text, ' <|eos|> ' ORDER BY doc_id) AS packed_text,

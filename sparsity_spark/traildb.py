@@ -221,9 +221,12 @@ def decode_trails(
 
         while off < end:
             byte = off >> 3
-            # 8-byte window ≥ 1 flag + max(16-bit peek, field+value literal)
-            # after the ≤7-bit intra-byte shift; short slice near EOF is fine
-            word = int.from_bytes(b[byte : byte + 8], "little") >> (off & 7)
+            # 16-byte window: a literal can need 1 + fid_bits + 64 bits
+            # (the format does not bound delta width — ns-resolution
+            # containers make bit_length(max_delta) > 50 realistic), plus
+            # the ≤7-bit intra-byte shift; 8 bytes silently truncated wide
+            # deltas. Short slice near EOF is fine.
+            word = int.from_bytes(b[byte : byte + 16], "little") >> (off & 7)
             if word & 1:  # huffman gram via 16-bit peek table
                 idx = (word >> 1) & 0xFFFF
                 s_lo, s_hi, nb = struct.unpack_from("<QQI", codebook, idx * 20)

@@ -524,8 +524,8 @@ def test_kmv_prefilter_is_lossless(spark):
     from sparsity_spark.operators.sketches import kmv_sketch
 
     df = spark.range(50_000).withColumnRenamed("id", "v")
-    fast = kmv_sketch(df, "v", k=128, prefilter_sample=0.3).toPandas()
-    naive = kmv_sketch(df, "v", k=128, prefilter_sample=None).toPandas()
+    fast = kmv_sketch(df, "v", k=128, prefilter_fraction=0.3).toPandas()
+    naive = kmv_sketch(df, "v", k=128, prefilter_fraction=None).toPandas()
     assert list(fast.h) == list(naive.h)
 
 
@@ -542,8 +542,8 @@ def test_kmv_prefilter_adversarial_sorted_layout(spark):
         .withColumnRenamed("id", "v")
         .orderBy(_h60(F.col("v")).desc())
     )
-    fast = kmv_sketch(df, "v", k=128, prefilter_sample=0.3).toPandas()
-    naive = kmv_sketch(df, "v", k=128, prefilter_sample=None).toPandas()
+    fast = kmv_sketch(df, "v", k=128, prefilter_fraction=0.3).toPandas()
+    naive = kmv_sketch(df, "v", k=128, prefilter_fraction=None).toPandas()
     assert list(fast.h) == list(naive.h)
 
 

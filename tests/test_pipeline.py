@@ -50,6 +50,8 @@ def test_chunking_shapes_and_overlap(spark, docs):
 def test_packing_respects_budget_sequence(spark, docs):
     counts = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     out = pack_sequences(counts, budget=512).toPandas().sort_values("doc_id")
+    # bin_id is a string in both modes (schema independent of by=)
+    out["bin_id"] = out["bin_id"].astype(int)
     # 120 tokens/doc → cumsum 120,240,... bin = floor(prev_cum/512): 4 docs + change per bin
     assert out.bin_id.iloc[0] == 0
     assert (out.bin_id.diff().dropna() >= 0).all()  # monotone assignment

@@ -9,11 +9,13 @@ container's noisy-neighbor variance swamps runtime ratios):
    cross-replica candidate that survives verification means a blocking /
    bucketing key degenerated (the quadratic failure mode — exactly what
    the 8-bit-chunk and word-unit-PPJoin bugs in SCALE.md looked like).
-2. **Bounded total growth.** 3x data → ≤ ~6x pairs. The slack above 3x is
-   deliberate: renaming every token re-randomizes the hash draws, so
-   borderline pairs flip in/out per replica (measured ±60% swing in
-   per-replica simhash pair counts); a quadratic blow-up at 3 replicas
-   would show ≥ 9x together with cross-replica leakage.
+2. **Exact decomposition.** pairs(3x corpus) == Σ pairs(each replica run
+   alone): total work is the sum of independent per-shard work with no
+   interaction term. (A fixed growth-ratio cap was tried first and is the
+   wrong assertion: renaming every token re-randomizes the hash draws and
+   the near-threshold pair mass swings per-replica counts several-fold —
+   measured 1.7x to 4.5x per replica for simhash — while decomposition
+   holds exactly regardless.)
 
 Run with ``pytest -m slow``; excluded from the default suite (pytest.ini
 addopts).
@@ -48,13 +50,23 @@ def _docs(spark, d):
     return load_table(spark, d, "documents")
 
 
-def _check(pairs1, pairs3, growth_cap=6.0):
+def _check(spark, op, d1, d3):
+    """op(d3 docs) must equal the disjoint union of op over each replica's
+    slice: zero cross-replica pairs AND exact per-replica decomposition."""
     from make_scale_data import OFFSET
 
-    n1, n3 = len(pairs1), len(pairs3)
+    from sparsity_spark.data import load_table
+
+    pairs3 = op(load_table(spark, d3, "documents")).toPandas()
     cross = pairs3[(pairs3["id_a"] // OFFSET) != (pairs3["id_b"] // OFFSET)]
     assert len(cross) == 0, f"{len(cross)} cross-replica pairs leaked through blocking"
-    assert n3 <= growth_cap * n1 + 100, (n1, n3)
+    total = 0
+    docs3 = load_table(spark, d3, "documents")
+    for rep in range(3):
+        lo, hi = rep * OFFSET, (rep + 1) * OFFSET
+        part = docs3.filter((docs3.doc_id >= lo) & (docs3.doc_id < hi))
+        total += op(part).count()
+    assert len(pairs3) == total, (len(pairs3), total)
 
 
 @pytest.mark.slow
@@ -62,9 +74,7 @@ def test_lsh_candidate_pairs_linear(spark, scale_dirs):
     from sparsity_spark.operators.dedup import lsh_candidate_pairs
 
     d1, d3 = scale_dirs
-    p1 = lsh_candidate_pairs(_docs(spark, d1), num_hashes=16, bands=8).toPandas()
-    p3 = lsh_candidate_pairs(_docs(spark, d3), num_hashes=16, bands=8).toPandas()
-    _check(p1, p3)
+    _check(spark, lambda d: lsh_candidate_pairs(d, num_hashes=16, bands=8), d1, d3)
 
 
 @pytest.mark.slow
@@ -72,9 +82,7 @@ def test_simhash_pairs_linear(spark, scale_dirs):
     from sparsity_spark.operators.dedup import simhash_pairs
 
     d1, d3 = scale_dirs
-    p1 = simhash_pairs(_docs(spark, d1)).toPandas()
-    p3 = simhash_pairs(_docs(spark, d3)).toPandas()
-    _check(p1, p3)
+    _check(spark, simhash_pairs, d1, d3)
 
 
 @pytest.mark.slow
@@ -82,6 +90,4 @@ def test_ppjoin_linear(spark, scale_dirs):
     from sparsity_spark.operators.dedup import jaccard_prefix_join
 
     d1, d3 = scale_dirs
-    p1 = jaccard_prefix_join(_docs(spark, d1), threshold=0.6).toPandas()
-    p3 = jaccard_prefix_join(_docs(spark, d3), threshold=0.6).toPandas()
-    _check(p1, p3)
+    _check(spark, lambda d: jaccard_prefix_join(d, threshold=0.6), d1, d3)

@@ -176,3 +176,17 @@ def test_tdb_roundtrip_property(tmp_path_factory, trails):
             expect.append((tid, ts, dict(cur)))
     assert got == expect
     assert meta.num_events == len(expect)
+
+
+def test_wide_delta_literals_roundtrip(tmp_path):
+    """Code-review r4: literals can need 1 + fid_bits + 56+ bits; an 8-byte
+    read window silently truncated wide timestamp deltas. Pin a 2**55-second
+    delta through the writer/decoder pair."""
+    path = str(tmp_path / "wide.tdb")
+    big = 2**55
+    trails = [("ab" * 16, [(0, {"f": "a"}), (big, {"f": "b"})])]
+    write_tdb(path, trails)
+    meta = open_tdb(path)
+    evs = list(decode_trails(meta))
+    assert [e[1] for e in evs] == [0, big]
+    assert [e[2]["f"] for e in evs] == ["a", "b"]

@@ -7,7 +7,9 @@ schema rather than a degenerate duplicate set:
 
 * all id/key columns shift by ``replica * OFFSET`` (joins still line up
   within a replica, never across);
-* ``documents.text`` gets EVERY token suffixed with the replica id, so the
+* ``documents.text`` gets EVERY token suffixed with ``\x1f<replica>`` (unit
+  separator — a bare digit suffix would collide with digit-final base
+  tokens), so the
   replicas share no vocabulary — replicating text verbatim (or perturbing
   only one token, as the first cut of this script did) makes each replica
   a TRUE near-duplicate of its base, and the pair-generating operators
@@ -61,7 +63,9 @@ def replicate_sf(src_dir: str, out_dir: str, factor: int) -> str:
                 if k in p.columns:
                     p[k] = p[k] + rep * OFFSET
             if name == "documents" and rep > 0:
-                suffix = str(rep)
+                # unit-separator delimited: a bare digit suffix collides
+                # with digit-final base tokens ("foo"+"1" == base "foo1")
+                suffix = "\x1f" + str(rep)
                 p["text"] = p["text"].map(
                     lambda t, s=suffix: " ".join(w + s for w in t.split(" "))
                 )
