@@ -36,7 +36,11 @@ def field_dictionary(
     over the full event stream.
     """
     firsts = (
-        events.groupBy(F.col(field).cast("string").alias("value"))
+        # NULL field values carry no one-hot label: a NULL group would
+        # surface as a phantom 'None' column whose cells (NULL labels)
+        # never match it — filter at the dictionary AND cell level
+        events.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).cast("string").alias("value"))
         .agg(F.min(order_col).alias("__first__"))
     )
     w = Window.orderBy("__first__")
@@ -62,13 +66,18 @@ def read_events(
     order_col = order_col or ts_col
     dictionary = field_dictionary(events, field, order_col)
     cats = [r["value"] for r in dictionary.orderBy("col_id").collect()]
-    cells = events.select(
+    cells = events.filter(F.col(field).isNotNull()).select(
         F.col(uuid_col).alias(uuid_col),
         F.col(ts_col).alias(ts_col),
         F.col(field).cast("string").alias(COL),
         F.lit(1.0).alias(VAL),
     )
-    index = events.select(uuid_col, ts_col)
+    # distinct: events sharing (uuid, ts) merge into ONE row whose cells
+    # sum — a duplicated index would replicate the merged row per event,
+    # the worst of both semantics. (The reference keeps per-event rows via
+    # its positional MultiIndex; at equal keys the long format merges —
+    # the documented duplicate-label merge contract.)
+    index = events.select(uuid_col, ts_col).distinct()
     return SparseFrame(cells, [uuid_col, ts_col], cats, index)
 
 
@@ -90,7 +99,11 @@ def events_coo(
     """
     dictionary = field_dictionary(events, field, order_col)
     numbered = scan_order_ids(
-        events.select(
+        # filter NULL field values BEFORE numbering: the dictionary join
+        # would drop them anyway (NULL never equals NULL), leaving silent
+        # gaps in row_idx — the C scanner skips field-less events too
+        # (traildb_coo.c:56-58 only emits rows for the matched field)
+        events.filter(F.col(field).isNotNull()).select(
             F.col(order_col),
             F.col(field).cast("string").alias("value"),
             F.col(uuid_col).alias("uuid"),
@@ -117,11 +130,22 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     Adds ``__scan_idx__``."""
     spark = df.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, 1)
-    lo, hi, total = df.agg(
-        F.min(order_col), F.max(order_col), F.count("*")
+    lo, hi, total, nulls = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count("*"),
+        F.count(F.when(F.col(order_col).isNull(), 1)),
     ).collect()[0]
-    if lo is None:
-        return df.withColumn("__scan_idx__", F.lit(0).cast("long")).limit(0)
+    if nulls:
+        # a NULL order value has no scan position: the bucket expression
+        # below would yield a NULL bucket (TypeError at the offset map) and
+        # the single-partition sort would order it arbitrarily — refuse
+        raise ValueError(
+            f"scan_order_ids: order column {order_col!r} contains {nulls} "
+            f"NULL value(s) — filter or fill them before numbering"
+        )
+    if total == 0:
+        return df.withColumn("__scan_idx__", F.lit(0).cast("long"))
     numeric_order = isinstance(lo, (int, float)) and not isinstance(lo, bool)
     if total <= SCAN_ORDER_SINGLE_PARTITION_MAX or not numeric_order:
         # small input (or non-numeric order column, which the bucketed math

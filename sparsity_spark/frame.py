@@ -265,8 +265,21 @@ class SparseFrame:
         if column is not None:
             if column not in self.columns:
                 raise KeyError(f"{column!r} is not a frame column")
+            # duplicate old labels (or coexisting duplicate cells in the
+            # keyed column) would fan every remaining cell out to several
+            # new keys through the join below — same hazard the idx= path
+            # guards; merged cells make the per-label key value unique,
+            # then distinct labels are still required
+            n = self.index.count()
+            n_distinct = self.index.select(*self.key_cols).distinct().count()
+            if n != n_distinct:
+                raise ValueError(
+                    f"set_index(column=) requires unique index labels "
+                    f"({n - n_distinct} duplicates found) — call "
+                    f"drop_duplicate_idx() first"
+                )
             key_vals = (
-                self._bare_cells()
+                self._merged_bare_cells()
                 .filter(F.col(COL) == column)
                 .select(*self.key_cols, F.col(VAL).alias("__newkey__"))
             )
@@ -314,16 +327,30 @@ class SparseFrame:
         position column when present, else an arbitrary-but-deterministic
         representative via ``row_number`` ordered by the key itself."""
         if self.has_pos:
+            if not self.cells_have_pos:
+                # the index knows row order but the CELLS are unattributable
+                # to a specific duplicate row — a leftsemi join on labels
+                # would keep every duplicate's cells under the single kept
+                # index row, i.e. silently SUM them instead of keeping the
+                # first row's values. Allowed only when no duplicates exist.
+                n = self._index.count()
+                n_distinct = self._index.select(*self.key_cols).distinct().count()
+                if n != n_distinct:
+                    raise ValueError(
+                        "drop_duplicate_idx: this frame's index is ordered but "
+                        "its cells carry no positions, so duplicate-label rows' "
+                        "cells cannot be attributed to the first row — rebuild "
+                        "via from_pandas/read_npz (position-tracked cells) or "
+                        "express keep-first with an explicit row_number window"
+                    )
+                return self  # no duplicates: nothing to drop
             w = Window.partitionBy(*self.key_cols).orderBy(F.col(POS))
             keep = (
                 self._index.withColumn("__rn__", F.row_number().over(w))
                 .filter(F.col("__rn__") == 1)
                 .drop("__rn__")
             )
-            if self.cells_have_pos:
-                cells = self._cells.join(keep.select(POS), on=POS, how="leftsemi")
-            else:
-                cells = self._cells.join(keep.select(*self.key_cols), on=self.key_cols, how="leftsemi")
+            cells = self._cells.join(keep.select(POS), on=POS, how="leftsemi")
             return SparseFrame(cells, self.key_cols, self.columns, keep)
         # Without a known row order "first" is undefined — and cells of
         # duplicate-label rows are indistinguishable in long format, so no
@@ -337,6 +364,21 @@ class SparseFrame:
         )
 
     # -- label-based selection (loc) ----------------------------------- #
+
+    def loc_composite(self, key: Sequence) -> "SparseFrame":
+        """One composite-key row lookup on a multi-level index:
+        ``sf.loc[('u1', ts)]`` — equality on EVERY key level (the pandas
+        MultiIndex scalar-tuple semantics)."""
+        if len(key) != len(self.key_cols):
+            raise ValueError(
+                f"composite lookup needs {len(self.key_cols)} values, got {len(key)}"
+            )
+        pred = functools.reduce(
+            operator.and_,
+            [F.col(k) == F.lit(v) for k, v in zip(self.key_cols, key)],
+        )
+        idx = self._index.filter(pred) if self._index is not None else None
+        return SparseFrame(self._cells.filter(pred), self.key_cols, self.columns, idx)
 
     def loc_in(self, values: Iterable, level: int = 0) -> "SparseFrame":
         """Label membership selection: ``sf.loc[['a','b']]``."""
@@ -370,6 +412,12 @@ class SparseFrame:
         driver-side mask joins against positions (small-frame path, like the
         reference's own use)."""
         self._require_pos()
+        n = self.index.count()
+        if len(mask) != n:
+            raise IndexError(
+                f"boolean mask has length {len(mask)} but the frame has "
+                f"{n} rows (pandas raises here too)"
+            )
         positions = [i for i, m in enumerate(mask) if m]
         return self.take(positions)
 
@@ -398,14 +446,25 @@ class SparseFrame:
         """Positional selection along rows (axis=0) or columns (axis=1)
         (reference sparse_frame.py:165-174). Positions are relative to the
         current frame, like pandas .take — driver-supplied list, intended
-        for small frames."""
+        for small frames. Negative positions count from the end (pandas
+        semantics; one count job resolves them). Duplicate positions raise
+        — a set-based filter cannot replicate rows."""
         if axis == 1:
             return self[[self.columns[int(p)] for p in positions]]
         self._require_pos()
+        pos = [int(p) for p in positions]
+        if any(p < 0 for p in pos):
+            n = self.index.count()
+            pos = [p if p >= 0 else n + p for p in pos]
+            if any(p < 0 for p in pos):
+                raise IndexError(f"position out of bounds for {n}-row frame")
+        if len(set(pos)) != len(pos):
+            raise ValueError(
+                "take with repeated positions is not supported (row "
+                "replication has no long-format representation here)"
+            )
         ranked = self._current_ranks()
-        idx = ranked.filter(
-            F.col("__rank__").isin([int(p) for p in positions])
-        ).drop("__rank__")
+        idx = ranked.filter(F.col("__rank__").isin(pos)).drop("__rank__")
         cells = self._gather_cells(idx)
         return SparseFrame(cells, self.key_cols, self.columns, idx)
 
@@ -689,7 +748,9 @@ class SparseFrame:
         mapping = F.create_map(
             *[x for c, i in pos_map.items() for x in (F.lit(c), F.lit(i))]
         )
-        entries = self._bare_cells().withColumn("__cpos__", mapping[F.col(COL)])
+        # merged view: coexisting duplicate (key, col) cells would emit
+        # duplicate indices, which SparseVector rejects
+        entries = self._merged_bare_cells().withColumn("__cpos__", mapping[F.col(COL)])
         grouped = entries.groupBy(*self.key_cols).agg(
             F.array_sort(F.collect_list(F.struct("__cpos__", VAL))).alias("__e__")
         )
@@ -764,16 +825,30 @@ class SparseFrame:
             return self.sum(0) / float(n)
         return self.sum(1) / float(k)
 
+    def _merged_bare_cells(self) -> DataFrame:
+        """Stored cells with coexisting duplicate (key, col) entries SUMMED
+        — the frame's documented merge semantics (duplicate-label joins /
+        vstacks leave cells coexisting until an aggregate). Sum-linear
+        consumers (sum, todense's pivot-sum, add) need no pre-merge; every
+        NON-linear aggregate (max/min, squares for std, vector building)
+        must read this view or it silently operates on pre-merge values.
+        One hash aggregate with map-side partials — identity-cheap when no
+        duplicates exist."""
+        return self._bare_cells().groupBy(*self.key_cols, COL).agg(
+            F.sum(VAL).alias(VAL)
+        )
+
     def std(self, axis: int | None = None):
         """Dense-denominator standard deviation (reference sparse_frame.py:149-150):
         sqrt(E[x²] − E[x]²) over all N·K cells including implicit zeros."""
         import math
 
         n, k = self._dims()
-        sq = self._cells.withColumn(VAL, F.col(VAL) * F.col(VAL))
+        merged = self._merged_bare_cells()
+        sq = merged.withColumn(VAL, F.col(VAL) * F.col(VAL))
         if axis is None:
             ex2 = (
-                self._cells.agg(F.coalesce(F.sum(F.col(VAL) * F.col(VAL)), F.lit(0.0)).alias("s"))
+                sq.agg(F.coalesce(F.sum(VAL), F.lit(0.0)).alias("s"))
                 .collect()[0]["s"]
                 / float(n * k)
             )
@@ -790,18 +865,22 @@ class SparseFrame:
     def max(self):
         """Matrix max — implicit zeros participate (reference sparse_frame.py:152-153)."""
         n, k = self._dims()
-        stored = self._cells.agg(F.max(VAL).alias("m")).collect()[0]["m"]
-        stored = float("-inf") if stored is None else stored
-        if self.nnz() < n * k:
+        row = self._merged_bare_cells().agg(
+            F.max(VAL).alias("m"), F.count(F.when(F.col(VAL) != 0.0, 1)).alias("nz")
+        ).collect()[0]
+        stored = float("-inf") if row["m"] is None else row["m"]
+        if row["nz"] < n * k:
             return max(stored, 0.0)
         return stored
 
     def min(self):
         """Matrix min — implicit zeros participate (reference sparse_frame.py:155-156)."""
         n, k = self._dims()
-        stored = self._cells.agg(F.min(VAL).alias("m")).collect()[0]["m"]
-        stored = float("inf") if stored is None else stored
-        if self.nnz() < n * k:
+        row = self._merged_bare_cells().agg(
+            F.min(VAL).alias("m"), F.count(F.when(F.col(VAL) != 0.0, 1)).alias("nz")
+        ).collect()[0]
+        stored = float("inf") if row["m"] is None else row["m"]
+        if row["nz"] < n * k:
             return min(stored, 0.0)
         return stored
 
@@ -810,7 +889,7 @@ class SparseFrame:
         participate exactly when the frame is not completely dense
         (reference sparse_frame.py:152-156's semantics, relational form)."""
         k = len(self.columns)
-        stats = self._cells.agg(
+        stats = self._merged_bare_cells().agg(
             F.max(VAL).alias("mx"),
             F.min(VAL).alias("mn"),
             F.count(F.when(F.col(VAL) != 0.0, 1)).alias("nnz"),
@@ -973,8 +1052,10 @@ class SparseFrame:
             if arr.shape[0] == 1 or arr.shape[1] == 1:
                 return arr.reshape(-1)
             return arr
-        if len(self.columns) == 1 and len(pdf):
-            # reference sparse_frame.py:116-118: Series named after the col
+        if len(self.columns) == 1:
+            # reference sparse_frame.py:116-118: Series named after the
+            # col — including the EMPTY case (an empty named Series, not
+            # an empty DataFrame)
             return pdf[self.columns[0]]
         return pdf
 

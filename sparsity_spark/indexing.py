@@ -20,7 +20,21 @@ class LocIndexer:
             if item.step is not None:
                 raise ValueError("label slices do not support a step")
             return f.loc_range(item.start, item.stop)
-        if isinstance(item, (list, tuple)):
+        if isinstance(item, tuple):
+            # pandas tuple semantics are positional across index levels:
+            # on a composite-key frame a matching-arity tuple is ONE
+            # composite row lookup; anything else (row+column shorthand,
+            # partial tuples) is ambiguous — treating it as a label LIST
+            # silently selected wrong rows, so refuse with guidance
+            if len(item) == len(f.key_cols) and len(f.key_cols) > 1:
+                return f.loc_composite(item)
+            raise ValueError(
+                f"tuple loc lookup with {len(item)} element(s) on a "
+                f"{len(f.key_cols)}-level index is ambiguous — use a LIST "
+                f"for multiple row labels (sf.loc[['a','b']]) or chain "
+                f"column selection (sf.loc['a']['b'])"
+            )
+        if isinstance(item, list):
             if _is_bool_array(item):
                 return f.loc_mask(list(item))
             return f.loc_in(list(item))

@@ -93,3 +93,164 @@ def test_melt_numeric_escapes_identifiers(spark):
     df = spark.createDataFrame([(1, 2.0)], ["id", "it's"])
     out = melt_numeric(df, ["id"], ["it's"]).data.collect()
     assert len(out) == 1 and out[0]["col"] == "it's"
+
+
+# ---- round-4 core-review findings ---------------------------------------
+
+
+def _dup_label_frame(spark):
+    """Pos-less frame with COEXISTING duplicate (key, col) cells under a
+    distinct index — the shape merge-producing flows (read_events at equal
+    (uuid, ts), duplicate-label unions) leave behind. Dense truth:
+    {1: 3.0, 2: -5.0}."""
+    from sparsity_spark.frame import SparseFrame
+
+    cells = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "x", 2.0), (2, "x", -5.0)],
+        "k long, col string, value double",
+    )
+    index = spark.createDataFrame([(1,), (2,)], "k long")
+    return SparseFrame(cells, ["k"], ["x"], index)
+
+
+def test_extrema_and_std_use_merged_cells(spark):
+    """Coexisting duplicate (key, col) cells must SUM before any non-linear
+    aggregate: dense cells are {1: 3.0, 2: -5.0}, so max is 3.0 (not the
+    pre-merge 2.0) and std matches numpy on the merged dense values."""
+    import numpy as np
+
+    sf = _dup_label_frame(spark)
+    assert sf.max() == 3.0
+    assert sf.min() == -5.0
+    mm = sf.minmax_df().collect()[0]
+    assert (mm["max_value"], mm["min_value"]) == (3.0, -5.0)
+    assert sf.std() == pytest.approx(np.std([3.0, -5.0]))
+
+
+def test_to_indexed_arrays_merges_duplicate_indices(spark):
+    """SparseVector rejects duplicate indices — merged cells must emit one
+    entry per (row, column)."""
+    sf = _dup_label_frame(spark)
+    rows = {r["k"]: r for r in sf.to_indexed_arrays().collect()}
+    assert list(rows[1]["indices"]) == [0] and list(rows[1]["values"]) == [3.0]
+    assert list(rows[2]["values"]) == [-5.0]
+
+
+def test_drop_duplicate_idx_refuses_unattributable_cells(spark):
+    """Index ordered but cells pos-less + real duplicates: keep-first is
+    unanswerable, must raise (it silently summed before)."""
+    import numpy as np
+
+    from sparsity_spark import from_pandas
+
+    sf = from_pandas(spark, pd.DataFrame({"x": [1.0, 2.0, 5.0]}, index=[1, 1, 2]))
+    # strip cell positions but keep the index's, via the internal ctor
+    from sparsity_spark.frame import COL, VAL, SparseFrame
+
+    bare = SparseFrame(
+        sf._cells.drop("__pos__"), sf.key_cols, sf.columns, sf._index
+    )
+    with pytest.raises(ValueError, match="row_number|attribut"):
+        bare.drop_duplicate_idx()
+    # without duplicates the same shape is a clean no-op
+    clean = from_pandas(spark, pd.DataFrame({"x": [1.0, 2.0]}, index=[1, 2]))
+    bare2 = SparseFrame(
+        clean._cells.drop("__pos__"), clean.key_cols, clean.columns, clean._index
+    )
+    assert bare2.drop_duplicate_idx().index.count() == 2
+
+
+def test_set_index_column_refuses_duplicate_labels(spark):
+    from sparsity_spark.frame import SparseFrame
+
+    cells = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "x", 2.0), (2, "x", -5.0), (1, "y", 7.0)],
+        "k long, col string, value double",
+    )
+    index = spark.createDataFrame([(1,), (1,), (2,)], "k long")  # dup label
+    sf = SparseFrame(cells, ["k"], ["x", "y"], index)
+    with pytest.raises(ValueError, match="drop_duplicate_idx"):
+        sf.set_index(column="x")
+
+
+def test_loc_tuple_composite_and_ambiguous(spark):
+    """Tuple loc on a composite-key frame is ONE row; on a single-key frame
+    it raises instead of silently OR-ing the labels."""
+    from sparsity_spark import from_pandas
+    from sparsity_spark.frame import SparseFrame
+
+    cells = spark.createDataFrame(
+        [("u1", 5, "a", 1.0), ("u1", 6, "a", 2.0), ("u2", 5, "a", 3.0)],
+        "u string, t long, col string, value double",
+    )
+    index = spark.createDataFrame(
+        [("u1", 5), ("u1", 6), ("u2", 5)], "u string, t long"
+    )
+    sf = SparseFrame(cells, ["u", "t"], ["a"], index)
+    got = sf.loc[("u1", 5)]
+    assert got.index.count() == 1
+    assert got.todense().iloc[0] == 1.0
+
+    single = from_pandas(spark, pd.DataFrame({"a": [1.0, 2.0]}, index=["x", "y"]))
+    with pytest.raises(ValueError, match="ambiguous"):
+        single.loc[("x", "y")]
+
+
+def test_take_negative_and_duplicate_positions(spark):
+    from sparsity_spark import from_pandas
+
+    sf = from_pandas(spark, pd.DataFrame({"a": [1.0, 2.0, 3.0]}, index=[10, 11, 12]))
+    last = sf.take([-1])
+    assert list(last.todense().index) == [12]
+    with pytest.raises(ValueError, match="repeated"):
+        sf.take([0, 0])
+    with pytest.raises(IndexError):
+        sf.take([-7])
+
+
+def test_loc_mask_length_validated(spark):
+    from sparsity_spark import from_pandas
+
+    sf = from_pandas(spark, pd.DataFrame({"a": [1.0, 2.0, 3.0]}))
+    with pytest.raises(IndexError, match="length"):
+        sf.loc[[True, False]]
+
+
+def test_todense_empty_single_column_is_named_series(spark):
+    from sparsity_spark import from_pandas
+
+    sf = from_pandas(spark, pd.DataFrame({"only": [1.0]}, index=[5]))
+    empty = sf.loc_range(100, 200).todense()
+    assert isinstance(empty, pd.Series) and empty.name == "only" and len(empty) == 0
+
+
+def test_read_events_null_field_and_duplicate_keys(spark):
+    """NULL field values: no phantom 'None' column, no lost rows elsewhere;
+    duplicate (uuid, ts): ONE merged row, not replicated merged rows."""
+    from sparsity_spark.events import read_events
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 100, "a"),
+            (2, 10, 100, "b"),  # same (uuid, ts) as event 1
+            (3, 20, 200, None),  # null field
+            (4, 20, 300, "a"),
+        ],
+        "event_id long, user_id long, ts long, kind string",
+    )
+    sf = read_events(ev, "kind", uuid_col="user_id", ts_col="ts", order_col="event_id")
+    assert sf.columns == ["a", "b"]  # no 'None' column
+    dense = sf.todense()
+    # (10, 100) merged: a=1, b=1; (20, 200) all-zero row kept; (20, 300) a=1
+    assert dense.shape == (3, 2)
+    assert dense.loc[(10, 100)].tolist() == [1.0, 1.0]
+    assert dense.loc[(20, 200)].tolist() == [0.0, 0.0]
+    assert dense.loc[(20, 300)].tolist() == [1.0, 0.0]
+
+
+def test_scan_order_ids_null_order_raises(spark):
+    from sparsity_spark.events import scan_order_ids
+
+    df = spark.createDataFrame([(1,), (None,)], "o long")
+    with pytest.raises(ValueError, match="NULL"):
+        scan_order_ids(df, "o").collect()
