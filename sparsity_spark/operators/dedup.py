@@ -650,3 +650,77 @@ def substring_dup_spans(
         F.count("*").cast("long").alias("n_spans"),
         F.sum("span_tokens").cast("long").alias("dup_tokens"),
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that document-level exact/MinHash dedup cannot see —
+    cluster the corpus embeddings with k-means, then drop near-duplicate
+    members WITHIN each cluster by pairwise cosine.
+
+    Spark shape: `kmeans_fit` trains the k centroids (bounded-lineage
+    iterative pattern); `assign_centroids` attaches every vector to its
+    cluster in ONE zero-shuffle Arrow pass (no k-way row fanout, so
+    paper-sized k — tens of thousands — is fine); the pair search is a
+    cid-keyed equi-join, quadratic only within a cluster — exactly the
+    paper's trick, since k is chosen to keep N/k bounded as the corpus
+    grows. Norms are computed once per side before the join; cosine is
+    rounded to 6 decimals before the threshold compare so an oracle
+    engine's float noise cannot flip a borderline pair.
+
+    Keep rule: within an above-threshold near-duplicate pair the LOWER id
+    survives — the engine-wide keep-first discipline (deterministic and
+    order-free), where the paper keeps the member farthest from the
+    centroid; the clustering and pair semantics are the paper's.
+
+    Returns one row per vector: (id_col, cid, keep) — `keep=false` rows
+    are the prune set."""
+    from sparsity_spark.operators.similarity import assign_centroids, kmeans_fit
+
+    cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = assign_centroids(embeddings, cents, id_col, vec_col, out_col="cid")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vec_d"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = assigned.withColumn("nrm", norm)
+    left = n.select(
+        "cid",
+        F.col(id_col).alias("id_a"),
+        F.col("vec_d").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = n.select(
+        "cid",
+        F.col(id_col).alias("id_b"),
+        F.col("vec_d").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    from sparsity_spark.operators.similarity import dot_expr
+
+    cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        left.join(right, on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop__", F.lit(True)), on=id_col, how="left")
+        .select(
+            id_col,
+            "cid",
+            F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
+        )
+    )

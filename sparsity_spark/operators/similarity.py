@@ -433,24 +433,30 @@ def kmeans_fit(
     """Distributed Lloyd's k-means for IVF centroid (re)training.
 
     The 100 TB shape: the corpus is persisted once and NEVER shuffled;
-    each iteration is ONE Arrow-batched `mapInPandas` kernel that (a)
+    each iteration is ONE single-stage Arrow `mapInPandas` job that (a)
     assigns every row to its nearest centroid with a vectorized numpy
     distance matrix (argmin ties → lowest centroid id, matching np.argmin)
     and (b) folds the partition down to per-centroid partial sums — each
-    partition emits at most k rows of (cid, count, sum-vector), so the
-    shuffle that follows is k rows per partition regardless of corpus
-    size. A tiny posexplode + hash aggregate over those partials
-    (≤ k·partitions rows) finishes the re-average. The centroids ride to
-    the executors inside the Arrow kernel's closure (k·d doubles —
-    metadata-sized), not as a 512-literal Catalyst expression: the earlier
-    expression form spent more time in plan analysis than in data
-    (measured at sf0.1: ~4 s → ~1.5 s for k=8, d=64, 2 iterations).
-    Centroids are collected to the driver between iterations (k·d values,
-    the standard bounded-lineage pattern for iterative algorithms — the
-    corpus itself never moves). Components are rounded to 6 decimals after
-    every re-average so the fit is engine-portable (the DuckDB oracle
-    unrolls the same iterations in SQL). Deterministic init: the k vectors
-    with the lowest ids. Empty clusters drop out, as in classic Lloyd.
+    partition emits at most k rows of (cid, count, sum-vector). Those
+    partials are collected straight to the driver and re-averaged in
+    numpy: k·d·num_partitions values of driver fan-in, the same shape
+    Spark MLlib's own KMeans uses (treeAggregate of per-partition sum
+    buffers; clusterer runs collectAsMap on k·(d+1) doubles per round).
+    This removes the per-iteration shuffle+aggregate stage entirely — on
+    tiny-corpus/high-overhead rounds that stage cost more than the data
+    pass (measured at sf0.1: fit ~2.5 s → ~1.2 s) and at scale it was pure
+    coordination (k rows per partition either way). A deployment with
+    millions of partitions would interpose one tree-merge level, exactly
+    as treeAggregate does. The centroids ride to the executors inside the
+    Arrow kernel's closure (k·d doubles — metadata-sized), not as a
+    512-literal Catalyst expression: the expression form spent more time
+    in plan analysis than in data (measured: ~4 s).
+    Components are rounded to 6 decimals after every re-average so the
+    fit is engine-portable (the DuckDB oracle unrolls the same iterations
+    in SQL; round-6 absorbs summation-order float drift, which was already
+    nondeterministic under the hash aggregate). Deterministic init: the k
+    vectors with the lowest ids. Empty clusters drop out, as in classic
+    Lloyd.
 
     Returns (centroid_id: long, embedding: array<double>).
     """
@@ -497,17 +503,81 @@ def kmeans_fit(
         part_df = vecs.mapInPandas(
             partials, schema="cid long, cnt long, s array<double>"
         )
-        # partials are ≤ k rows per partition — the explode + agg below
-        # moves k·partitions·d values, independent of corpus size
-        new_cent = (
-            part_df.select("cid", "cnt", F.posexplode("s").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg(F.round(F.sum("x") / F.sum("cnt"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
-            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("c"))
-        )
-        centroids = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
-        centroids.sort()
+        # ≤ k partial rows per partition — collect them directly and
+        # re-average on the driver (numpy), skipping a whole shuffle stage
+        tot_cnt = {}
+        tot_sum = {}
+        for r in part_df.collect():
+            cid = r["cid"]
+            tot_cnt[cid] = tot_cnt.get(cid, 0) + r["cnt"]
+            prev = tot_sum.get(cid)
+            s = np.asarray(r["s"], dtype=np.float64)
+            tot_sum[cid] = s if prev is None else prev + s
+        # round half-AWAY-from-zero (Spark F.round / DuckDB ROUND), not
+        # numpy's banker's rounding
+        def _round6(arr):
+            return np.floor(np.abs(arr) * 1e6 + 0.5) * np.sign(arr) / 1e6
+
+        centroids = [
+            (cid, [float(x) for x in _round6(tot_sum[cid] / tot_cnt[cid])])
+            for cid in sorted(tot_cnt)
+        ]
     vecs.unpersist()
     return spark.createDataFrame(centroids, "centroid_id long, embedding array<double>")
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, argmin ties → lowest
+    centroid id) WITHOUT row fanout: the centroid matrix rides into an
+    Arrow `mapInPandas` kernel's closure (k·d doubles — metadata-sized),
+    so the cost is O(n·k·d) vectorized flops inside each partition and
+    the plan has ZERO extra shuffle. A broadcast crossJoin would multiply
+    every corpus row k× before filtering — unusable at SemDeDup-sized k
+    (tens of thousands of clusters). The kernel carries the double vector
+    through so downstream similarity math needs no join back to the
+    corpus. Same argmin/tie discipline as `kmeans_fit`'s assignment step,
+    so a SQL oracle's `ROW_NUMBER() OVER (ORDER BY list_distance, cid)`
+    reproduces it exactly.
+
+    Returns (id_col, out_col, vec_d: array<double>)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        (r["centroid_id"], list(r["embedding"])) for r in centroids.collect()
+    )
+    if not rows:
+        raise ValueError("assign_centroids: centroids table is empty")
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+
+    src = embeddings.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).cast("array<double>").alias("vec_d"),
+    )
+
+    def kern(batches, _cids=cids, _C=C):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["vec_d"].tolist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id__": pdf["__id__"].to_numpy(),
+                    out_col: _cids[a],
+                    "vec_d": pdf["vec_d"],
+                }
+            )
+
+    out = src.mapInPandas(
+        kern, schema=f"__id__ long, {out_col} long, vec_d array<double>"
+    )
+    return out.withColumnRenamed("__id__", id_col)

@@ -4318,10 +4318,12 @@ def stats_kmv_jaccard_q(spark, sf_dir):
     return kmv_jaccard(a, b, k=64)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
-    """Unrolled Lloyd iterations in DuckDB SQL — same deterministic init
-    (k lowest vec_ids), same argmin tie-break (lowest centroid id), same
-    round-to-6 re-average as operators.similarity.kmeans_fit."""
+def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
+    """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
+    c{iters}) — same deterministic init (k lowest vec_ids), same argmin
+    tie-break (lowest centroid id), same round-to-6 re-average as
+    operators.similarity.kmeans_fit. Shared by the centroid oracle and
+    the SemDeDup oracle (which appends a final assignment + pair CTEs)."""
     assign = """
 {out} AS (
   SELECT vec_id, e, cid FROM (
@@ -4350,6 +4352,21 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     for i in range(iters):
         parts.append(assign.format(out=f"a{i + 1}", cin=f"c{i}").strip())
         parts.append(recompute.format(out=f"c{i + 1}", ain=f"a{i + 1}").strip())
+    return parts
+
+
+_KMEANS_ASSIGN_CTE = """
+{out} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, {cin}.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_distance(v.e, {cin}.c), {cin}.cid) AS rn
+    FROM v CROSS JOIN {cin}) t WHERE rn = 1
+)"""
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    parts = _kmeans_cte_parts(k, iters)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT cid AS centroid_id, CAST(u.dim AS INT) AS dim, u.x AS val
@@ -4358,18 +4375,57 @@ FROM (SELECT cid, UNNEST(c) AS x, UNNEST(range(len(c))) AS dim FROM c{iters}) u
     )
 
 
+def _semdedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
+    """kmeans CTEs + final assignment + within-cluster cosine pairs +
+    keep-lowest-id rule — the full SemDeDup pipeline in SQL."""
+    parts = _kmeans_cte_parts(k, iters)
+    parts.append(_KMEANS_ASSIGN_CTE.format(out="af", cin=f"c{iters}").strip())
+    parts.append(
+        "n AS (SELECT vec_id, cid, e, sqrt(list_dot_product(e, e)) AS nrm FROM af)"
+    )
+    parts.append(
+        f"""drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT n.vec_id, n.cid, (n.vec_id NOT IN (SELECT vec_id FROM drops)) AS keep
+FROM n
+"""
+    )
+
+
 @query("ann_kmeans_centroids", _kmeans_oracle(8, 2))
 def ann_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means (IVF centroid training): corpus persisted
-    once, per-iteration broadcast-assign (codegen argmin) + one posexplode
-    hash re-average; centroids driver-collected between rounds (k·d values
-    — metadata-sized, the bounded-lineage iterative pattern). The oracle
-    unrolls the identical two iterations in SQL."""
+    once, per-iteration single-stage Arrow assign+partial-sum kernel with
+    the partials (≤ k rows/partition) re-averaged driver-side — the MLlib
+    treeAggregate shape; centroids driver-collected between rounds (k·d
+    values — metadata-sized, the bounded-lineage iterative pattern). The
+    oracle unrolls the identical two iterations in SQL."""
     from sparsity_spark.operators.similarity import kmeans_fit
 
     cents = kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
     return cents.select(
         "centroid_id", F.posexplode("embedding").alias("dim", "val")
+    )
+
+
+@query("dedup_semdedup", _semdedup_oracle(8, 2, 0.3))
+def dedup_semdedup_q(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): k-means-cluster the embeddings, then
+    prune within-cluster cosine near-duplicates, keep-lowest-id. The
+    cluster id bounds the pair join (cid-keyed equi-join — quadratic only
+    within a cluster, the paper's own scaling argument); assignment is a
+    zero-shuffle Arrow kernel, no k-way fanout. Oracle unrolls the same
+    kmeans + assignment + pair SQL."""
+    from sparsity_spark.operators.dedup import semdedup_prune
+
+    return semdedup_prune(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.3
     )
 
 

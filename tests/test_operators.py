@@ -705,3 +705,65 @@ def test_substring_dup_spans_fixture(spark):
     # the periodic doc repeats its 20-gram everywhere -> one full-doc span
     assert out[3]["n_spans"] == 1
     assert out[3]["dup_tokens"] == 40
+
+
+def test_semdedup_prunes_within_cluster_dups(spark):
+    """Two separated blobs; one blob holds an exact-duplicate pair and one
+    near-duplicate pair, the other is spread out. SemDeDup must keep the
+    lowest id of each duplicate pair and never prune across clusters."""
+    base_a = np.array([1.0, 1.0, 0.0, 0.0])
+    base_b = np.array([-1.0, 0.0, 1.0, 0.0])
+    # ids 0 and 1 are the deterministic k=2 init seeds — one per blob
+    pts = [
+        base_a,                      # 0: kept (lowest id of dup group)
+        base_b,                      # 1: kept (other blob's seed)
+        base_a,                      # 2: pruned (exact dup of 0)
+        base_a * 1.01,               # 3: pruned (cosine 1.0 with 0)
+        base_a + np.array([0.0, -0.9, 0.9, 0.0]),  # 4: blob A, dissimilar
+        base_b + np.array([0.0, 0.9, -0.5, 0.9]),  # 5: blob B, dissimilar
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+        )
+    )
+    out = (
+        dedup.semdedup_prune(emb, k=2, iters=3, threshold=0.95)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert out["keep"].tolist() == [True, True, False, False, True, True]
+    # the two blobs landed in different clusters
+    cids = out.set_index("vec_id")["cid"]
+    assert cids[0] == cids[2] == cids[3] == cids[4]
+    assert cids[1] == cids[5]
+    assert cids[0] != cids[1]
+
+
+def test_assign_centroids_matches_kmeans_assignment(spark):
+    """assign_centroids (Arrow kernel) must agree with a numpy argmin over
+    the same centroids, ties to the lowest centroid id."""
+    rng = np.random.RandomState(5)
+    pts = rng.randn(50, 8)
+    cents_np = rng.randn(4, 8)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": range(4),
+                "embedding": [list(map(float, c)) for c in cents_np],
+            }
+        )
+    )
+    got = (
+        similarity.assign_centroids(emb, cents)
+        .toPandas()
+        .sort_values("vec_id")["cid"]
+        .to_numpy()
+    )
+    d2 = ((pts[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+    assert (got == d2.argmin(axis=1)).all()
