@@ -383,3 +383,79 @@ def materialize_bins(
         F.sum(token_count_col).alias("n_tokens"),
         F.count("*").alias("n_docs"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """Single-pass data profiling: one row per requested column with row
+    count, null count, distinct count, min/max/mean — the health check a
+    pipeline runs before training on a new drop of data.
+
+    ONE aggregate over the data computes every metric (the per-column
+    results then pivot to long format driver-free via explode of a
+    metadata-sized struct array). Exact COUNT(DISTINCT) on C columns makes
+    Spark expand input rows ×C before the hash aggregate — fine for a
+    handful of profiled columns; pass ``approx=True`` to swap in
+    HyperLogLog ``approx_count_distinct`` (single expand-free pass, ~2%
+    error) when profiling very wide tables at full scale.
+
+    Returns (col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)
+    with the numeric metrics as round-6 doubles."""
+    aggs = []
+    for c in cols:
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{c}_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__{c}_null"),
+            distinct.alias(f"__{c}_dist"),
+            F.round(F.min(F.col(c)).cast("double"), 6).alias(f"__{c}_min"),
+            F.round(F.max(F.col(c)).cast("double"), 6).alias(f"__{c}_max"),
+            F.round(F.avg(F.col(c)), 6).alias(f"__{c}_mean"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__{c}_rows").alias("n_rows"),
+            F.col(f"__{c}_null").alias("n_null"),
+            F.col(f"__{c}_dist").alias("n_distinct"),
+            F.col(f"__{c}_min").alias("min_v"),
+            F.col(f"__{c}_max").alias("max_v"),
+            F.col(f"__{c}_mean").alias("mean_v"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation — Spark
+    ``percentile`` and DuckDB/Postgres ``quantile_cont`` agree bit-for-bit
+    on this definition, verified on the testdata): the document-length /
+    score-distribution summary that drives corpus quality cuts.
+
+    One hash aggregate per group computes the whole quantile list, then a
+    posexplode pairs each q with its value — no per-quantile passes. Exact
+    percentile buffers each group's values; at open-ended 100 TB group
+    sizes switch to ``approx_percentile(..., accuracy)`` — same plan
+    shape, bounded memory.
+
+    Returns (group_col, q, quantile_value) with round-6 doubles."""
+    qlist = [float(x) for x in qs]
+    agg = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(x) for x in qlist])).alias("__qv")
+    )
+    return agg.select(
+        group_col,
+        F.posexplode("__qv").alias("__i", "quantile_value"),
+    ).select(
+        group_col,
+        F.element_at(F.array(*[F.lit(x) for x in qlist]), F.col("__i") + 1).alias("q"),
+        F.round("quantile_value", 6).alias("quantile_value"),
+    )

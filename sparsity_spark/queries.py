@@ -4040,6 +4040,56 @@ def stats_user_entropy(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_suppkey"]
+
+
+@query(
+    "stats_profile_columns",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_v,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_v,
+           ROUND(AVG({c}), 6) AS mean_v
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def stats_profile_columns_q(spark, sf_dir):
+    """Data profiling health check (row/null/distinct counts, min/max/mean
+    per column) in ONE aggregate pass over the table — the pre-training
+    sanity scan; exact distincts here, HLL `approx=True` for wide tables."""
+    from sparsity_spark.operators.pipeline import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+@query(
+    "stats_len_quantiles",
+    """
+    SELECT source,
+           UNNEST([0.25, 0.5, 0.75, 0.9]) AS q,
+           ROUND(UNNEST(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9])), 6)
+             AS quantile_value
+    FROM documents GROUP BY source
+    """,
+)
+def stats_len_quantiles_q(spark, sf_dir):
+    """Exact per-source document-length quantiles: one hash aggregate
+    computes the whole quantile list per group (linear interpolation —
+    Spark `percentile` ≡ DuckDB `quantile_cont`), then a posexplode pairs
+    q with value. The corpus length-distribution summary behind quality
+    cuts."""
+    from sparsity_spark.operators.pipeline import grouped_quantiles
+
+    return grouped_quantiles(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 @query(
     "pipe_incremental_newdocs",
     """

@@ -227,3 +227,46 @@ def test_temperature_mix_flattens_domains(spark, lang_docs):
 
     with _pytest.raises(ValueError):
         temperature_mix(lang_docs, "doc_id", "lang", temperature=0)
+
+
+def test_profile_columns_nulls_and_distincts(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 2.0, None],
+            "b": [None, None, None, None],
+            "c": [5, 5, 5, 5],
+        }
+    )
+    from sparsity_spark.operators.pipeline import profile_columns
+
+    out = (
+        profile_columns(spark.createDataFrame(pdf), ["a", "b", "c"])
+        .toPandas()
+        .set_index("col_name")
+    )
+    assert out.loc["a", "n_rows"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "min_v"] == 1.0 and out.loc["a", "max_v"] == 2.0
+    # all-null column: distinct 0, min/max/mean null
+    assert out.loc["b", "n_null"] == 4 and out.loc["b", "n_distinct"] == 0
+    assert pd.isna(out.loc["b", "mean_v"])
+    assert out.loc["c", "n_distinct"] == 1 and out.loc["c", "mean_v"] == 5.0
+
+
+def test_grouped_quantiles_interpolation(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"g": ["x"] * 4 + ["y"], "v": [1.0, 2.0, 3.0, 4.0, 7.0]})
+    from sparsity_spark.operators.pipeline import grouped_quantiles
+
+    out = grouped_quantiles(
+        spark.createDataFrame(pdf), "g", "v", qs=[0.5, 0.9]
+    ).toPandas()
+    got = {(r.g, r.q): r.quantile_value for r in out.itertuples()}
+    # linear interpolation: median of [1,2,3,4] = 2.5; p90 = 3.7
+    assert got[("x", 0.5)] == 2.5
+    assert abs(got[("x", 0.9)] - 3.7) < 1e-9
+    # single-element group: every quantile is that element
+    assert got[("y", 0.5)] == 7.0 and got[("y", 0.9)] == 7.0
