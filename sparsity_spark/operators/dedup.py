@@ -161,6 +161,39 @@ def lsh_bands(
     )
 
 
+def band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) straight from text in ONE aggregate: the wide
+    minhash row explodes into its `bands` md5 band keys without the
+    re-shuffle the long signature format would need. This is the stored
+    representation of a corpus for incremental dedup — keep the band
+    table, not the text."""
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(docs, id_col, text_col, k, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -180,24 +213,7 @@ def lsh_candidate_pairs(
     re-aggregate num_hashes rows per doc just to regroup what the first
     aggregate already co-located. Key construction matches lsh_bands
     (md5 of the band's minhashes in seed order, comma-joined)."""
-    rows_per_band = num_hashes // bands
-    wide = _minhash_wide(docs, id_col, text_col, k, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).cast("int").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    b = wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
-    )
+    b = band_keys(docs, id_col, text_col, k, num_hashes, bands)
     left = b.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -722,5 +738,54 @@ def semdedup_prune(
             id_col,
             "cid",
             F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup dedup: screen a NEW document batch against an
+    existing corpus represented ONLY by its stored band table (from
+    :func:`band_keys` / `lsh_bands`) — the production shape, where each
+    data drop dedups against billions of already-ingested docs without
+    ever re-reading (or even retaining) their text.
+
+    One aggregate computes the new batch's band keys; ONE equi-join on
+    (band, band_key) against the corpus table finds collisions — work ∝
+    collision count, shuffle keyed by bucket, never corpus × batch. At
+    100 TB the corpus band table is (docs × bands) skinny rows, ideally
+    stored bucketed BY (band, band_key) so the screening join needs no
+    corpus-side shuffle at all.
+
+    Returns one row per distinct new doc id: (id_col,
+    n_corpus_collisions, keep) — keep=false docs near-duplicate the
+    existing corpus; keep=true docs are safe to append (then union their
+    band rows into the store for the next increment)."""
+    nb = band_keys(new_docs, id_col, text_col, k, num_hashes, bands)
+    cb = corpus_bands.select(
+        F.col(id_col).alias("__corpus_id__"), "band", "band_key"
+    )
+    hits = (
+        nb.join(cb, on=["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("__corpus_id__")).alias("n_corpus_collisions"))
+    )
+    return (
+        new_docs.select(id_col)
+        .distinct()
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_corpus_collisions"), F.lit(0)).cast("long").alias(
+                "n_corpus_collisions"
+            ),
+            F.col("n_corpus_collisions").isNull().alias("keep"),
         )
     )

@@ -1221,6 +1221,42 @@ def dedup_lsh_pairs_q(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_lsh",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT nb.doc_id, CAST(COUNT(DISTINCT cb.doc_id) AS BIGINT) AS n_corpus_collisions
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key
+      GROUP BY nb.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_corpus_collisions, 0) AS n_corpus_collisions,
+           (h.doc_id IS NULL) AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def dedup_incremental_lsh_q(spark, sf_dir):
+    """Incremental near-dup screening: every 10th doc arrives as the 'new
+    batch' and is deduped against the band TABLE of the other 90% — the
+    production shape where the corpus text is never re-read. One band-key
+    aggregate on the batch + one bucket equi-join against the store."""
+    from sparsity_spark.operators.dedup import band_keys, incremental_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_lsh_dedup(new_batch, band_keys(corpus))
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE m AS ({_MINHASH_SQL}),

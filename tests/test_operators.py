@@ -767,3 +767,40 @@ def test_assign_centroids_matches_kmeans_assignment(spark):
     )
     d2 = ((pts[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
     assert (got == d2.argmin(axis=1)).all()
+
+
+def test_incremental_lsh_dedup_screens_against_store(spark):
+    """A new batch holding one exact twin of a stored corpus doc and one
+    fresh doc: the twin collides with the store (keep=False), the fresh
+    doc passes (keep=True). The corpus side is only its band table."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "an entirely different document about spark shuffles here",
+                ],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",  # twin of 1
+                    "completely novel content with no overlap whatsoever at all",
+                ],
+            }
+        )
+    )
+    store = dedup.band_keys(corpus)
+    out = (
+        dedup.incremental_lsh_dedup(new, store)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert not out.loc[100, "keep"] and out.loc[100, "n_corpus_collisions"] == 1
+    assert out.loc[101, "keep"] and out.loc[101, "n_corpus_collisions"] == 0
