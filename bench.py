@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "pipe_incremental_newdocs",
     "dedup_simhash_pairs",
     "ann_kmeans_centroids",
+    # round-4 additions (new entries — like-for-like comparisons against
+    # earlier rounds should use the common prefix)
+    "dedup_semdedup",
+    "dedup_incremental_lsh",
+    "stats_profile_columns",
+    "stats_len_quantiles",
 ]
 
 
@@ -131,6 +137,7 @@ def run_scale(factor: int) -> None:
         t0 = time.perf_counter()
         run_one(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # same inter-query hygiene as main bench
     out = {
         "metric": "scale_queries_total_wall",
         "value": round(sum(timings.values()), 3),

@@ -25,6 +25,13 @@ def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # a single ~100 MB parquet file scans as 1 split under the default
+        # 128 MB maxPartitionBytes — compute-heavy per-row work after a
+        # broadcast join then runs on ONE core (measured at sf1: jaccard
+        # prefix join at 1.7 avg threads on a 32-core box). Asking for at
+        # least one split per core fixes the local calibration; a real
+        # cluster's many-file tables already exceed this floor.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

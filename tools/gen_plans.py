@@ -53,6 +53,24 @@ PICKS = {
         "by repeated positions, and span merging is a per-doc window — "
         "no cartesian anywhere."
     ),
+    "dedup_semdedup": (
+        "SemDeDup (r4): zero-shuffle Arrow centroid assignment (no k-way "
+        "row fanout), then the cosine pair join keys on the cluster id — "
+        "quadratic only within a cluster, never corpus-wide; no "
+        "CartesianProduct node."
+    ),
+    "dedup_incremental_lsh": (
+        "Incremental dedup (r4): the new batch's band keys come from ONE "
+        "HashAggregate; the screening join against the corpus band store "
+        "is a plain (band, band_key) equi-join — batch-vs-store work "
+        "tracks collisions, and a bucketed store would shuffle nothing."
+    ),
+    "stats_profile_columns": (
+        "Profiling (r4): every per-column metric of the health check rides "
+        "in ONE aggregate pass (expand ×C for exact distincts), then "
+        "pivots to long format via an explode of a literal struct array — "
+        "no second scan, no driver loop."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
