@@ -142,6 +142,20 @@ def main():
     print("decoded .tdb events:", traildb_event_table(spark, tdb).count())
     print("pq-adc neighbors:", pq_adc_topk(emb, emb.filter(F.col("vec_id") < 2), topk=3).count())
 
+    print("\n== 13. curation at scale: SemDeDup / incremental dedup / hard negatives / profiling (r4) ==")
+    from sparsity_spark.operators.dedup import band_keys, incremental_lsh_dedup, semdedup_prune
+    from sparsity_spark.operators.pipeline import grouped_quantiles, profile_columns
+    from sparsity_spark.operators.similarity import hard_negatives
+
+    sd = semdedup_prune(emb, k=8, iters=2, threshold=0.3)
+    print("semdedup pruned:", sd.filter("NOT keep").count(), "of", sd.count())
+    store = band_keys(docs.filter("doc_id % 10 != 0"))
+    inc = incremental_lsh_dedup(docs.filter("doc_id % 10 = 0"), store)
+    print("incremental screening: new-batch dups vs stored corpus:", inc.filter("NOT keep").count())
+    print("hard negatives:", hard_negatives(emb, emb.limit(3), k=3).count())
+    print(profile_columns(docs, ["n_chars"]).show(1, False))
+    print("per-source length quantiles:", grouped_quantiles(docs, "source", "n_chars").count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 

@@ -581,3 +581,54 @@ def assign_centroids(
         kern, schema=f"__id__ long, {out_col} long, vec_d array<double>"
     )
     return out.withColumnRenamed("__id__", id_col)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.1,
+    hi: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar corpus vectors whose cosine lies in [lo, hi) —
+    similar enough to be informative negatives, but BELOW the
+    near-duplicate band (a near-dup used as a negative is a false label,
+    the classic contrastive-data bug; SemDeDup/embedding_neardup give the
+    dup band, this op mines just under it).
+
+    Same 100 TB shape as `cosine_topk`: only the (small) query set
+    broadcasts, the corpus stays partition-parallel, norms precompute per
+    side, cosine rounds to 4 decimals BEFORE the band filter and ranking
+    so engine float noise can't flip either boundary. For corpus-sized
+    query sets, swap the broadcast for the IVF bucket join (`ivf_topk`)
+    and apply the same band filter.
+
+    Returns (query_id, neighbor_id, cosine), ties → lowest neighbor id."""
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("vc"),
+        F.col("norm").alias("nc"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec_d").alias("vq"),
+        F.col("norm").alias("nq"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("vq", "vc") / (F.col("nq") * F.col("nc")), 4),
+        )
+        .filter((F.col("cosine") >= F.lit(lo)) & (F.col("cosine") < F.lit(hi)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

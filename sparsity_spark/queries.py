@@ -1421,6 +1421,34 @@ def ann_bruteforce_topk_q(spark, sf_dir):
 
 
 @query(
+    "ann_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored WHERE cosine >= 0.1 AND cosine < 0.8
+    ) WHERE rn <= 5
+    """,
+)
+def ann_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining: per query the top-5 neighbors with cosine in
+    [0.1, 0.8) — informative negatives just under the near-dup band (a
+    near-dup used as a negative is a false label). Broadcast queries,
+    round-before-band-and-rank determinism."""
+    from sparsity_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5, lo=0.1, hi=0.8)
+
+
+@query(
     "ann_ivf_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -804,3 +804,25 @@ def test_incremental_lsh_dedup_screens_against_store(spark):
     )
     assert not out.loc[100, "keep"] and out.loc[100, "n_corpus_collisions"] == 1
     assert out.loc[101, "keep"] and out.loc[101, "n_corpus_collisions"] == 0
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """Negatives must exclude both near-dups (cosine >= hi) and
+    uninformative vectors (cosine < lo), ranked desc within the band."""
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = [
+        (0, list(base)),                                # query
+        (1, list(base * 2)),                            # cosine 1.0: near-dup, excluded
+        (2, [0.8, 0.6, 0.0, 0.0]),                      # cosine 0.8: at hi, excluded
+        (3, [0.6, 0.8, 0.0, 0.0]),                      # cosine 0.6: in band
+        (4, [0.3, 0.954, 0.0, 0.0]),                    # cosine 0.3: in band
+        (5, [0.0, 1.0, 0.0, 0.0]),                      # cosine 0.0: below lo, excluded
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, lo=0.1, hi=0.8
+    ).toPandas()
+    assert list(out["neighbor_id"]) == [3, 4]  # desc cosine within band
+    assert (out["cosine"] < 0.8).all() and (out["cosine"] >= 0.1).all()
