@@ -123,7 +123,7 @@ def main():
     buyers = kmv_sketch(events.filter("event_type = 'purchase'"), "user_id", k=64)
     print("clicker/buyer jaccard:", kmv_jaccard(clickers, buyers, k=64).collect()[0]["jaccard_estimate"])
     print("temperature-mixed docs:", temperature_mix(docs, "doc_id", "lang", 2.0, 0.5).count())
-    print(model_quality_score(docs).orderBy(F.desc("model_quality")).show(3, False))
+    model_quality_score(docs).orderBy(F.desc("model_quality")).show(3, False)
 
     print("\n== 12. binary TrailDB containers + PQ ADC search (r4) ==")
     import tempfile
@@ -153,7 +153,7 @@ def main():
     inc = incremental_lsh_dedup(docs.filter("doc_id % 10 = 0"), store)
     print("incremental screening: new-batch dups vs stored corpus:", inc.filter("NOT keep").count())
     print("hard negatives:", hard_negatives(emb, emb.limit(3), k=3).count())
-    print(profile_columns(docs, ["n_chars"]).show(1, False))
+    profile_columns(docs, ["n_chars"]).show(1, False)
     print("per-source length quantiles:", grouped_quantiles(docs, "source", "n_chars").count())
 
     spark.stop()

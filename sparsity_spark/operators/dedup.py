@@ -700,16 +700,18 @@ def semdedup_prune(
     are the prune set."""
     from sparsity_spark.operators.similarity import assign_centroids, kmeans_fit
 
+    from sparsity_spark.operators.similarity import with_norm
+
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = assign_centroids(embeddings, cents, id_col, vec_col, out_col="cid")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("vec_d"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    n = assigned.withColumn("nrm", norm)
+    # persisted: 'assigned' feeds the pair join twice plus the final keep
+    # join — without it the corpus scan + assignment kernel re-runs once
+    # per subtree (three times; seen in the PLANS.md audit). Reclaimed by
+    # ContextCleaner with the plan, or eagerly by the caller's
+    # clearCache between jobs.
+    assigned = assign_centroids(
+        embeddings, cents, id_col, vec_col, out_col="cid"
+    ).persist()
+    n = with_norm(assigned, "vec_d").withColumnRenamed("norm", "nrm")
     left = n.select(
         "cid",
         F.col(id_col).alias("id_a"),

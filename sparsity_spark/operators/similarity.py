@@ -484,11 +484,18 @@ def kmeans_fit(
                 if not len(pdf):
                     continue
                 X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-                # full (n, k) distance matrix; np.argmin ties → lowest
+                # argmin over ||x-c||^2 = ||c||^2 - 2 x·c (+ a per-row
+                # constant that cannot change the argmin) via matmul —
+                # O(rows·k) memory instead of the O(rows·k·d) broadcast-
+                # difference tensor, row-blocked; np.argmin ties → lowest
                 # index, and centroids are sorted by cid, so the
                 # tie-break matches the reference argmin-lowest-cid rule
-                d2 = ((X[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
-                a = d2.argmin(axis=1)
+                c_sq = (_C**2).sum(axis=1)
+                a = np.empty(len(X), dtype=np.int64)
+                for s0 in range(0, len(X), 1024):
+                    blk = X[s0 : s0 + 1024]
+                    d2 = c_sq[None, :] - 2.0 * (blk @ _C.T)
+                    a[s0 : s0 + len(blk)] = d2.argmin(axis=1)
                 np.add.at(cnt, a, 1)
                 np.add.at(sums, a, X)
             hit = cnt > 0
@@ -562,13 +569,23 @@ def assign_centroids(
         F.col(vec_col).cast("array<double>").alias("vec_d"),
     )
 
-    def kern(batches, _cids=cids, _C=C):
+    c_sq = (C**2).sum(axis=1)
+
+    def kern(batches, _cids=cids, _C=C, _c_sq=c_sq):
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.asarray(pdf["vec_d"].tolist(), dtype=np.float64)
-            d2 = ((X[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
+            # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c via matmul — O(rows·k)
+            # memory, not the O(rows·k·d) broadcast-difference tensor
+            # (which at the advertised k=tens-of-thousands, d=768 would be
+            # terabytes per Arrow batch); ||x||^2 is argmin-invariant and
+            # skipped. Row-blocked so even rows·k stays bounded.
+            a = np.empty(len(X), dtype=np.int64)
+            for s in range(0, len(X), 1024):
+                blk = X[s : s + 1024]
+                d2 = _c_sq[None, :] - 2.0 * (blk @ _C.T)
+                a[s : s + len(blk)] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "__id__": pdf["__id__"].to_numpy(),
