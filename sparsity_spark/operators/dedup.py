@@ -791,3 +791,56 @@ def incremental_lsh_dedup(
             F.col("n_corpus_collisions").isNull().alias("keep"),
         )
     )
+
+
+def minhash_expr_bands(
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """STREAMING-LEGAL band keys: the same (band, band_key) values as
+    :func:`band_keys`, computed as a pure per-row expression — an array of
+    `bands` structs — with NO aggregation, so it can run inside an
+    append-mode stream (a groupBy per doc would be a second stateful
+    aggregation). Construction: distinct shingles → per-seed
+    `array_min(transform(...))` minhash → md5 of the comma-joined band
+    minhashes, identical to the aggregate form (parity-tested).
+
+    The batch aggregate form stays the batch default — it measured ~2.7×
+    faster there (dedup.py `_minhash_wide` note); this expression is the
+    price of streaming legality, paid per new-batch row only."""
+    a, b = minhash_params(num_hashes)
+    rows_per_band = num_hashes // bands
+    hashes = F.transform(
+        F.array_distinct(shingles_expr(words_expr(text_col), k)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    def _min_for(s):
+        # closure, not a defaulted second lambda arg: F.transform treats a
+        # two-parameter lambda as (element, index)
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.lit(a[s]) * h + F.lit(b[s])) % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    mins = [_min_for(s) for s in range(num_hashes)]
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[mins[bi * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    # a doc with < k words has no shingles: the aggregate form emits no
+    # rows for it, so the expression form returns NULL (not md5-of-empty
+    # keys, which would spuriously collide every shingle-less doc)
+    return F.when(F.size(hashes) > 0, out)

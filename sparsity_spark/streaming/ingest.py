@@ -339,3 +339,45 @@ def streaming_attribution_join(
         "l_value",
         "r_value",
     )
+
+
+def streaming_screen_vs_store(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming incremental near-dup screening: documents flowing through
+    a stream are dropped when they MinHash-LSH-collide with an existing
+    (static) corpus band table — the streaming face of
+    `operators.dedup.incremental_lsh_dedup`, for the pipeline where a
+    firehose appends to an already-deduplicated lake.
+
+    Stateless and append-legal end to end: band keys come from the
+    per-row `minhash_expr_bands` expression (no per-doc aggregation), and
+    "drop if ANY band collides" is a CHAIN of `bands` stream-static LEFT
+    ANTI equi-joins — survivors of the band-0 screen flow into the band-1
+    screen, and so on; a doc reaching the end collided on no band. Each
+    link is a plain equi-join on the band key against the store rows of
+    that one band (never an OR predicate, which would plan as a
+    nested-loop join), so work per micro-batch is batch-size equi-lookups
+    — collisions, not corpus size, bound it. The static side is re-read
+    per micro-batch, picking up store updates between batches. Emits the
+    surviving rows unchanged, so it composes with any downstream sink or
+    watermarked aggregation."""
+    from sparsity_spark.operators.dedup import minhash_expr_bands
+
+    out = docs.withColumn(
+        "__bands__", minhash_expr_bands(content_col, k, num_hashes, bands)
+    )
+    for bi in range(bands):
+        store_b = corpus_bands.filter(F.col("band") == bi).select(
+            F.col("band_key").alias("__bk__")
+        ).distinct()
+        out = out.withColumn(
+            "__bk__", F.element_at(F.col("__bands__"), bi + 1)["band_key"]
+        ).join(store_b, on="__bk__", how="left_anti").drop("__bk__")
+    return out.drop("__bands__")

@@ -398,3 +398,102 @@ def test_streaming_ewma_survives_long_series(spark, tmp_path):
     assert np.isfinite(got["ewma"]).all()
     # constant series: ewma == the constant at every step
     assert np.allclose(got["ewma"].to_numpy(), 5.0)
+
+
+def test_minhash_expr_bands_parity_with_aggregate(spark):
+    """The streaming-legal per-row band expression must produce IDENTICAL
+    (band, band_key) values to the batch aggregate form, and NULL (not
+    md5-of-empty collisions) for shingle-less docs."""
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import band_keys, minhash_expr_bands
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "an entirely different document about spark and shuffles",
+                    "too short",  # < 3 words -> no shingles
+                ],
+            }
+        )
+    )
+    agg = band_keys(docs).toPandas()
+    expr = (
+        docs.select(
+            "doc_id", F.explode(minhash_expr_bands("text")).alias("bb")
+        )
+        .select("doc_id", "bb.band", "bb.band_key")
+        .toPandas()
+    )
+    key = lambda df: set(map(tuple, df[["doc_id", "band", "band_key"]].to_numpy()))
+    assert key(agg) == key(expr)  # doc 3 absent from BOTH (NULL explodes to nothing)
+    assert set(agg["doc_id"]) == {1, 2}
+
+
+def test_streaming_screen_vs_store_matches_batch(spark, tmp_path):
+    """Two micro-batches screened against a static band store must keep
+    exactly the docs the batch operator keeps."""
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import band_keys, incremental_lsh_dedup
+    from sparsity_spark.streaming.ingest import streaming_screen_vs_store
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "an entirely different document about spark shuffles here",
+                ],
+            }
+        )
+    )
+    store = band_keys(corpus)
+    schema = "doc_id long, text string"
+    new_rows = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",  # dup of 1
+                "completely novel content with no overlap whatsoever at all",
+                "an entirely different document about spark shuffles here",  # dup of 2
+            ],
+        }
+    )
+    src = str(tmp_path / "doc_stream")
+    spark.createDataFrame(new_rows.iloc[:2], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    import time as _time
+
+    _time.sleep(2)
+    spark.createDataFrame(new_rows.iloc[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    kept = streaming_screen_vs_store(stream, store)
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("screen_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM screen_test").collect()
+    )
+    batch_keep = sorted(
+        r["doc_id"]
+        for r in incremental_lsh_dedup(
+            spark.createDataFrame(new_rows, schema), store
+        )
+        .filter("keep")
+        .collect()
+    )
+    assert got == batch_keep == [101]
