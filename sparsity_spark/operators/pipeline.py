@@ -459,3 +459,37 @@ def grouped_quantiles(
         F.element_at(F.array(*[F.lit(x) for x in qlist]), F.col("__i") + 1).alias("q"),
         F.round("quantile_value", 6).alias("quantile_value"),
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum sharding: assign every row to one of ``n_shards`` by its
+    score's quantile band (shard 0 = lowest band), so training can walk
+    easy→hard (or the reverse) by consuming shards in order.
+
+    NOT a global NTILE — that is one unpartitioned window over the corpus.
+    Instead the n-1 interior quantile cutpoints are computed with ONE
+    exact-percentile aggregate (driver-collects n-1 doubles — metadata),
+    and assignment is a map-only CASE chain every engine evaluates
+    identically: shard = #cutpoints strictly below the row's round-6
+    score (ties at a cutpoint land in the HIGHER shard, both engines,
+    because the compare is cut < score). Shard sizes are approximately
+    equal — exactly what quantiles promise, and the map-only form is the
+    price-free trade against NTILE's exact-but-serial split.
+
+    Returns the input plus a ``shard`` int column."""
+    qs = [i / n_shards for i in range(1, n_shards)]
+    cuts = df.agg(
+        F.percentile(F.round(F.col(score_col), 6), F.array(*[F.lit(q) for q in qs])).alias("c")
+    ).collect()[0]["c"]
+    cuts = [round(float(c), 6) for c in cuts]
+    score = F.round(F.col(score_col), 6)
+    shard = sum(
+        (F.when(F.lit(c) < score, 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    )
+    return df.withColumn("shard", shard.cast("int"))

@@ -4155,6 +4155,36 @@ def stats_len_quantiles_q(spark, sf_dir):
 
 
 @query(
+    "pipe_curriculum_shards",
+    """
+    WITH s AS (SELECT doc_id, ROUND(n_chars * 1.0, 6) AS sc FROM documents),
+    c AS (
+      SELECT quantile_cont(sc, 0.25) AS c1, quantile_cont(sc, 0.5) AS c2,
+             quantile_cont(sc, 0.75) AS c3
+      FROM s
+    )
+    SELECT s.doc_id,
+           CAST((CASE WHEN ROUND(c.c1, 6) < s.sc THEN 1 ELSE 0 END)
+              + (CASE WHEN ROUND(c.c2, 6) < s.sc THEN 1 ELSE 0 END)
+              + (CASE WHEN ROUND(c.c3, 6) < s.sc THEN 1 ELSE 0 END) AS INTEGER) AS shard
+    FROM s, c
+    """,
+)
+def pipe_curriculum_shards_q(spark, sf_dir):
+    """Curriculum sharding by document length quantile band: one exact-
+    percentile aggregate yields the 3 cutpoints (driver-side metadata),
+    assignment is a map-only CASE chain — no global NTILE window."""
+    from sparsity_spark.operators.pipeline import curriculum_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_shards(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("sc")),
+        "sc",
+        n_shards=4,
+    ).select("doc_id", "shard")
+
+
+@query(
     "pipe_incremental_newdocs",
     """
     WITH d AS (

@@ -270,3 +270,21 @@ def test_grouped_quantiles_interpolation(spark):
     assert abs(got[("x", 0.9)] - 3.7) < 1e-9
     # single-element group: every quantile is that element
     assert got[("y", 0.5)] == 7.0 and got[("y", 0.9)] == 7.0
+
+
+def test_curriculum_shards_quantile_bands(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": range(8), "q": [1.0, 2, 3, 4, 5, 6, 7, 8]})
+    from sparsity_spark.operators.pipeline import curriculum_shards
+
+    out = (
+        curriculum_shards(spark.createDataFrame(pdf), "q", n_shards=4)
+        .toPandas()
+        .sort_values("doc_id")["shard"]
+        .tolist()
+    )
+    # cutpoints 2.75 / 4.5 / 6.25 -> bands of two, ties-at-cut go higher
+    assert out == [0, 0, 1, 1, 2, 2, 3, 3]
+    # shard is monotone in score
+    assert out == sorted(out)
