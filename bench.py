@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dedup_incremental_lsh",
     "stats_profile_columns",
     "stats_len_quantiles",
+    "ann_hard_negatives",
+    "pipe_curriculum_shards",
 ]
 
 
