@@ -374,9 +374,14 @@ def streaming_screen_vs_store(
         "__bands__", minhash_expr_bands(content_col, k, num_hashes, bands)
     )
     for bi in range(bands):
+        # no distinct(): LEFT ANTI is an existence check, duplicate store
+        # keys are harmless and deduplicating them would cost a shuffle
+        # per link per micro-batch. Store the band table partitioned BY
+        # band (partitionBy("band") parquet) and each link's filter prunes
+        # to one partition directory instead of rescanning the whole store.
         store_b = corpus_bands.filter(F.col("band") == bi).select(
             F.col("band_key").alias("__bk__")
-        ).distinct()
+        )
         out = out.withColumn(
             "__bk__", F.element_at(F.col("__bands__"), bi + 1)["band_key"]
         ).join(store_b, on="__bk__", how="left_anti").drop("__bk__")

@@ -199,3 +199,50 @@ def test_simhash_pairs_pigeonhole_lossless(spark, seed, max_hamming):
         if d <= max_hamming:
             want[(a, b)] = d
     assert got_pairs == want
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_minhash_expr_bands_parity_random_docs(spark, seed):
+    """Property: the streaming per-row band expression equals the batch
+    aggregate band_keys on random word-soup corpora, including docs
+    shorter than the shingle width (absent from both)."""
+    from sparsity_spark.operators.dedup import band_keys, minhash_expr_bands
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 20)))
+        for _ in range(25)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    agg = band_keys(docs).toPandas()
+    expr = (
+        docs.select("doc_id", F.explode(minhash_expr_bands("text")).alias("b"))
+        .select("doc_id", "b.band", "b.band_key")
+        .toPandas()
+    )
+    to_set = lambda df: set(map(tuple, df[["doc_id", "band", "band_key"]].to_numpy()))
+    assert to_set(agg) == to_set(expr)
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_curriculum_shards_monotone_and_balanced(spark, seed):
+    """Property: shard is monotone in score, and on distinct continuous
+    scores the bands are near-balanced (exactly what quantiles promise)."""
+    from sparsity_spark.operators.pipeline import curriculum_shards
+
+    rng = np.random.RandomState(seed)
+    scores = rng.rand(200) * 100
+    pdf = pd.DataFrame({"doc_id": range(200), "q": scores})
+    out = (
+        curriculum_shards(spark.createDataFrame(pdf), "q", n_shards=4)
+        .toPandas()
+        .sort_values("q")
+    )
+    sh = out["shard"].tolist()
+    assert sh == sorted(sh)  # monotone in score
+    sizes = out.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() >= 40  # near-balanced quartiles
