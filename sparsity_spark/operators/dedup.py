@@ -161,6 +161,28 @@ def lsh_bands(
     )
 
 
+def _band_structs(mins: list, bands: int, rows_per_band: int):
+    """array<struct<band, band_key>> from a list of per-seed minhash
+    expressions — THE stored band-key format (md5 of the comma-joined band
+    minhashes in seed order). Single construction site shared by the batch
+    aggregate (`band_keys`) and streaming expression (`minhash_expr_bands`)
+    paths, so a persisted corpus band table stays joinable from either by
+    construction."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[mins[bi * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def band_keys(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -176,18 +198,8 @@ def band_keys(
     table, not the text."""
     rows_per_band = num_hashes // bands
     wide = _minhash_wide(docs, id_col, text_col, k, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).cast("int").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(bands)
-        ]
+    band_structs = _band_structs(
+        [F.col(f"mh{s}") for s in range(num_hashes)], bands, rows_per_band
     )
     return wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
@@ -793,29 +805,49 @@ def incremental_lsh_dedup(
     )
 
 
+def shingle_hashes_expr(text_col: str = "text", k: int = 3):
+    """Per-row array of 32-bit shingle base fingerprints (distinct word
+    k-grams → first 8 md5 hex chars as long) — the shared front half of
+    the MinHash computation, exposed so callers can MATERIALIZE it once
+    (``withColumn``) before deriving the 16 per-seed minima: embedding it
+    inside every `array_min(transform(...))` would re-run the md5 pass up
+    to num_hashes+1 times per row, and higher-order-function subtrees are
+    poor candidates for Spark's subexpression elimination."""
+    return F.transform(
+        F.array_distinct(shingles_expr(words_expr(text_col), k)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def minhash_expr_bands(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hashes=None,
 ):
     """STREAMING-LEGAL band keys: the same (band, band_key) values as
     :func:`band_keys`, computed as a pure per-row expression — an array of
     `bands` structs — with NO aggregation, so it can run inside an
     append-mode stream (a groupBy per doc would be a second stateful
     aggregation). Construction: distinct shingles → per-seed
-    `array_min(transform(...))` minhash → md5 of the comma-joined band
-    minhashes, identical to the aggregate form (parity-tested).
+    `array_min(transform(...))` minhash → `_band_structs` (the single
+    shared band-key format builder), identical to the aggregate form
+    (parity-tested).
 
-    The batch aggregate form stays the batch default — it measured ~2.7×
-    faster there (dedup.py `_minhash_wide` note); this expression is the
-    price of streaming legality, paid per new-batch row only."""
+    Pass ``hashes=F.col(...)`` referencing a column pre-materialized from
+    :func:`shingle_hashes_expr` so the md5 shingle pass runs ONCE per row
+    instead of once per seed (a separate projection step — Catalyst does
+    not collapse projections when that would duplicate expensive
+    expressions). The batch aggregate form stays the batch default — it
+    measured ~2.7× faster there (dedup.py `_minhash_wide` note); this
+    expression is the price of streaming legality, paid per new-batch
+    row only."""
     a, b = minhash_params(num_hashes)
     rows_per_band = num_hashes // bands
-    hashes = F.transform(
-        F.array_distinct(shingles_expr(words_expr(text_col), k)),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
+    if hashes is None:
+        hashes = shingle_hashes_expr(text_col, k)
+
     def _min_for(s):
         # closure, not a defaulted second lambda arg: F.transform treats a
         # two-parameter lambda as (element, index)
@@ -827,19 +859,7 @@ def minhash_expr_bands(
         )
 
     mins = [_min_for(s) for s in range(num_hashes)]
-    out = F.array(
-        *[
-            F.struct(
-                F.lit(bi).cast("int").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[mins[bi * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    out = _band_structs(mins, bands, rows_per_band)
     # a doc with < k words has no shingles: the aggregate form emits no
     # rows for it, so the expression form returns NULL (not md5-of-empty
     # keys, which would spuriously collide every shingle-less doc)

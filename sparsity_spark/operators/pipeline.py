@@ -465,7 +465,6 @@ def curriculum_shards(
     df: DataFrame,
     score_col: str,
     n_shards: int = 4,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Curriculum sharding: assign every row to one of ``n_shards`` by its
     score's quantile band (shard 0 = lowest band), so training can walk
@@ -476,17 +475,26 @@ def curriculum_shards(
     exact-percentile aggregate (driver-collects n-1 doubles — metadata),
     and assignment is a map-only CASE chain every engine evaluates
     identically: shard = #cutpoints strictly below the row's round-6
-    score (ties at a cutpoint land in the HIGHER shard, both engines,
-    because the compare is cut < score). Shard sizes are approximately
-    equal — exactly what quantiles promise, and the map-only form is the
-    price-free trade against NTILE's exact-but-serial split.
+    score. The compare is ``cut < score``, so a score EQUAL to a cutpoint
+    does not count that cut and lands in the LOWER shard — same rule in
+    any SQL engine. Shard sizes are approximately equal — exactly what
+    quantiles promise, and the map-only form is the price-free trade
+    against NTILE's exact-but-serial split.
+
+    Empty input, an all-NULL score column, or ``n_shards=1`` yield no
+    cutpoints: every (surviving) row lands in shard 0 rather than raising.
 
     Returns the input plus a ``shard`` int column."""
     qs = [i / n_shards for i in range(1, n_shards)]
-    cuts = df.agg(
-        F.percentile(F.round(F.col(score_col), 6), F.array(*[F.lit(q) for q in qs])).alias("c")
-    ).collect()[0]["c"]
-    cuts = [round(float(c), 6) for c in cuts]
+    cuts = []
+    if qs:
+        got = df.agg(
+            F.percentile(
+                F.round(F.col(score_col), 6), F.array(*[F.lit(q) for q in qs])
+            ).alias("c")
+        ).collect()[0]["c"]
+        # percentile over zero non-NULL rows returns NULL → no cutpoints
+        cuts = [round(float(c), 6) for c in (got or [])]
     score = F.round(F.col(score_col), 6)
     shard = sum(
         (F.when(F.lit(c) < score, 1).otherwise(0) for c in cuts),

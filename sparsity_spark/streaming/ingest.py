@@ -368,11 +368,16 @@ def streaming_screen_vs_store(
     per micro-batch, picking up store updates between batches. Emits the
     surviving rows unchanged, so it composes with any downstream sink or
     watermarked aggregation."""
-    from sparsity_spark.operators.dedup import minhash_expr_bands
+    from sparsity_spark.operators.dedup import minhash_expr_bands, shingle_hashes_expr
 
-    out = docs.withColumn(
-        "__bands__", minhash_expr_bands(content_col, k, num_hashes, bands)
-    )
+    # two projections on purpose: the md5 shingle pass materializes ONCE
+    # per row, then the 16 per-seed minima read the column — Catalyst
+    # keeps the split (it refuses to collapse projections that would
+    # duplicate expensive higher-order expressions)
+    out = docs.withColumn("__hashes__", shingle_hashes_expr(content_col, k)).withColumn(
+        "__bands__",
+        minhash_expr_bands(content_col, k, num_hashes, bands, hashes=F.col("__hashes__")),
+    ).drop("__hashes__")
     for bi in range(bands):
         # no distinct(): LEFT ANTI is an existence check, duplicate store
         # keys are harmless and deduplicating them would cost a shuffle

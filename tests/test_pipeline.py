@@ -284,7 +284,31 @@ def test_curriculum_shards_quantile_bands(spark):
         .sort_values("doc_id")["shard"]
         .tolist()
     )
-    # cutpoints 2.75 / 4.5 / 6.25 -> bands of two, ties-at-cut go higher
+    # cutpoints 2.75 / 4.5 / 6.25 -> bands of two (cut < score: a score
+    # equal to a cutpoint lands in the LOWER shard)
     assert out == [0, 0, 1, 1, 2, 2, 3, 3]
     # shard is monotone in score
     assert out == sorted(out)
+
+
+def test_curriculum_shards_edge_cases(spark):
+    import pandas as pd
+
+    from sparsity_spark.operators.pipeline import curriculum_shards
+
+    empty = spark.createDataFrame([], "doc_id long, q double")
+    assert curriculum_shards(empty, "q").count() == 0
+    # n_shards=1: no cutpoints, everything in shard 0
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "q": [5.0, 9.0]}))
+    assert curriculum_shards(one, "q", n_shards=1).toPandas()["shard"].tolist() == [0, 0]
+    # ties AT a cutpoint land in the LOWER shard (cut < score is strict)
+    tied = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "q": [1.0, 2.0, 2.0, 2.0, 3.0]})
+    )
+    out = (
+        curriculum_shards(tied, "q", n_shards=2)
+        .toPandas()
+        .sort_values("doc_id")["shard"]
+        .tolist()
+    )
+    assert out == [0, 0, 0, 0, 1]  # cut=2.0; the 2.0 rows stay low
