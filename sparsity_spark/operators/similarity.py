@@ -649,3 +649,65 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection: vectors anomalously far from
+    their own k-means centroid — the cheap screen for corrupted encodes,
+    wrong-modality rows, and garbage text before they poison training.
+
+    Distance-to-assigned-centroid is z-scored WITHIN each cluster (global
+    z-scoring would flag whole small clusters instead of stragglers):
+    `kmeans_fit` + the zero-shuffle `assign_centroids` kernel, one
+    euclidean-distance projection against the broadcast centroid map,
+    then ONE hash aggregate for per-cluster mean/std (population std, the
+    SQL `stddev_pop`) joined back broadcast. Distance and z both round to
+    6 decimals so any SQL oracle lands on identical flags. Clusters with
+    a single member (std 0) never flag — z is NULL-safe-coalesced to 0.
+
+    Returns (id_col, cid, dist, z, is_outlier)."""
+    import numpy as np
+
+    cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = assign_centroids(embeddings, cents, id_col, vec_col, out_col="cid")
+    cmap = cents.select(
+        F.col("centroid_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("vec_d"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    d = assigned.join(F.broadcast(cmap), on="cid").withColumn("dist", dist)
+    stats = d.groupBy("cid").agg(
+        F.avg("dist").alias("__mu__"), F.stddev_pop("dist").alias("__sd__")
+    )
+    z = F.round(
+        F.when(
+            F.col("__sd__") > 0, (F.col("dist") - F.col("__mu__")) / F.col("__sd__")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        d.join(F.broadcast(stats), on="cid")
+        .withColumn("z", z)
+        .select(
+            id_col,
+            "cid",
+            "dist",
+            "z",
+            (F.col("z") >= F.lit(z_threshold)).alias("is_outlier"),
+        )
+    )

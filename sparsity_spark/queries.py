@@ -4558,6 +4558,45 @@ def ann_kmeans_centroids(spark, sf_dir):
     )
 
 
+def _emb_outliers_oracle(k: int = 8, iters: int = 2, z_threshold: float = 2.0) -> str:
+    """kmeans CTEs + assignment + round-6 distance-to-centroid + per-
+    cluster population z-score — the embedding outlier screen in SQL."""
+    parts = _kmeans_cte_parts(k, iters)
+    parts.append(_KMEANS_ASSIGN_CTE.format(out="af", cin=f"c{iters}").strip())
+    parts.append(
+        f"""d AS (
+  SELECT af.vec_id, af.cid, ROUND(list_distance(af.e, c{iters}.c), 6) AS dist
+  FROM af JOIN c{iters} ON af.cid = c{iters}.cid
+)"""
+    )
+    parts.append(
+        "st AS (SELECT cid, AVG(dist) AS mu, stddev_pop(dist) AS sd FROM d GROUP BY cid)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT d.vec_id, d.cid, d.dist,
+       ROUND(CASE WHEN st.sd > 0 THEN (d.dist - st.mu) / st.sd ELSE 0 END, 6) AS z,
+       (ROUND(CASE WHEN st.sd > 0 THEN (d.dist - st.mu) / st.sd ELSE 0 END, 6)
+          >= {z_threshold}) AS is_outlier
+FROM d JOIN st ON d.cid = st.cid
+"""
+    )
+
+
+@query("emb_outliers", _emb_outliers_oracle(8, 2, 2.0))
+def emb_outliers_q(spark, sf_dir):
+    """Embedding outlier screen: distance-to-assigned-centroid z-scored
+    WITHIN each cluster (population std) — the cheap pre-training filter
+    for corrupted encodes. kmeans + zero-shuffle assignment + one stats
+    aggregate joined back broadcast; round-6 at distance and z keeps the
+    flags engine-portable."""
+    from sparsity_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, z_threshold=2.0
+    )
+
+
 @query("dedup_semdedup", _semdedup_oracle(8, 2, 0.3))
 def dedup_semdedup_q(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): k-means-cluster the embeddings, then

@@ -826,3 +826,28 @@ def test_hard_negatives_band_and_rank(spark):
     ).toPandas()
     assert list(out["neighbor_id"]) == [3, 4]  # desc cosine within band
     assert (out["cosine"] < 0.8).all() and (out["cosine"] >= 0.1).all()
+
+
+def test_embedding_outliers_flags_planted_straggler(spark):
+    """A tight blob plus one far straggler assigned to the same centroid:
+    only the straggler's z-score crosses the threshold. A second
+    singleton-cluster point (std 0) must never flag."""
+    rng = np.random.RandomState(9)
+    blob = rng.randn(20, 4) * 0.05 + np.array([1.0, 1.0, 1.0, 1.0])
+    pts = list(blob) + [np.array([3.0, 3.0, 3.0, 3.0])]  # straggler near blob A
+    pts += [np.array([-50.0, -50.0, -50.0, -50.0])]      # lone far point -> own cluster
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+        )
+    )
+    out = (
+        similarity.embedding_outliers(emb, k=2, iters=3, z_threshold=2.0)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    straggler, lone = len(pts) - 2, len(pts) - 1
+    assert bool(out.loc[straggler, "is_outlier"])
+    assert not bool(out.loc[lone, "is_outlier"])  # singleton cluster: z forced 0
+    assert not out.drop([straggler, lone])["is_outlier"].any()
