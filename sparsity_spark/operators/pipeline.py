@@ -501,3 +501,59 @@ def curriculum_shards(
         F.lit(0),
     )
     return df.withColumn("shard", shard.cast("int"))
+
+
+def contamination_fraction(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bench_df: int | None = None,
+) -> DataFrame:
+    """Graded decontamination: per training doc, the FRACTION of its
+    distinct word k-grams that appear anywhere in the benchmark corpus —
+    the tunable signal behind threshold policies ("drop above 80%
+    overlap, audit above 20%") where :func:`decontaminate` only flags.
+
+    Same scale shape as decontaminate (benchmark side broadcast, training
+    side never shuffled before the per-doc aggregate) plus one extra
+    map-only pass to count each doc's distinct grams; overlap joins
+    LEFT so clean docs report 0.0 instead of disappearing. Fraction
+    rounds to 6 for engine portability.
+
+    Returns (id_col, n_grams, n_shared_grams, contamination)."""
+    from sparsity_spark.operators.dedup import shingle_sets
+
+    tr = shingle_sets(train, id_col, text_col, k)
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    be = shingle_sets(benchmark, id_col, text_col, k).select(
+        F.col("shingle"), F.col(id_col).alias("__bench_id__")
+    )
+    if max_bench_df is not None:
+        be = (
+            be.groupBy("shingle")
+            .agg(F.count_distinct("__bench_id__").alias("__n__"))
+            .filter(F.col("__n__") <= max_bench_df)
+            .select("shingle")
+        )
+    else:
+        be = be.select("shingle").distinct()
+    shared = (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_grams"))
+    )
+    return (
+        totals.join(shared, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("long").alias(
+                "n_shared_grams"
+            ),
+            F.round(
+                F.coalesce(F.col("n_shared_grams"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
+    )

@@ -308,3 +308,33 @@ def model_quality_score(
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("model_quality"),
     )
+
+
+def normalize_text_expr(text_col: str = "text"):
+    """Canonical text-normalization expression for robust dedup: lowercase,
+    strip everything except letters/digits/spaces, collapse whitespace
+    runs, trim. Pure map-only regexp chain (JVM codegen, zero shuffle) and
+    deliberately built from engine-portable pieces — `lower`,
+    `regexp_replace` with character classes — so a SQL oracle applies the
+    IDENTICAL canonicalization. Catches the dup mass exact-hash misses:
+    case flips, punctuation drift, double spaces."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def normalized_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text: one hash aggregate keyed by
+    md5(normalize(text)) — same single-aggregate scale shape as
+    `dedup.exact_dedup`, but 'Hello, World!' and 'hello world' now land in
+    one group. Returns (norm_hash, n_docs, keep_id)."""
+    return (
+        docs.select(
+            F.md5(normalize_text_expr(text_col)).alias("norm_hash"), F.col(id_col)
+        )
+        .groupBy("norm_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )

@@ -1190,6 +1190,26 @@ def dedup_exact_q(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_exact_normalized",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized_q(spark, sf_dir):
+    """Exact dedup on canonicalized text (lowercase, punctuation→space,
+    collapsed whitespace): catches case/punctuation drift that raw
+    md5(text) misses, same one-aggregate shape."""
+    from sparsity_spark.operators.text import normalized_exact_dedup
+
+    return normalized_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_minhash_signatures", _MINHASH_SQL)
 def dedup_minhash_signatures_q(spark, sf_dir):
     """MinHash signatures (16 hashes over word 3-shingles) — all mins in a
@@ -2900,6 +2920,43 @@ def pipe_decontaminate(spark, sf_dir):
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
         max_bench_df=20,
+    )
+
+
+@query(
+    "pipe_contamination_fraction",
+    """
+    WITH g AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    t AS (SELECT doc_id, unnest(grams) AS shingle FROM g WHERE doc_id % 20 <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM t GROUP BY doc_id),
+    b AS (SELECT DISTINCT unnest(grams) AS shingle FROM g WHERE doc_id % 20 = 0),
+    sh AS (
+      SELECT t.doc_id, CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams
+      FROM t JOIN b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id, tot.n_grams,
+           COALESCE(sh.n_shared_grams, 0) AS n_shared_grams,
+           ROUND(COALESCE(sh.n_shared_grams, 0) * 1.0 / tot.n_grams, 6) AS contamination
+    FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id
+    """,
+)
+def pipe_contamination_fraction_q(spark, sf_dir):
+    """Graded decontamination: per training doc, the fraction of its
+    distinct 3-grams found anywhere in the held-out benchmark slice —
+    the tunable threshold signal where pipe_decontaminate only flags.
+    Benchmark shingle set broadcast; clean docs report 0.0."""
+    from sparsity_spark.operators.pipeline import contamination_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_fraction(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
     )
 
 

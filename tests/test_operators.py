@@ -851,3 +851,17 @@ def test_embedding_outliers_flags_planted_straggler(spark):
     assert bool(out.loc[straggler, "is_outlier"])
     assert not bool(out.loc[lone, "is_outlier"])  # singleton cluster: z forced 0
     assert not out.drop([straggler, lone])["is_outlier"].any()
+
+
+def test_normalized_exact_dedup_groups_variants(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.normalized_exact_dedup(df).toPandas()
+    assert len(out) == 2
+    grp = out[out.n_docs == 3]
+    assert len(grp) == 1 and grp.iloc[0].keep_id == 1

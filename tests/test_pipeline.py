@@ -312,3 +312,34 @@ def test_curriculum_shards_edge_cases(spark):
         .tolist()
     )
     assert out == [0, 0, 0, 0, 1]  # cut=2.0; the 2.0 rows stay low
+
+
+def test_contamination_fraction_graded(spark):
+    import pandas as pd
+
+    from sparsity_spark.operators.pipeline import contamination_fraction
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["alpha beta gamma delta"]})
+    )
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta",       # fully contained: 2/2 grams
+                    "alpha beta gamma zeta eta",    # shares 1 of 3 grams
+                    "iota kappa lambda mu",         # clean -> 0.0, still present
+                ],
+            }
+        )
+    )
+    out = (
+        contamination_fraction(train, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "contamination"] == 1.0
+    assert abs(out.loc[2, "contamination"] - 1 / 3) < 1e-6
+    assert out.loc[3, "contamination"] == 0.0 and out.loc[3, "n_shared_grams"] == 0
