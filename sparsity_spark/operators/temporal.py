@@ -186,6 +186,20 @@ def time_rollup(
     the time hierarchy — Spark computes every grouping set in a single pass
     with partial aggregation. NULL grouping levels are emitted as 'ALL'
     sentinels so the result is engine-portable."""
+    agg = _rollup_raw(events, ts_col, value_col, levels)
+    return agg.withColumn("total", F.round("total", 4))
+
+
+def _rollup_raw(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("year", "month", "day"),
+) -> DataFrame:
+    """time_rollup without the display rounding — the form a MAINTAINED
+    rollup table must store, because round-4 partial totals re-summed can
+    drift a last digit from a from-scratch rollup (round(a,4)+round(b,4)
+    ≠ round(a+b,4)); round once at serve time instead."""
     parts = {
         "year": F.year(ts_col),
         "month": F.month(ts_col),
@@ -194,7 +208,7 @@ def time_rollup(
     cols = [parts[lv].alias(lv) for lv in levels]
     keyed = events.select(*cols, F.col(value_col))
     agg = keyed.rollup(*levels).agg(
-        F.round(F.sum(value_col), 4).alias("total"),
+        F.sum(value_col).alias("total"),
         F.count("*").alias("n_events"),
     )
     return agg.select(
@@ -467,4 +481,90 @@ def daily_anomalies(
     )
     return scored.filter(F.abs(F.col("z")) >= z_threshold).select(
         key_col, "day", F.col("n").cast("long").alias("n"), "z"
+    )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_len: int = 20,
+) -> DataFrame:
+    """Per-key ordered event sequences with a next-event label — the
+    sequence-model training-example builder (context = all but the last
+    of the most recent ``max_len`` events, label = the last one).
+
+    ONE hash aggregate: collect (ts, tiebreak, event) structs per key,
+    `array_sort` orders them inside the aggregated value (struct ordering
+    is lexicographic, so the (ts, tiebreak) prefix gives a deterministic
+    total order no matter the partitioning — no window, no second
+    shuffle), then slice the LAST max_len. Per-key memory is the key's
+    event count — the sequence-capped shape; for power-law keys cap
+    upstream with a per-key window limit first.
+
+    Returns (key_col, n_events, context: array<string>, label)."""
+    s = events.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(event_col)))
+        ).alias("__seq__"),
+    )
+    tail = F.slice(
+        F.col("__seq__"),
+        F.greatest(F.size("__seq__") - F.lit(max_len - 1), F.lit(1)),
+        max_len,
+    )
+    evs = F.transform(tail, lambda x: x[event_col].cast("string"))
+    return s.select(
+        key_col,
+        "n_events",
+        F.slice(evs, 1, F.greatest(F.size(tail) - 1, F.lit(0))).alias("context"),
+        F.element_at(evs, -1).alias("label"),
+    )
+
+
+def incremental_rollup_merge(
+    existing: DataFrame,
+    delta_events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("year", "month", "day"),
+) -> DataFrame:
+    """Materialized-rollup MAINTENANCE: merge a new batch of events into an
+    existing `time_rollup` result WITHOUT rescanning history — the lake
+    pattern where the rollup table is orders of magnitude smaller than the
+    raw events and the nightly batch touches only recent buckets.
+
+    Shape: roll up ONLY the delta (one pass over the batch), then a
+    full-outer join on the grouping keys sums the additive measures —
+    sum and count merge exactly; any ratio measure must be derived from
+    them downstream, which is why the rollup stores (total, n_events)
+    rather than an average. At scale the delta rollup is tiny (buckets
+    the batch touches) and broadcasts; the existing rollup is never
+    shuffled more than once.
+
+    ``existing`` must be the UNROUNDED form (`_rollup_raw`, what a
+    maintained table should store): round-4 partials re-summed can drift
+    a last digit off a from-scratch rollup. The merge output rounds once
+    — oracle-checked equal to rolling up the full union from scratch."""
+    delta = _rollup_raw(delta_events, ts_col, value_col, levels)
+    keys = list(levels)
+    e = existing.select(
+        *keys, F.col("total").alias("__te__"), F.col("n_events").alias("__ne__")
+    )
+    d = delta.select(
+        *keys, F.col("total").alias("__td__"), F.col("n_events").alias("__nd__")
+    )
+    merged = e.join(d, on=keys, how="full_outer")
+    return merged.select(
+        *keys,
+        F.round(
+            F.coalesce(F.col("__te__"), F.lit(0.0)) + F.coalesce(F.col("__td__"), F.lit(0.0)),
+            4,
+        ).alias("total"),
+        (
+            F.coalesce(F.col("__ne__"), F.lit(0)) + F.coalesce(F.col("__nd__"), F.lit(0))
+        ).cast("long").alias("n_events"),
     )

@@ -2924,6 +2924,66 @@ def pipe_decontaminate(spark, sf_dir):
 
 
 @query(
+    "t3_rollup_incremental",
+    """
+    SELECT COALESCE(CAST(year AS VARCHAR), 'ALL') AS year,
+           COALESCE(CAST(month AS VARCHAR), 'ALL') AS month,
+           COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+           ROUND(SUM(value), 4) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, value FROM events
+    )
+    GROUP BY ROLLUP(year, month, day)
+    """,
+)
+def t3_rollup_incremental_q(spark, sf_dir):
+    """Materialized-rollup maintenance: merge the last batch (every 10th
+    event) into the rollup of the other 90% WITHOUT rescanning history —
+    the merged table must equal a from-scratch rollup of everything (the
+    oracle IS the from-scratch SQL). Maintained totals stay unrounded;
+    one round at serve time."""
+    from sparsity_spark.operators.temporal import _rollup_raw, incremental_rollup_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    existing = _rollup_raw(ev.filter(F.col("event_id") % 10 != 0))
+    return incremental_rollup_merge(existing, ev.filter(F.col("event_id") % 10 == 0))
+
+
+@query(
+    "evt_user_sequences",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT user_id, n_events,
+                 seq[greatest(len(seq) - 19, 1):] AS tail FROM s)
+    SELECT user_id, n_events,
+           array_to_string(tail[1:len(tail) - 1], ' ') AS context,
+           tail[-1] AS label
+    FROM t
+    """,
+)
+def evt_user_sequences_q(spark, sf_dir):
+    """Sequence-model training examples: per user the last 20 events in
+    deterministic (ts, event_id) order — context = all but the last,
+    label = the last. ONE hash aggregate; array_sort orders inside the
+    aggregated value (struct lexicographic order), so no window and no
+    second shuffle."""
+    from sparsity_spark.operators.temporal import user_event_sequences
+
+    out = user_event_sequences(load_table(spark, sf_dir, "events"), max_len=20)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.array_join("context", " ").alias("context"),
+        "label",
+    )
+
+
+@query(
     "pipe_contamination_fraction",
     """
     WITH g AS (

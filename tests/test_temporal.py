@@ -322,3 +322,49 @@ def test_ewma_stable_matches_closed_form_and_survives_long_series(spark):
     assert closed == 1
     stable = ewma_stable(long, "k", "o", "v").toPandas()
     assert np.isfinite(stable["ewma"]).all() and np.allclose(stable["ewma"], 5.0)
+
+
+def test_user_event_sequences_order_and_cap(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    d = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 5 events, deliberately appended out of time order; two share a
+    # timestamp so the event_id tiebreak decides
+    order = [3, 1, 4, 2, 5]
+    for i, pos in enumerate(order):
+        ts = d + dt.timedelta(minutes=pos if pos != 4 else 2)  # event 4 ties event 2
+        rows.append((pos, ts, 1, f"e{pos}", 1.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    from sparsity_spark.operators.temporal import user_event_sequences
+
+    out = user_event_sequences(df, max_len=3).toPandas().set_index("user_id")
+    # (ts, event_id) order: e1(t1) e2(t2) e4(t2) e3(t3) e5(t5); last 3 = e4 e3 e5
+    assert out.loc[1, "n_events"] == 5
+    assert list(out.loc[1, "context"]) == ["e4", "e3"]
+    assert out.loc[1, "label"] == "e5"
+
+
+def test_incremental_rollup_merge_equals_scratch(spark, sf_dir):
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.temporal import (
+        _rollup_raw,
+        incremental_rollup_merge,
+        time_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = incremental_rollup_merge(
+        _rollup_raw(ev.filter(F.col("event_id") % 7 != 0)),
+        ev.filter(F.col("event_id") % 7 == 0),
+    )
+    scratch = time_rollup(ev)
+    keys = ["year", "month", "day"]
+    m = merged.toPandas().set_index(keys).sort_index()
+    s = scratch.toPandas().set_index(keys).sort_index()
+    assert (m["n_events"] == s["n_events"]).all()
+    assert (m["total"] - s["total"]).abs().max() < 1e-9
