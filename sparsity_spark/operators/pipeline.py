@@ -516,17 +516,19 @@ def contamination_fraction(
     the tunable signal behind threshold policies ("drop above 80%
     overlap, audit above 20%") where :func:`decontaminate` only flags.
 
-    Same scale shape as decontaminate (benchmark side broadcast, training
-    side never shuffled before the per-doc aggregate) plus one extra
-    map-only pass to count each doc's distinct grams; overlap joins
-    LEFT so clean docs report 0.0 instead of disappearing. Fraction
-    rounds to 6 for engine portability.
+    Same scale shape as decontaminate — benchmark side broadcast,
+    training side never shuffled before the per-doc aggregate — and ONE
+    pass total: the training shingles LEFT-join the broadcast benchmark
+    set with a hit marker, and a single aggregate counts both the doc's
+    grams (count(*)) and the hits (count of the marker — count skips
+    NULLs) — no second tokenize pass, no totals⋈shared join. Clean docs
+    report 0.0 instead of disappearing; fraction rounds to 6 for engine
+    portability.
 
     Returns (id_col, n_grams, n_shared_grams, contamination)."""
     from sparsity_spark.operators.dedup import shingle_sets
 
     tr = shingle_sets(train, id_col, text_col, k)
-    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     be = shingle_sets(benchmark, id_col, text_col, k).select(
         F.col("shingle"), F.col(id_col).alias("__bench_id__")
     )
@@ -539,21 +541,11 @@ def contamination_fraction(
         )
     else:
         be = be.select("shingle").distinct()
-    shared = (
-        tr.join(F.broadcast(be), "shingle")
-        .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_shared_grams"))
+    marked = tr.join(
+        F.broadcast(be.withColumn("__hit__", F.lit(1))), on="shingle", how="left"
     )
-    return (
-        totals.join(shared, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("long").alias(
-                "n_shared_grams"
-            ),
-            F.round(
-                F.coalesce(F.col("n_shared_grams"), F.lit(0)) / F.col("n_grams"), 6
-            ).alias("contamination"),
-        )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count("__hit__").cast("long").alias("n_shared_grams"),
+        F.round(F.count("__hit__") / F.count("*"), 6).alias("contamination"),
     )

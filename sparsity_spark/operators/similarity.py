@@ -673,8 +673,6 @@ def embedding_outliers(
     a single member (std 0) never flag — z is NULL-safe-coalesced to 0.
 
     Returns (id_col, cid, dist, z, is_outlier)."""
-    import numpy as np
-
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = assign_centroids(embeddings, cents, id_col, vec_col, out_col="cid")
     cmap = cents.select(

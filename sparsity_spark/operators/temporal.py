@@ -537,13 +537,15 @@ def incremental_rollup_merge(
     pattern where the rollup table is orders of magnitude smaller than the
     raw events and the nightly batch touches only recent buckets.
 
-    Shape: roll up ONLY the delta (one pass over the batch), then a
-    full-outer join on the grouping keys sums the additive measures —
-    sum and count merge exactly; any ratio measure must be derived from
-    them downstream, which is why the rollup stores (total, n_events)
-    rather than an average. At scale the delta rollup is tiny (buckets
-    the batch touches) and broadcasts; the existing rollup is never
-    shuffled more than once.
+    Shape: roll up ONLY the delta (one pass over the batch), UNION it
+    with the existing rollup and re-aggregate on the grouping keys —
+    sum and count are additive, so one hash aggregate merges exactly
+    (any ratio measure must be derived from them downstream, which is
+    why the rollup stores (total, n_events) rather than an average).
+    A full-outer join was the first cut, but Spark cannot broadcast a
+    full-outer build side, so it forced a sort-merge shuffle of BOTH
+    inputs; the union+re-aggregate is one partial+final hash aggregate
+    where the delta contributes only the buckets the batch touched.
 
     ``existing`` must be the UNROUNDED form (`_rollup_raw`, what a
     maintained table should store): round-4 partials re-summed can drift
@@ -551,20 +553,13 @@ def incremental_rollup_merge(
     — oracle-checked equal to rolling up the full union from scratch."""
     delta = _rollup_raw(delta_events, ts_col, value_col, levels)
     keys = list(levels)
-    e = existing.select(
-        *keys, F.col("total").alias("__te__"), F.col("n_events").alias("__ne__")
+    merged = (
+        existing.select(*keys, "total", "n_events")
+        .unionByName(delta.select(*keys, "total", "n_events"))
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("total"), 4).alias("total"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
     )
-    d = delta.select(
-        *keys, F.col("total").alias("__td__"), F.col("n_events").alias("__nd__")
-    )
-    merged = e.join(d, on=keys, how="full_outer")
-    return merged.select(
-        *keys,
-        F.round(
-            F.coalesce(F.col("__te__"), F.lit(0.0)) + F.coalesce(F.col("__td__"), F.lit(0.0)),
-            4,
-        ).alias("total"),
-        (
-            F.coalesce(F.col("__ne__"), F.lit(0)) + F.coalesce(F.col("__nd__"), F.lit(0))
-        ).cast("long").alias("n_events"),
-    )
+    return merged
