@@ -248,3 +248,28 @@ def load_binary_files(
             F.ceil(n_bytes / F.lit(64)).cast("int").alias("chunk_count"),
         ).alias("meta"),
     )
+
+
+def binary_exact_dedup(
+    assets: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Exact dedup for BINARY assets (images/audio/video payloads): one
+    hash aggregate keyed by md5 of the raw bytes — the modality-agnostic
+    twin of dedup.exact_dedup, which keys on text. Catches re-uploaded
+    identical media regardless of filename/metadata; perceptual near-dup
+    (below the codec seam) starts from these groups.
+
+    Returns (content_md5, n_assets, keep_id, n_bytes)."""
+    return (
+        assets.select(
+            F.md5(F.col(content_col)).alias("content_md5"),
+            F.col(id_col),
+            F.octet_length(F.col(content_col)).alias("__nb__"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.min(id_col).alias("keep_id"),
+            F.max("__nb__").cast("long").alias("n_bytes"),
+        )
+    )

@@ -434,30 +434,41 @@ def grouped_quantiles(
     group_col: str,
     value_col: str,
     qs: list[float] = (0.25, 0.5, 0.75, 0.9),
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
-    """Exact per-group quantiles (linear interpolation — Spark
-    ``percentile`` and DuckDB/Postgres ``quantile_cont`` agree bit-for-bit
-    on this definition, verified on the testdata): the document-length /
+    """Per-group quantiles (linear interpolation — Spark ``percentile``
+    and DuckDB/Postgres ``quantile_cont`` agree bit-for-bit on this
+    definition, verified on the testdata): the document-length /
     score-distribution summary that drives corpus quality cuts.
 
     One hash aggregate per group computes the whole quantile list, then a
-    posexplode pairs each q with its value — no per-quantile passes. Exact
-    percentile buffers each group's values; at open-ended 100 TB group
-    sizes switch to ``approx_percentile(..., accuracy)`` — same plan
-    shape, bounded memory.
+    posexplode pairs each q with its value — no per-quantile passes.
+    Exact percentile buffers each group's values; pass ``approx_accuracy``
+    (e.g. 10000 — error ≤ 1/accuracy of the group's rank range) to switch
+    to ``approx_percentile``'s bounded-memory mergeable sketch: the SAME
+    plan shape, the 100 TB path for open-ended group sizes. Approx output
+    is engine-specific (sketch-dependent), so it carries no SQL oracle —
+    the exact mode is the oracle-checked one and the accuracy test pins
+    the sketch against it.
 
     Returns (group_col, q, quantile_value) with round-6 doubles."""
     qlist = [float(x) for x in qs]
-    agg = df.groupBy(group_col).agg(
-        F.percentile(F.col(value_col), F.array(*[F.lit(x) for x in qlist])).alias("__qv")
-    )
+    if approx_accuracy is not None:
+        pct = F.percentile_approx(
+            F.col(value_col),
+            F.array(*[F.lit(x) for x in qlist]),
+            F.lit(int(approx_accuracy)),
+        )
+    else:
+        pct = F.percentile(F.col(value_col), F.array(*[F.lit(x) for x in qlist]))
+    agg = df.groupBy(group_col).agg(pct.alias("__qv"))
     return agg.select(
         group_col,
         F.posexplode("__qv").alias("__i", "quantile_value"),
     ).select(
         group_col,
         F.element_at(F.array(*[F.lit(x) for x in qlist]), F.col("__i") + 1).alias("q"),
-        F.round("quantile_value", 6).alias("quantile_value"),
+        F.round(F.col("quantile_value").cast("double"), 6).alias("quantile_value"),
     )
 
 

@@ -1191,6 +1191,28 @@ def dedup_exact_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_binary_dedup",
+    """
+    SELECT md5(text) AS content_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           MIN(doc_id) AS keep_id,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_binary_dedup_q(spark, sf_dir):
+    """Exact dedup over raw BINARY payload bytes (md5 of the blob) — the
+    modality-agnostic dedup for image/audio/video assets; here driven by
+    UTF-8-wrapped documents so DuckDB's md5(text) hashes the identical
+    byte sequence."""
+    from sparsity_spark.operators.multimodal import as_binary_assets, binary_exact_dedup
+
+    return binary_exact_dedup(
+        as_binary_assets(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "dedup_exact_normalized",
     """
     SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

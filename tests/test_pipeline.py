@@ -343,3 +343,24 @@ def test_contamination_fraction_graded(spark):
     assert out.loc[1, "contamination"] == 1.0
     assert abs(out.loc[2, "contamination"] - 1 / 3) < 1e-6
     assert out.loc[3, "contamination"] == 0.0 and out.loc[3, "n_shared_grams"] == 0
+
+
+def test_grouped_quantiles_approx_close_to_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparsity_spark.operators.pipeline import grouped_quantiles
+
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame({"g": ["a"] * 500 + ["b"] * 500, "v": rng.rand(1000) * 100})
+    df = spark.createDataFrame(pdf)
+    exact = grouped_quantiles(df, "g", "v").toPandas().set_index(["g", "q"])
+    approx = (
+        grouped_quantiles(df, "g", "v", approx_accuracy=10000)
+        .toPandas()
+        .set_index(["g", "q"])
+    )
+    # sketch error at accuracy=10000 on 500-row groups: effectively a
+    # neighbor-rank value -> within one percentile of the exact answer
+    spread = pdf["v"].max() - pdf["v"].min()
+    assert (exact["quantile_value"] - approx["quantile_value"]).abs().max() < spread * 0.02
