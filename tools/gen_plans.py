@@ -65,6 +65,18 @@ PICKS = {
         "is a plain (band, band_key) equi-join — batch-vs-store work "
         "tracks collisions, and a bucketed store would shuffle nothing."
     ),
+    "pipe_contamination_fraction": (
+        "Graded contamination (r4): ONE corpus tokenize pass — training "
+        "shingles LEFT-join the BROADCAST benchmark set with a hit marker "
+        "and a single aggregate counts grams and hits together (the "
+        "two-pass totals-join first cut was reviewed away)."
+    ),
+    "t3_rollup_incremental": (
+        "Rollup maintenance (r4): delta-only rollup unioned with the "
+        "existing table, ONE partial+final hash re-aggregate — a "
+        "full-outer join cannot broadcast, so union+agg is the shape "
+        "that never shuffles the big side twice."
+    ),
     "stats_profile_columns": (
         "Profiling (r4): every per-column metric of the health check rides "
         "in ONE aggregate pass (expand ×C for exact distincts), then "
