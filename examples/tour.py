@@ -156,6 +156,29 @@ def main():
     profile_columns(docs, ["n_chars"]).show(1, False)
     print("per-source length quantiles:", grouped_quantiles(docs, "source", "n_chars").count())
 
+    print("\n== 14. outliers / sequences / graded contamination / rollup maintenance (r4b) ==")
+    from sparsity_spark.operators.pipeline import contamination_fraction
+    from sparsity_spark.operators.similarity import embedding_outliers
+    from sparsity_spark.operators.temporal import (
+        _rollup_raw,
+        incremental_rollup_merge,
+        user_event_sequences,
+    )
+
+    outl = embedding_outliers(emb, k=8, iters=2)
+    print("embedding outliers flagged:", outl.filter("is_outlier").count(), "of", outl.count())
+    seqs = user_event_sequences(events, max_len=10)
+    seqs.select("user_id", "n_events", "label").show(3, False)
+    frac = contamination_fraction(
+        docs.filter("doc_id % 20 != 0"), docs.filter("doc_id % 20 = 0")
+    )
+    print("contamination > 50%:", frac.filter("contamination > 0.5").count(), "training docs")
+    maintained = incremental_rollup_merge(
+        _rollup_raw(events.filter("event_id % 10 != 0")),
+        events.filter("event_id % 10 = 0"),
+    )
+    print("maintained rollup buckets:", maintained.count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 

@@ -4722,7 +4722,7 @@ FROM d JOIN st ON d.cid = st.cid
     )
 
 
-@query("emb_outliers", _emb_outliers_oracle(8, 2, 2.0))
+@query("emb_outliers", _emb_outliers_oracle(8, 2, 1.5))
 def emb_outliers_q(spark, sf_dir):
     """Embedding outlier screen: distance-to-assigned-centroid z-scored
     WITHIN each cluster (population std) — the cheap pre-training filter
@@ -4731,8 +4731,11 @@ def emb_outliers_q(spark, sf_dir):
     flags engine-portable."""
     from sparsity_spark.operators.similarity import embedding_outliers
 
+    # z>=1.5 on this synthetic corpus flags a real tail (11 vectors at
+    # sf0.01) so the oracle exercises BOTH flag values; production default
+    # stays 2.0
     return embedding_outliers(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, z_threshold=2.0
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, z_threshold=1.5
     )
 
 
