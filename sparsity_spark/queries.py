@@ -1178,58 +1178,94 @@ _MINHASH_SQL = _minhash_oracle()
 @query(
     "dedup_exact",
     """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    )
     SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS keep_id
-    FROM documents GROUP BY md5(text)
+    FROM d GROUP BY md5(text)
     """,
 )
 def dedup_exact_q(spark, sf_dir):
-    """Exact dedup: one hash aggregate on content hash."""
+    """Exact dedup: one hash aggregate on content hash. The synthetic
+    corpus has no exact duplicates, so every 50th doc is re-appended
+    under a shifted id on BOTH engine sides — the oracle then checks
+    real n_docs=2 groups with keep-lowest-id, not an all-singleton
+    result."""
     from sparsity_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(docs.select("doc_id", "text").unionByName(dup))
 
 
 @query(
     "multimodal_binary_dedup",
     """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    )
     SELECT md5(text) AS content_md5,
            CAST(COUNT(*) AS BIGINT) AS n_assets,
            MIN(doc_id) AS keep_id,
            CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
-    FROM documents GROUP BY 1
+    FROM d GROUP BY 1
     """,
 )
 def multimodal_binary_dedup_q(spark, sf_dir):
     """Exact dedup over raw BINARY payload bytes (md5 of the blob) — the
-    modality-agnostic dedup for image/audio/video assets; here driven by
-    UTF-8-wrapped documents so DuckDB's md5(text) hashes the identical
-    byte sequence."""
+    modality-agnostic dedup for image/audio/video assets; driven by
+    UTF-8-wrapped documents (DuckDB's md5(text) hashes the identical byte
+    sequence) with every 40th asset re-uploaded under a new id so real
+    duplicate groups exist on both engine sides."""
     from sparsity_spark.operators.multimodal import as_binary_assets, binary_exact_dedup
 
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
     return binary_exact_dedup(
-        as_binary_assets(load_table(spark, sf_dir, "documents"))
+        as_binary_assets(docs.select("doc_id", "text").unionByName(dup))
     )
 
 
 @query(
     "dedup_exact_normalized",
     """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, replace(upper(text), ' ', '  ')
+      FROM documents WHERE doc_id % 60 = 0
+    )
     SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                                    ' +', ' ', 'g'))) AS norm_hash,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS keep_id
-    FROM documents
+    FROM d
     GROUP BY 1
     """,
 )
 def dedup_exact_normalized_q(spark, sf_dir):
     """Exact dedup on canonicalized text (lowercase, punctuation→space,
     collapsed whitespace): catches case/punctuation drift that raw
-    md5(text) misses, same one-aggregate shape."""
+    md5(text) misses, same one-aggregate shape. Every 60th doc is
+    re-appended UPPERCASED with doubled spacing on both engine sides, so
+    the oracle checks groups the raw hash cannot see."""
     from sparsity_spark.operators.text import normalized_exact_dedup
 
-    return normalized_exact_dedup(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    variant = docs.filter(F.col("doc_id") % 60 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
+    )
+    return normalized_exact_dedup(docs.select("doc_id", "text").unionByName(variant))
 
 
 @query("dedup_minhash_signatures", _MINHASH_SQL)
@@ -3297,7 +3333,7 @@ def text_length_histogram(spark, sf_dir):
            ROUND(AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio)), 6)
              AS mean_quality,
            CAST(CASE WHEN AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio))
-                          >= 0.4 THEN 1 ELSE 0 END AS INTEGER) AS keep
+                          >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM m GROUP BY source
     """,
 )
@@ -3320,7 +3356,9 @@ def text_source_quality(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("__q__"), 6).alias("mean_quality"),
-            F.when(F.avg("__q__") >= 0.4, 1).otherwise(0).cast("int").alias("keep"),
+            # 0.5 splits this corpus's sources 7/13 — both flag values are
+            # oracle-exercised (0.4 passed everything)
+            F.when(F.avg("__q__") >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
         )
     )
 
