@@ -709,3 +709,82 @@ def embedding_outliers(
             (F.col("z") >= F.lit(z_threshold)).alias("is_outlier"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k_code: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ stack (the FAISS IVFPQ shape): queries route to
+    their ``nprobe`` nearest IVF buckets, and ONLY that bucket's members
+    are scored — by asymmetric distance over their PQ codes, never their
+    raw vectors. This is the composition the corpus-scale path needs:
+    IVF bounds WHO gets scored (bucket membership), PQ bounds WHAT is
+    read per candidate (m small codes).
+
+    Plan shape: corpus codes (`pq_encode`, map-only) join their bucket id
+    (`ivf_assign`, broadcast centroids) once; per query, the ADC lookup
+    table (query × subspace × codeword) joins its probe-bucket ids and
+    BROADCASTS, so the only work on the big side is one equi-join keyed
+    (centroid_id, subspace, code) over bucket members — work ∝ bucket
+    population × m, independent of corpus size. Distances round to 6 per
+    subspace and after the sum (the `pq_adc_topk` discipline); ties →
+    lowest neighbor id; self-matches excluded.
+
+    Returns (query_id, neighbor_id, adc_d2)."""
+    sub = dim // m
+    spark = embeddings.sparkSession
+    book = pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
+    asg = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    bucket_codes = codes.join(asg, on=id_col)
+    qa = ivf_assign(queries, centroids, id_col, vec_col, n=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    cb = spark.createDataFrame(
+        [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
+        "subspace int, code int, c array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    qsub = F.slice(F.col("vq"), F.col("subspace") * sub + 1, sub)
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(qsub, F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    # per-query LUT × its probe buckets (nprobe small) — still
+    # metadata-sized for a broadcastable query set
+    lut_b = lut.join(qa, on="query_id")
+    scored = (
+        bucket_codes.join(F.broadcast(lut_b), on=["centroid_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )

@@ -3485,6 +3485,87 @@ def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64, topk: int = 5) -> str
     """
 
 
+def _ivf_pq_oracle(
+    m: int = 4, k: int = 16, dim: int = 64, topk: int = 5, nprobe: int = 1
+) -> str:
+    """IVF routing (cosine assignment to the 8 lowest-id centroids, the
+    ann_ivf oracle construction) composed with the PQ/ADC scoring CTEs —
+    the scored join additionally requires the doc's bucket to be one of
+    the query's nprobe probe buckets."""
+    sub = dim // m
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    r AS (
+      SELECT n.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 6) DESC,
+                        cent.cid) AS rn
+      FROM n, cent
+    ),
+    asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, cid FROM r WHERE rn <= {nprobe} AND vec_id < 10),
+    subs(s) AS (SELECT UNNEST(range({m}))),
+    cb AS (
+      SELECT subs.s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS BIGINT) AS j,
+             list_transform(range(1, {sub + 1}), i -> b.v[subs.s*{sub} + i]) AS c
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}) b, subs
+    ),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT e.vec_id AS query_id, cb.s, cb.j AS code,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb WHERE e.vec_id < 10
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(SUM(l.d2), 6) AS adc_d2
+      FROM codes c
+      JOIN asg a ON c.vec_id = a.vec_id
+      JOIN qa ON qa.cid = a.cid
+      JOIN lut l ON c.s = l.s AND c.code = l.code AND l.query_id = qa.query_id
+      WHERE c.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rn FROM scored)
+    WHERE rn <= {topk}
+    """
+
+
+@query("ann_ivfpq_topk", _ivf_pq_oracle())
+def ann_ivfpq_topk_q(spark, sf_dir):
+    """Full IVF-PQ search (the FAISS IVFPQ composition): queries route to
+    their nearest IVF bucket and ONLY that bucket's members are
+    ADC-scored through their PQ codes — IVF bounds who is scored, PQ
+    bounds what is read per candidate. One broadcast of the per-query
+    LUT × probe buckets; the big side sees one equi-join keyed
+    (centroid_id, subspace, code)."""
+    from sparsity_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), cents)
+
+
 @query("ann_pq_adc_topk", _pq_adc_oracle())
 def ann_pq_adc_topk(spark, sf_dir):
     """IVF-PQ's search half: asymmetric-distance top-k where the corpus is

@@ -865,3 +865,39 @@ def test_normalized_exact_dedup_groups_variants(spark):
     assert len(out) == 2
     grp = out[out.n_docs == 3]
     assert len(grp) == 1 and grp.iloc[0].keep_id == 1
+
+
+def test_ivf_pq_topk_respects_buckets_and_adc(spark, sf_dir):
+    """IVF-PQ results must (a) only contain neighbors from the query's
+    probe bucket and (b) agree with unrestricted ADC scoring wherever the
+    unrestricted winner lives in that bucket."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_pq_topk(emb, queries, cents, topk=3).toPandas()
+    bucket = (
+        ivf_assign(emb, cents)
+        .select("vec_id", "centroid_id")
+        .toPandas()
+        .set_index("vec_id")["centroid_id"]
+    )
+    for r in got.itertuples():
+        assert bucket[r.query_id] == bucket[r.neighbor_id]
+    # cross-check the scores against unrestricted ADC for in-bucket pairs
+    full = pq_adc_topk(emb, queries, topk=50).toPandas()
+    full_scores = {(r.query_id, r.neighbor_id): r.adc_d2 for r in full.itertuples()}
+    hits = 0
+    for r in got.itertuples():
+        if (r.query_id, r.neighbor_id) in full_scores:
+            assert abs(full_scores[(r.query_id, r.neighbor_id)] - r.adc_d2) < 1e-9
+            hits += 1
+    assert hits > 0
