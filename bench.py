@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "stats_len_quantiles",
     "ann_hard_negatives",
     "pipe_curriculum_shards",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -4891,12 +4891,13 @@ _FIRST_50 = [
     "p6_dedup_first", "p7_rename", "p8_assign", "p9_set_index",
     "a2_col_sums", "a3_mean_dense_denominator", "a5_minmax", "a6_nnz",
     "o1_sort_index", "o2_topk_users", "f1_map_partitions", "r3_transpose",
-    # LLM-pipeline headline operators (23 — ann_pq_adc_topk in for
-    # ann_ivf_probe2, which differs from ann_ivf_topk only by nprobe)
+    # LLM-pipeline headline operators (23 — ann_ivfpq_topk in for
+    # ann_pq_adc_topk: the IVF-PQ composition exercises the ADC scoring
+    # path AND the bucket routing, so the window verifies both)
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_pairs",
     "dedup_clusters", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_jaccard_prefix_join",
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_pq_adc_topk",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
     "ann_rp_lsh_pairs",
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "dedup_simhash_pairs", "ann_kmeans_centroids", "text_tfidf",
