@@ -169,9 +169,7 @@ def main():
     print("embedding outliers flagged:", outl.filter("is_outlier").count(), "of", outl.count())
     seqs = user_event_sequences(events, max_len=10)
     seqs.select("user_id", "n_events", "label").show(3, False)
-    frac = contamination_fraction(
-        docs.filter("doc_id % 20 != 0"), docs.filter("doc_id % 20 = 0")
-    )
+    frac = contamination_fraction(train, bench)  # section 10's split
     print("contamination > 50%:", frac.filter("contamination > 0.5").count(), "training docs")
     maintained = incremental_rollup_merge(
         _rollup_raw(events.filter("event_id % 10 != 0")),

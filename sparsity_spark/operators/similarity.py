@@ -382,10 +382,32 @@ def pq_adc_topk(
     codewords matter more than fit.
 
     Returns (query_id, neighbor_id, adc_d2)."""
-    sub = dim // m
-    spark = embeddings.sparkSession
     book = codebook or pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
     codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
+    lut = _adc_lut(queries, book, m, dim, id_col, vec_col)
+    scored = (
+        codes.join(F.broadcast(lut), on=["subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_topk(scored, topk)
+
+
+def _adc_lut(
+    queries: DataFrame,
+    book: list,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table (query_id, subspace, code, d2) — the
+    round-6 per-subspace distance discipline lives HERE and only here,
+    shared by plain ADC search and the IVF-PQ composition (a drifted copy
+    would silently disagree with whichever oracle guards the other)."""
+    sub = dim // m
+    spark = queries.sparkSession
     # iterate the book's ACTUAL width — a corpus smaller than k_code yields
     # a shorter codebook, not an IndexError
     cb = spark.createDataFrame(
@@ -396,7 +418,7 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("vq")
     )
     qsub = F.slice(F.col("vq"), F.col("subspace") * sub + 1, sub)
-    lut = q.crossJoin(F.broadcast(cb)).select(
+    return q.crossJoin(F.broadcast(cb)).select(
         "query_id",
         "subspace",
         "code",
@@ -409,12 +431,10 @@ def pq_adc_topk(
             6,
         ).alias("d2"),
     )
-    scored = (
-        codes.join(F.broadcast(lut), on=["subspace", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+
+
+def _adc_topk(scored: DataFrame, topk: int) -> DataFrame:
+    """Shared ADC ranking tail: ascending distance, ties → lowest id."""
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -740,8 +760,6 @@ def ivf_pq_topk(
     lowest neighbor id; self-matches excluded.
 
     Returns (query_id, neighbor_id, adc_d2)."""
-    sub = dim // m
-    spark = embeddings.sparkSession
     book = pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
     codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
     asg = ivf_assign(embeddings, centroids, id_col, vec_col).select(
@@ -751,40 +769,13 @@ def ivf_pq_topk(
     qa = ivf_assign(queries, centroids, id_col, vec_col, n=nprobe).select(
         F.col(id_col).alias("query_id"), "centroid_id"
     )
-    cb = spark.createDataFrame(
-        [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
-        "subspace int, code int, c array<double>",
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("vq"),
-    )
-    qsub = F.slice(F.col("vq"), F.col("subspace") * sub + 1, sub)
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id",
-        "subspace",
-        "code",
-        F.round(
-            F.aggregate(
-                F.zip_with(qsub, F.col("c"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("d2"),
-    )
-    # per-query LUT × its probe buckets (nprobe small) — still
-    # metadata-sized for a broadcastable query set
-    lut_b = lut.join(qa, on="query_id")
+    # per-query LUT (shared round-6 ADC discipline) × its probe buckets
+    # (nprobe small) — still metadata-sized for a broadcastable query set
+    lut_b = _adc_lut(queries, book, m, dim, id_col, vec_col).join(qa, on="query_id")
     scored = (
         bucket_codes.join(F.broadcast(lut_b), on=["centroid_id", "subspace", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select("query_id", "neighbor_id", "adc_d2")
-    )
+    return _adc_topk(scored, topk)

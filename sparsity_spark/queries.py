@@ -3332,7 +3332,7 @@ def text_length_histogram(spark, sf_dir):
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio)), 6)
              AS mean_quality,
-           CAST(CASE WHEN AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio))
+           CAST(CASE WHEN ROUND(AVG(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio)), 6)
                           >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM m GROUP BY source
     """,
@@ -3357,8 +3357,10 @@ def text_source_quality(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.round(F.avg("__q__"), 6).alias("mean_quality"),
             # 0.5 splits this corpus's sources 7/13 — both flag values are
-            # oracle-exercised (0.4 passed everything)
-            F.when(F.avg("__q__") >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
+            # oracle-exercised (0.4 passed everything). Round BEFORE the
+            # compare: cross-engine float-summation drift near the
+            # threshold must not flip the gate on one engine only
+            F.when(F.round(F.avg("__q__"), 6) >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
         )
     )
 

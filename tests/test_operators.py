@@ -901,3 +901,29 @@ def test_ivf_pq_topk_respects_buckets_and_adc(spark, sf_dir):
             assert abs(full_scores[(r.query_id, r.neighbor_id)] - r.adc_d2) < 1e-9
             hits += 1
     assert hits > 0
+
+
+def test_ivf_pq_probe2_superset_and_score_stability(spark, sf_dir):
+    """nprobe=2 must (a) search a superset of nprobe=1's candidate space —
+    every probe-1 result pair reappears with the IDENTICAL ADC score —
+    and (b) never emit duplicate (query, neighbor) rows (a probe-join
+    regression would double the summed distances)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    # topk larger than any bucket population: results are the FULL
+    # candidate sets, so the superset property is well-defined
+    p1 = ivf_pq_topk(emb, queries, cents, topk=100000).toPandas()
+    p2 = ivf_pq_topk(emb, queries, cents, topk=100000, nprobe=2).toPandas()
+    assert not p2.duplicated(["query_id", "neighbor_id"]).any()
+    s1 = {(r.query_id, r.neighbor_id): r.adc_d2 for r in p1.itertuples()}
+    s2 = {(r.query_id, r.neighbor_id): r.adc_d2 for r in p2.itertuples()}
+    # probe-2 candidate space contains probe-1's; scores identical where shared
+    assert set(s1) <= set(s2)
+    for k in s1:
+        assert abs(s1[k] - s2[k]) < 1e-9

@@ -63,7 +63,13 @@ def main() -> int:
         for c in df.columns:
             if (name, c) in KNOWN:
                 continue
-            if df[c].nunique(dropna=False) == 1 and (df[c].dtype == bool or len(df) > 10):
+            try:
+                nuniq = df[c].nunique(dropna=False)
+            except TypeError:
+                # unhashable result column (list/array) — stringify first
+                # rather than crashing mid-audit and skipping later oracles
+                nuniq = df[c].astype(str).nunique(dropna=False)
+            if nuniq == 1 and (df[c].dtype == bool or len(df) > 10):
                 issues.append((name, "const-col", f"{c}={df[c].iloc[0]!r}"))
     for i in issues:
         print("DEGENERATE", *i)
