@@ -650,14 +650,28 @@ def substring_dup_spans(
         grams.groupBy("g").agg(F.count("*").alias("occ")).filter(F.col("occ") > 1)
     )
     hits = grams.join(dup_g.select("g"), on="g")
+    spans = _merge_span_islands(hits, n, id_col)
+    return spans.groupBy(id_col).agg(
+        F.sum("grams_in_span").cast("long").alias("n_dup_grams"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
 
+
+def _merge_span_islands(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge overlapping repeated-n-gram hit positions into islands with
+    the lag/cumsum construction (shared by the span STATISTICS and span
+    REMOVAL operators so the island definition cannot drift). Input
+    (id_col, pos) 1-based gram starts; output one row per island:
+    (id_col, span_id, grams_in_span, span_tokens, span_start, span_end)
+    where [span_start, span_end] is the INCLUSIVE covered token range."""
     prev_end = F.max(F.col("pos") + n).over(
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(
             Window.unboundedPreceding, -1
         )
     )
     new_span = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    spans = (
+    return (
         hits.withColumn("ns", new_span)
         .withColumn(
             "span_id",
@@ -671,12 +685,65 @@ def substring_dup_spans(
         .agg(
             F.count("*").alias("grams_in_span"),
             (F.max(F.col("pos") + n) - F.min("pos")).alias("span_tokens"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
         )
     )
-    return spans.groupBy(id_col).agg(
-        F.sum("grams_in_span").cast("long").alias("n_dup_grams"),
-        F.count("*").cast("long").alias("n_spans"),
-        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level dedup as a TRANSFORMATION: rewrite each document
+    with every repeated-n-gram span cut out — the "remove duplicated
+    passages from training text" half of the Lee et al. operator family,
+    where `substring_dup_spans` is the statistics half (both share ONE
+    island definition via `_merge_span_islands`).
+
+    Scale shape: same explode + hash-aggregate + position-join as the
+    statistics op; each doc's merged spans then collect into a per-doc
+    array (bounded by spans per doc, not corpus), LEFT-join back to the
+    docs, and the rewrite is a pure `filter((token, idx) -> no span
+    covers idx+1)` expression — the whole text surgery stays JVM-side,
+    zero Python. Docs with no repeated spans pass through byte-identical
+    with removed=0.
+
+    Returns (id_col, clean_text, n_tokens, n_removed)."""
+    words = words_expr(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(words, n)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g"))
+    dup_g = grams.groupBy("g").agg(F.count("*").alias("occ")).filter(F.col("occ") > 1)
+    hits = grams.join(dup_g.select("g"), on="g")
+    per_doc = (
+        _merge_span_islands(hits, n, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("__spans__")
+        )
+    )
+    joined = docs.join(per_doc, on=id_col, how="left")
+    spans = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            spans, lambda sp: (F.lit(1) + i >= sp["s"]) & (F.lit(1) + i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

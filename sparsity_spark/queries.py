@@ -3441,6 +3441,64 @@ def dedup_substring_spans(spark, sf_dir):
     return substring_dup_spans(load_table(spark, sf_dir, "documents"), n=20)
 
 
+@query(
+    "dedup_remove_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(w[i : i + 19], ' ')) AS gh
+      FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
+      WHERE len(w) >= 20
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 20) OVER w1 IS NULL
+                    OR pos > MAX(pos + 20) OVER w1 THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    ),
+    bounds AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+      FROM spans GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM bounds GROUP BY doc_id
+    ),
+    rw AS (
+      SELECT t.doc_id, t.w,
+             list_filter(t.w, (x, i) ->
+               len(list_filter(COALESCE(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                               q -> i >= q.s AND i <= q.e)) = 0) AS kept
+      FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+    FROM rw
+    """,
+)
+def dedup_remove_spans_q(spark, sf_dir):
+    """Substring-level dedup as a transformation: every repeated 20-gram
+    span is cut out of the text — the passage-removal half of the Lee et
+    al. family (dedup_substring_spans is the statistics half; one shared
+    island definition). The rewrite is a pure filter((token, idx))
+    expression — text surgery stays JVM-side."""
+    from sparsity_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(load_table(spark, sf_dir, "documents"), n=20)
+
+
 def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64, topk: int = 5) -> str:
     # codebook derives from the TABLE (subspaces of the k lowest-id
     # vectors), so the oracle tracks pq_sampled_codebook on any sf

@@ -927,3 +927,33 @@ def test_ivf_pq_probe2_superset_and_score_stability(spark, sf_dir):
     assert set(s1) <= set(s2)
     for k in s1:
         assert abs(s1[k] - s2[k]) < 1e-9
+
+
+def test_remove_dup_spans_surgery(spark):
+    """The shared passage vanishes from BOTH docs carrying it, unique text
+    survives byte-identical, and span-free docs pass through untouched."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "shared passage alpha beta gamma delta END unique tail one two three",
+                    "prefix words here shared passage alpha beta gamma delta END more stuff",
+                    "totally different content with no repeats at all whatsoever ok",
+                ],
+            }
+        )
+    )
+    out = (
+        dedup.remove_dup_spans(docs, n=5).toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "clean_text"] == "unique tail one two three"
+    assert out.loc[2, "clean_text"] == "prefix words here more stuff"
+    assert out.loc[1, "n_removed"] == out.loc[2, "n_removed"] == 7
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "clean_text"].startswith("totally different")
+    # statistics and removal agree on the island definition
+    stats = (
+        dedup.substring_dup_spans(docs, n=5).toPandas().set_index("doc_id")
+    )
+    assert stats.loc[1, "dup_tokens"] == out.loc[1, "n_removed"]
