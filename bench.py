@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_hard_negatives",
     "pipe_curriculum_shards",
     "ann_ivfpq_topk",
+    "dedup_remove_spans",
 ]
 
 
