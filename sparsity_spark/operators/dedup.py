@@ -776,7 +776,10 @@ def semdedup_prune(
     centroid; the clustering and pair semantics are the paper's.
 
     Returns one row per vector: (id_col, cid, keep) — `keep=false` rows
-    are the prune set."""
+    are the prune set. The result comes back MATERIALIZED (persisted +
+    forced): the big intermediate (assignment incl. full vectors) is
+    released before returning, so only the skinny id/cid/keep result
+    occupies cache — call ``.unpersist()`` on it when done."""
     from sparsity_spark.operators.similarity import assign_centroids, kmeans_fit
 
     from sparsity_spark.operators.similarity import with_norm
@@ -784,9 +787,11 @@ def semdedup_prune(
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     # persisted: 'assigned' feeds the pair join twice plus the final keep
     # join — without it the corpus scan + assignment kernel re-runs once
-    # per subtree (three times; seen in the PLANS.md audit). Reclaimed by
-    # ContextCleaner with the plan, or eagerly by the caller's
-    # clearCache between jobs.
+    # per subtree (three times; seen in the PLANS.md audit). Released
+    # DETERMINISTICALLY below: the final result is persisted, forced with
+    # one count, and 'assigned' unpersisted before returning — relying on
+    # ContextCleaner leaked it for the rest of the session (the SCALE.md
+    # internal-persist regression class; ADVICE r4).
     assigned = assign_centroids(
         embeddings, cents, id_col, vec_col, out_col="cid"
     ).persist()
@@ -813,14 +818,18 @@ def semdedup_prune(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return (
+    result = (
         assigned.join(dropped.withColumn("__drop__", F.lit(True)), on=id_col, how="left")
         .select(
             id_col,
             "cid",
             F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
         )
+        .persist()
     )
+    result.count()  # force: result (skinny id/cid/keep) now holds the data
+    assigned.unpersist()
+    return result
 
 
 def incremental_lsh_dedup(
@@ -831,6 +840,7 @@ def incremental_lsh_dedup(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: screen a NEW document batch against an
     existing corpus represented ONLY by its stored band table (from
@@ -847,9 +857,26 @@ def incremental_lsh_dedup(
 
     Returns one row per distinct new doc id: (id_col,
     n_corpus_collisions, keep) — keep=false docs near-duplicate the
-    existing corpus; keep=true docs are safe to append (then union their
-    band rows into the store for the next increment)."""
-    nb = band_keys(new_docs, id_col, text_col, k, num_hashes, bands)
+    existing corpus; keep=true docs have no near-duplicate IN THE CORPUS.
+    Screening is corpus-vs-batch only: two near-duplicates arriving in the
+    SAME batch both come back keep=true (neither is in the store yet). Run
+    :func:`lsh_candidate_pairs` WITHIN the batch before appending the
+    keepers' band rows to the store — `append_band_store` does exactly
+    that when ``intra_batch=True``.
+
+    Pass ``new_bands`` (precomputed :func:`band_keys` of the batch) to
+    reuse a materialization the caller already has — `append_band_store`
+    does, so the batch text is shingled once per increment, not twice.
+
+    When ``corpus_bands`` is a table written by :func:`write_band_store`
+    (bucketed BY (band, band_key)), the screening join reads the corpus
+    side WITHOUT a shuffle — only the (small) batch side exchanges, into
+    the store's bucket count. Plan-asserted in tests/test_plans.py."""
+    nb = (
+        new_bands
+        if new_bands is not None
+        else band_keys(new_docs, id_col, text_col, k, num_hashes, bands)
+    )
     cb = corpus_bands.select(
         F.col(id_col).alias("__corpus_id__"), "band", "band_key"
     )
@@ -870,6 +897,133 @@ def incremental_lsh_dedup(
             F.col("n_corpus_collisions").isNull().alias("keep"),
         )
     )
+
+
+def write_band_store(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 16,
+    precomputed_bands: DataFrame | None = None,
+) -> None:
+    """Materialize a corpus's LSH band table BUCKETED BY (band, band_key) —
+    THE persisted representation of an already-deduplicated lake for
+    incremental/streaming screening (VERDICT r4 #1).
+
+    Bucketing makes every subsequent screening join shuffle-FREE on the
+    corpus side: the store's files are already hash-partitioned on exactly
+    the join key, so `incremental_lsh_dedup(batch, band_store(...))` plans
+    one Exchange for the (small) batch side and a bare bucketed scan for
+    the corpus — at 100 TB the store is (docs × bands) skinny rows and the
+    per-increment cost no longer includes re-shuffling it. Pick
+    ``num_buckets`` for the deployed store size (buckets ≈ store rows ·
+    ~40 B / 128 MB); it is fixed at write time, as bucketing requires.
+
+    ``precomputed_bands`` skips the band computation when the caller
+    already has :func:`band_keys` output (e.g. `append_band_store`)."""
+    from sparsity_spark.operators.skew import write_bucketed
+
+    b = (
+        precomputed_bands
+        if precomputed_bands is not None
+        else band_keys(docs, id_col, text_col, k, num_hashes, bands)
+    )
+    write_bucketed(
+        b.select(id_col, "band", "band_key"),
+        table,
+        ["band", "band_key"],
+        num_buckets,
+    )
+
+
+def band_store(spark, table: str) -> DataFrame:
+    """Open a band store written by :func:`write_band_store` — a plain
+    catalog read; the bucketing metadata rides along, so joins keyed
+    (band, band_key) skip the corpus-side Exchange automatically."""
+    return spark.table(table)
+
+
+def append_band_store(
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    intra_batch: bool = True,
+) -> DataFrame:
+    """One full dedup increment against a band store: screen the batch
+    against the store (corpus-side shuffle-free — see
+    :func:`write_band_store`), optionally dedup WITHIN the batch
+    (`incremental_lsh_dedup` alone cannot see two twins arriving
+    together; ADVICE r4), then append the SURVIVORS' band rows to the
+    store so the next increment screens against them.
+
+    The append writes through the same bucket spec (Spark validates it
+    against the table), so the store stays shuffle-free-joinable forever —
+    this is the maintenance loop the production pipeline runs per data
+    drop, batch or `foreachBatch` streaming.
+
+    Returns the batch's keep decisions:
+    (id_col, n_corpus_collisions, keep)."""
+    spark = new_docs.sparkSession
+    store = band_store(spark, table)
+    nb = band_keys(new_docs, id_col, text_col, k, num_hashes, bands).persist()
+    decisions = incremental_lsh_dedup(
+        new_docs, store, id_col, text_col, k, num_hashes, bands, new_bands=nb
+    )
+    if intra_batch:
+        # within-batch near-dup pairs from the SAME band rows (a band-keyed
+        # self-join, work ∝ collisions); the higher id of each pair drops —
+        # the engine-wide keep-first rule
+        left = nb.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        right = nb.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        batch_dups = (
+            left.join(right, on=["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__batch_dup__", F.lit(True))
+        )
+        decisions = decisions.join(batch_dups, on=id_col, how="left").select(
+            id_col,
+            "n_corpus_collisions",
+            (F.col("keep") & F.col("__batch_dup__").isNull()).alias("keep"),
+        )
+    # localCheckpoint, not persist: the append below writes to the very
+    # table `decisions`' lineage reads, and Spark invalidates caches that
+    # reference a written table — a persisted plan would silently
+    # RECOMPUTE against the mutated store (every batch doc then "collides"
+    # with its own appended bands and flips to keep=false; caught in the
+    # r5 smoke test). Checkpointing truncates the lineage so the decisions
+    # are frozen as data before the store changes.
+    decisions = decisions.localCheckpoint(eager=True)
+    keep_bands = nb.join(
+        decisions.filter(F.col("keep")).select(id_col), on=id_col
+    ).select(id_col, "band", "band_key")
+    num_buckets = _table_bucket_count(spark, table)
+    (
+        keep_bands.write.mode("append")
+        .bucketBy(num_buckets, "band", "band_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    nb.unpersist()
+    return decisions
+
+
+def _table_bucket_count(spark, table: str) -> int:
+    """Bucket count of an existing bucketed table (appends must restate
+    the exact spec — Spark validates it)."""
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            return int(r["data_type"])
+    raise ValueError(f"{table} is not a bucketed table")
 
 
 def shingle_hashes_expr(text_col: str = "text", k: int = 3):

@@ -584,6 +584,10 @@ def assign_centroids(
     cids = np.array([c for c, _ in rows], dtype=np.int64)
     C = np.array([v for _, v in rows], dtype=np.float64)
 
+    # the id passthrough keeps the CALLER's id type (string doc ids are
+    # legal) — hard-coding `long` here failed at runtime for any non-long
+    # id column (ADVICE r4)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     src = embeddings.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).cast("array<double>").alias("vec_d"),
@@ -615,7 +619,7 @@ def assign_centroids(
             )
 
     out = src.mapInPandas(
-        kern, schema=f"__id__ long, {out_col} long, vec_d array<double>"
+        kern, schema=f"__id__ {id_type}, {out_col} long, vec_d array<double>"
     )
     return out.withColumnRenamed("__id__", id_col)
 

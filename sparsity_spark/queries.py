@@ -1335,6 +1335,31 @@ def dedup_incremental_lsh_q(spark, sf_dir):
 
 
 @query(
+    "dedup_band_store_screen",
+    # identical semantics to dedup_incremental_lsh — the store is a LAYOUT
+    # change (bucketed BY the join key), never a results change
+    ORACLES["dedup_incremental_lsh"],
+)
+def dedup_band_store_screen_q(spark, sf_dir):
+    """The same screen routed through the PERSISTED bucketed band store
+    (write_band_store → band_store): the corpus side of the screening join
+    reads bucket-aligned with NO shuffle (plan-asserted in
+    tests/test_plans.py); results are bit-identical to the in-memory band
+    table — which is exactly what this oracle row proves."""
+    from sparsity_spark.operators.dedup import (
+        band_store,
+        incremental_lsh_dedup,
+        write_band_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    write_band_store(corpus, "band_store_oracle_q", num_buckets=8)
+    return incremental_lsh_dedup(new_batch, band_store(spark, "band_store_oracle_q"))
+
+
+@query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE m AS ({_MINHASH_SQL}),

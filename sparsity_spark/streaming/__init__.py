@@ -6,6 +6,8 @@ from sparsity_spark.streaming.ingest import (
     streaming_enriched_counts,
     streaming_ewma,
     streaming_one_hot_counts,
+    streaming_screen_and_maintain,
+    streaming_screen_vs_store,
     streaming_session_stats,
     streaming_sliding_counts,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "streaming_enriched_counts",
     "streaming_ewma",
     "streaming_one_hot_counts",
+    "streaming_screen_and_maintain",
+    "streaming_screen_vs_store",
     "streaming_session_stats",
     "streaming_sliding_counts",
 ]

@@ -391,3 +391,48 @@ def streaming_screen_vs_store(
             "__bk__", F.element_at(F.col("__bands__"), bi + 1)["band_key"]
         ).join(store_b, on="__bk__", how="left_anti").drop("__bk__")
     return out.drop("__bands__")
+
+
+def streaming_screen_and_maintain(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    intra_batch: bool = True,
+    sink=None,
+):
+    """The FULL streaming dedup maintenance loop (VERDICT r4 #8): each
+    micro-batch is screened against the bucketed band store written by
+    :func:`operators.dedup.write_band_store`, survivors' band rows are
+    appended BACK into the store, and the survivors flow to ``sink`` — so
+    increment N+1 screens against everything increment N kept, forever.
+
+    This is `foreachBatch` on purpose, not the stateless
+    :func:`streaming_screen_vs_store` chain: the store append is a batch
+    table write (bucketed saveAsTable), which only a batch context can
+    perform; within the batch context the screening join gets the
+    bucketed store's shuffle-free corpus side exactly like the batch
+    operator (`append_band_store` is the shared implementation — one code
+    path for batch and streaming increments, so their keep decisions
+    cannot drift).
+
+    ``sink(keepers_df, batch_id)`` receives the surviving rows per batch
+    (write them to the lake, forward them downstream); omit it to only
+    maintain the store. Returns the started-ready DataStreamWriter —
+    caller adds trigger/checkpoint and ``.start()``."""
+    from sparsity_spark.operators.dedup import append_band_store
+
+    def _process(batch_df, batch_id):
+        decisions = append_band_store(
+            batch_df, table, id_col, content_col, k, num_hashes, bands, intra_batch
+        )
+        if sink is not None:
+            keepers = batch_df.join(
+                decisions.filter(F.col("keep")).select(id_col), on=id_col
+            )
+            sink(keepers, batch_id)
+
+    return docs.writeStream.foreachBatch(_process)

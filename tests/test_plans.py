@@ -199,3 +199,88 @@ def test_simhash_is_shuffle_free(spark, sf_dir):
     # (a no-op on real many-file inputs); never a key shuffle or aggregate
     assert "Exchange hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_band_store_screen_corpus_side_shuffle_free(spark, sf_dir):
+    """THE r4 #1 property: screening an increment against the bucketed band
+    store reads the corpus side with NO Exchange — the bucketed scan IS the
+    join layout. Only the (small) batch side exchanges. Broadcast is
+    disabled so the bucketed SortMergeJoin path is visible (at real store
+    sizes it is the only option anyway)."""
+    from sparsity_spark.operators.dedup import band_store, incremental_lsh_dedup, write_band_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    write_band_store(corpus, "bs_plancheck", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dec = incremental_lsh_dedup(batch, band_store(spark, "bs_plancheck"))
+        plan = dec._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, "store scan must use its bucketing"
+    # the ONLY difference vs screening an identical plain-parquet band
+    # table is the corpus-side Exchange the bucketing removed: exactly one
+    # fewer hashpartitioning shuffle, everything else identical
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.table("bs_plancheck").write.mode("overwrite").parquet(d + "/plain")
+        old2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plain = incremental_lsh_dedup(batch, spark.read.parquet(d + "/plain"))
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old2)
+    n_bucketed = plan.count("Exchange hashpartitioning")
+    n_plain = plain_plan.count("Exchange hashpartitioning")
+    assert n_bucketed == n_plain - 1, (
+        f"bucketed store must drop exactly the corpus-side shuffle "
+        f"(bucketed={n_bucketed}, plain={n_plain})"
+    )
+
+
+def test_assign_centroids_zero_shuffle(spark, sf_dir):
+    """r4 #10: the Arrow assignment kernel adds NO Exchange — the corpus is
+    never re-partitioned to meet its centroids (they ride in the closure)."""
+    from sparsity_spark.operators.similarity import assign_centroids, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=1)
+    plan = formatted_plan(assign_centroids(emb, cents))
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan
+
+
+def test_minhash_expr_bands_is_pure_projection(spark, sf_dir):
+    """r4 #10: the streaming-legal band-key expression must plan as a bare
+    projection — no aggregate, no shuffle (that is its entire reason to
+    exist next to the faster aggregate form)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import minhash_expr_bands, shingle_hashes_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.withColumn("__h__", shingle_hashes_expr("text")).select(
+        "doc_id", minhash_expr_bands("text", hashes=F.col("__h__")).alias("bands")
+    )
+    plan = formatted_plan(out)
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_span_removal_single_agg_and_joinback(spark, sf_dir):
+    """r4 #10: remove_dup_spans keeps the documented shape — ONE hash
+    aggregate pass finds repeated grams (partial+final on `g`), position
+    join-back, per-doc window; never a SortAggregate over the gram explode
+    and never a CartesianProduct."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(remove_dup_spans(docs, n=20))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
