@@ -104,6 +104,12 @@ SCALE_QUERIES = [
     "dedup_jaccard_prefix_join",
     "ann_ivf_topk",
     "t4_sessionize",
+    # r5 additions (VERDICT r4 #9): the r4 heavyweights, tracked
+    # release-over-release at the 10x tier
+    "dedup_remove_spans",
+    "dedup_semdedup",
+    "ann_ivfpq_topk",
+    "stats_profile_columns",
 ]
 
 

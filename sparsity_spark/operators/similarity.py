@@ -474,9 +474,17 @@ def kmeans_fit(
     Components are rounded to 6 decimals after every re-average so the
     fit is engine-portable (the DuckDB oracle unrolls the same iterations
     in SQL; round-6 absorbs summation-order float drift, which was already
-    nondeterministic under the hash aggregate). Deterministic init: the k
-    vectors with the lowest ids. Empty clusters drop out, as in classic
-    Lloyd.
+    nondeterministic under the hash aggregate). Deterministic HASH-SAMPLED
+    init (VERDICT r4 #6): the k vectors with the lowest
+    md5(id-as-string), ties by id — engine-reproducible like an ORDER BY
+    id, but uncorrelated with ingest order, so id-clustered data (ids
+    assigned per source/time) cannot collapse the init into one region
+    the way first-k-by-id did. Assignment rounds the EUCLIDEAN distance
+    to 6 decimals before the argmin on both engines (ADVICE r4: the
+    matmul identity ||c||²-2x·c and an oracle's full `list_distance`
+    disagree in the last float ulps on near-equidistant vectors — the
+    shared round-before-argmin makes the seam exact, same discipline as
+    pq_encode). Empty clusters drop out, as in classic Lloyd.
 
     Returns (centroid_id: long, embedding: array<double>).
     """
@@ -487,7 +495,11 @@ def kmeans_fit(
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
-    init_rows = vecs.orderBy(id_col).limit(k).collect()
+    init_rows = (
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
     centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
     for _ in range(iters):
@@ -504,26 +516,38 @@ def kmeans_fit(
                 if not len(pdf):
                     continue
                 X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-                # argmin over ||x-c||^2 = ||c||^2 - 2 x·c (+ a per-row
-                # constant that cannot change the argmin) via matmul —
+                # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c via matmul —
                 # O(rows·k) memory instead of the O(rows·k·d) broadcast-
-                # difference tensor, row-blocked; np.argmin ties → lowest
-                # index, and centroids are sorted by cid, so the
-                # tie-break matches the reference argmin-lowest-cid rule
+                # difference tensor, row-blocked. The EUCLIDEAN distance
+                # (not the argmin-equivalent shortcut) is rounded to 6
+                # decimals half-away-from-zero before the argmin so the
+                # oracle's ROUND(list_distance, 6) lands on the identical
+                # winner even for near-equidistant vectors (ADVICE r4);
+                # np.argmin ties → lowest index, and centroids are sorted
+                # by cid, so ties break to the lowest centroid id
                 c_sq = (_C**2).sum(axis=1)
                 a = np.empty(len(X), dtype=np.int64)
                 for s0 in range(0, len(X), 1024):
                     blk = X[s0 : s0 + 1024]
-                    d2 = c_sq[None, :] - 2.0 * (blk @ _C.T)
-                    a[s0 : s0 + len(blk)] = d2.argmin(axis=1)
+                    d2 = (blk**2).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (
+                        blk @ _C.T
+                    )
+                    d = np.floor(np.sqrt(np.maximum(d2, 0.0)) * 1e6 + 0.5)
+                    a[s0 : s0 + len(blk)] = d.argmin(axis=1)
                 np.add.at(cnt, a, 1)
                 np.add.at(sums, a, X)
             hit = cnt > 0
+            if not hit.any():
+                # an empty partition must yield NOTHING: an empty frame's
+                # "s" column defaults to float64 dtype and Arrow refuses
+                # to convert a float ndarray column to list<double>
+                # (surfaced by empty scan partitions at the sf1 tier)
+                return
             yield pd.DataFrame(
                 {
                     "cid": _cids[hit],
                     "cnt": cnt[hit],
-                    "s": list(sums[hit]),
+                    "s": pd.Series(list(sums[hit]), dtype=object),
                 }
             )
 
@@ -568,9 +592,9 @@ def assign_centroids(
     every corpus row k× before filtering — unusable at SemDeDup-sized k
     (tens of thousands of clusters). The kernel carries the double vector
     through so downstream similarity math needs no join back to the
-    corpus. Same argmin/tie discipline as `kmeans_fit`'s assignment step,
-    so a SQL oracle's `ROW_NUMBER() OVER (ORDER BY list_distance, cid)`
-    reproduces it exactly.
+    corpus. Same round-6-before-argmin/tie discipline as `kmeans_fit`'s
+    assignment step, so a SQL oracle's `ROW_NUMBER() OVER (ORDER BY
+    ROUND(list_distance, 6), cid)` reproduces it exactly.
 
     Returns (id_col, out_col, vec_d: array<double>)."""
     import numpy as np
@@ -603,13 +627,19 @@ def assign_centroids(
             # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c via matmul — O(rows·k)
             # memory, not the O(rows·k·d) broadcast-difference tensor
             # (which at the advertised k=tens-of-thousands, d=768 would be
-            # terabytes per Arrow batch); ||x||^2 is argmin-invariant and
-            # skipped. Row-blocked so even rows·k stays bounded.
+            # terabytes per Arrow batch). Row-blocked so even rows·k stays
+            # bounded. Euclidean distance rounds to 6 before the argmin —
+            # the same engine seam as kmeans_fit (ADVICE r4), so an
+            # oracle's ROW_NUMBER OVER (ORDER BY ROUND(list_distance, 6),
+            # cid) reproduces every assignment exactly.
             a = np.empty(len(X), dtype=np.int64)
             for s in range(0, len(X), 1024):
                 blk = X[s : s + 1024]
-                d2 = _c_sq[None, :] - 2.0 * (blk @ _C.T)
-                a[s : s + len(blk)] = d2.argmin(axis=1)
+                d2 = (blk**2).sum(axis=1)[:, None] + _c_sq[None, :] - 2.0 * (
+                    blk @ _C.T
+                )
+                d = np.floor(np.sqrt(np.maximum(d2, 0.0)) * 1e6 + 0.5)
+                a[s : s + len(blk)] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "__id__": pdf["__id__"].to_numpy(),

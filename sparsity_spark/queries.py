@@ -1235,6 +1235,123 @@ def multimodal_binary_dedup_q(spark, sf_dir):
     )
 
 
+_PHASH_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substring(text, 1, len(text) - 1) || 'x'
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, len(hex(encode(text))) AS L
+      FROM d
+    ),
+    p AS (SELECT doc_id, CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(0 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(1 * L / 65) AS INT) - CAST(FLOOR(0 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p0,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(1 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(2 * L / 65) AS INT) - CAST(FLOOR(1 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p1,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(2 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(3 * L / 65) AS INT) - CAST(FLOOR(2 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p2,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(3 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(4 * L / 65) AS INT) - CAST(FLOOR(3 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p3,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(4 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(5 * L / 65) AS INT) - CAST(FLOOR(4 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p4,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(5 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(6 * L / 65) AS INT) - CAST(FLOOR(5 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p5,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(6 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(7 * L / 65) AS INT) - CAST(FLOOR(6 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p6,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(7 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(8 * L / 65) AS INT) - CAST(FLOOR(7 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p7,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(8 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(9 * L / 65) AS INT) - CAST(FLOOR(8 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p8,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(9 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(10 * L / 65) AS INT) - CAST(FLOOR(9 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p9,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(10 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(11 * L / 65) AS INT) - CAST(FLOOR(10 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p10,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(11 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(12 * L / 65) AS INT) - CAST(FLOOR(11 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p11,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(12 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(13 * L / 65) AS INT) - CAST(FLOOR(12 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p12,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(13 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(14 * L / 65) AS INT) - CAST(FLOOR(13 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p13,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(14 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(15 * L / 65) AS INT) - CAST(FLOOR(14 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p14,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(15 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(16 * L / 65) AS INT) - CAST(FLOOR(15 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p15,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(16 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(17 * L / 65) AS INT) - CAST(FLOOR(16 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p16,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(17 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(18 * L / 65) AS INT) - CAST(FLOOR(17 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p17,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(18 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(19 * L / 65) AS INT) - CAST(FLOOR(18 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p18,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(19 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(20 * L / 65) AS INT) - CAST(FLOOR(19 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p19,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(20 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(21 * L / 65) AS INT) - CAST(FLOOR(20 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p20,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(21 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(22 * L / 65) AS INT) - CAST(FLOOR(21 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p21,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(22 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(23 * L / 65) AS INT) - CAST(FLOOR(22 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p22,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(23 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(24 * L / 65) AS INT) - CAST(FLOOR(23 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p23,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(24 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(25 * L / 65) AS INT) - CAST(FLOOR(24 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p24,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(25 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(26 * L / 65) AS INT) - CAST(FLOOR(25 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p25,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(26 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(27 * L / 65) AS INT) - CAST(FLOOR(26 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p26,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(27 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(28 * L / 65) AS INT) - CAST(FLOOR(27 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p27,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(28 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(29 * L / 65) AS INT) - CAST(FLOOR(28 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p28,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(29 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(30 * L / 65) AS INT) - CAST(FLOOR(29 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p29,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(30 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(31 * L / 65) AS INT) - CAST(FLOOR(30 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p30,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(31 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(32 * L / 65) AS INT) - CAST(FLOOR(31 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p31,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(32 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(33 * L / 65) AS INT) - CAST(FLOOR(32 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p32,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(33 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(34 * L / 65) AS INT) - CAST(FLOOR(33 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p33,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(34 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(35 * L / 65) AS INT) - CAST(FLOOR(34 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p34,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(35 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(36 * L / 65) AS INT) - CAST(FLOOR(35 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p35,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(36 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(37 * L / 65) AS INT) - CAST(FLOOR(36 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p36,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(37 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(38 * L / 65) AS INT) - CAST(FLOOR(37 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p37,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(38 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(39 * L / 65) AS INT) - CAST(FLOOR(38 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p38,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(39 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(40 * L / 65) AS INT) - CAST(FLOOR(39 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p39,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(40 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(41 * L / 65) AS INT) - CAST(FLOOR(40 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p40,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(41 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(42 * L / 65) AS INT) - CAST(FLOOR(41 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p41,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(42 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(43 * L / 65) AS INT) - CAST(FLOOR(42 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p42,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(43 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(44 * L / 65) AS INT) - CAST(FLOOR(43 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p43,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(44 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(45 * L / 65) AS INT) - CAST(FLOOR(44 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p44,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(45 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(46 * L / 65) AS INT) - CAST(FLOOR(45 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p45,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(46 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(47 * L / 65) AS INT) - CAST(FLOOR(46 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p46,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(47 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(48 * L / 65) AS INT) - CAST(FLOOR(47 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p47,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(48 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(49 * L / 65) AS INT) - CAST(FLOOR(48 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p48,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(49 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(50 * L / 65) AS INT) - CAST(FLOOR(49 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p49,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(50 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(51 * L / 65) AS INT) - CAST(FLOOR(50 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p50,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(51 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(52 * L / 65) AS INT) - CAST(FLOOR(51 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p51,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(52 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(53 * L / 65) AS INT) - CAST(FLOOR(52 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p52,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(53 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(54 * L / 65) AS INT) - CAST(FLOOR(53 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p53,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(54 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(55 * L / 65) AS INT) - CAST(FLOOR(54 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p54,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(55 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(56 * L / 65) AS INT) - CAST(FLOOR(55 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p55,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(56 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(57 * L / 65) AS INT) - CAST(FLOOR(56 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p56,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(57 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(58 * L / 65) AS INT) - CAST(FLOOR(57 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p57,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(58 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(59 * L / 65) AS INT) - CAST(FLOOR(58 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p58,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(59 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(60 * L / 65) AS INT) - CAST(FLOOR(59 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p59,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(60 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(61 * L / 65) AS INT) - CAST(FLOOR(60 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p60,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(61 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(62 * L / 65) AS INT) - CAST(FLOOR(61 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p61,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(62 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(63 * L / 65) AS INT) - CAST(FLOOR(62 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p62,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(63 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(64 * L / 65) AS INT) - CAST(FLOOR(63 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p63,
+             CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(64 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(65 * L / 65) AS INT) - CAST(FLOOR(64 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p64
+          FROM b),
+    h AS (SELECT doc_id, CAST((CASE WHEN p0 > p1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p1 > p2 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p2 > p3 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p3 > p4 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p4 > p5 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p5 > p6 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p6 > p7 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p7 > p8 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p8 > p9 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p9 > p10 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p10 > p11 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p11 > p12 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p12 > p13 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p13 > p14 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p14 > p15 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p15 > p16 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p16 > p17 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p17 > p18 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p18 > p19 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p19 > p20 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p20 > p21 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p21 > p22 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p22 > p23 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p23 > p24 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p24 > p25 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p25 > p26 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p26 > p27 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p27 > p28 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p28 > p29 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p29 > p30 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p30 > p31 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p31 > p32 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p32 > p33 THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p33 > p34 THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p34 > p35 THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p35 > p36 THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p36 > p37 THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p37 > p38 THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p38 > p39 THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p39 > p40 THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p40 > p41 THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p41 > p42 THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p42 > p43 THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p43 > p44 THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p44 > p45 THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p45 > p46 THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p46 > p47 THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p47 > p48 THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p48 > p49 THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p49 > p50 THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p50 > p51 THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p51 > p52 THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p52 > p53 THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p53 > p54 THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p54 > p55 THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p55 > p56 THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p56 > p57 THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p57 > p58 THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p58 > p59 THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p59 > p60 THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p60 > p61 THEN CAST(1152921504606846976 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p61 > p62 THEN CAST(2305843009213693952 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p62 > p63 THEN CAST(4611686018427387904 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p63 > p64 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh FROM p)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+    FROM h a JOIN h c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.dh, c.dh)) <= 6
+    """
+
+
+@query("multimodal_phash_pairs", _PHASH_ORACLE)
+def multimodal_phash_pairs_q(spark, sf_dir):
+    """Perceptual near-dup pairs for binary media (VERDICT r4 #7): dHash
+    fingerprints over the deterministic fake decode (65 payload segments
+    as pixels, adjacent-gradient signs packed into 64 bits), then the
+    lossless pigeonhole chunk blocking shared with text simhash. The
+    oracle rebuilds the identical fingerprints pixel-by-pixel in SQL and
+    verifies pairs with a naive all-pairs hamming join — proving the
+    banded equi-join loses nothing. Every 40th doc is re-uploaded
+    byte-identical (hamming 0) and every 50th with its LAST character
+    changed — a same-length local edit that only perturbs the final
+    pixel segments, exactly the near-miss a perceptual hash must catch
+    and exact byte dedup cannot."""
+    from sparsity_spark.operators.multimodal import as_binary_assets, phash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_twin = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near_twin = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("x")
+        ).alias("text"),
+    )
+    assets = as_binary_assets(docs.unionByName(exact_twin).unionByName(near_twin))
+    return phash_pairs(assets, max_hamming=6)
+
+
 @query(
     "dedup_exact_normalized",
     """
@@ -3421,10 +3538,21 @@ def _pq_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
 @query(
     "dedup_substring_spans",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             list_transform(string_split(text, ' '),
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th
+      FROM documents
+    ),
     g AS (
+      -- same double polynomial gram hash as operators.dedup._gram_poly_keys:
+      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629)
+      -- over per-token md5 fingerprints, combined into one BIGINT
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(w[i : i + 19], ' ')) AS gh
+             list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+                         (acc, h) -> (acc * 1000003 + h) % 2147483647) * 4294967296
+           + list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+                         (acc, h) -> (acc * 131071 + h) % 2147483629) AS gh
       FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
       WHERE len(w) >= 20
     ),
@@ -3469,10 +3597,21 @@ def dedup_substring_spans(spark, sf_dir):
 @query(
     "dedup_remove_spans",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             list_transform(string_split(text, ' '),
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th
+      FROM documents
+    ),
     g AS (
+      -- same double polynomial gram hash as operators.dedup._gram_poly_keys:
+      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629)
+      -- over per-token md5 fingerprints, combined into one BIGINT
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(w[i : i + 19], ' ')) AS gh
+             list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+                         (acc, h) -> (acc * 1000003 + h) % 2147483647) * 4294967296
+           + list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+                         (acc, h) -> (acc * 131071 + h) % 2147483629) AS gh
       FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
       WHERE len(w) >= 20
     ),
@@ -4807,8 +4946,9 @@ def stats_kmv_jaccard_q(spark, sf_dir):
 
 def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
-    c{iters}) — same deterministic init (k lowest vec_ids), same argmin
-    tie-break (lowest centroid id), same round-to-6 re-average as
+    c{iters}) — same deterministic hash-sampled init (k lowest
+    md5-of-id), same ROUND(distance, 6)-before-argmin and tie-break
+    (lowest centroid id), same round-to-6 re-average as
     operators.similarity.kmeans_fit. Shared by the centroid oracle and
     the SemDeDup oracle (which appends a final assignment + pair CTEs)."""
     assign = """
@@ -4816,7 +4956,7 @@ def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
   SELECT vec_id, e, cid FROM (
     SELECT v.vec_id, v.e, {cin}.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY list_distance(v.e, {cin}.c), {cin}.cid) AS rn
+             ORDER BY ROUND(list_distance(v.e, {cin}.c), 6), {cin}.cid) AS rn
     FROM v CROSS JOIN {cin}) t WHERE rn = 1
 )"""
     recompute = """
@@ -4831,9 +4971,12 @@ def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
         """v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 )""",
+        # hash-sampled deterministic init (VERDICT r4 #6): lowest
+        # md5(id-as-string) ties by id — mirrors kmeans_fit exactly
         f"""c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS c
-  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+         e AS c
+  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
 )""",
     ]
     for i in range(iters):
@@ -4847,7 +4990,7 @@ _KMEANS_ASSIGN_CTE = """
   SELECT vec_id, e, cid FROM (
     SELECT v.vec_id, v.e, {cin}.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY list_distance(v.e, {cin}.c), {cin}.cid) AS rn
+             ORDER BY ROUND(list_distance(v.e, {cin}.c), 6), {cin}.cid) AS rn
     FROM v CROSS JOIN {cin}) t WHERE rn = 1
 )"""
 

@@ -604,8 +604,10 @@ def test_ann_recall_vs_bruteforce(spark):
         return len(got & truth) / len(truth)
 
     r1, r2, r3 = ivf_recall(1), ivf_recall(2), ivf_recall(3)
-    assert r2 >= 0.5, f"IVF nprobe=2 recall@{k} = {r2}"
-    assert r3 >= 0.7, f"IVF nprobe=3 recall@{k} = {r3}"
+    # floors re-measured under the r5 hash-sampled init (VERDICT r4 #6):
+    # nprobe 1..4 = 0.23 / 0.46 / 0.65 / 0.72 on this near-uniform corpus
+    assert r2 >= 0.35, f"IVF nprobe=2 recall@{k} = {r2}"
+    assert r3 >= 0.55, f"IVF nprobe=3 recall@{k} = {r3}"
     assert r1 <= r2 <= r3, (r1, r2, r3)
 
     # RP-LSH: exact 8-bit bucket agreement is strict on this near-uniform
@@ -957,3 +959,99 @@ def test_remove_dup_spans_surgery(spark):
         dedup.substring_dup_spans(docs, n=5).toPandas().set_index("doc_id")
     )
     assert stats.loc[1, "dup_tokens"] == out.loc[1, "n_removed"]
+
+
+def test_ivfpq_recall_floor(spark):
+    """VERDICT r4 #2: quantify the full IVF-PQ stack's recall@k against
+    exact brute force on the real sf0.01 embeddings, and pin floors so
+    codebook/routing changes can't silently destroy it. The synthetic
+    corpus is near-uniform (no cluster structure for PQ to exploit), so
+    absolute recall is modest by construction — the floors pin the LIFT
+    over chance (~1% for top-5 of 500) and the nprobe monotonicity that
+    makes the recall/cost knob trustworthy. Measured sweep: SCALE.md."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    k = 5
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=k).collect()
+    }
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_pq_topk(
+                emb, queries, cents, m=4, k_code=16, dim=64, topk=k, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    n_corpus = emb.count()
+    chance = k / (n_corpus - 1)
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= 8 * chance, f"IVF-PQ nprobe=3 recall {r3} < 8x chance {chance}"
+    assert r3 >= 0.12, f"IVF-PQ nprobe=3 recall@{k} = {r3} (measured 0.22)"
+    assert r1 <= r3 + 1e-9, f"nprobe must not reduce recall: {r1} > {r3}"
+
+
+def test_kmeans_hash_init_survives_id_correlated_data(spark):
+    """VERDICT r4 #6: ids correlated with cluster membership (the ingest-
+    time pattern: source A got ids 0..n, source B n..2n) must NOT collapse
+    the init — the md5-hash-sampled init picks from both regions where
+    first-k-by-id picked only source A's. Both true clusters must be
+    recovered (one centroid near each true center)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(loc=-5.0, scale=0.1, size=(50, 8))
+    b = rng.normal(loc=+5.0, scale=0.1, size=(50, 8))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(100)),  # ids 0..49 = cluster A, 50..99 = B
+            "embedding": [list(map(float, v)) for v in np.vstack([a, b])],
+        }
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=2, iters=3)
+    got = [np.mean(r["embedding"]) for r in cents.collect()]
+    assert len(got) == 2
+    signs = sorted(np.sign(got))
+    assert signs == [-1.0, 1.0], f"init collapsed into one region: means {got}"
+
+
+def test_phash_pair_semantics(spark):
+    """dHash media near-dup (VERDICT r4 #7): a byte-identical re-upload is
+    hamming 0, a same-length single-character edit stays within the
+    hamming budget (locality of the fake decode), and an unrelated
+    payload of the same length produces NO pair — while exact byte dedup
+    only sees the first case."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),                       # exact twin
+        (3, base[:-1] + "X"),            # last-char edit, same length
+        (4, "z" * len(base)),            # unrelated, same length
+    ]
+    assets = multimodal.as_binary_assets(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(assets, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # a one-character edit perturbs only the final pixel segment: the pair
+    # must survive the hamming budget (its distance may round to 0 — the
+    # changed pixel flips at most one gradient sign)
+    assert pairs[(1, 3)] <= 6 and pairs[(2, 3)] <= 6
+    assert not any(4 in p for p in pairs)
+    # exact byte dedup groups only the byte-identical twins
+    groups = multimodal.binary_exact_dedup(assets).filter("n_assets > 1").collect()
+    assert len(groups) == 1 and groups[0]["n_assets"] == 2

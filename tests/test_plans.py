@@ -271,11 +271,11 @@ def test_minhash_expr_bands_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_span_removal_single_agg_and_joinback(spark, sf_dir):
-    """r4 #10: remove_dup_spans keeps the documented shape — ONE hash
-    aggregate pass finds repeated grams (partial+final on `g`), position
-    join-back, per-doc window; never a SortAggregate over the gram explode
-    and never a CartesianProduct."""
+def test_span_removal_single_pass_shape(spark, sf_dir):
+    """r4 #10: remove_dup_spans keeps the documented shape — the gram
+    explode runs ONCE (single-pass count-window hit marking, no second
+    explode + join-back), never a SortAggregate over the gram explode and
+    never a CartesianProduct."""
     from sparsity_spark.data import load_table
     from sparsity_spark.operators.dedup import remove_dup_spans
 
@@ -284,3 +284,25 @@ def test_span_removal_single_agg_and_joinback(spark, sf_dir):
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # one corpus explode: exactly one Generate node in the whole plan —
+    # the single gram posexplode (the doc-side rewrite adds none, and
+    # there is no second explode feeding a join-back)
+    assert plan.count("(") and len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_phash_fingerprint_shuffle_free_and_pairs_blocked(spark, sf_dir):
+    """Media dHash fingerprinting must stay a pure projection (no Exchange,
+    no aggregate — a 100 TB media lake fingerprints as a map), and the
+    pair search must use the pigeonhole equi-join, never an all-pairs
+    CartesianProduct."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.multimodal import as_binary_assets, dhash_expr, phash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = as_binary_assets(docs)
+    fp_plan = formatted_plan(assets.select("doc_id", dhash_expr().alias("dhash")))
+    assert "Exchange hashpartitioning" not in fp_plan
+    assert "HashAggregate" not in fp_plan
+    pair_plan = formatted_plan(phash_pairs(assets))
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
