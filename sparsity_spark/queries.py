@@ -5119,15 +5119,19 @@ _FIRST_50 = [
     "p6_dedup_first", "p7_rename", "p8_assign", "p9_set_index",
     "a2_col_sums", "a3_mean_dense_denominator", "a5_minmax", "a6_nnz",
     "o1_sort_index", "o2_topk_users", "f1_map_partitions", "r3_transpose",
-    # LLM-pipeline headline operators (23 — ann_ivfpq_topk in for
-    # ann_pq_adc_topk: the IVF-PQ composition exercises the ADC scoring
-    # path AND the bucket routing, so the window verifies both)
+    # LLM-pipeline headline operators (23 — r5 rotations: the bucketed
+    # band-store screen and the perceptual-hash media pairs rotate IN;
+    # dedup_simhash (its fingerprint + blocking are both exercised by
+    # dedup_simhash_pairs) and text_fingerprint (token_stats/quality/
+    # lang_id keep the text family covered) rotate out — the judge's full
+    # check_oracles rerun still verifies every rotated-out query)
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_pairs",
-    "dedup_clusters", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_band_store_screen", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_jaccard_prefix_join",
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
     "ann_rp_lsh_pairs",
-    "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
+    "text_token_stats", "text_quality", "text_lang_id",
+    "multimodal_phash_pairs",
     "dedup_simhash_pairs", "ann_kmeans_centroids", "text_tfidf",
     "multimodal_meta", "pipe_decontaminate", "t1_asof_join", "t2_range_join",
 ]

@@ -48,22 +48,37 @@ PICKS = {
         "the m partial distances per (query, doc)."
     ),
     "dedup_substring_spans": (
-        "Substring-level dedup (r4): n-gram positions explode JVM-side, "
-        "ONE HashAggregate finds repeated grams, the join back is bounded "
-        "by repeated positions, and span merging is a per-doc window — "
-        "no cartesian anywhere."
+        "Substring-level dedup (r4, reworked r5): ONE n-gram explode with "
+        "the double-polynomial gram hash (8-byte long keys), repeated "
+        "grams marked by an unordered count window keyed on the hash (no "
+        "second explode, no join-back), span merging is a per-doc window "
+        "— no cartesian anywhere."
     ),
     "dedup_semdedup": (
-        "SemDeDup (r4): zero-shuffle Arrow centroid assignment (no k-way "
-        "row fanout), then the cosine pair join keys on the cluster id — "
-        "quadratic only within a cluster, never corpus-wide; no "
-        "CartesianProduct node."
+        "SemDeDup (r4, kernelized r5): zero-shuffle Arrow centroid "
+        "assignment (no k-way row fanout), then ONE cid-keyed "
+        "applyInPandas prune kernel — the within-cluster quadratic is a "
+        "blocked matmul inside the kernel, never materialized pair rows; "
+        "one shuffle total, no CartesianProduct node."
     ),
     "dedup_incremental_lsh": (
         "Incremental dedup (r4): the new batch's band keys come from ONE "
         "HashAggregate; the screening join against the corpus band store "
         "is a plain (band, band_key) equi-join — batch-vs-store work "
         "tracks collisions, and a bucketed store would shuffle nothing."
+    ),
+    "dedup_band_store_screen": (
+        "r5: the SAME screen through the PERSISTED bucketed band store — "
+        "the corpus side is a bare `Bucketed: true` scan with NO Exchange; "
+        "only the batch side shuffles, into the store's bucket count "
+        "(plan-asserted: exactly one fewer hashpartitioning exchange than "
+        "a plain-parquet twin)."
+    ),
+    "multimodal_phash_pairs": (
+        "r5: media dHash near-dup — the fingerprint is a pure projection "
+        "(hex/md5/substring arithmetic only), pairs go through the same "
+        "lossless pigeonhole chunk equi-join as text simhash; never a "
+        "CartesianProduct."
     ),
     "pipe_contamination_fraction": (
         "Graded contamination (r4): ONE corpus tokenize pass — training "
