@@ -148,6 +148,7 @@ def run_scale(factor: int) -> None:
         run_one(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()  # same inter-query hygiene as main bench
+        spark.sparkContext._jvm.System.gc()
     out = {
         "metric": "scale_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -203,8 +204,14 @@ def main():
         # MEMORY_AND_DISK blocks a query persisted (zip_with_position,
         # tfidf's tokenize pass, ...) so accumulated cache doesn't shrink
         # execution memory and push later wide aggregates into spill
-        # (measured: dedup_lsh_pairs 6.5 s mid-suite vs 1.3 s isolated)
+        # (measured: dedup_lsh_pairs 6.5 s mid-suite vs 1.3 s isolated).
+        # The explicit System.gc() clears accumulated broadcast/codegen
+        # garbage the ContextCleaner only reaps lazily — WITHOUT it,
+        # repeated heavy queries in one JVM get monotonically SLOWER
+        # (ppjoin at sf1: 7.9 → 11.1 → 13.1 → 16.4 s run-over-run; with
+        # it: stable 5.5-7.7 s — r5 measurement, SCALE.md)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {

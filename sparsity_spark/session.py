@@ -40,8 +40,19 @@ def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> Spar
         # bucketed-table support without polluting the repo: warehouse +
         # derby metastore live under /tmp
         .config("spark.sql.warehouse.dir", "/tmp/sparsity_spark_warehouse")
+        # ReservedCodeCacheSize: the default 240 MB JIT code cache cannot
+        # hold two codegen-giant queries at once (simhash's 64-term
+        # bit-majority fold, ppjoin's fold chains) — their compiled
+        # whole-stage methods evict each other and every rerun recompiles,
+        # measured as monotonically-degrading walls (ppjoin at sf1:
+        # 7.9 → 16.4 s run-over-run; simhash's 114-665 cpu-s swings in
+        # SCALE.md). 1 GiB reserves address space only (committed lazily)
+        # and makes both stable AND faster (~5-7 s). Real codegen-heavy
+        # Spark deployments ship exactly this flag.
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/sparsity_spark_derby"
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/sparsity_spark_derby "
+            "-XX:ReservedCodeCacheSize=1g",
         )
         # the driver's testdata parquet carries TIMESTAMP(NANOS) columns,
         # which Spark only reads as long via this legacy flag; data.py
