@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "pipe_curriculum_shards",
     "ann_ivfpq_topk",
     "dedup_remove_spans",
+    # round-5 additions (new entries — like-for-like comparisons against
+    # earlier rounds should use the common prefix)
+    "dedup_band_store_screen",
+    "multimodal_phash_pairs",
+    "dedup_substring_spans",
 ]
 
 

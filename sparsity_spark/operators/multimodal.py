@@ -277,26 +277,42 @@ def dhash_expr(content_col: str = "content", bits: int = 64):
     L = F.length(hx)
     npix = bits + 1
 
-    def pixel(i: int):
-        start = (F.floor(F.lit(i) * L / F.lit(npix)) + 1).cast("int")
-        end = F.floor(F.lit(i + 1) * L / F.lit(npix)).cast("int")
-        seg = F.substring(hx, start, F.greatest(end - start + 1, F.lit(0)))
+    # array-HOF form, NOT npix unrolled subtrees: the unrolled version's
+    # expression tree was so large Spark dropped the whole projection out
+    # of codegen AND spent seconds in plan analysis (measured: 2.7 s
+    # first-run at sf0.1 for the projection alone). The compact form is a
+    # handful of nodes; per-row work (one md5 per pixel) is identical.
+    def pixel(i):
+        # i is 0-based pixel index (Column); hex substring boundaries are
+        # floor(i*L/npix)+1 .. floor((i+1)*L/npix), empty when degenerate
+        start = (F.floor(i * L / F.lit(npix)) + 1).cast("int")
+        length = F.greatest(
+            (F.floor((i + 1) * L / F.lit(npix)) - F.floor(i * L / F.lit(npix))).cast(
+                "int"
+            ),
+            F.lit(0),
+        )
+        seg = F.substring(hx, start, length)
         return F.conv(F.substring(F.md5(seg), 1, 8), 16, 10).cast("long")
 
-    pixels = [pixel(i) for i in range(npix)]
+    pixels = F.transform(F.sequence(F.lit(0), F.lit(npix - 1)), pixel)
+    grad = F.zip_with(
+        F.slice(pixels, 1, bits),
+        F.slice(pixels, 2, bits),
+        lambda a, b: F.when(a > b, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
     # bit 63's weight wraps to the two's-complement constant — same
     # sign-safe packing as dedup.simhash_expr
-    terms = [
-        F.when(
-            pixels[i] > pixels[i + 1],
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(bits)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    weights = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
+    )
+    return F.aggregate(
+        F.zip_with(grad, weights, lambda g, w: g * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def phash_pairs(
@@ -315,8 +331,12 @@ def phash_pairs(
 
     Returns (id_a, id_b, hamming)."""
     from sparsity_spark.operators.dedup import pigeonhole_hamming_pairs
+    from sparsity_spark.util import ensure_parallelism
 
-    hashes = assets.select(
+    # the 65-pixel fingerprint is the compute-heavy stage: spread a
+    # single-file scan across the session's cores before it (same contract
+    # as shingle_sets; a real media lake's many files are already parallel)
+    hashes = ensure_parallelism(assets).select(
         F.col(id_col), dhash_expr(content_col, bits).alias("dhash")
     )
     return pigeonhole_hamming_pairs(hashes, id_col, "dhash", bits, max_hamming)
