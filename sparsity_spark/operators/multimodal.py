@@ -308,11 +308,17 @@ def dhash_expr(content_col: str = "content", bits: int = 64):
     weights = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
     )
-    return F.aggregate(
+    out = F.aggregate(
         F.zip_with(grad, weights, lambda g, w: g * w),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # a payload too small for npix non-empty segments has no meaningful
+    # perceptual hash — emit NULL (same contract as minhash_expr_bands for
+    # shingle-less docs). Without this every tiny asset hashes to the SAME
+    # constant (md5-of-empty pixels) and the pair join goes quadratic on
+    # one bucket — the exact hot-bucket hazard the blocking exists to avoid.
+    return F.when(L >= npix, out)
 
 
 def phash_pairs(
@@ -339,7 +345,11 @@ def phash_pairs(
     hashes = ensure_parallelism(assets).select(
         F.col(id_col), dhash_expr(content_col, bits).alias("dhash")
     )
-    return pigeonhole_hamming_pairs(hashes, id_col, "dhash", bits, max_hamming)
+    # NULL dhash = payload too small to fingerprint (see dhash_expr):
+    # excluded rather than collapsing every tiny asset into one hot bucket
+    return pigeonhole_hamming_pairs(
+        hashes.filter(F.col("dhash").isNotNull()), id_col, "dhash", bits, max_hamming
+    )
 
 
 def binary_exact_dedup(

@@ -1314,7 +1314,7 @@ _PHASH_ORACLE = """
              CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(62 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(63 * L / 65) AS INT) - CAST(FLOOR(62 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p62,
              CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(63 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(64 * L / 65) AS INT) - CAST(FLOOR(63 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p63,
              CAST(('0x' || substring(md5(substring(hx, CAST(FLOOR(64 * L / 65) AS INT) + 1, GREATEST(CAST(FLOOR(65 * L / 65) AS INT) - CAST(FLOOR(64 * L / 65) AS INT), 0))), 1, 8)) AS BIGINT) AS p64
-          FROM b),
+          FROM b WHERE L >= 65),
     h AS (SELECT doc_id, CAST((CASE WHEN p0 > p1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p1 > p2 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p2 > p3 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p3 > p4 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p4 > p5 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p5 > p6 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p6 > p7 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p7 > p8 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p8 > p9 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p9 > p10 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p10 > p11 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p11 > p12 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p12 > p13 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p13 > p14 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p14 > p15 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p15 > p16 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p16 > p17 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p17 > p18 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p18 > p19 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p19 > p20 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p20 > p21 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p21 > p22 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p22 > p23 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p23 > p24 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p24 > p25 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p25 > p26 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p26 > p27 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p27 > p28 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p28 > p29 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p29 > p30 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p30 > p31 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p31 > p32 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p32 > p33 THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p33 > p34 THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p34 > p35 THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p35 > p36 THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p36 > p37 THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p37 > p38 THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p38 > p39 THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p39 > p40 THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p40 > p41 THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p41 > p42 THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p42 > p43 THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p43 > p44 THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p44 > p45 THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p45 > p46 THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p46 > p47 THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p47 > p48 THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p48 > p49 THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p49 > p50 THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p50 > p51 THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p51 > p52 THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p52 > p53 THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p53 > p54 THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p54 > p55 THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p55 > p56 THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p56 > p57 THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p57 > p58 THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p58 > p59 THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p59 > p60 THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p60 > p61 THEN CAST(1152921504606846976 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p61 > p62 THEN CAST(2305843009213693952 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p62 > p63 THEN CAST(4611686018427387904 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN p63 > p64 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh FROM p)
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming

@@ -188,3 +188,40 @@ def test_field_dictionary_cardinality_guard(spark):
         read_events(ev, "event_type", order_col="event_id", max_values=10)
     # categorical width passes
     assert field_dictionary(ev, "event_type", "event_id", max_values=1000).count() == 100
+
+
+def test_streaming_screen_vs_bucketed_store(spark, tmp_path):
+    """The stateless streaming screen chain reads the PERSISTED bucketed
+    band store directly (stream-static joins against the catalog table,
+    re-read per micro-batch) — same keeps as the batch screen."""
+    import pandas as pd
+
+    from sparsity_spark.streaming import streaming_screen_vs_store
+
+    schema = "doc_id long, text string"
+    write_band_store(spark.createDataFrame(CORPUS, schema), "bs_stream_ro", num_buckets=4)
+    src = str(tmp_path / "ro_docs")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [500, 501],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",  # dup of 1
+                    "completely novel content with no overlap whatsoever at all",
+                ],
+            }
+        ),
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    kept = streaming_screen_vs_store(stream, band_store(spark, "bs_stream_ro"))
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("ro_screen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM ro_screen").collect())
+    assert got == [501]

@@ -1055,3 +1055,20 @@ def test_phash_pair_semantics(spark):
     # exact byte dedup groups only the byte-identical twins
     groups = multimodal.binary_exact_dedup(assets).filter("n_assets > 1").collect()
     assert len(groups) == 1 and groups[0]["n_assets"] == 2
+
+
+def test_phash_tiny_assets_excluded_not_hot_bucketed(spark):
+    """Payloads too small for the 65-segment fake decode must fingerprint
+    NULL and be EXCLUDED — not all hash to one constant and pair
+    quadratically in a single hot bucket."""
+    rows = [(i, "x") for i in range(1, 21)] + [
+        (100, "the quick brown fox jumps over the lazy dog " * 8),
+        (101, "the quick brown fox jumps over the lazy dog " * 8),
+    ]
+    assets = multimodal.as_binary_assets(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    hashes = assets.select("doc_id", multimodal.dhash_expr().alias("dhash"))
+    assert hashes.filter("dhash IS NULL").count() == 20
+    pairs = multimodal.phash_pairs(assets).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
