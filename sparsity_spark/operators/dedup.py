@@ -1138,6 +1138,77 @@ def _table_bucket_count(spark, table: str) -> int:
     raise ValueError(f"{table} is not a bucketed table")
 
 
+def write_hash_store(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> None:
+    """EXACT-dedup twin of :func:`write_band_store`: persist the corpus's
+    content-hash ledger (content_hash, id) bucketed BY content_hash. At
+    100 TB the ledger is one skinny row per doc, and every incremental
+    exact-dedup screen joins it with NO corpus-side shuffle — the
+    content-hash ledger is the first store every production ingest keeps,
+    before any near-dup machinery."""
+    from sparsity_spark.operators.skew import write_bucketed
+
+    ledger = docs.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    write_bucketed(ledger, table, ["content_hash"], num_buckets)
+
+
+def append_hash_store(
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    intra_batch: bool = True,
+) -> DataFrame:
+    """One exact-dedup increment against the content-hash ledger: screen
+    the batch (corpus side shuffle-free via the bucket layout), dedup
+    WITHIN the batch keep-first, append the survivors' hashes through the
+    same bucket spec. The exact-match sibling of :func:`append_band_store`
+    — same localCheckpoint discipline (the table append must not
+    recompute the decisions against the mutated ledger).
+
+    Returns (id_col, content_hash, keep)."""
+    spark = new_docs.sparkSession
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    store = spark.table(table).select(
+        F.col("content_hash"), F.lit(True).alias("__in_corpus__")
+    )
+    decisions = hashed.join(store, on="content_hash", how="left")
+    if intra_batch:
+        # keep-first within the batch: one hash aggregate for the min id
+        # per content hash, joined back broadcast-small per batch
+        firsts = hashed.groupBy("content_hash").agg(F.min(id_col).alias("__first__"))
+        decisions = decisions.join(firsts, on="content_hash").select(
+            id_col,
+            "content_hash",
+            (
+                F.col("__in_corpus__").isNull() & (F.col(id_col) == F.col("__first__"))
+            ).alias("keep"),
+        )
+    else:
+        decisions = decisions.select(
+            id_col, "content_hash", F.col("__in_corpus__").isNull().alias("keep")
+        )
+    decisions = decisions.localCheckpoint(eager=True)
+    keep_rows = decisions.filter(F.col("keep")).select("content_hash", id_col)
+    num_buckets = _table_bucket_count(spark, table)
+    (
+        keep_rows.write.mode("append")
+        .bucketBy(num_buckets, "content_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return decisions
+
+
 def shingle_hashes_expr(text_col: str = "text", k: int = 3):
     """Per-row array of 32-bit shingle base fingerprints (distinct word
     k-grams → first 8 md5 hex chars as long) — the shared front half of

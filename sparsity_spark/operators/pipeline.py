@@ -374,6 +374,52 @@ def temperature_mix(
     )
 
 
+def target_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    target_fraction: float = 0.5,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """EXPLICIT-weight mixture resampling: keep-rates are derived from a
+    target domain distribution (e.g. the published data recipe
+    {'en': 0.6, 'code': 0.3, 'de': 0.1}) instead of `temperature_mix`'s
+    count-derived weights. rate_d = min(1, T·w_d / n_d) with
+    T = target_fraction · total rows — a domain with too little data for
+    its target weight keeps everything (rate caps at 1), the standard
+    under-supply behavior of training-mix construction. Domains absent
+    from ``weights`` are dropped.
+
+    Same 100 TB shape as temperature_mix: one domain-cardinality count
+    aggregate broadcast back + a map-only deterministic md5 draw, so the
+    selection is reproducible across runs, partitionings, and engines;
+    keep-rates round to 9 decimals for engine portability."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n__"))
+    total = df.count()
+    t_rows = float(total) * float(target_fraction)
+    rate = None
+    for dom, w in weights.items():
+        r = F.round(
+            F.least(F.lit(1.0), F.lit(t_rows * float(w) / wsum) / F.col("__n__")), 9
+        )
+        rate = F.when(F.col(domain_col) == dom, r) if rate is None else rate.when(
+            F.col(domain_col) == dom, r
+        )
+    rates = counts.select(domain_col, rate.alias("__rate__")).filter(
+        F.col("__rate__").isNotNull()
+    )
+    h = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(h < F.col("__rate__") * F.lit(buckets))
+        .drop("__rate__")
+    )
+
+
 def materialize_bins(
     packed: DataFrame,
     id_col: str = "doc_id",

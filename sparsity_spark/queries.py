@@ -4875,6 +4875,75 @@ def pipe_temperature_mix_q(spark, sf_dir):
 
 
 @query(
+    "pipe_target_mix",
+    """
+    WITH n AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), tot AS (SELECT COUNT(*) AS total FROM documents),
+    rates AS (
+      SELECT lang,
+             ROUND(LEAST(1.0,
+               tot.total * 0.5 * (CASE lang WHEN 'en' THEN 0.6
+                                            WHEN 'de' THEN 0.3
+                                            WHEN 'fr' THEN 0.1 END)
+               / cnt), 9) AS rate
+      FROM n, tot WHERE lang IN ('en', 'de', 'fr')
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.rate * 1000000
+    """,
+)
+def pipe_target_mix_q(spark, sf_dir):
+    """EXPLICIT-weight mixture construction ({'en': .6, 'de': .3,
+    'fr': .1} — the published-recipe form of rebalancing, where
+    temperature_mix derives weights from counts): per-domain keep-rate
+    min(1, T·w_d/n_d), domains outside the recipe dropped; one count agg
+    broadcast back + the map-only md5 draw."""
+    from sparsity_spark.operators.pipeline import target_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return target_mix(
+        docs, "doc_id", "lang", {"en": 0.6, "de": 0.3, "fr": 0.1},
+        target_fraction=0.5,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "dedup_hash_store_screen",
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS content_hash, doc_id FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 10 = 0
+    ),
+    firsts AS (
+      SELECT content_hash, MIN(doc_id) AS f FROM batch GROUP BY content_hash
+    )
+    SELECT b.doc_id, b.content_hash,
+           ((c.content_hash IS NULL) AND b.doc_id = firsts.f) AS keep
+    FROM batch b
+    LEFT JOIN (SELECT DISTINCT content_hash FROM corpus) c USING (content_hash)
+    JOIN firsts USING (content_hash)
+    """,
+)
+def dedup_hash_store_screen_q(spark, sf_dir):
+    """One EXACT-dedup increment against the persisted content-hash ledger
+    (the md5 twin of the band store): corpus-side shuffle-free screen via
+    the bucket layout + keep-first within the batch + survivor append —
+    `append_hash_store` end to end, decisions oracle-checked."""
+    from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    write_hash_store(corpus, "hash_store_oracle_q", num_buckets=8)
+    return append_hash_store(batch, "hash_store_oracle_q")
+
+
+@query(
     "stats_kmv_sketch",
     """
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank, h FROM (

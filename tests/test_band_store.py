@@ -225,3 +225,55 @@ def test_streaming_screen_vs_bucketed_store(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM ro_screen").collect())
     assert got == [501]
+
+
+def test_append_hash_store_increments_and_intra_batch(spark):
+    """Exact content-hash ledger loop: corpus twin screened out, intra-batch
+    exact twins resolved keep-first, increment-2 catches an increment-1
+    keeper's twin."""
+    from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
+
+    schema = "doc_id long, text string"
+    write_hash_store(spark.createDataFrame(CORPUS, schema), "hs_loop", num_buckets=4)
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102],
+                "text": [
+                    "fresh content one",
+                    "fresh content one",  # intra-batch twin of 100
+                    CORPUS["text"][0],    # corpus twin
+                ],
+            }
+        ),
+        schema,
+    )
+    d1 = {r["doc_id"]: r["keep"] for r in append_hash_store(b1, "hs_loop").collect()}
+    assert d1 == {100: True, 101: False, 102: False}
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [200], "text": ["fresh content one"]}), schema
+    )
+    d2 = {r["doc_id"]: r["keep"] for r in append_hash_store(b2, "hs_loop").collect()}
+    assert d2 == {200: False}
+    assert spark.table("hs_loop").count() == 2 + 1  # corpus + the one keeper
+
+
+def test_target_mix_respects_recipe(spark, sf_dir):
+    """Explicit-weight mixture: recipe domains survive at ~their weights,
+    out-of-recipe domains are dropped, under-supplied domains cap at 1."""
+    from sparsity_spark.operators.pipeline import target_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = target_mix(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.5}, target_fraction=0.5
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "fr"}  # zh/es/de dropped
+    n_fr_total = docs.filter("lang = 'fr'").count()
+    # fr is under-supplied for a 25%-of-corpus ask -> rate caps at 1 (all kept)
+    assert got["fr"] == n_fr_total
+    # deterministic: same call, same rows
+    again = {r["lang"]: r["n"] for r in target_mix(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.5}, target_fraction=0.5
+    ).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == got
