@@ -944,6 +944,82 @@ def semdedup_prune(
     )
 
 
+def semantic_member_store(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The static side of semantic screening: every corpus vector with its
+    k-means cluster id and precomputed norm — (cid, vec_d, norm). Persist
+    this (partitioned/bucketed BY cid at scale) and both the batch and
+    streaming semantic screens join it per-cluster, never corpus-wide."""
+    from sparsity_spark.operators.similarity import assign_centroids
+
+    assigned = assign_centroids(embeddings, centroids, id_col, vec_col, out_col="cid")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vec_d"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return assigned.select("cid", "vec_d", norm.alias("norm"))
+
+
+def semantic_screen(
+    new_embeddings: DataFrame,
+    member_store: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Screen NEW embeddings against an existing corpus's semantic store:
+    a new vector is DROPPED when any corpus member of its k-means cluster
+    sits at cosine ≥ threshold — SemDeDup's prune rule applied
+    incrementally (the corpus is represented only by its
+    :func:`semantic_member_store`, never re-clustered or re-read).
+
+    Plan shape: the batch assigns its cluster ids via the zero-shuffle
+    Arrow kernel (`assign_centroids`), then ONE LEFT ANTI hash join keyed
+    on cid with the cosine predicate as the join residual — work per new
+    vector ∝ its cluster's population, the paper's own bound. The cosine
+    rounds to 6 (half-away-from-zero) before the compare, the engine-wide
+    seam discipline. Streaming-legal end to end (mapInPandas + one
+    stream-static anti equi-join): `streaming.streaming_semantic_screen`
+    wraps exactly this.
+
+    Returns the SURVIVING rows as (id_col, cid, vec_d)."""
+    from sparsity_spark.operators.similarity import assign_centroids
+
+    s = assign_centroids(new_embeddings, centroids, id_col, vec_col, out_col="cid")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vec_d"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    s = s.withColumn("__nrm__", norm)
+    m = member_store.select(
+        F.col("cid").alias("__mcid__"),
+        F.col("vec_d").alias("__mv__"),
+        F.col("norm").alias("__mn__"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vec_d"), F.col("__mv__"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__nrm__") * F.col("__mn__")),
+        6,
+    )
+    cond = (F.col("cid") == F.col("__mcid__")) & (cos >= F.lit(float(threshold)))
+    return s.join(m, on=cond, how="left_anti").select(id_col, "cid", "vec_d")
+
+
 def incremental_lsh_dedup(
     new_docs: DataFrame,
     corpus_bands: DataFrame,

@@ -5013,7 +5013,7 @@ def stats_kmv_jaccard_q(spark, sf_dir):
     return kmv_jaccard(a, b, k=64)
 
 
-def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
+def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
     c{iters}) — same deterministic hash-sampled init (k lowest
     md5-of-id), same ROUND(distance, 6)-before-argmin and tie-break
@@ -5037,8 +5037,9 @@ def _kmeans_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
   GROUP BY cid
 )"""
     parts = [
-        """v AS (
+        f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+  WHERE {src_where}
 )""",
         # hash-sampled deterministic init (VERDICT r4 #6): lowest
         # md5(id-as-string) ties by id — mirrors kmeans_fit exactly
@@ -5168,6 +5169,64 @@ def dedup_semdedup_q(spark, sf_dir):
     return semdedup_prune(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.3
     )
+
+
+def _semantic_screen_oracle(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
+    """kmeans trained on the CORPUS (vec_id % 10 <> 0), batch rows assigned
+    to the same centroids, then NOT EXISTS a corpus member of the same
+    cluster at round-6 cosine >= threshold — the incremental SemDeDup
+    screen in SQL."""
+    parts = _kmeans_cte_parts(k, iters, src_where="vec_id % 10 <> 0")
+    parts.append(_KMEANS_ASSIGN_CTE.format(out="cm", cin=f"c{iters}").strip())
+    parts.append(
+        "members AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS nrm FROM cm)"
+    )
+    parts.append(
+        """vb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+  WHERE vec_id % 10 = 0
+)"""
+    )
+    parts.append(
+        f"""ab AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT vb.vec_id, vb.e, c{iters}.cid,
+           ROW_NUMBER() OVER (PARTITION BY vb.vec_id
+             ORDER BY ROUND(list_distance(vb.e, c{iters}.c), 6), c{iters}.cid) AS rn
+    FROM vb CROSS JOIN c{iters}) t WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT ab.vec_id, ab.cid
+FROM ab
+WHERE NOT EXISTS (
+  SELECT 1 FROM members m
+  WHERE m.cid = ab.cid
+    AND ROUND(list_dot_product(ab.e, m.e)
+              / (sqrt(list_dot_product(ab.e, ab.e)) * m.nrm), 6) >= {threshold}
+)
+"""
+    )
+
+
+@query("dedup_semantic_screen", _semantic_screen_oracle(8, 2, 0.3))
+def dedup_semantic_screen_q(spark, sf_dir):
+    """Incremental SemDeDup: every 10th embedding arrives as the new batch
+    and is screened against the semantic MEMBER STORE of the other 90%
+    (centroids trained on the corpus only; batch assigned via the
+    zero-shuffle Arrow kernel; ONE cid-keyed LEFT ANTI join with the
+    round-6 cosine as the residual). Streaming-legal end to end —
+    `streaming_semantic_screen` wraps the identical operator."""
+    from sparsity_spark.operators.dedup import semantic_member_store, semantic_screen
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit(corpus, k=8, iters=2)
+    store = semantic_member_store(corpus, cents)
+    return semantic_screen(batch, store, cents, threshold=0.3).select("vec_id", "cid")
 
 
 # ---------------------------------------------------------------------------

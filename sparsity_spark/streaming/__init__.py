@@ -7,6 +7,7 @@ from sparsity_spark.streaming.ingest import (
     streaming_ewma,
     streaming_one_hot_counts,
     streaming_screen_and_maintain,
+    streaming_semantic_screen,
     streaming_screen_vs_store,
     streaming_session_stats,
     streaming_sliding_counts,
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_ewma",
     "streaming_one_hot_counts",
     "streaming_screen_and_maintain",
+    "streaming_semantic_screen",
     "streaming_screen_vs_store",
     "streaming_session_stats",
     "streaming_sliding_counts",

@@ -393,6 +393,32 @@ def streaming_screen_vs_store(
     return out.drop("__bands__")
 
 
+def streaming_semantic_screen(
+    embeddings: DataFrame,
+    member_store: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup screening: embeddings flowing through a
+    stream are dropped when a corpus vector of their k-means cluster sits
+    at cosine ≥ threshold — the streaming face of
+    `operators.dedup.semantic_screen` (literally the same operator: the
+    Arrow assignment kernel is mapInPandas, streaming-legal; the screen is
+    ONE stream-static LEFT ANTI equi-join on cid with the round-6 cosine
+    as the join residual, stateless and append-legal). Work per incoming
+    row ∝ its cluster's population — SemDeDup's own bound; the static
+    member store is re-read per micro-batch, picking up store updates.
+
+    Emits surviving rows as (id_col, cid, vec_d)."""
+    from sparsity_spark.operators.dedup import semantic_screen
+
+    return semantic_screen(
+        embeddings, member_store, centroids, id_col, vec_col, threshold
+    )
+
+
 def streaming_screen_and_maintain(
     docs: DataFrame,
     table: str,

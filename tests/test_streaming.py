@@ -497,3 +497,59 @@ def test_streaming_screen_vs_store_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == batch_keep == [101]
+
+
+def test_streaming_semantic_screen_matches_batch(spark, tmp_path):
+    """Streaming embeddings screened against the semantic member store keep
+    exactly what the batch operator keeps (same operator, availableNow)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import semantic_member_store, semantic_screen
+    from sparsity_spark.operators.similarity import kmeans_fit
+    from sparsity_spark.streaming import streaming_semantic_screen
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(-3, 0.05, (10, 8))
+    b = rng.normal(+3, 0.05, (10, 8))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(20)),
+                "embedding": [list(map(float, v)) for v in np.vstack([a, b])],
+            }
+        ),
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(corpus, k=2, iters=2)
+    store = semantic_member_store(corpus, cents)
+    # 100 = near-twin of a corpus A vector (dropped), 101 = orthogonal-ish
+    # novel direction (kept)
+    novel = [3.0, -3.0, 3.0, -3.0, 3.0, -3.0, 3.0, -3.0]
+    new = pd.DataFrame(
+        {
+            "vec_id": [100, 101],
+            "embedding": [[float(x) for x in a[0]], novel],
+        }
+    )
+    schema = "vec_id long, embedding array<double>"
+    batch_keep = sorted(
+        r["vec_id"]
+        for r in semantic_screen(
+            spark.createDataFrame(new, schema), store, cents, threshold=0.9
+        ).collect()
+    )
+    src = str(tmp_path / "emb_stream")
+    spark.createDataFrame(new, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    kept = streaming_semantic_screen(stream, store, cents, threshold=0.9)
+    q = (
+        kept.select("vec_id").writeStream.format("memory")
+        .queryName("sem_screen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["vec_id"] for r in spark.sql("SELECT vec_id FROM sem_screen").collect())
+    assert got == batch_keep == [101]
