@@ -338,3 +338,102 @@ def normalized_exact_dedup(
         .groupBy("norm_hash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
     )
+
+
+def word_bigram_lm(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab_bigrams: int = 500_000,
+) -> DataFrame:
+    """Train a word-BIGRAM language model on a reference corpus — the model
+    behind the CCNet/Gopher-style perplexity quality filter: documents are
+    later scored by how probable their token sequences are under text
+    known to be good.
+
+    One pass: explode (prev, word) pairs with a leading <s> sentinel, ONE
+    hash aggregate for bigram counts, a second for per-prev totals (the
+    conditional's denominator), then the add-one-smoothed conditional
+    log-prob per bigram. Both aggregates partial+final; the model table is
+    (prev, word, logp) — vocabulary-sized, broadcastable to the scorer.
+    ``max_vocab_bigrams`` is the loud-failure cardinality guard (the
+    transpose/tfidf discipline): a reference corpus whose bigram table
+    exceeds it is not a broadcastable model — sample the reference or
+    raise the cap explicitly.
+
+    Returns the model table (prev, word, logp: double round-6); bigrams
+    unseen in the reference take the scorer's ``floor_logp``."""
+    from sparsity_spark.operators.dedup import words_expr
+    from sparsity_spark.util import ensure_parallelism
+
+    ref = ensure_parallelism(reference)
+    words = words_expr(text_col)
+    pairs = ref.select(
+        F.posexplode(
+            F.zip_with(
+                F.concat(F.array(F.lit("<s>")), F.slice(words, 1, F.size(words) - 1)),
+                words,
+                lambda p, w: F.struct(p.alias("prev"), w.alias("word")),
+            )
+        ).alias("__i__", "pw")
+    ).select(F.col("pw.prev").alias("prev"), F.col("pw.word").alias("word"))
+    counts = pairs.groupBy("prev", "word").agg(F.count("*").alias("c"))
+    probe = counts.limit(max_vocab_bigrams + 1).count()
+    if probe > max_vocab_bigrams:
+        raise ValueError(
+            f"word_bigram_lm: reference yields more than {max_vocab_bigrams} "
+            "distinct bigrams — not a broadcastable model. Sample the "
+            "reference corpus or raise max_vocab_bigrams explicitly."
+        )
+    totals = counts.groupBy("prev").agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    # add-one smoothing over the prev's OBSERVED continuations:
+    # p(word|prev) = (c + 1) / (t + v)
+    return counts.join(totals, on="prev").select(
+        "prev",
+        "word",
+        F.round(F.log((F.col("c") + 1) / (F.col("t") + F.col("v"))), 6).alias("logp"),
+    )
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_logp: float = -10.0,
+) -> DataFrame:
+    """Score documents by average word-bigram log-probability under a
+    :func:`word_bigram_lm` model — the perplexity quality filter of
+    CCNet/Gopher pipelines (low avg_logp ⇒ text unlike the reference ⇒
+    drop or downweight).
+
+    Scale shape: docs explode to (doc, prev, word) bigram rows (work ∝
+    tokens), LEFT-join the BROADCAST model (vocabulary-sized by the
+    trainer's cardinality guard), unseen bigrams take ``floor_logp``, and
+    ONE hash aggregate averages per doc. No Python anywhere.
+
+    Returns (id_col, n_bigrams, avg_logp round-6)."""
+    from sparsity_spark.operators.dedup import words_expr
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = words_expr(text_col)
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.concat(F.array(F.lit("<s>")), F.slice(words, 1, F.size(words) - 1)),
+                words,
+                lambda p, w: F.struct(p.alias("prev"), w.alias("word")),
+            )
+        ).alias("__i__", "pw"),
+    ).select(id_col, F.col("pw.prev").alias("prev"), F.col("pw.word").alias("word"))
+    scored = pairs.join(F.broadcast(model), on=["prev", "word"], how="left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.coalesce(F.col("logp"), F.lit(float(floor_logp)))), 6).alias(
+            "avg_logp"
+        ),
+    )

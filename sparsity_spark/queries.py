@@ -4911,6 +4911,48 @@ def pipe_target_mix_q(spark, sf_dir):
 
 
 @query(
+    "text_lm_perplexity",
+    """
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+    refw AS (SELECT string_split(text, ' ') AS w FROM ref),
+    refp AS (
+      SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS prev, w[i] AS word
+      FROM refw, LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    counts AS (SELECT prev, word, COUNT(*) AS c FROM refp GROUP BY 1, 2),
+    totals AS (SELECT prev, SUM(c) AS t, COUNT(*) AS v FROM counts GROUP BY prev),
+    model AS (
+      SELECT counts.prev, counts.word,
+             ROUND(LN((c + 1.0) / (t + v)), 6) AS logp
+      FROM counts JOIN totals USING (prev)
+    ),
+    docs_w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 0
+    ),
+    docp AS (
+      SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS prev, w[i] AS word
+      FROM docs_w, LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(COALESCE(m.logp, -10.0)), 6) AS avg_logp
+    FROM docp LEFT JOIN model m USING (prev, word)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity_q(spark, sf_dir):
+    """CCNet/Gopher-style LM quality filter: a word-bigram model trains on
+    the 80% reference slice (two hash aggregates, add-one smoothing,
+    cardinality-guarded) and the held-out 20% scores by average bigram
+    log-prob under it — unseen bigrams floored at -10. Model broadcast;
+    scoring is explode + broadcast join + ONE aggregate."""
+    from sparsity_spark.operators.text import lm_perplexity_score, word_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = word_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    return lm_perplexity_score(docs.filter(F.col("doc_id") % 5 == 0), model)
+
+
+@query(
     "dedup_hash_store_screen",
     """
     WITH corpus AS (

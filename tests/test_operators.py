@@ -1072,3 +1072,27 @@ def test_phash_tiny_assets_excluded_not_hot_bucketed(spark):
     assert hashes.filter("dhash IS NULL").count() == 20
     pairs = multimodal.phash_pairs(assets).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+
+
+def test_lm_perplexity_orders_fluent_above_junk(spark):
+    """Text matching the reference's bigram statistics must score a higher
+    avg_logp than token salad over the same vocabulary; unseen bigrams
+    floor at -10."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = text.word_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),        # reference-like bigrams
+            (2, "rug the on mat cat sat the"),    # same words, unseen order
+        ],
+        "doc_id long, text string",
+    )
+    out = text.lm_perplexity_score(docs, model).toPandas().set_index("doc_id")
+    assert out.loc[1, "avg_logp"] > out.loc[2, "avg_logp"]
+    assert out.loc[2, "avg_logp"] >= -10.0
+    # cardinality guard fires loudly
+    with pytest.raises(ValueError, match="bigrams"):
+        text.word_bigram_lm(ref, max_vocab_bigrams=3)
