@@ -177,6 +177,36 @@ def main():
     )
     print("maintained rollup buckets:", maintained.count())
 
+    print("\n== 15. round-5: persisted dedup stores, media near-dup, LM filter ==")
+    from sparsity_spark.operators.dedup import (
+        append_band_store,
+        append_hash_store,
+        semantic_member_store,
+        semantic_screen,
+        write_band_store,
+        write_hash_store,
+    )
+    from sparsity_spark.operators.multimodal import as_binary_assets, phash_pairs
+    from sparsity_spark.operators.similarity import kmeans_fit
+    from sparsity_spark.operators.text import lm_perplexity_score, word_bigram_lm
+
+    corpus, batch = docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0")
+    write_band_store(corpus, "tour_bands", num_buckets=8)   # bucketed BY (band, band_key)
+    d = append_band_store(batch, "tour_bands")              # screen + intra-batch + append
+    print("band-store increment: kept", d.filter("keep").count(), "of", d.count())
+    write_hash_store(corpus, "tour_hashes", num_buckets=8)  # exact md5 ledger
+    dh = append_hash_store(batch, "tour_hashes")
+    print("hash-ledger increment: kept", dh.filter("keep").count(), "of", dh.count())
+    cents = kmeans_fit(emb.filter("vec_id % 10 != 0"), k=8, iters=2)
+    sem_store = semantic_member_store(emb.filter("vec_id % 10 != 0"), cents)
+    kept = semantic_screen(emb.filter("vec_id % 10 = 0"), sem_store, cents, threshold=0.3)
+    print("semantic screen survivors:", kept.count())
+    pp = phash_pairs(as_binary_assets(docs.select("doc_id", "text")), max_hamming=6)
+    print("perceptual (dHash) near-dup pairs:", pp.count())
+    model = word_bigram_lm(corpus)
+    lm = lm_perplexity_score(batch, model)
+    print("LM quality filter: docs below -7 avg logp:", lm.filter("avg_logp < -7").count())
+
     spark.stop()
     print("\nTOUR COMPLETE")
 
