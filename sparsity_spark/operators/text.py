@@ -344,7 +344,7 @@ def word_bigram_lm(
     reference: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_vocab_bigrams: int = 500_000,
+    max_vocab_bigrams: int | None = 500_000,
 ) -> DataFrame:
     """Train a word-BIGRAM language model on a reference corpus — the model
     behind the CCNet/Gopher-style perplexity quality filter: documents are
@@ -359,7 +359,10 @@ def word_bigram_lm(
     ``max_vocab_bigrams`` is the loud-failure cardinality guard (the
     transpose/tfidf discipline): a reference corpus whose bigram table
     exceeds it is not a broadcastable model — sample the reference or
-    raise the cap explicitly.
+    raise the cap explicitly. The probe is one extra aggregate pass over
+    the reference; pass ``None`` to skip it when the reference is already
+    a vetted sample (the usual CCNet shape — the model trains on a
+    Wikipedia-sized sample, not the corpus).
 
     Returns the model table (prev, word, logp: double round-6); bigrams
     unseen in the reference take the scorer's ``floor_logp``."""
@@ -378,13 +381,14 @@ def word_bigram_lm(
         ).alias("__i__", "pw")
     ).select(F.col("pw.prev").alias("prev"), F.col("pw.word").alias("word"))
     counts = pairs.groupBy("prev", "word").agg(F.count("*").alias("c"))
-    probe = counts.limit(max_vocab_bigrams + 1).count()
-    if probe > max_vocab_bigrams:
-        raise ValueError(
-            f"word_bigram_lm: reference yields more than {max_vocab_bigrams} "
-            "distinct bigrams — not a broadcastable model. Sample the "
-            "reference corpus or raise max_vocab_bigrams explicitly."
-        )
+    if max_vocab_bigrams is not None:
+        probe = counts.limit(max_vocab_bigrams + 1).count()
+        if probe > max_vocab_bigrams:
+            raise ValueError(
+                f"word_bigram_lm: reference yields more than {max_vocab_bigrams} "
+                "distinct bigrams — not a broadcastable model. Sample the "
+                "reference corpus or raise max_vocab_bigrams explicitly."
+            )
     totals = counts.groupBy("prev").agg(
         F.sum("c").alias("t"), F.count("*").alias("v")
     )
