@@ -441,3 +441,78 @@ def lm_perplexity_score(
             "avg_logp"
         ),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a term set — the
+    data-selection primitive ("rank the crawl against a target-domain
+    description") behind DSIR-style importance selection and targeted
+    subset mining.
+
+    Okapi BM25 with Lucene's non-negative idf:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: tokens are filtered to the (tiny, literal) query term set
+    BEFORE any aggregation, so the only shuffled rows are query-term hits
+    — work ∝ matches, not corpus tokens; doc length rides along via one
+    per-doc size() projection; N/avgdl are one scalar aggregate; df per
+    term one aggregate over the hits. Everything rounds to 6 for engine
+    portability. ``top_n`` ranks with a global TakeOrdered (per-partition
+    heaps); omit it for the full scored set.
+
+    Returns (id_col, score) — docs with no query-term hits are absent."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    w = words_expr(text_col)
+    qset = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).alias("__dl__"),
+        F.filter(w, lambda t: F.array_contains(qset, t)).alias("__hits__"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.avg("__dl__").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        return base.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    tf = (
+        base.select(id_col, "__dl__", F.explode("__hits__").alias("term"))
+        .groupBy(id_col, "__dl__", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", idf.alias("__idf__"))), on="term")
+        .withColumn(
+            "__s__",
+            F.col("__idf__")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("__dl__") / F.lit(avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s__"), 6).alias("score"))
+    )
+    if top_n is not None:
+        scored = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    return scored

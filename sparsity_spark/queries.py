@@ -4953,6 +4953,43 @@ def text_lm_perplexity_q(spark, sf_dir):
 
 
 @query(
+    "text_bm25_rank",
+    """
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             list_filter(string_split(text, ' '),
+                         t -> t IN ('dup', 'query', 'spark')) AS hits
+      FROM documents
+    ),
+    st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(hits) AS term FROM base)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM(
+             LN(1.0 + (st.n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+           ), 6) AS score
+    FROM tf JOIN dfreq USING (term), st
+    GROUP BY doc_id
+    """,
+)
+def text_bm25_rank_q(spark, sf_dir):
+    """BM25 relevance ranking against a term set (the data-selection
+    primitive behind DSIR-style targeted subset mining): tokens filter to
+    the literal query set BEFORE any aggregate — shuffled rows ∝ hits,
+    never corpus tokens; Lucene non-negative idf; k1=1.2, b=0.75."""
+    from sparsity_spark.operators.text import bm25_rank
+
+    return bm25_rank(
+        load_table(spark, sf_dir, "documents"), ["dup", "query", "spark"]
+    )
+
+
+@query(
     "dedup_hash_store_screen",
     """
     WITH corpus AS (

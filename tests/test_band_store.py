@@ -277,3 +277,22 @@ def test_target_mix_respects_recipe(spark, sf_dir):
         docs, "doc_id", "lang", {"en": 0.5, "fr": 0.5}, target_fraction=0.5
     ).groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert again == got
+
+
+def test_append_stores_empty_batch(spark):
+    """An empty increment is a no-op for both store loops: zero decisions,
+    store row count unchanged."""
+    from sparsity_spark.operators.dedup import (
+        append_hash_store,
+        write_hash_store,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(CORPUS, schema)
+    empty = corpus.filter("doc_id < 0")
+    write_band_store(corpus, "bs_empty", num_buckets=4)
+    assert append_band_store(empty, "bs_empty").count() == 0
+    assert spark.table("bs_empty").count() == 8
+    write_hash_store(corpus, "hs_empty", num_buckets=4)
+    assert append_hash_store(empty, "hs_empty").count() == 0
+    assert spark.table("hs_empty").count() == 2

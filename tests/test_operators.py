@@ -1096,3 +1096,54 @@ def test_lm_perplexity_orders_fluent_above_junk(spark):
     # cardinality guard fires loudly
     with pytest.raises(ValueError, match="bigrams"):
         text.word_bigram_lm(ref, max_vocab_bigrams=3)
+
+
+def test_assign_centroids_string_ids(spark):
+    """ADVICE r4: the Arrow kernels must carry NON-long id columns (string
+    doc ids) through assignment and the semantic screen end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import semantic_member_store, semantic_screen
+    from sparsity_spark.operators.similarity import assign_centroids
+
+    rng = np.random.RandomState(3)
+    vecs = [list(map(float, v)) for v in rng.rand(12, 4)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [f"doc-{i}" for i in range(12)], "embedding": vecs}),
+        "vec_id string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, vecs[0]), (1, vecs[6])], "centroid_id long, embedding array<double>"
+    )
+    out = assign_centroids(emb, cents)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert out.count() == 12
+    store = semantic_member_store(emb, cents)
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ["new-1"], "embedding": [vecs[0]]}),
+        "vec_id string, embedding array<double>",
+    )
+    # an exact twin of a corpus vector must be screened out
+    assert semantic_screen(batch, store, cents, threshold=0.99).count() == 0
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    """A doc dense in the rare query term outranks one with a single hit;
+    docs with no hits are absent; rare terms outweigh common ones."""
+    rows = [
+        (1, "zebra zebra zebra filler filler"),
+        (2, "zebra filler filler filler filler"),
+        (3, "filler filler filler filler filler"),
+        (4, "common common common common common"),
+        (5, "common zebra filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in text.bm25_rank(docs, ["zebra", "common"]).collect()}
+    assert 3 not in got
+    assert got[1] > got[2] > 0          # tf saturation still increases
+    # 'zebra' (df=3) carries more idf than 'common' (df=2)? both rare here;
+    # a doc with BOTH terms beats a doc with one hit of either
+    assert got[5] > got[2]
+    top1 = text.bm25_rank(docs, ["zebra", "common"], top_n=1).collect()
+    assert len(top1) == 1
