@@ -516,3 +516,61 @@ def bm25_rank(
     if top_n is not None:
         scored = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
     return scored
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_logp: float = -10.0,
+    max_vocab_bigrams: int | None = 500_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every RAW document by how much more likely its text is under a
+    TARGET-domain n-gram model than under the raw corpus's own model —
+    importance = avg_logp_target − avg_logp_raw. Feed the output to
+    :func:`pipeline.weighted_sample` (deterministic A-Res) with
+    ``exp(importance)``-derived weights to materialize the selected
+    subset, exactly the paper's hashed-ngram recipe with the engine's
+    word-bigram features.
+
+    Scale shape: two :func:`word_bigram_lm` trainings (two aggregates
+    each, cardinality-guarded/broadcastable), then ONE pass over the raw
+    corpus scoring both models — the bigram explode happens once and
+    joins both broadcast models, one final per-doc aggregate.
+
+    Returns (id_col, n_bigrams, logp_target, logp_raw, importance),
+    round-6."""
+    from sparsity_spark.operators.dedup import words_expr
+    from sparsity_spark.util import ensure_parallelism
+
+    target_model = word_bigram_lm(target, id_col, text_col, max_vocab_bigrams)
+    raw_model = word_bigram_lm(raw, id_col, text_col, max_vocab_bigrams)
+    docs = ensure_parallelism(raw)
+    words = words_expr(text_col)
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.concat(F.array(F.lit("<s>")), F.slice(words, 1, F.size(words) - 1)),
+                words,
+                lambda p, w: F.struct(p.alias("prev"), w.alias("word")),
+            )
+        ).alias("__i__", "pw"),
+    ).select(id_col, F.col("pw.prev").alias("prev"), F.col("pw.word").alias("word"))
+    t = F.broadcast(target_model.withColumnRenamed("logp", "__lt__"))
+    r = F.broadcast(raw_model.withColumnRenamed("logp", "__lr__"))
+    scored = pairs.join(t, on=["prev", "word"], how="left").join(
+        r, on=["prev", "word"], how="left"
+    )
+    fl = F.lit(float(floor_logp))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.coalesce(F.col("__lt__"), fl)), 6).alias("logp_target"),
+        F.round(F.avg(F.coalesce(F.col("__lr__"), fl)), 6).alias("logp_raw"),
+        F.round(
+            F.avg(F.coalesce(F.col("__lt__"), fl)) - F.avg(F.coalesce(F.col("__lr__"), fl)),
+            6,
+        ).alias("importance"),
+    )

@@ -4990,6 +4990,59 @@ def text_bm25_rank_q(spark, sf_dir):
 
 
 @query(
+    "text_dsir_importance",
+    """
+    WITH
+    mt_w AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'de'),
+    mt_p AS (
+      SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS prev, w[i] AS word
+      FROM mt_w, LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    mt_c AS (SELECT prev, word, COUNT(*) AS c FROM mt_p GROUP BY 1, 2),
+    mt_t AS (SELECT prev, SUM(c) AS t, COUNT(*) AS v FROM mt_c GROUP BY prev),
+    mt AS (
+      SELECT mt_c.prev, mt_c.word, ROUND(LN((c + 1.0) / (t + v)), 6) AS logp
+      FROM mt_c JOIN mt_t USING (prev)
+    ),
+    mr_w AS (SELECT string_split(text, ' ') AS w FROM documents WHERE TRUE),
+    mr_p AS (
+      SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS prev, w[i] AS word
+      FROM mr_w, LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    mr_c AS (SELECT prev, word, COUNT(*) AS c FROM mr_p GROUP BY 1, 2),
+    mr_t AS (SELECT prev, SUM(c) AS t, COUNT(*) AS v FROM mr_c GROUP BY prev),
+    mr AS (
+      SELECT mr_c.prev, mr_c.word, ROUND(LN((c + 1.0) / (t + v)), 6) AS logp
+      FROM mr_c JOIN mr_t USING (prev)
+    ),
+    docp AS (
+      SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS prev, w[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(COALESCE(mt.logp, -10.0)), 6) AS logp_target,
+           ROUND(AVG(COALESCE(mr.logp, -10.0)), 6) AS logp_raw,
+           ROUND(AVG(COALESCE(mt.logp, -10.0)) - AVG(COALESCE(mr.logp, -10.0)), 6) AS importance
+    FROM docp
+    LEFT JOIN mt USING (prev, word)
+    LEFT JOIN mr USING (prev, word)
+    GROUP BY doc_id
+    """,
+)
+def text_dsir_importance_q(spark, sf_dir):
+    """DSIR importance weights (arXiv:2302.03169): the whole corpus scored
+    under a TARGET model (here: the German slice as the target domain) vs
+    its own raw model — importance = avg bigram logp difference. Two
+    broadcastable model trainings, ONE scoring pass (single bigram explode
+    joining both models). Compose with weighted_sample for the selection."""
+    from sparsity_spark.operators.text import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "de"))
+
+
+@query(
     "dedup_hash_store_screen",
     """
     WITH corpus AS (

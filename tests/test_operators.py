@@ -1147,3 +1147,34 @@ def test_bm25_rank_orders_by_relevance(spark):
     assert got[5] > got[2]
     top1 = text.bm25_rank(docs, ["zebra", "common"], top_n=1).collect()
     assert len(top1) == 1
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Raw docs resembling the target domain get higher importance than
+    docs unlike it — the selection signal DSIR samples by."""
+    target = spark.createDataFrame(
+        [(i, "der hund läuft schnell durch den wald") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "der hund läuft schnell durch den wald"),  # target-like
+            (2, "the cat sat on the mat all day long"),    # not target-like
+            (3, "der hund läuft schnell durch den wald"),
+            (4, "completely different tokens here again ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.dsir_importance(raw, target).toPandas().set_index("doc_id")
+    assert out.loc[1, "importance"] > out.loc[2, "importance"]
+    assert out.loc[3, "importance"] > out.loc[4, "importance"]
+    # composes with the deterministic weighted sampler
+    from sparsity_spark.operators.pipeline import weighted_sample
+    import pyspark.sql.functions as F
+
+    weighted = raw.join(
+        out.reset_index().pipe(lambda p: spark.createDataFrame(p[["doc_id", "importance"]])),
+        on="doc_id",
+    ).withColumn("w", F.exp(F.col("importance")))
+    picked = weighted_sample(weighted, "w", k=2, content_col="text", id_col="doc_id")
+    assert picked.count() == 2
