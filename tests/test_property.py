@@ -246,3 +246,38 @@ def test_curriculum_shards_monotone_and_balanced(spark, seed):
     assert sh == sorted(sh)  # monotone in score
     sizes = out.groupby("shard").size()
     assert len(sizes) == 4 and sizes.min() >= 40  # near-balanced quartiles
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ppjoin_positional_filter_lossless(spark, docs, threshold):
+    """jaccard_prefix_join (prefix + r5 POSITIONAL filtering) must return
+    EXACTLY the brute-force pair set — the filters are provably lossless,
+    and this pins it against random corpora (guards the overlap
+    upper-bound arithmetic)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    from sparsity_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(df, threshold=threshold).collect()
+    }
+    truth = set()
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = set(a), set(docs[j])
+            if len(sa & sb) / len(sa | sb) >= threshold:
+                truth.add((i, j))
+    assert got == truth
