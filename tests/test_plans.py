@@ -306,3 +306,67 @@ def test_phash_fingerprint_shuffle_free_and_pairs_blocked(spark, sf_dir):
     pair_plan = formatted_plan(phash_pairs(assets))
     assert "CartesianProduct" not in pair_plan
     assert "BroadcastNestedLoopJoin" not in pair_plan
+
+
+def test_hash_store_screen_corpus_side_shuffle_free(spark, sf_dir):
+    """The exact-dedup ledger enjoys the same bucketed-join property as the
+    band store: one fewer hashpartitioning Exchange than screening an
+    identical plain-parquet ledger."""
+    import tempfile
+
+    from sparsity_spark.operators.dedup import write_hash_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    write_hash_store(corpus, "hs_plancheck", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = batch.join(
+            spark.table("hs_plancheck").select("content_hash"), on="content_hash", how="left"
+        )
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        with tempfile.TemporaryDirectory() as d:
+            spark.table("hs_plancheck").write.mode("overwrite").parquet(d + "/plain")
+            plain = batch.join(
+                spark.read.parquet(d + "/plain").select("content_hash"),
+                on="content_hash",
+                how="left",
+            )
+            plan_p = plain._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan_b
+    assert plan_b.count("Exchange hashpartitioning") == plan_p.count("Exchange hashpartitioning") - 1
+
+
+def test_semantic_screen_is_hash_anti_join(spark, sf_dir):
+    """semantic_screen's cosine residual rides a cid-keyed HASH anti-join —
+    never a nested-loop all-pairs plan."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import semantic_member_store, semantic_screen
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit(corpus, k=4, iters=1)
+    plan = formatted_plan(semantic_screen(batch, semantic_member_store(corpus, cents), cents))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_lm_scorer_broadcasts_model(spark, sf_dir):
+    """lm_perplexity_score joins the (vocabulary-sized) model broadcast —
+    the corpus side never shuffles for the model lookup."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.text import lm_perplexity_score, word_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = word_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    plan = formatted_plan(lm_perplexity_score(docs.filter(F.col("doc_id") % 5 == 0), model))
+    assert "BroadcastHashJoin" in plan
