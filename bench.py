@@ -115,6 +115,7 @@ SCALE_QUERIES = [
     "dedup_semdedup",
     "ann_ivfpq_topk",
     "stats_profile_columns",
+    "multimodal_phash_pairs",
 ]
 
 

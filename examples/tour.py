@@ -201,7 +201,7 @@ def main():
     sem_store = semantic_member_store(emb.filter("vec_id % 10 != 0"), cents)
     kept = semantic_screen(emb.filter("vec_id % 10 = 0"), sem_store, cents, threshold=0.3)
     print("semantic screen survivors:", kept.count())
-    pp = phash_pairs(as_binary_assets(docs.select("doc_id", "text")), max_hamming=6)
+    pp = phash_pairs(as_binary_assets(docs.select("doc_id", "text")), max_hamming=3)
     print("perceptual (dHash) near-dup pairs:", pp.count())
     model = word_bigram_lm(corpus)
     lm = lm_perplexity_score(batch, model)

@@ -1319,7 +1319,7 @@ _PHASH_ORACLE = """
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
     FROM h a JOIN h c ON a.doc_id < c.doc_id
-    WHERE bit_count(xor(a.dh, c.dh)) <= 6
+    WHERE bit_count(xor(a.dh, c.dh)) <= 3
     """
 
 
@@ -1349,7 +1349,7 @@ def multimodal_phash_pairs_q(spark, sf_dir):
         ).alias("text"),
     )
     assets = as_binary_assets(docs.unionByName(exact_twin).unionByName(near_twin))
-    return phash_pairs(assets, max_hamming=6)
+    return phash_pairs(assets, max_hamming=3)
 
 
 @query(

@@ -1044,13 +1044,13 @@ def test_phash_pair_semantics(spark):
     )
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in multimodal.phash_pairs(assets, max_hamming=6).collect()
+        for r in multimodal.phash_pairs(assets, max_hamming=3).collect()
     }
     assert pairs[(1, 2)] == 0
     # a one-character edit perturbs only the final pixel segment: the pair
     # must survive the hamming budget (its distance may round to 0 — the
     # changed pixel flips at most one gradient sign)
-    assert pairs[(1, 3)] <= 6 and pairs[(2, 3)] <= 6
+    assert pairs[(1, 3)] <= 3 and pairs[(2, 3)] <= 3
     assert not any(4 in p for p in pairs)
     # exact byte dedup groups only the byte-identical twins
     groups = multimodal.binary_exact_dedup(assets).filter("n_assets > 1").collect()
@@ -1178,3 +1178,18 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     ).withColumn("w", F.exp(F.col("importance")))
     picked = weighted_sample(weighted, "w", k=2, content_col="text", id_col="doc_id")
     assert picked.count() == 2
+
+
+def test_dhash_kernel_expr_parity(spark, docs):
+    """The Arrow-kernel fingerprint must equal the streaming-legal
+    expression form bit for bit (the minhash expr/aggregate discipline)."""
+    assets = multimodal.as_binary_assets(docs)
+    via_expr = {
+        r["doc_id"]: r["d"]
+        for r in assets.select("doc_id", multimodal.dhash_expr().alias("d")).collect()
+    }
+    via_kernel = {
+        r["doc_id"]: r["dhash"]
+        for r in multimodal.dhash_fingerprints(assets).collect()
+    }
+    assert via_expr == via_kernel
