@@ -198,6 +198,17 @@ def main():
     load_all(spark, sf_dir)
     run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))
 
+    # full untimed warm pass (JMH-style steady state): each query's
+    # generated code JIT-compiles on its first execution — without this,
+    # per-query numbers measure the C2 compiler lottery (±0.5-1.5 s each)
+    # instead of the plan; round-over-round comparisons were drifting by
+    # whether a prior suite happened to warm a query's code path
+    for name in BENCH_QUERIES:
+        if name in QUERIES:
+            run_one(QUERIES[name](spark, sf_dir))
+            spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     missing = [n for n in BENCH_QUERIES if n not in QUERIES]
     for name in BENCH_QUERIES:
