@@ -147,7 +147,13 @@ def run_scale(factor: int) -> None:
     from sparsity_spark.queries import QUERIES
 
     _prewarm_python_workers(spark)
-    run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))  # warmup
+    # full untimed warm pass — same steady-state discipline as the main
+    # bench (per-query JIT compilation otherwise dominates the deltas:
+    # simhash/semdedup swung 2x run-over-run on identical plans)
+    for name in SCALE_QUERIES:
+        run_one(QUERIES[name](spark, sf_dir))
+        spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     timings = {}
     for name in SCALE_QUERIES:
         t0 = time.perf_counter()
