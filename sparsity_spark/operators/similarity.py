@@ -443,6 +443,108 @@ def _adc_topk(scored: DataFrame, topk: int) -> DataFrame:
     )
 
 
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    index_table: str,
+    m: int = 4,
+    k_code: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """PERSIST the IVF-PQ index (the ANN sibling of the dedup band/hash
+    stores): the corpus's (centroid_id, subspace, code, id) rows bucketed
+    BY centroid_id, plus the data-sampled codebook and the centroids in
+    side tables (``<index>__codebook``, ``<index>__centroids``). The raw
+    vectors are never needed again at query time — the index IS the
+    corpus representation, m small codes per vector.
+
+    Bucketing on centroid_id turns the probe routing into BUCKET PRUNING:
+    the query path pushes its probed bucket ids as a filter, so the scan
+    reads ONLY those buckets' files (`SelectedBucketsCount: nprobe·|Q| of
+    N` in the plan — asserted in tests/test_plans.py). At 100 TB the
+    per-query-batch index IO is probed-buckets-sized, not corpus-sized —
+    and the raw vectors are never read at all."""
+    from sparsity_spark.operators.skew import write_bucketed
+
+    spark = embeddings.sparkSession
+    book = pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
+    asg = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    write_bucketed(
+        codes.join(asg, on=id_col).select(id_col, "centroid_id", "subspace", "code"),
+        index_table,
+        ["centroid_id"],
+        num_buckets,
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    _drop_table_and_location(spark, f"{index_table}__codebook")
+    spark.createDataFrame(
+        [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
+        "subspace int, code int, codeword array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{index_table}__codebook")
+    _drop_table_and_location(spark, f"{index_table}__centroids")
+    centroids.write.mode("overwrite").saveAsTable(f"{index_table}__centroids")
+
+
+def ivfpq_index_topk(
+    queries: DataFrame,
+    index_table: str,
+    m: int = 4,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search against a PERSISTED :func:`write_ivfpq_index` — the
+    production query path: the corpus appears ONLY as its bucketed code
+    table; queries route to their nprobe buckets (broadcast centroids
+    from the side table), the ADC lookup table broadcasts, and the one
+    big-side join is bucket-aligned (no index-side Exchange). Same
+    round-6 ADC discipline and ranking as :func:`ivf_pq_topk` — results
+    are identical by construction, which the oracle row proves.
+
+    Returns (query_id, neighbor_id, adc_d2)."""
+    spark = queries.sparkSession
+    codes = spark.table(index_table)
+    cents = spark.table(f"{index_table}__centroids")
+    book_rows = spark.table(f"{index_table}__codebook").collect()
+    mm = 1 + max(r["subspace"] for r in book_rows)
+    book = [
+        [
+            list(r["codeword"])
+            for r in sorted(
+                (x for x in book_rows if x["subspace"] == s), key=lambda x: x["code"]
+            )
+        ]
+        for s in range(mm)
+    ]
+    qa = ivf_assign(queries, cents, id_col, vec_col, n=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    # probed bucket ids are metadata-sized (nprobe × |queries|): pushing
+    # them as an IN filter lets the bucketed scan PRUNE to exactly those
+    # buckets' files — the index read is probe-sized, never corpus-sized
+    probe_ids = sorted(
+        {r["centroid_id"] for r in qa.select("centroid_id").distinct().collect()}
+    )
+    codes = codes.filter(F.col("centroid_id").isin(probe_ids))
+    lut_b = _adc_lut(queries, book, mm, dim, id_col, vec_col).join(qa, on="query_id")
+    scored = (
+        codes.join(F.broadcast(lut_b), on=["centroid_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_topk(scored, topk)
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,

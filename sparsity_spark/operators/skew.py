@@ -42,6 +42,21 @@ def distinct_count_skew_safe(
     return partial.groupBy(*key_cols).agg(F.sum("__pd__").cast("long").alias("n_distinct"))
 
 
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP the table AND its managed location — a previous session may
+    have left the directory behind without a catalog entry (fresh
+    metastore, persistent warehouse dir), which makes saveAsTable fail
+    with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    if warehouse:
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -52,16 +67,7 @@ def write_bucketed(
     """Persist as a bucketed (and optionally sorted) table: joins and
     aggregations keyed on bucket_cols read it without a shuffle."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous session may have left the managed location behind without a
-    # catalog entry (fresh metastore, persistent warehouse dir) — clear it
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[5:]
-    if warehouse:
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    _drop_table_and_location(spark, table)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

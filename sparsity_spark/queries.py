@@ -3790,6 +3790,30 @@ def ann_ivfpq_topk_q(spark, sf_dir):
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), cents)
 
 
+@query(
+    "ann_ivfpq_index_topk",
+    # identical semantics to ann_ivfpq_topk — persisting the index is a
+    # LAYOUT change (bucketed code table + codebook/centroid side tables),
+    # never a results change
+    ORACLES["ann_ivfpq_topk"],
+)
+def ann_ivfpq_index_topk_q(spark, sf_dir):
+    """The same IVF-PQ search against a PERSISTED index
+    (write_ivfpq_index → ivfpq_index_topk): the corpus exists only as its
+    bucketed (centroid_id, subspace, code) table — the query-time scoring
+    join reads it with NO index-side shuffle (plan-asserted); results are
+    bit-identical to the in-memory composition, which this oracle row
+    proves."""
+    from sparsity_spark.operators.similarity import ivfpq_index_topk, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    write_ivfpq_index(emb, cents, "ivfpq_index_oracle_q", num_buckets=8)
+    return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), "ivfpq_index_oracle_q")
+
+
 @query("ann_pq_adc_topk", _pq_adc_oracle())
 def ann_pq_adc_topk(spark, sf_dir):
     """IVF-PQ's search half: asymmetric-distance top-k where the corpus is

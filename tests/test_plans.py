@@ -370,3 +370,29 @@ def test_lm_scorer_broadcasts_model(spark, sf_dir):
     model = word_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
     plan = formatted_plan(lm_perplexity_score(docs.filter(F.col("doc_id") % 5 == 0), model))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_index_scan_prunes_to_probed_buckets(spark, sf_dir):
+    """The persisted IVF-PQ index's query path must read ONLY the probed
+    buckets' files (bucket pruning via the pushed centroid-id filter) —
+    the plan's SelectedBucketsCount is below the table's bucket count.
+    The raw embedding vectors never appear in the scan at all."""
+    from sparsity_spark.operators.similarity import (
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    write_ivfpq_index(emb, cents, "ivfpq_plancheck", num_buckets=8)
+    queries = emb.filter(F.col("vec_id") < 2)  # 2 queries, nprobe=1
+    plan = ivfpq_index_topk(queries, "ivfpq_plancheck")._jdf.queryExecution(
+    ).executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "index scan must be bucket-pruned:\n" + plan
+    assert int(m.group(1)) < int(m.group(2))
+    # the scoring path reads codes only — never the raw vectors
+    scan_line = [l for l in plan.splitlines() if "ivfpq_plancheck[" in l][0]
+    assert "embedding" not in scan_line
