@@ -418,6 +418,12 @@ def lm_perplexity_score(
     trainer's cardinality guard), unseen bigrams take ``floor_logp``, and
     ONE hash aggregate averages per doc. No Python anywhere.
 
+    Engine seam: the per-doc average sums EXACT INTEGER micro-log-probs
+    (round(logp·1e6) as long) — a float sum's order-dependent ulp noise
+    flipped round-6 boundaries between engines on ~0.25% of docs at the
+    sf0.1 tri-scale check; integer sums are order-free, and one final
+    division + round is bit-identical everywhere.
+
     Returns (id_col, n_bigrams, avg_logp round-6)."""
     from sparsity_spark.operators.dedup import words_expr
     from sparsity_spark.util import ensure_parallelism
@@ -435,11 +441,12 @@ def lm_perplexity_score(
         ).alias("__i__", "pw"),
     ).select(id_col, F.col("pw.prev").alias("prev"), F.col("pw.word").alias("word"))
     scored = pairs.join(F.broadcast(model), on=["prev", "word"], how="left")
+    lp6 = F.round(
+        F.coalesce(F.col("logp"), F.lit(float(floor_logp))) * 1e6
+    ).cast("long")
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.avg(F.coalesce(F.col("logp"), F.lit(float(floor_logp)))), 6).alias(
-            "avg_logp"
-        ),
+        F.round(F.sum(lp6) / (F.count("*") * F.lit(1000000.0)), 6).alias("avg_logp"),
     )
 
 
@@ -565,12 +572,19 @@ def dsir_importance(
         r, on=["prev", "word"], how="left"
     )
     fl = F.lit(float(floor_logp))
-    return scored.groupBy(id_col).agg(
+    # integer micro-log-prob sums — order-free, engine-exact (see
+    # lm_perplexity_score's seam note)
+    lt6 = F.round(F.coalesce(F.col("__lt__"), fl) * 1e6).cast("long")
+    lr6 = F.round(F.coalesce(F.col("__lr__"), fl) * 1e6).cast("long")
+    agg = scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.avg(F.coalesce(F.col("__lt__"), fl)), 6).alias("logp_target"),
-        F.round(F.avg(F.coalesce(F.col("__lr__"), fl)), 6).alias("logp_raw"),
-        F.round(
-            F.avg(F.coalesce(F.col("__lt__"), fl)) - F.avg(F.coalesce(F.col("__lr__"), fl)),
-            6,
-        ).alias("importance"),
+        F.round(F.sum(lt6) / (F.count("*") * F.lit(1000000.0)), 6).alias("logp_target"),
+        F.round(F.sum(lr6) / (F.count("*") * F.lit(1000000.0)), 6).alias("logp_raw"),
+    )
+    # importance derives from the ROUNDED columns, not the raw averages:
+    # subtracting two unrounded averages amplifies engine ulp noise across
+    # the round-6 boundary (surfaced by the sf0.1 tri-scale check); the
+    # rounded values are engine-stable, so their difference is too
+    return agg.withColumn(
+        "importance", F.round(F.col("logp_target") - F.col("logp_raw"), 6)
     )

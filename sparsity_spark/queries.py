@@ -4958,7 +4958,8 @@ def pipe_target_mix_q(spark, sf_dir):
       FROM docs_w, LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(COALESCE(m.logp, -10.0)), 6) AS avg_logp
+           ROUND(SUM(CAST(ROUND(COALESCE(m.logp, -10.0) * 1000000, 0) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS avg_logp
     FROM docp LEFT JOIN model m USING (prev, word)
     GROUP BY doc_id
     """,
@@ -5045,9 +5046,14 @@ def text_bm25_rank_q(spark, sf_dir):
            LATERAL UNNEST(range(1, len(w) + 1)) AS t(i)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(COALESCE(mt.logp, -10.0)), 6) AS logp_target,
-           ROUND(AVG(COALESCE(mr.logp, -10.0)), 6) AS logp_raw,
-           ROUND(AVG(COALESCE(mt.logp, -10.0)) - AVG(COALESCE(mr.logp, -10.0)), 6) AS importance
+           ROUND(SUM(CAST(ROUND(COALESCE(mt.logp, -10.0) * 1000000, 0) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS logp_target,
+           ROUND(SUM(CAST(ROUND(COALESCE(mr.logp, -10.0) * 1000000, 0) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS logp_raw,
+           ROUND(ROUND(SUM(CAST(ROUND(COALESCE(mt.logp, -10.0) * 1000000, 0) AS BIGINT))
+                       / (COUNT(*) * 1000000.0), 6)
+                 - ROUND(SUM(CAST(ROUND(COALESCE(mr.logp, -10.0) * 1000000, 0) AS BIGINT))
+                         / (COUNT(*) * 1000000.0), 6), 6) AS importance
     FROM docp
     LEFT JOIN mt USING (prev, word)
     LEFT JOIN mr USING (prev, word)
