@@ -82,21 +82,15 @@ def read_events(
     the cells themselves need no dictionary join (labels are the values),
     so this is a zero-shuffle projection just like reshape.sparse_one_hot.
 
-    The ``max_values`` cardinality guard rides the existing dictionary
-    collect (a ``limit(cap+1)`` on it) — zero extra Spark actions.
+    The ``max_values`` guard runs field_dictionary's OWN pre-window probe
+    (one extra ``limit(cap+1)`` count on the aggregated firsts): a
+    high-cardinality field then fails loudly BEFORE any value reaches the
+    single-task dictionary window — r5 ADVICE: guarding only the collect
+    still funneled every distinct value through the window before raising.
     """
     order_col = order_col or ts_col
-    dictionary = field_dictionary(events, field, order_col, max_values=None)
-    cats = [
-        r["value"]
-        for r in dictionary.orderBy("col_id").limit(max_values + 1).collect()
-    ]
-    if len(cats) > max_values:
-        raise ValueError(
-            f"read_events: '{field}' has more than {max_values} distinct "
-            "values — not a categorical field. Pick a categorical field or "
-            "raise max_values explicitly."
-        )
+    dictionary = field_dictionary(events, field, order_col, max_values=max_values)
+    cats = [r["value"] for r in dictionary.orderBy("col_id").collect()]
     cells = events.filter(F.col(field).isNotNull()).select(
         F.col(uuid_col).alias(uuid_col),
         F.col(ts_col).alias(ts_col),

@@ -669,12 +669,17 @@ def jaccard_prefix_join(
 
 
 # double polynomial gram-hash constants (substring-dedup family): two
-# independent 31-bit Horner folds over per-token md5 fingerprints, combined
-# into one BIGINT — overflow-free in any engine (acc·B + h < 2^52), and
-# ~2.4× cheaper than md5-of-the-concatenated-gram both to COMPUTE (2n
+# independent 31-bit Horner folds, each over its OWN per-token fingerprint
+# (md5 hex chars 1-8 for fold 1, chars 9-16 for fold 2 — the r5 advisor
+# flagged that feeding both folds the same 31-bit fingerprint collapses the
+# combined strength back to ~2^-31: two tokens colliding in that single
+# fingerprint collide in BOTH folds at once). With independent fingerprints
+# the combined key genuinely carries ~62 bits (~2^-62 per gram pair).
+# Overflow-free in any engine (acc·B + h < 2^52), and ~2.4× cheaper than
+# md5-of-the-concatenated-gram both to COMPUTE (one md5 per TOKEN + 2n
 # integer ops vs hashing a ~130-char string per position) and to SHUFFLE
 # (8-byte long keys vs 32-char hex strings) — measured at sf0.1, VERDICT
-# r4 #4. Collision odds across both 31-bit folds are ~2^-62 per gram pair.
+# r4 #4.
 SPAN_M1, SPAN_B1 = 2147483647, 1000003
 SPAN_M2, SPAN_B2 = 2147483629, 131071
 
@@ -694,12 +699,19 @@ def _gram_poly_keys(docs: DataFrame, n: int, id_col: str, text_col: str) -> Data
     # shingle_sets; a real many-file 100 TB input is already parallel)
     docs = ensure_parallelism(docs)
     words = words_expr(text_col)
-    th = F.transform(
-        words,
-        lambda w: F.pmod(
-            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"), F.lit(SPAN_M1)
-        ),
-    )
+    # one md5 per token, then TWO independent 31-bit fingerprints off
+    # disjoint hex windows — fold 1 and fold 2 must not share a fingerprint
+    # or the combined key degrades to ~31 bits (r5 ADVICE, medium)
+    md = F.transform(words, F.md5)
+
+    def fp(start, m):
+        return F.transform(
+            F.col("__md__"),
+            lambda s: F.pmod(
+                F.conv(F.substring(s, start, 8), 16, 10).cast("long"), F.lit(m)
+            ),
+        )
+
     sz = F.size(F.col("__th__"))
     starts = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
         F.array().cast("array<int>")
@@ -714,10 +726,12 @@ def _gram_poly_keys(docs: DataFrame, n: int, id_col: str, text_col: str) -> Data
         starts,
         lambda i: fold(F.slice(F.col("__th__"), i, n), SPAN_B1, SPAN_M1)
         * F.lit(4294967296)
-        + fold(F.slice(F.col("__th__"), i, n), SPAN_B2, SPAN_M2),
+        + fold(F.slice(F.col("__th2__"), i, n), SPAN_B2, SPAN_M2),
     )
     return (
-        docs.withColumn("__th__", th)
+        docs.withColumn("__md__", md)
+        .withColumn("__th__", fp(1, SPAN_M1))
+        .withColumn("__th2__", fp(9, SPAN_M2))
         .select(F.col(id_col), F.posexplode(gexpr).alias("pos0", "g"))
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
     )
@@ -1274,7 +1288,17 @@ def append_hash_store(
             id_col, "content_hash", F.col("__in_corpus__").isNull().alias("keep")
         )
     decisions = decisions.localCheckpoint(eager=True)
-    keep_rows = decisions.filter(F.col("keep")).select("content_hash", id_col)
+    # ledger uniqueness invariant: never append the same content_hash twice.
+    # With intra_batch=False the decisions keep EVERY non-corpus-colliding
+    # row (in-batch twins included) — appending them all would put duplicate
+    # content_hash rows in the ledger, and every later increment's left join
+    # would fan out per duplicate (r5 ADVICE). Dedup the APPEND regardless
+    # of the decision semantics.
+    keep_rows = (
+        decisions.filter(F.col("keep"))
+        .select("content_hash", id_col)
+        .dropDuplicates(["content_hash"])
+    )
     num_buckets = _table_bucket_count(spark, table)
     (
         keep_rows.write.mode("append")

@@ -349,8 +349,12 @@ def dhash_fingerprints(
 
         import pandas as pd
 
-        def dh(raw: bytes):
-            hx = raw.hex().upper()
+        def dh(raw):
+            # NULL content → NULL dhash, mirroring dhash_expr's null
+            # propagation (r5 ADVICE: bytes(None) raised and failed the job)
+            if raw is None:
+                return None
+            hx = bytes(raw).hex().upper()
             L = len(hx)
             if L < _npix:
                 return None
@@ -366,7 +370,7 @@ def dhash_fingerprints(
 
         for pdf in batches:
             yield pd.DataFrame(
-                {_id: pdf[_id], "dhash": [dh(bytes(c)) for c in pdf[_c]]}
+                {_id: pdf[_id], "dhash": [dh(c) for c in pdf[_c]]}
             )
 
     return flat.mapInPandas(kern, schema=f"{id_col} {id_type}, dhash long")

@@ -3541,17 +3541,20 @@ def _pq_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w,
              list_transform(string_split(text, ' '),
-               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th,
+             list_transform(string_split(text, ' '),
+               x -> CAST(('0x' || substring(md5(x), 9, 8)) AS BIGINT) % 2147483629) AS th2
       FROM documents
     ),
     g AS (
       -- same double polynomial gram hash as operators.dedup._gram_poly_keys:
-      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629)
-      -- over per-token md5 fingerprints, combined into one BIGINT
+      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629),
+      -- each over its OWN per-token fingerprint (md5 hex 1-8 / 9-16) so the
+      -- combined BIGINT genuinely carries ~62 bits
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
                          (acc, h) -> (acc * 1000003 + h) % 2147483647) * 4294967296
-           + list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+           + list_reduce(CAST([0] AS BIGINT[]) || th2[i : i + 19],
                          (acc, h) -> (acc * 131071 + h) % 2147483629) AS gh
       FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
       WHERE len(w) >= 20
@@ -3600,17 +3603,20 @@ def dedup_substring_spans(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w,
              list_transform(string_split(text, ' '),
-               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS th,
+             list_transform(string_split(text, ' '),
+               x -> CAST(('0x' || substring(md5(x), 9, 8)) AS BIGINT) % 2147483629) AS th2
       FROM documents
     ),
     g AS (
       -- same double polynomial gram hash as operators.dedup._gram_poly_keys:
-      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629)
-      -- over per-token md5 fingerprints, combined into one BIGINT
+      -- Horner folds (B1=1000003 mod 2147483647, B2=131071 mod 2147483629),
+      -- each over its OWN per-token fingerprint (md5 hex 1-8 / 9-16) so the
+      -- combined BIGINT genuinely carries ~62 bits
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
                          (acc, h) -> (acc * 1000003 + h) % 2147483647) * 4294967296
-           + list_reduce(CAST([0] AS BIGINT[]) || th[i : i + 19],
+           + list_reduce(CAST([0] AS BIGINT[]) || th2[i : i + 19],
                          (acc, h) -> (acc * 131071 + h) % 2147483629) AS gh
       FROM toks, LATERAL UNNEST(range(1, len(w) - 18)) AS t(i)
       WHERE len(w) >= 20

@@ -254,3 +254,105 @@ def test_scan_order_ids_null_order_raises(spark):
     df = spark.createDataFrame([(1,), (None,)], "o long")
     with pytest.raises(ValueError, match="NULL"):
         scan_order_ids(df, "o").collect()
+
+
+# ---- r5 ADVICE regressions ------------------------------------------------
+
+
+def test_gram_poly_second_fold_uses_independent_fingerprint(spark):
+    """The two Horner folds must consume INDEPENDENT per-token fingerprints
+    (md5 hex 1-8 vs 9-16) — sharing one collapses the combined key to ~31
+    bits (r5 ADVICE, medium). Pin the exact value against a pure-Python
+    mirror so a regression to a shared fingerprint breaks loudly."""
+    import hashlib
+
+    from sparsity_spark.operators.dedup import (
+        SPAN_B1,
+        SPAN_B2,
+        SPAN_M1,
+        SPAN_M2,
+        _gram_poly_keys,
+    )
+
+    text = "alpha beta gamma delta"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["g"])
+        for r in _gram_poly_keys(docs, 2, "doc_id", "text").collect()
+    }
+
+    toks = text.split(" ")
+    md = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+    th1 = [int(h[0:8], 16) % SPAN_M1 for h in md]
+    th2 = [int(h[8:16], 16) % SPAN_M2 for h in md]
+
+    def fold(vals, b, m):
+        acc = 0
+        for v in vals:
+            acc = (acc * b + v) % m
+        return acc
+
+    want = {
+        (i + 1, fold(th1[i : i + 2], SPAN_B1, SPAN_M1) * 4294967296
+         + fold(th2[i : i + 2], SPAN_B2, SPAN_M2))
+        for i in range(len(toks) - 1)
+    }
+    assert got == want
+    # and the two fingerprint streams genuinely differ
+    assert th1 != th2
+
+
+def test_append_hash_store_no_intra_batch_keeps_ledger_unique(spark, tmp_path):
+    """intra_batch=False keeps in-batch twins, but the LEDGER must still
+    receive each content_hash at most once or later increments fan out
+    (r5 ADVICE)."""
+    from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
+
+    table = "t_advice_hash_ledger"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = spark.createDataFrame([(1, "seed doc")], "doc_id long, text string")
+    write_hash_store(base, table, num_buckets=2)
+    batch = spark.createDataFrame(
+        [(2, "twin text"), (3, "twin text"), (4, "fresh text")],
+        "doc_id long, text string",
+    )
+    dec = append_hash_store(batch, table, intra_batch=False).toPandas()
+    # decision semantics unchanged: both twins kept vs the corpus
+    assert sorted(dec[dec.keep].doc_id) == [2, 3, 4]
+    ledger = spark.table(table).toPandas()
+    assert ledger.content_hash.is_unique
+    # a later increment must not fan out decision rows
+    batch2 = spark.createDataFrame([(5, "twin text")], "doc_id long, text string")
+    dec2 = append_hash_store(batch2, table, intra_batch=False).toPandas()
+    assert len(dec2) == 1 and not dec2.keep.iloc[0]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_read_events_cardinality_probe_fires_before_window(spark):
+    """read_events must run field_dictionary's pre-window probe so a
+    high-cardinality field fails BEFORE the one-task dictionary window
+    (r5 ADVICE)."""
+    from sparsity_spark.events import read_events
+
+    ev = spark.range(0, 500).select(
+        F.lit("u").alias("user_id"),
+        F.col("id").alias("ts"),
+        F.col("id").cast("string").alias("f"),
+    )
+    with pytest.raises(ValueError, match="field_dictionary"):
+        read_events(ev, "f", max_values=100)
+
+
+def test_dhash_kernel_null_content(spark):
+    """NULL binary payloads must null-propagate through the Arrow kernel
+    like dhash_expr, not raise (r5 ADVICE)."""
+    from sparsity_spark.operators.multimodal import dhash_fingerprints
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"x" * 600)), (2, None), (3, bytearray(b"t"))],
+        "doc_id long, content binary",
+    )
+    out = dhash_fingerprints(assets).toPandas().set_index("doc_id")
+    assert out.loc[1, "dhash"] == out.loc[1, "dhash"]  # not NaN
+    assert pd.isna(out.loc[2, "dhash"])  # NULL payload
+    assert pd.isna(out.loc[3, "dhash"])  # too small
