@@ -152,7 +152,25 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     window: range-partition on the order column, number rows inside each
     partition in parallel, then add per-partition offsets (a tiny driver
     aggregate — one row per partition, the standard zipWithIndex shape).
-    Adds ``__scan_idx__``."""
+    Adds ``__scan_idx__``.
+
+    Timestamp/date order columns get a ``unix_micros``/``unix_date``
+    surrogate (order-isomorphic, injective) so they ride the parallel
+    bucketed path; genuinely non-numeric order columns (strings, …) above
+    the single-partition threshold RAISE instead of silently funneling the
+    whole frame through one sort task (r5 VERDICT #4 — the loud-failure
+    discipline of pack_sequences/field_dictionary)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    dt = df.schema[order_col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        surrogate = (
+            F.unix_date(F.col(order_col))
+            if isinstance(dt, DateType)
+            else F.unix_micros(F.col(order_col).cast("timestamp"))
+        )
+        out = scan_order_ids(df.withColumn("__ordnum__", surrogate), "__ordnum__")
+        return out.drop("__ordnum__")
     spark = df.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, 1)
     lo, hi, total, nulls = df.agg(
@@ -172,9 +190,19 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     if total == 0:
         return df.withColumn("__scan_idx__", F.lit(0).cast("long"))
     numeric_order = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    if not numeric_order and total > SCAN_ORDER_SINGLE_PARTITION_MAX:
+        # the bucketed math below can't range-partition a non-numeric order
+        # column, and a global window above the threshold is the silent
+        # single-task funnel this function exists to avoid — refuse loudly
+        raise ValueError(
+            f"scan_order_ids: order column {order_col!r} is non-numeric and "
+            f"the frame has {total} rows (> "
+            f"{SCAN_ORDER_SINGLE_PARTITION_MAX} single-partition cap) — a "
+            "global sort would run on ONE task. Use a numeric or timestamp "
+            "order column, or pre-map values to a numeric surrogate."
+        )
     if total <= SCAN_ORDER_SINGLE_PARTITION_MAX or not numeric_order:
-        # small input (or non-numeric order column, which the bucketed math
-        # below can't range-partition): a single sort partition
+        # small input: a single sort partition is cheapest
         w = Window.orderBy(order_col)
         return df.withColumn("__scan_idx__", (F.row_number().over(w) - 1).cast("long"))
     # deterministic value-range buckets (NOT repartitionByRange, whose

@@ -76,15 +76,39 @@ def test_numpy_bool_list_mask(spark):
     assert list(out.index) == ["a", "c"]
 
 
-def test_scan_order_non_numeric_falls_back(spark, monkeypatch):
+def test_scan_order_non_numeric_small_falls_back_large_raises(spark, monkeypatch):
+    """Non-numeric order columns: single-partition sort is fine BELOW the
+    threshold, but above it the silent one-task funnel must raise
+    (r5 VERDICT #4)."""
     import sparsity_spark.events as ev_mod
 
     df = spark.createDataFrame(
         [("b", 1), ("a", 2), ("c", 3)], "k string, v int"
     )
-    monkeypatch.setattr(ev_mod, "SCAN_ORDER_SINGLE_PARTITION_MAX", 0)
     out = ev_mod.scan_order_ids(df, "k").toPandas().sort_values("__scan_idx__")
-    assert list(out.k) == ["a", "b", "c"]  # no crash, correct order
+    assert list(out.k) == ["a", "b", "c"]  # small: correct order, no crash
+    monkeypatch.setattr(ev_mod, "SCAN_ORDER_SINGLE_PARTITION_MAX", 0)
+    with pytest.raises(ValueError, match="non-numeric"):
+        ev_mod.scan_order_ids(df, "k").collect()
+
+
+def test_scan_order_timestamp_takes_bucketed_path(spark, monkeypatch):
+    """Timestamp order columns get a unix_micros surrogate onto the
+    parallel bucketed path: above the threshold the plan must show a
+    PARTITIONED window, not the global single-task WindowExec
+    (r5 VERDICT #4)."""
+    import sparsity_spark.events as ev_mod
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("v"),
+        F.timestamp_micros((F.col("id") * 1_000_000 + F.lit(1_600_000_000_000_000)).cast("long")).alias("ts"),
+    )
+    monkeypatch.setattr(ev_mod, "SCAN_ORDER_SINGLE_PARTITION_MAX", 0)
+    out_df = ev_mod.scan_order_ids(df, "ts")
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt__" in plan  # bucketed path, not the global-window branch
+    out = out_df.toPandas().sort_values("__scan_idx__")
+    assert list(out.v) == list(range(1000))  # numbering still exact
 
 
 def test_melt_numeric_escapes_identifiers(spark):
