@@ -958,6 +958,19 @@ def semdedup_prune(
     )
 
 
+def _vec_norm_expr(col: str):
+    """L2 norm of an array<double> column — the shared seam expression of
+    the semantic store/screen family (one definition so store, screen, and
+    append can never disagree on the denominator)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def semantic_member_store(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -965,20 +978,16 @@ def semantic_member_store(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The static side of semantic screening: every corpus vector with its
-    k-means cluster id and precomputed norm — (cid, vec_d, norm). Persist
-    this (partitioned/bucketed BY cid at scale) and both the batch and
-    streaming semantic screens join it per-cluster, never corpus-wide."""
+    k-means cluster id and precomputed norm — (cid, id, vec_d, norm).
+    Persist with :func:`write_member_store` (bucketed BY cid) and both the
+    batch and streaming semantic screens join it per-cluster with NO
+    corpus-side shuffle, never corpus-wide."""
     from sparsity_spark.operators.similarity import assign_centroids
 
     assigned = assign_centroids(embeddings, centroids, id_col, vec_col, out_col="cid")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("vec_d"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    return assigned.select(
+        "cid", F.col(id_col), "vec_d", _vec_norm_expr("vec_d").alias("norm")
     )
-    return assigned.select("cid", "vec_d", norm.alias("norm"))
 
 
 def semantic_screen(
@@ -1008,14 +1017,7 @@ def semantic_screen(
     from sparsity_spark.operators.similarity import assign_centroids
 
     s = assign_centroids(new_embeddings, centroids, id_col, vec_col, out_col="cid")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("vec_d"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    s = s.withColumn("__nrm__", norm)
+    s = s.withColumn("__nrm__", _vec_norm_expr("vec_d"))
     m = member_store.select(
         F.col("cid").alias("__mcid__"),
         F.col("vec_d").alias("__mv__"),
@@ -1306,6 +1308,144 @@ def append_hash_store(
         .format("parquet")
         .saveAsTable(table)
     )
+    return decisions
+
+
+def write_member_store(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """Persist a corpus's SEMANTIC member store (cid, id, vec_d, norm)
+    BUCKETED BY cid — the third member of the store family (band store for
+    MinHash-LSH, hash store for exact, this for SemDeDup; VERDICT r5 #2).
+
+    Bucketing on cid makes every subsequent semantic screen's cid-keyed
+    LEFT ANTI join shuffle-free on the corpus side: at 100 TB the member
+    store is the corpus's full embedding set, and WITHOUT the bucket layout
+    each increment re-shuffles all of it just to screen a batch. Pick
+    ``num_buckets`` for the deployed store size (buckets ≈ rows · (d·8 B +
+    ~16 B) / 128 MB); fixed at write time, as bucketing requires."""
+    from sparsity_spark.operators.skew import write_bucketed
+
+    rows = semantic_member_store(embeddings, centroids, id_col, vec_col)
+    write_bucketed(rows, table, ["cid"], num_buckets)
+
+
+def member_store(spark, table: str) -> DataFrame:
+    """Open a member store written by :func:`write_member_store` — a plain
+    catalog read; the cid bucketing metadata rides along, so the semantic
+    screen's cid-keyed join skips the corpus-side Exchange automatically."""
+    return spark.table(table)
+
+
+def append_member_store(
+    new_embeddings: DataFrame,
+    table: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    intra_batch: bool = True,
+) -> DataFrame:
+    """One SemDeDup increment against the persisted member store: screen
+    the batch (corpus side shuffle-free via the cid bucket layout),
+    optionally prune near-dup pairs WITHIN the batch (higher id drops —
+    the engine-wide keep-first rule, applied independently of whether the
+    lower id itself survived, exactly `semdedup_prune`'s pair rule), then
+    append the SURVIVORS' member rows through the same bucket spec so the
+    next increment screens against them. Same localCheckpoint discipline
+    as :func:`append_band_store` — the append mutates the very table the
+    decisions' lineage reads.
+
+    Returns one row per batch vector: (id_col, cid, keep)."""
+    from sparsity_spark.operators.similarity import assign_centroids
+
+    spark = new_embeddings.sparkSession
+    store = member_store(spark, table)
+    s = assign_centroids(new_embeddings, centroids, id_col, vec_col, out_col="cid")
+    s = s.withColumn("__nrm__", _vec_norm_expr("vec_d")).persist()
+    thr = float(threshold)
+    m = store.select(
+        F.col("cid").alias("__mcid__"),
+        F.col("vec_d").alias("__mv__"),
+        F.col("norm").alias("__mn__"),
+    )
+
+    def _cos(av, an, bv, bn):
+        return F.round(
+            F.aggregate(
+                F.zip_with(av, bv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (an * bn),
+            6,
+        )
+
+    cond = (F.col("cid") == F.col("__mcid__")) & (
+        _cos(F.col("vec_d"), F.col("__nrm__"), F.col("__mv__"), F.col("__mn__"))
+        >= F.lit(thr)
+    )
+    collided = (
+        s.join(m, on=cond, how="left_semi")
+        .select(F.col(id_col))
+        .withColumn("__hit__", F.lit(True))
+    )
+    decisions = s.join(collided, on=id_col, how="left").select(
+        id_col, "cid", F.col("__hit__").isNull().alias("keep")
+    )
+    if intra_batch:
+        # within-batch near-dup pairs: a cid-keyed self-join with the
+        # cosine residual (work ∝ within-cluster batch pairs — batch-sized
+        # and bounded by the cluster granularity, never corpus-sized)
+        left = s.select(
+            F.col(id_col).alias("__ia__"),
+            F.col("cid").alias("__ca__"),
+            F.col("vec_d").alias("__va__"),
+            F.col("__nrm__").alias("__na__"),
+        )
+        right = s.select(
+            F.col(id_col).alias("__ib__"),
+            F.col("cid").alias("__cb__"),
+            F.col("vec_d").alias("__vb__"),
+            F.col("__nrm__").alias("__nb__"),
+        )
+        pcond = (
+            (F.col("__ca__") == F.col("__cb__"))
+            & (F.col("__ia__") < F.col("__ib__"))
+            & (
+                _cos(F.col("__va__"), F.col("__na__"), F.col("__vb__"), F.col("__nb__"))
+                >= F.lit(thr)
+            )
+        )
+        batch_dups = (
+            left.join(right, on=pcond)
+            .select(F.col("__ib__").alias(id_col))
+            .distinct()
+            .withColumn("__batch_dup__", F.lit(True))
+        )
+        decisions = decisions.join(batch_dups, on=id_col, how="left").select(
+            id_col,
+            "cid",
+            (F.col("keep") & F.col("__batch_dup__").isNull()).alias("keep"),
+        )
+    decisions = decisions.localCheckpoint(eager=True)
+    keep_rows = (
+        s.join(decisions.filter(F.col("keep")).select(id_col), on=id_col)
+        .select("cid", F.col(id_col), "vec_d", F.col("__nrm__").alias("norm"))
+    )
+    num_buckets = _table_bucket_count(spark, table)
+    (
+        keep_rows.write.mode("append")
+        .bucketBy(num_buckets, "cid")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    s.unpersist()
     return decisions
 
 

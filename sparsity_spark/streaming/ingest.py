@@ -419,6 +419,43 @@ def streaming_semantic_screen(
     )
 
 
+def streaming_semantic_screen_and_maintain(
+    embeddings: DataFrame,
+    table: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    intra_batch: bool = True,
+    sink=None,
+):
+    """The streaming SEMANTIC maintenance loop — the SemDeDup face of
+    :func:`streaming_screen_and_maintain`: each micro-batch is screened
+    against the cid-bucketed member store written by
+    :func:`operators.dedup.write_member_store`, survivors' member rows are
+    appended BACK through the bucket spec, and the survivors flow to
+    ``sink`` — increment N+1 screens against everything increment N kept.
+    `append_member_store` is the shared implementation, one code path for
+    batch and streaming increments so keep decisions cannot drift.
+
+    ``sink(keepers_df, batch_id)`` receives surviving rows per batch; omit
+    it to only maintain the store. Returns the foreachBatch
+    DataStreamWriter — caller adds trigger/checkpoint and ``.start()``."""
+    from sparsity_spark.operators.dedup import append_member_store
+
+    def _process(batch_df, batch_id):
+        decisions = append_member_store(
+            batch_df, table, centroids, id_col, vec_col, threshold, intra_batch
+        )
+        if sink is not None:
+            keepers = batch_df.join(
+                decisions.filter(F.col("keep")).select(id_col), on=id_col
+            )
+            sink(keepers, batch_id)
+
+    return embeddings.writeStream.foreachBatch(_process)
+
+
 def streaming_screen_and_maintain(
     docs: DataFrame,
     table: str,

@@ -296,3 +296,113 @@ def test_append_stores_empty_batch(spark):
     write_hash_store(corpus, "hs_empty", num_buckets=4)
     assert append_hash_store(empty, "hs_empty").count() == 0
     assert spark.table("hs_empty").count() == 2
+
+
+# ---- persisted SEMANTIC member store (VERDICT r5 #2) ----------------------
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+EMB_CORPUS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+]
+
+
+def _fit_corpus_cents(spark):
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    corpus = spark.createDataFrame(EMB_CORPUS, EMB_SCHEMA)
+    return corpus, kmeans_fit(corpus, k=2, iters=2)
+
+
+def test_member_store_two_increment_maintenance(spark):
+    """Batch-2 must catch a semantic twin of a batch-1 KEEPER: the append
+    maintenance makes the store grow with each increment's survivors."""
+    from sparsity_spark.operators.dedup import append_member_store, write_member_store
+
+    corpus, cents = _fit_corpus_cents(spark)
+    write_member_store(corpus, cents, "ms_maint", num_buckets=4)
+    b1 = spark.createDataFrame(
+        [
+            (100, [0.0, 0.0, 1.0, 0.0]),   # novel direction -> keep
+            (101, [0.99, 0.01, 0.0, 0.0]), # near-dup of corpus vec 1 -> drop
+        ],
+        EMB_SCHEMA,
+    )
+    d1 = {r["vec_id"]: r["keep"] for r in append_member_store(b1, "ms_maint", cents).collect()}
+    assert d1 == {100: True, 101: False}
+    assert spark.table("ms_maint").count() == 3  # 2 corpus + 1 survivor
+    b2 = spark.createDataFrame(
+        [
+            (200, [0.0, 0.0, 1.0, 0.01]),  # twin of batch-1 keeper 100 -> drop
+            (201, [0.0, 0.0, 0.0, 1.0]),   # novel -> keep
+        ],
+        EMB_SCHEMA,
+    )
+    d2 = {r["vec_id"]: r["keep"] for r in append_member_store(b2, "ms_maint", cents).collect()}
+    assert d2 == {200: False, 201: True}
+    assert spark.table("ms_maint").count() == 4
+    # store stays unique per vector and bucketed-appendable
+    ids = [r["vec_id"] for r in spark.table("ms_maint").select("vec_id").collect()]
+    assert sorted(ids) == [1, 2, 100, 201]
+
+
+def test_member_store_intra_batch_twins(spark):
+    """Two semantic twins arriving in ONE batch: higher id drops (keep-first),
+    and only the survivor's member row is appended."""
+    from sparsity_spark.operators.dedup import append_member_store, write_member_store
+
+    corpus, cents = _fit_corpus_cents(spark)
+    write_member_store(corpus, cents, "ms_intra", num_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            (300, [0.0, 0.0, 1.0, 0.0]),
+            (301, [0.0, 0.0, 1.0, 0.001]),  # twin of 300, same batch
+        ],
+        EMB_SCHEMA,
+    )
+    d = {r["vec_id"]: r["keep"] for r in append_member_store(batch, "ms_intra", cents).collect()}
+    assert d == {300: True, 301: False}
+    assert spark.table("ms_intra").count() == 3
+
+
+def test_streaming_semantic_screen_and_maintain_two_increments(spark, tmp_path):
+    """availableNow two-file embedding stream through the foreachBatch
+    semantic maintenance loop: batch 2's twin of a batch-1 keeper is
+    dropped, and the sink saw exactly the keepers."""
+    import time
+
+    from sparsity_spark.operators.dedup import write_member_store
+    from sparsity_spark.streaming import streaming_semantic_screen_and_maintain
+
+    corpus, cents = _fit_corpus_cents(spark)
+    write_member_store(corpus, cents, "ms_stream", num_buckets=4)
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(100, [0.0, 0.0, 1.0, 0.0])], EMB_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(2)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(
+        [
+            (200, [0.0, 0.0, 1.0, 0.01]),  # twin of 100
+            (201, [0.0, 0.0, 0.0, 1.0]),   # novel
+        ],
+        EMB_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    kept_ids = []
+
+    def sink(keepers, batch_id):
+        kept_ids.extend(r["vec_id"] for r in keepers.select("vec_id").collect())
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_semantic_screen_and_maintain(stream, "ms_stream", cents, sink=sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(kept_ids) == [100, 201]
+    assert spark.table("ms_stream").count() == 4

@@ -396,3 +396,44 @@ def test_ivfpq_index_scan_prunes_to_probed_buckets(spark, sf_dir):
     # the scoring path reads codes only — never the raw vectors
     scan_line = [l for l in plan.splitlines() if "ivfpq_plancheck[" in l][0]
     assert "embedding" not in scan_line
+
+
+def test_member_store_screen_corpus_side_shuffle_free(spark, sf_dir):
+    """VERDICT r5 #2: the semantic screen against the PERSISTED cid-bucketed
+    member store reads the corpus side with NO Exchange — vs an identical
+    plain-parquet member table it plans exactly one fewer hashpartitioning
+    shuffle (the bucketed scan IS the join layout)."""
+    import tempfile
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import (
+        member_store,
+        semantic_screen,
+        write_member_store,
+    )
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit(corpus, k=4, iters=1)
+    write_member_store(corpus, cents, "ms_plancheck", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        via_store = semantic_screen(batch, member_store(spark, "ms_plancheck"), cents)
+        plan_b = via_store._jdf.queryExecution().executedPlan().toString()
+        with tempfile.TemporaryDirectory() as d:
+            spark.table("ms_plancheck").write.mode("overwrite").parquet(d + "/plain")
+            plain = semantic_screen(batch, spark.read.parquet(d + "/plain"), cents)
+            plan_p = plain._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan_b, "store scan must use its bucketing"
+    assert "LeftAnti" in plan_b and "CartesianProduct" not in plan_b
+    n_b = plan_b.count("Exchange hashpartitioning")
+    n_p = plan_p.count("Exchange hashpartitioning")
+    assert n_b == n_p - 1, (
+        f"bucketed member store must drop exactly the corpus-side shuffle "
+        f"(bucketed={n_b}, plain={n_p})"
+    )
