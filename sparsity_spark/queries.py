@@ -3779,6 +3779,154 @@ def _ivf_pq_oracle(
     """
 
 
+def _pq_trained_cb_parts(
+    m: int, k: int, dim: int, iters: int, train_n: int
+) -> list[str]:
+    """Unrolled per-subspace Lloyd codebook training as DuckDB CTEs ending
+    in ``cb(s, j, c)`` — mirrors operators.similarity.pq_trained_codebook
+    exactly: hash-sampled training rows (lowest md5(id), ties by id, LIMIT
+    train_n), init = first k of that order per subspace, assignment by
+    ROUND(list_distance, 6) ties -> lowest code, means ROUND(AVG, 6), and
+    an EMPTY codeword keeps its previous vector (COALESCE on the left
+    join — codebook width stays stable)."""
+    sub = dim // m
+    parts = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""tr AS (SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {train_n})""",
+    ]
+    for sp in range(m):
+        lo, hi = sp * sub + 1, (sp + 1) * sub
+        parts.append(f"s{sp}v AS (SELECT vec_id, v[{lo}:{hi}] AS e FROM tr)")
+        parts.append(
+            f"""s{sp}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS j,
+         e AS c
+  FROM (SELECT * FROM s{sp}v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""
+        )
+        for i in range(iters):
+            parts.append(
+                f"""s{sp}a{i + 1} AS (
+  SELECT vec_id, e, j FROM (
+    SELECT v.vec_id, v.e, c.j,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY ROUND(list_distance(v.e, c.c), 6), c.j) AS rn
+    FROM s{sp}v v CROSS JOIN s{sp}c{i} c) t WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""s{sp}m{i + 1} AS (
+  SELECT j, list(mu ORDER BY dim) AS c FROM (
+    SELECT j, dim, ROUND(AVG(x), 6) AS mu
+    FROM (SELECT j, UNNEST(e) AS x, UNNEST(range(len(e))) AS dim FROM s{sp}a{i + 1}) u
+    GROUP BY j, dim) g
+  GROUP BY j)"""
+            )
+            parts.append(
+                f"""s{sp}c{i + 1} AS (
+  SELECT p.j, COALESCE(mm.c, p.c) AS c
+  FROM s{sp}c{i} p LEFT JOIN s{sp}m{i + 1} mm USING (j))"""
+            )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {sp} AS s, j, c FROM s{sp}c{iters}" for sp in range(m)
+    )
+    parts.append(f"cb AS ({union})")
+    return parts
+
+
+def _ivf_pq_trained_oracle(
+    m: int = 8,
+    k: int = 64,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 3,
+    iters: int = 2,
+    train_n: int = 65536,
+) -> str:
+    """The _ivf_pq_oracle composition with the TRAINED codebook CTEs in
+    place of the sampled-first-k cb — routing, encode, LUT, and ranking
+    tails identical."""
+    sub = dim // m
+    parts = _pq_trained_cb_parts(m, k, dim, iters, train_n)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    r AS (
+      SELECT n.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 6) DESC,
+                        cent.cid) AS rn
+      FROM n, cent
+    ),
+    asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, cid FROM r WHERE rn <= {nprobe} AND vec_id < 10),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT e.vec_id AS query_id, cb.s, cb.j AS code,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb WHERE e.vec_id < 10
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(SUM(l.d2), 6) AS adc_d2
+      FROM codes c
+      JOIN asg a ON c.vec_id = a.vec_id
+      JOIN qa ON qa.cid = a.cid
+      JOIN lut l ON c.s = l.s AND c.code = l.code AND l.query_id = qa.query_id
+      WHERE c.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rn FROM scored)
+    WHERE rn <= {topk}
+    """
+    )
+
+
+@query("ann_ivfpq_trained_topk", _ivf_pq_trained_oracle())
+def ann_ivfpq_trained_topk_q(spark, sf_dir):
+    """IVF-PQ with the Lloyd-TRAINED per-subspace codebook (VERDICT r5 #3)
+    at the m=8/k_code=64 tier: same routing and ADC tail as
+    ann_ivfpq_topk, but the codebook is refined with 2 k-means iterations
+    on the hash-sampled training set (pq_trained_codebook) — the
+    production recall path (recall@10 0.285 -> 0.395 at this config on
+    the sf0.01 fixture; full sweep in SCALE.md). The oracle unrolls the
+    identical per-subspace Lloyd iterations in SQL."""
+    from sparsity_spark.operators.similarity import ivf_pq_topk, pq_trained_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    book = pq_trained_codebook(emb, m=8, k=64, dim=64, iters=2)
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        cents,
+        m=8,
+        k_code=64,
+        topk=5,
+        nprobe=3,
+        codebook=book,
+    )
+
+
 @query("ann_ivfpq_topk", _ivf_pq_oracle())
 def ann_ivfpq_topk_q(spark, sf_dir):
     """Full IVF-PQ search (the FAISS IVFPQ composition): queries route to

@@ -1193,3 +1193,40 @@ def test_dhash_kernel_expr_parity(spark, docs):
         for r in multimodal.dhash_fingerprints(assets).collect()
     }
     assert via_expr == via_kernel
+
+
+def test_ivfpq_trained_codebook_recall_floor(spark):
+    """VERDICT r5 #3: the production-config IVF-PQ (m=16 subspaces x 256
+    codewords = PQ16x8, FAISS's standard byte-code config, with the
+    Lloyd-trained codebook) must reach recall@10 >= 0.4 at nprobe=3 on the
+    sf0.01 embeddings (measured 0.55; sampled codebook at the same config
+    measures 0.495, the old m=4/k=16 default 0.225 — full sweep in
+    SCALE.md). Also pins trained >= sampled at this config."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    k = 10
+    truth = {}
+    for r in similarity.cosine_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+
+    def recall(book):
+        got = {}
+        rows = similarity.ivf_pq_topk(
+            emb, queries, cents, m=16, k_code=256, dim=64, topk=k, nprobe=3,
+            codebook=book,
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    trained = recall(similarity.pq_trained_codebook(emb, m=16, k=256, dim=64, iters=2))
+    assert trained >= 0.4, f"trained PQ16x8 recall@10 = {trained} (measured 0.55)"
+    sampled = recall(None)
+    assert trained >= sampled - 1e-9, (
+        f"training must not hurt recall: trained={trained} sampled={sampled}"
+    )
