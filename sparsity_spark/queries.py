@@ -2251,33 +2251,26 @@ def s2_parquet_roundtrip(spark, sf_dir):
 )
 def s3_traildb_binary(spark, sf_dir):
     """SURVEY §2.1 S3, binary-container form (reference _traildb.pyx:17-44
-    + traildb_coo.c:12-115): events → a real ``.tdb`` tar container
-    (huffman/literal bitstream format) → pure-Python distributed decode →
-    per-type rollup. The fixture write collects to the driver (test-sized
-    by construction); the DECODE path is the product: trail ranges fan out
-    across executors via mapInPandas."""
+    + traildb_coo.c:12-115): events → SHARDED ``.tdb`` containers written
+    by the DISTRIBUTED writer (each partition emits a complete tar
+    container for its hash of the trail space; the driver sees only the
+    manifest — VERDICT r5 #7 removed the fixture's corpus-sized collect)
+    → pure-Python distributed decode → per-type rollup."""
     import tempfile
 
-    from sparsity_spark.traildb import traildb_event_table, write_tdb
+    from sparsity_spark.traildb import traildb_event_table, write_tdb_sharded
 
     events = load_table(spark, sf_dir, "events")
-    rows = (
-        events.select(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("s"),
-            "event_type",
-            "event_id",
-        )
-        .orderBy("user_id", "s", "event_id")
-        .collect()
+    src = events.select(
+        F.col("user_id").alias("uuid"),
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("ts"),
+        "event_type",
+        "event_id",
     )
-    trails: dict[int, list] = {}
-    for r in rows:
-        trails.setdefault(r["user_id"], []).append(
-            (r["s"], {"event_type": r["event_type"]})
-        )
-    path = tempfile.mkdtemp(prefix="sparsity_tdb_") + "/events.tdb"
-    write_tdb(path, [(f"{uid:032x}", evs) for uid, evs in sorted(trails.items())])
+    path = tempfile.mkdtemp(prefix="sparsity_tdb_") + "/events_tdb"
+    write_tdb_sharded(
+        src, path, field_cols=["event_type"], order_col="event_id", num_shards=8
+    )
     back = traildb_event_table(spark, path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),

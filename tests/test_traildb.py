@@ -190,3 +190,76 @@ def test_wide_delta_literals_roundtrip(tmp_path):
     evs = list(decode_trails(meta))
     assert [e[1] for e in evs] == [0, big]
     assert [e[2]["f"] for e in evs] == ["a", "b"]
+
+
+def test_sharded_writer_parity_with_single_file(spark, tmp_path):
+    """VERDICT r5 #7: the distributed sharded writer + manifest reader must
+    decode to the SAME events as the single-file write_tdb round trip —
+    same (uuid, ts, field) multiset, same within-trail event order — with
+    no corpus-sized driver materialization in the write path."""
+    import pandas as pd
+
+    from sparsity_spark.traildb import (
+        traildb_event_table,
+        write_tdb,
+        write_tdb_sharded,
+    )
+
+    rows = []
+    for uid in range(7):
+        for j in range(uid + 1):
+            rows.append((uid, 1000 + 10 * j + uid, f"t{j % 3}", j))
+    events = spark.createDataFrame(
+        rows, "uuid long, ts long, event_type string, event_id long"
+    )
+
+    # single-file reference
+    single = str(tmp_path / "single.tdb")
+    trails = {}
+    for u, ts, et, eid in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        trails.setdefault(u, []).append((ts, {"event_type": et}))
+    write_tdb(single, [(f"{u:032x}", evs) for u, evs in sorted(trails.items())])
+    ref = traildb_event_table(spark, single).toPandas()
+
+    # sharded distributed write (4 shards), read back through the manifest
+    shard_dir = str(tmp_path / "sharded")
+    write_tdb_sharded(
+        events, shard_dir, field_cols=["event_type"], order_col="event_id",
+        num_shards=4,
+    )
+    got = traildb_event_table(spark, shard_dir).toPandas()
+
+    key = ["uuid", "ts", "event_type"]
+    assert (
+        got[key].sort_values(key).reset_index(drop=True).equals(
+            ref[key].sort_values(key).reset_index(drop=True)
+        )
+    )
+    # within-trail scan order preserved: pos sequence per uuid identical
+    for df in (ref, got):
+        df["pos"] = df["row"] % 4294967296
+    for u in set(got.uuid):
+        g = got[got.uuid == u].sort_values("pos")
+        r = ref[ref.uuid == u].sort_values("pos")
+        assert list(g.ts) == list(r.ts) and list(g.event_type) == list(r.event_type)
+    # global trail numbering gap-free in shard order
+    tids = sorted(set(got.trail_id))
+    assert tids == list(range(len(tids)))
+
+
+def test_sharded_writer_manifest_is_metadata_sized(spark, tmp_path):
+    """The manifest lists one row per non-empty shard with exact counts."""
+    import json
+
+    from sparsity_spark.traildb import write_tdb_sharded
+
+    events = spark.createDataFrame(
+        [(u, 100 + u, "a", u) for u in range(5)],
+        "uuid long, ts long, event_type string, event_id long",
+    )
+    d = str(tmp_path / "s2")
+    write_tdb_sharded(events, d, field_cols=["event_type"], order_col="event_id", num_shards=3)
+    m = json.load(open(d + "/manifest.json"))
+    assert sum(e["n_events"] for e in m["shards"]) == 5
+    assert sum(e["n_trails"] for e in m["shards"]) == 5
+    assert all(e["file"].startswith("shard-") for e in m["shards"])
