@@ -213,16 +213,22 @@ def main():
     load_all(spark, sf_dir)
     run_one(QUERIES["a1_onehot_groupby_sum"](spark, sf_dir))
 
+    # protocol knob for A/B studies (SPARK_GRAFT_BENCH_PROTOCOL=r4 replays
+    # the pre-r5 harness: no full warm pass, no inter-query hygiene —
+    # VERDICT r5 #1 asked for exactly this comparison on identical code)
+    steady_state = os.environ.get("SPARK_GRAFT_BENCH_PROTOCOL", "r5") != "r4"
+
     # full untimed warm pass (JMH-style steady state): each query's
     # generated code JIT-compiles on its first execution — without this,
     # per-query numbers measure the C2 compiler lottery (±0.5-1.5 s each)
     # instead of the plan; round-over-round comparisons were drifting by
     # whether a prior suite happened to warm a query's code path
-    for name in BENCH_QUERIES:
-        if name in QUERIES:
-            run_one(QUERIES[name](spark, sf_dir))
-            spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
+    if steady_state:
+        for name in BENCH_QUERIES:
+            if name in QUERIES:
+                run_one(QUERIES[name](spark, sf_dir))
+                spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     missing = [n for n in BENCH_QUERIES if n not in QUERIES]
@@ -242,8 +248,9 @@ def main():
         # repeated heavy queries in one JVM get monotonically SLOWER
         # (ppjoin at sf1: 7.9 → 11.1 → 13.1 → 16.4 s run-over-run; with
         # it: stable 5.5-7.7 s — r5 measurement, SCALE.md)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        if steady_state:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {
