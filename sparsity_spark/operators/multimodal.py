@@ -110,13 +110,15 @@ def ppm_encode(arr) -> bytes:
 
 
 def decode_stub(payload: bytes, media_type: str):
-    """The codec seam: binary PPM (P6) decodes for REAL via
-    :func:`decode_ppm`; every other media type still raises — the
-    container ships no image/audio libraries, and the surrounding Spark
-    plumbing (schema, partitioning, Arrow batch shape) is exercised with
-    the deterministic fake instead."""
+    """The codec seam: binary PPM (P6) images and 16-bit PCM WAV audio
+    decode for REAL via :func:`decode_ppm` / :func:`decode_wav`; every
+    other media type still raises — the container ships no image/audio
+    libraries, and the surrounding Spark plumbing (schema, partitioning,
+    Arrow batch shape) is exercised with the deterministic fake instead."""
     if media_type == "image/x-portable-pixmap" or payload[:2] == b"P6":
         return decode_ppm(payload)
+    if media_type in ("audio/wav", "audio/x-wav") or payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no codec available for {media_type}; install a decoder or pass fake=True"
     )
@@ -588,4 +590,167 @@ def binary_exact_dedup(
             F.min(id_col).alias("keep_id"),
             F.max("__nb__").cast("long").alias("n_bytes"),
         )
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for 16-bit PCM WAV — pure numpy, zero new
+    dependencies (the audio twin of :func:`decode_ppm`): walk the RIFF
+    chunk list, read the `fmt ` chunk (PCM format tag 1, 16 bits per
+    sample), and view the `data` chunk as an int16 sample array
+    (multi-channel payloads come back as (n_frames, channels)).
+    Uncompressed PCM WAV is the codec-free interchange format for audio,
+    so this decoder makes the acoustic near-dup pipeline (frame-energy
+    fingerprint → pigeonhole pairs) run on actual waveforms; compressed
+    formats (MP3/AAC/FLAC) remain the documented seam. Returns
+    (samples, sample_rate)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError("decode_wav: only 16-bit PCM supported")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if channels > 1:
+        samples = samples[: (len(samples) // channels) * channels].reshape(
+            -1, channels
+        )
+    return samples, rate
+
+
+def wav_encode(samples, rate: int = 16000) -> bytes:
+    """Inverse of :func:`decode_wav` — int16 mono samples → RIFF/WAVE
+    bytes. Fixture construction for tests and the real-decode oracle."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits per sample
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def audio_fingerprints(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """64-bit acoustic fingerprint over REAL decoded PCM: decode each WAV
+    payload with the RIFF parser, split the sample stream into 65 equal
+    frames (integer-division boundaries, the same segmentation discipline
+    as dHash's 9x8 grid), compute each frame's exact integer energy
+    (sum of squared int16 samples — fits int64 for any frame under ~8.6e9
+    samples), and pack the 64 successive-frame energy-gradient signs into
+    one signed long (bit-63 packing shared with `dhash_expr`). Energy
+    gradients are loudness-envelope shape: robust to small sample noise,
+    discriminative across different signals — the classic cheap acoustic
+    hash. NULL for undecodable payloads or streams shorter than 65
+    samples.
+
+    Arrow-batched mapInPandas at full repartitioned parallelism; feed the
+    result to `pigeonhole_hamming_pairs` for near-dup search on actual
+    audio content."""
+    from sparsity_spark.util import ensure_parallelism
+
+    id_type = assets.schema[id_col].dataType.simpleString()
+    flat = ensure_parallelism(assets.select(F.col(id_col), F.col(content_col)))
+
+    def kern(batches, _id=id_col, _c=content_col):
+        # self-contained closure (inline RIFF parser, identical to
+        # decode_wav and parity-tested against it) — executors may not
+        # have this module importable, same discipline as every kernel.
+        import numpy as np
+        import pandas as pd
+
+        def parse_wav(payload: bytes):
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data")
+            if (
+                int.from_bytes(fmt[0:2], "little") != 1
+                or int.from_bytes(fmt[14:16], "little") != 16
+            ):
+                raise ValueError("only 16-bit PCM")
+            ch = int.from_bytes(fmt[2:4], "little")
+            s = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+            if ch > 1:  # mixdown: first channel (deterministic)
+                s = s[: (len(s) // ch) * ch].reshape(-1, ch)[:, 0]
+            return s
+
+        def afp(raw):
+            if raw is None:
+                return None
+            try:
+                s = parse_wav(bytes(raw)).astype(np.int64)
+            except Exception:
+                return None
+            n = len(s)
+            if n < 65:
+                return None
+            sq = s * s
+            e = [
+                int(sq[(f * n) // 65 : ((f + 1) * n) // 65].sum())
+                for f in range(65)
+            ]
+            out = 0
+            for k in range(64):
+                if e[k] > e[k + 1]:
+                    out += (1 << k) if k < 63 else -(1 << 63)
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame({_id: pdf[_id], "afp": [afp(c) for c in pdf[_c]]})
+
+    return flat.mapInPandas(kern, schema=f"{id_col} {id_type}, afp long")
+
+
+def audio_pairs(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Acoustic near-dup pairs over REAL decoded waveforms: frame-energy
+    fingerprints + the lossless pigeonhole chunk blocking shared with
+    text simhash and image dHash — never N²."""
+    from sparsity_spark.operators.dedup import pigeonhole_hamming_pairs
+
+    hashes = audio_fingerprints(assets, id_col, content_col)
+    return pigeonhole_hamming_pairs(
+        hashes.filter(F.col("afp").isNotNull()), id_col, "afp", 64, max_hamming
     )

@@ -1435,6 +1435,89 @@ def multimodal_dhash_real_q(spark, sf_dir):
     return dhash_real_fingerprints(assets)
 
 
+def _audio_real_oracle(n_docs: int = 200, n: int = 650) -> str:
+    """Frame-energy fingerprint over REAL decoded PCM, mirrored in SQL
+    (the audio twin of `_dhash_real_oracle`): the Spark query generates a
+    deterministic {n}-sample 16-bit waveform per doc_id (integer formula
+    below), encodes it as a real RIFF/WAVE payload, decodes it with the
+    real RIFF parser, and packs the 64 frame-energy gradient signs; the
+    oracle regenerates the SAME samples from doc_id, sums the SAME exact
+    integer energies per 65 equal frames, and packs the same bits. A
+    mismatch anywhere in encode -> chunk walk -> int16 view -> framing ->
+    energy -> pack breaks the hash match."""
+    assert n % 65 == 0
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {n_docs}),
+    s AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             ((doc_id*31 + i*i*7 + i*13) % 65536) - 32768 AS v
+      FROM ids, LATERAL UNNEST(range({n})) t(i)
+    ),
+    fe AS (
+      SELECT doc_id, i // {n // 65} AS f, SUM(v*v) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    g AS (SELECT doc_id, list(energy ORDER BY f) AS e FROM fe GROUP BY doc_id)
+    SELECT doc_id, CAST((CASE WHEN e[1] > e[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[2] > e[3] THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[3] > e[4] THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[4] > e[5] THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[5] > e[6] THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[6] > e[7] THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[7] > e[8] THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[8] > e[9] THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[9] > e[10] THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[10] > e[11] THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[11] > e[12] THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[12] > e[13] THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[13] > e[14] THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[14] > e[15] THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[15] > e[16] THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[16] > e[17] THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[17] > e[18] THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[18] > e[19] THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[19] > e[20] THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[20] > e[21] THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[21] > e[22] THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[22] > e[23] THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[23] > e[24] THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[24] > e[25] THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[25] > e[26] THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[26] > e[27] THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[27] > e[28] THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[28] > e[29] THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[29] > e[30] THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[30] > e[31] THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[31] > e[32] THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[32] > e[33] THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[33] > e[34] THEN CAST(4294967296 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[34] > e[35] THEN CAST(8589934592 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[35] > e[36] THEN CAST(17179869184 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[36] > e[37] THEN CAST(34359738368 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[37] > e[38] THEN CAST(68719476736 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[38] > e[39] THEN CAST(137438953472 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[39] > e[40] THEN CAST(274877906944 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[40] > e[41] THEN CAST(549755813888 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[41] > e[42] THEN CAST(1099511627776 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[42] > e[43] THEN CAST(2199023255552 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[43] > e[44] THEN CAST(4398046511104 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[44] > e[45] THEN CAST(8796093022208 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[45] > e[46] THEN CAST(17592186044416 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[46] > e[47] THEN CAST(35184372088832 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[47] > e[48] THEN CAST(70368744177664 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[48] > e[49] THEN CAST(140737488355328 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[49] > e[50] THEN CAST(281474976710656 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[50] > e[51] THEN CAST(562949953421312 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[51] > e[52] THEN CAST(1125899906842624 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[52] > e[53] THEN CAST(2251799813685248 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[53] > e[54] THEN CAST(4503599627370496 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[54] > e[55] THEN CAST(9007199254740992 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[55] > e[56] THEN CAST(18014398509481984 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[56] > e[57] THEN CAST(36028797018963968 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[57] > e[58] THEN CAST(72057594037927936 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[58] > e[59] THEN CAST(144115188075855872 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[59] > e[60] THEN CAST(288230376151711744 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[60] > e[61] THEN CAST(576460752303423488 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[61] > e[62] THEN CAST(1152921504606846976 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[62] > e[63] THEN CAST(2305843009213693952 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[63] > e[64] THEN CAST(4611686018427387904 AS BIGINT) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN e[64] > e[65] THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp FROM g
+    """
+
+
+@query("multimodal_audio_real", _audio_real_oracle())
+def multimodal_audio_real_q(spark, sf_dir):
+    """Acoustic fingerprints on REAL waveforms through the REAL RIFF/WAV
+    decoder: a deterministic 650-sample 16-bit PCM signal is generated
+    per doc_id (integer sample formula both engines reproduce), the
+    Spark side round-trips it through the actual WAV codec (RIFF chunk
+    walk, fmt validation, int16 data view), then 65-frame exact integer
+    energies and 64 gradient-sign bits — the full acoustic near-dup
+    pipeline on actual audio, not the fake-decode segmentation. The
+    oracle regenerates the same samples in SQL and must land on the
+    identical 64-bit fingerprint."""
+    from sparsity_spark.operators.multimodal import audio_fingerprints
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    ).distinct()
+
+    def mk_wav(batches):
+        # self-contained closure (inline RIFF encoder, identical to
+        # multimodal.wav_encode and parity-tested against it)
+        import numpy as np
+        import pandas as pd
+
+        N = 650
+        i = np.arange(N, dtype=np.int64)
+
+        def enc(samples, rate=16000):
+            data = np.asarray(samples, dtype="<i2").tobytes()
+            fmt = (
+                (1).to_bytes(2, "little")
+                + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little")
+                + (16).to_bytes(2, "little")
+            )
+            body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            body += b"data" + len(data).to_bytes(4, "little") + data
+            return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+        def wav(doc_id):
+            v = ((doc_id * 31 + i * i * 7 + i * 13) % 65536) - 32768
+            return enc(v.astype("<i2"), rate=16000)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    assets = ids.mapInPandas(mk_wav, schema="doc_id long, content binary")
+    return audio_fingerprints(assets)
+
+
 @query(
     "dedup_exact_normalized",
     """

@@ -1282,3 +1282,80 @@ def test_ppm_decode_roundtrip_and_real_dhash_perceptual(spark):
         (r["id_a"], r["id_b"]) for r in phash_pairs_real(assets, max_hamming=3).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_wav_decode_roundtrip_and_audio_fingerprint_perceptual(spark):
+    """The REAL WAV decoder + frame-energy fingerprint behave
+    perceptually — lightly-noised audio lands within max_hamming of its
+    original while a different signal does not — and the Arrow kernel's
+    inline RIFF parser agrees with decode_wav (same fingerprint via
+    either parse path)."""
+    import numpy as np
+
+    from sparsity_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_pairs,
+        decode_stub,
+        decode_wav,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 650
+    t = np.arange(n)
+    # a structured signal: loudness envelope ramps across frames
+    base = (
+        np.sin(t / 5.0) * np.linspace(500, 20000, n) * np.sin(t / 91.0)
+    ).astype(np.int16)
+    # decode(encode(s)) == s; sample rate survives; decode_stub routes RIFF
+    dec, rate = decode_wav(wav_encode(base, rate=8000))
+    assert rate == 8000 and (dec == base).all()
+    assert (decode_stub(wav_encode(base), "audio/wav")[0] == base).all()
+    # an extra odd-sized chunk before data exercises word alignment
+    raw = wav_encode(base)
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+    padded = raw[:12] + extra + raw[12:]
+    padded = b"RIFF" + (len(padded) - 8).to_bytes(4, "little") + padded[8:]
+    assert (decode_wav(padded)[0] == base).all()
+    # stereo payloads come back as (frames, 2)
+    stereo = np.stack([base, -base], axis=1)
+    fmt_stereo = wav_encode(base)  # rebuild with 2 channels manually
+    import struct
+    s2 = bytearray(wav_encode(stereo.reshape(-1)))
+    s2[22:24] = (2).to_bytes(2, "little")
+    got = decode_wav(bytes(s2))[0]
+    assert got.shape == (n, 2) and (got[:, 0] == base).all()
+
+    noised = np.clip(
+        base.astype(np.int32) + rng.randint(-30, 31, n), -32768, 32767
+    ).astype(np.int16)
+    different = base[::-1].copy()  # reversed envelope: gradients flip
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav_encode(base))),
+            (2, bytearray(wav_encode(noised))),
+            (3, bytearray(wav_encode(different))),
+            (4, bytearray(b"\x00not-a-riff-payload")),
+            (5, None),
+        ],
+        "doc_id long, content binary",
+    )
+    fps = {r["doc_id"]: r["afp"] for r in audio_fingerprints(assets).collect()}
+    assert fps[4] is None and fps[5] is None  # undecodable/NULL -> NULL
+
+    def ham(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert ham(fps[1], fps[2]) <= 3, f"noise moved afp {ham(fps[1], fps[2])} bits"
+    assert ham(fps[1], fps[3]) > 3, "a different signal must not collide"
+    # kernel parity: recompute fingerprint through decode_wav directly
+    s = decode_wav(wav_encode(base))[0].astype(np.int64)
+    e = [int((s[(f * n) // 65 : ((f + 1) * n) // 65] ** 2).sum()) for f in range(65)]
+    want = 0
+    for k in range(64):
+        if e[k] > e[k + 1]:
+            want += (1 << k) if k < 63 else -(1 << 63)
+    assert fps[1] == want
+    # and the pair search finds exactly the noised pair (pigeonhole, no N^2)
+    pairs = {(r["id_a"], r["id_b"]) for r in audio_pairs(assets, max_hamming=3).collect()}
+    assert pairs == {(1, 2)}
