@@ -562,6 +562,69 @@ def write_ivfpq_index(
     centroids.write.mode("overwrite").saveAsTable(f"{index_table}__centroids")
 
 
+def _read_codebook(spark, index_table: str) -> list:
+    """Reload the frozen per-subspace codebook from the index side table
+    (metadata-sized: m x k_code rows)."""
+    book_rows = spark.table(f"{index_table}__codebook").collect()
+    mm = 1 + max(r["subspace"] for r in book_rows)
+    return [
+        [
+            list(r["codeword"])
+            for r in sorted(
+                (x for x in book_rows if x["subspace"] == s), key=lambda x: x["code"]
+            )
+        ]
+        for s in range(mm)
+    ]
+
+
+def append_ivfpq_index(
+    new_embeddings: DataFrame,
+    index_table: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One increment of the persisted IVF-PQ index (the ANN sibling of
+    `append_band_store` / `append_member_store`): encode the new vectors
+    with the index's FROZEN codebook and route them with its FROZEN
+    centroids (both reloaded from the metadata-sized side tables), then
+    append the (centroid_id, subspace, code, id) rows THROUGH the same
+    bucket spec — the store stays bucket-pruned forever and the next
+    query sees the new vectors with zero corpus-side work.
+
+    No retrain, no corpus read: the increment costs one batch-sized
+    encode + route + bucketed append. Freezing centroids/codebook per
+    increment is the standard IVF maintenance discipline (add vs train in
+    the FAISS sense); quantization drift from a shifting distribution is
+    handled by periodic full `write_ivfpq_index` rebuilds, not per-batch
+    retrains. Appending a batch then querying is bit-identical to having
+    built the whole index with the same codebook/centroids up front —
+    pinned by the `ann_ivfpq_append_topk` oracle row."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+
+    spark = new_embeddings.sparkSession
+    book = _read_codebook(spark, index_table)
+    m, k_code = len(book), len(book[0])
+    cents = spark.table(f"{index_table}__centroids")
+    codes = pq_encode(
+        new_embeddings, m, k_code, dim, id_col, vec_col, codebook=book
+    )
+    asg = ivf_assign(new_embeddings, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    rows = codes.join(asg, on=id_col).select(
+        id_col, "centroid_id", "subspace", "code"
+    )
+    num_buckets = _table_bucket_count(spark, index_table)
+    (
+        rows.write.mode("append")
+        .bucketBy(num_buckets, "centroid_id")
+        .format("parquet")
+        .saveAsTable(index_table)
+    )
+
+
 def ivfpq_index_topk(
     queries: DataFrame,
     index_table: str,
@@ -584,17 +647,8 @@ def ivfpq_index_topk(
     spark = queries.sparkSession
     codes = spark.table(index_table)
     cents = spark.table(f"{index_table}__centroids")
-    book_rows = spark.table(f"{index_table}__codebook").collect()
-    mm = 1 + max(r["subspace"] for r in book_rows)
-    book = [
-        [
-            list(r["codeword"])
-            for r in sorted(
-                (x for x in book_rows if x["subspace"] == s), key=lambda x: x["code"]
-            )
-        ]
-        for s in range(mm)
-    ]
+    book = _read_codebook(spark, index_table)
+    mm = len(book)
     qa = ivf_assign(queries, cents, id_col, vec_col, n=nprobe).select(
         F.col(id_col).alias("query_id"), "centroid_id"
     )

@@ -4127,6 +4127,47 @@ def ann_ivfpq_index_topk_q(spark, sf_dir):
     return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), "ivfpq_index_oracle_q")
 
 
+@query(
+    "ann_ivfpq_append_topk",
+    # identical semantics to ann_ivfpq_topk: incremental maintenance is a
+    # LAYOUT/lifecycle change, never a results change — half the corpus is
+    # indexed up front and half arrives as an append increment, with the
+    # codebook sampled from the full corpus (what a production rebuild
+    # would have frozen) so the two-step build is bit-identical to the
+    # one-shot build the oracle mirrors
+    ORACLES["ann_ivfpq_topk"],
+)
+def ann_ivfpq_append_topk_q(spark, sf_dir):
+    """IVF-PQ search after INCREMENTAL index maintenance
+    (write_ivfpq_index on the even half -> append_ivfpq_index of the odd
+    half -> ivfpq_index_topk): the increment encodes with the frozen
+    codebook, routes with the frozen centroids, and appends THROUGH the
+    bucket spec — so the queried index is bit-identical to a one-shot
+    build and the store stays bucket-pruned. The ANN sibling of the
+    dedup band/hash/member store maintenance discipline."""
+    from sparsity_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_index_topk,
+        pq_sampled_codebook,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    book = pq_sampled_codebook(emb, 4, 16, 64)
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cents,
+        "ivfpq_index_append_q",
+        num_buckets=8,
+        codebook=book,
+    )
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), "ivfpq_index_append_q")
+    return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), "ivfpq_index_append_q")
+
+
 @query("ann_pq_adc_topk", _pq_adc_oracle())
 def ann_pq_adc_topk(spark, sf_dir):
     """IVF-PQ's search half: asymmetric-distance top-k where the corpus is

@@ -406,3 +406,61 @@ def test_streaming_semantic_screen_and_maintain_two_increments(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(kept_ids) == [100, 201]
     assert spark.table("ms_stream").count() == 4
+
+
+def test_append_ivfpq_index_bit_identical_to_full_build(spark, sf_dir):
+    """Incremental ANN index maintenance: build the persisted IVF-PQ
+    index from the even half, append the odd half in TWO increments with
+    the frozen codebook/centroids, and the query result must be
+    bit-identical to a one-shot full build with the same codebook — and
+    the appended store must still bucket-prune at query time."""
+    import re
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_index_topk,
+        pq_sampled_codebook,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    book = pq_sampled_codebook(emb, 4, 16, 64)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    write_ivfpq_index(emb, cents, "ivfpq_full_t", num_buckets=8, codebook=book)
+    full = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"])
+        for r in ivfpq_index_topk(queries, "ivfpq_full_t").collect()
+    }
+
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cents,
+        "ivfpq_incr_t",
+        num_buckets=8,
+        codebook=book,
+    )
+    n0 = spark.table("ivfpq_incr_t").count()
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 4 == 1), "ivfpq_incr_t")
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 4 == 3), "ivfpq_incr_t")
+    assert spark.table("ivfpq_incr_t").count() == spark.table("ivfpq_full_t").count()
+    assert spark.table("ivfpq_incr_t").count() > n0
+    incr = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"])
+        for r in ivfpq_index_topk(queries, "ivfpq_incr_t").collect()
+    }
+    assert incr == full
+
+    # the appended store still bucket-prunes: probe-sized read, not corpus
+    plan = (
+        ivfpq_index_topk(emb.filter(F.col("vec_id") < 2), "ivfpq_incr_t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
