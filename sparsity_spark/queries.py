@@ -5795,21 +5795,24 @@ _FIRST_50 = [
     # rotated-out r5 rows (dedup_simhash, text_fingerprint) return; the
     # never-driver-checked streaming / window / TPC-H families get driver
     # slots; the new r6 operators (member-store screen, trained IVF-PQ,
-    # real-PPM dhash) are pinned. Rotated OUT (all driver-green in r5 and
+    # real-PPM dhash, real-WAV audio fingerprints, incremental IVF-PQ
+    # append) are pinned. Rotated OUT (all driver-green in r5 and
     # still judge-verified by the full check_oracles rerun): t1_asof_join,
     # t2_range_join, dedup_lsh_pairs, dedup_band_store_screen,
     # dedup_ngram_jaccard, dedup_embedding_cosine,
     # dedup_jaccard_prefix_join, ann_bruteforce_topk, ann_ivf_topk,
     # ann_rp_lsh_pairs, text_quality, text_lang_id, multimodal_meta,
-    # pipe_decontaminate.
+    # pipe_decontaminate, q1_pricing_summary (green r1-r5), text_tfidf.
     "dedup_exact", "dedup_minhash_signatures", "dedup_clusters",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_member_store_screen",
     "ann_ivfpq_topk", "ann_ivfpq_trained_topk", "ann_kmeans_centroids",
-    "text_token_stats", "text_fingerprint", "text_tfidf",
+    "ann_ivfpq_append_topk",
+    "text_token_stats", "text_fingerprint",
     "multimodal_phash_pairs", "multimodal_dhash_real",
+    "multimodal_audio_real",
     "stream_windowed_counts", "stream_session_stats", "stream_ewma",
     "w4_event_transitions", "w5_spend_quartiles",
-    "q1_pricing_summary", "q7_volume_shipping", "q9_product_profit",
+    "q7_volume_shipping", "q9_product_profit",
 ]
 
 
