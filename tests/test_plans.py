@@ -437,3 +437,18 @@ def test_member_store_screen_corpus_side_shuffle_free(spark, sf_dir):
         f"bucketed member store must drop exactly the corpus-side shuffle "
         f"(bucketed={n_b}, plain={n_p})"
     )
+
+
+def test_audio_pairs_blocked_never_cartesian(spark):
+    """Acoustic near-dup pair search must use the pigeonhole equi-join on
+    fingerprint chunks — never an all-pairs CartesianProduct — same
+    contract as the image dHash pair search."""
+    from sparsity_spark.operators.multimodal import audio_pairs
+
+    assets = spark.createDataFrame(
+        [(i, bytearray(b"RIFF") + bytes(100)) for i in range(4)],
+        "doc_id long, content binary",
+    )
+    plan = formatted_plan(audio_pairs(assets))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
