@@ -397,19 +397,16 @@ def pigeonhole_hamming_pairs(
     right = keyed.select(
         "ci", "cv", F.col(id_col).alias("id_b"), F.col("__h__").alias("sh_b")
     )
-    # a pair can collide in several chunks — dedup so each (id_a, id_b) is
-    # emitted once. The hamming filter runs BEFORE the dedup: duplicate
-    # candidate rows carry identical fingerprints, so the filter commutes
-    # with dropDuplicates, and filtering first means the dedup Exchange
-    # shuffles only the pairs within the distance budget instead of every
-    # chunk collision (at the 10x tier most collisions fail the filter —
-    # the reorder removes the dominant shuffle from the pair search).
-    return (
+    # a pair can collide in several chunks — dedup before the distance
+    # filter so each (id_a, id_b) is scored once
+    joined = (
         left.join(right, on=["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        joined.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
 
