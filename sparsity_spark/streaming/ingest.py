@@ -499,3 +499,63 @@ def streaming_screen_and_maintain(
             sink(keepers, batch_id)
 
     return docs.writeStream.foreachBatch(_process)
+
+
+def streaming_index_and_screen(
+    embeddings: DataFrame,
+    index_table: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_threshold: float | None = None,
+    topk: int = 5,
+    nprobe: int = 1,
+    sink=None,
+):
+    """Streaming ANN index maintenance (the store-family loop applied to
+    the IVF-PQ index): each micro-batch of new vectors is optionally
+    screened for near-duplicates against the CURRENT index (ADC top-1
+    distance under ``dedup_threshold`` drops the vector), then the
+    survivors are appended into the persisted index through the frozen
+    codebook/centroids and the bucket spec — so increment N+1 is searched
+    against everything increment N indexed, forever, with zero corpus
+    re-reads.
+
+    `foreachBatch` for the same reason as :func:`streaming_screen_and_maintain`:
+    the index append is a bucketed batch table write. Inside the batch
+    context the screen reuses :func:`operators.similarity.ivfpq_index_topk`
+    — the bucket-pruned production query path — and the append reuses
+    :func:`operators.similarity.append_ivfpq_index`, one code path for
+    batch and streaming increments.
+
+    ``sink(results_df, batch_id)`` receives each batch's top-k matches
+    against the pre-append index (query_id, neighbor_id, adc_d2) — the
+    "what does this new data resemble" stream; omit it to only maintain
+    the index. Returns the started-ready DataStreamWriter."""
+    from sparsity_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    def _process(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        to_add = batch_df
+        matches = None
+        if dedup_threshold is not None or sink is not None:
+            matches = ivfpq_index_topk(
+                batch_df, index_table, dim=dim, topk=topk, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+            ).localCheckpoint(eager=True)
+        if dedup_threshold is not None:
+            dups = (
+                matches.groupBy("query_id")
+                .agg(F.min("adc_d2").alias("best_d2"))
+                .filter(F.col("best_d2") <= dedup_threshold)
+                .select(F.col("query_id").alias(id_col))
+            )
+            to_add = batch_df.join(dups, on=id_col, how="left_anti")
+        append_ivfpq_index(to_add, index_table, dim=dim, id_col=id_col, vec_col=vec_col)
+        if sink is not None:
+            sink(matches, batch_id)
+
+    return embeddings.writeStream.foreachBatch(_process)

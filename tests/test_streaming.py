@@ -553,3 +553,89 @@ def test_streaming_semantic_screen_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["vec_id"] for r in spark.sql("SELECT vec_id FROM sem_screen").collect())
     assert got == batch_keep == [101]
+
+
+def test_streaming_index_and_screen_two_increments(spark, tmp_path):
+    """availableNow two-file stream through the ANN index maintenance
+    loop: batch 2's exact twin of a batch-1 indexed vector is screened
+    out (ADC distance 0 against the maintained index), the novel batch-2
+    vector is appended, and the final index equals the batch-built
+    equivalent bit for bit."""
+    import time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.similarity import (
+        ivfpq_index_topk,
+        pq_sampled_codebook,
+        write_ivfpq_index,
+    )
+    from sparsity_spark.streaming.ingest import streaming_index_and_screen
+
+    dim = 8
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(seed):
+        return [float((seed * 31 + j * 7) % 13) for j in range(dim)]
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in range(16)], schema)
+    cents = corpus.filter(F.col("vec_id") < 2).selectExpr(
+        "vec_id as centroid_id", "embedding"
+    )
+    book = pq_sampled_codebook(corpus, m=2, k=4, dim=dim)
+    write_ivfpq_index(corpus, cents, "ivfpq_stream", m=2, k_code=4, dim=dim,
+                      num_buckets=4, codebook=book)
+
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100], "embedding": [vec(100)]}), schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [200, 201], "embedding": [vec(100), vec(333)]}
+        ),  # 200 = exact twin of batch-1 vector 100; 201 novel
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    seen = []
+
+    def sink(matches, batch_id):
+        seen.extend(matches.select("query_id").distinct().toPandas()["query_id"])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_index_and_screen(
+            stream, "ivfpq_stream", dim=dim, dedup_threshold=0.0, sink=sink
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # every batch vector was searched; twin 200 was dropped, 100/201 kept
+    assert sorted(seen) == [100, 200, 201]
+    ids = sorted(
+        r["vec_id"]
+        for r in spark.table("ivfpq_stream").select("vec_id").distinct().collect()
+    )
+    assert ids == list(range(16)) + [100, 201]
+    # parity: the maintained index answers queries exactly like a batch
+    # build over the same final corpus with the same frozen codebook
+    final = corpus.unionByName(
+        spark.createDataFrame([(100, vec(100)), (201, vec(333))], schema)
+    )
+    write_ivfpq_index(final, cents, "ivfpq_batch_eq", m=2, k_code=4, dim=dim,
+                      num_buckets=4, codebook=book)
+    queries = spark.createDataFrame([(900, vec(5)), (901, vec(333))], schema)
+    got = {
+        tuple(r)
+        for r in ivfpq_index_topk(queries, "ivfpq_stream", m=2, dim=dim, topk=3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivfpq_index_topk(queries, "ivfpq_batch_eq", m=2, dim=dim, topk=3).collect()
+    }
+    assert got == want
