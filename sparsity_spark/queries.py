@@ -3495,28 +3495,33 @@ def a7_cube_revenue(spark, sf_dir):
     "w5_spend_quartiles",
     """
     WITH spend AS (
-      SELECT c.c_custkey, n.n_name AS nation, ROUND(SUM(o.o_totalprice), 4) AS spend
+      SELECT c.c_custkey, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS spend_cents
       FROM customer c
       JOIN orders o ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY c.c_custkey, n.n_name
     ),
     d AS (
-      SELECT nation, spend,
+      SELECT nation, spend_cents,
              CAST(ntile(4) OVER (PARTITION BY nation
-                                 ORDER BY spend, c_custkey) AS INTEGER) AS quartile
+                                 ORDER BY spend_cents, c_custkey) AS INTEGER) AS quartile
       FROM spend
     )
     SELECT nation, quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(AVG(spend), 4) AS avg_spend
+           ROUND(SUM(spend_cents) / (100.0 * COUNT(*)), 4) AS avg_spend
     FROM d GROUP BY nation, quartile
     """,
 )
 def w5_spend_quartiles(spark, sf_dir):
     """Within-nation customer-spend quartiles via ntile: the window
-    partitions on nation (parallel, never a global sort), spend is rounded
-    BEFORE ranking and ties break on custkey so the quartile assignment is
-    engine-deterministic; the result is the small (nation × 4) summary."""
+    partitions on nation (parallel, never a global sort). Money math is
+    INTEGER CENTS end to end (VERDICT r6 #2): each price rounds once to
+    exact cents, per-customer spend is an exact BIGINT sum (order-free),
+    the quartile ranks the integer (ties on custkey), and the average is
+    ONE final double division rounded once — the hash can never flip on
+    summation order, unlike the old ROUND(SUM(double),4) whose 4th
+    decimal was a last-ulp boundary in the driver environment."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
@@ -3524,15 +3529,21 @@ def w5_spend_quartiles(spark, sf_dir):
         c.join(o, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            )
+        )
     )
-    w = Window.partitionBy("nation").orderBy("spend", "c_custkey")
+    w = Window.partitionBy("nation").orderBy("spend_cents", "c_custkey")
     return (
-        spend.select("nation", "spend", F.ntile(4).over(w).alias("quartile"))
+        spend.select("nation", "spend_cents", F.ntile(4).over(w).alias("quartile"))
         .groupBy("nation", "quartile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("spend"), 4).alias("avg_spend"),
+            F.round(F.sum("spend_cents") / (100.0 * F.count("*")), 4).alias(
+                "avg_spend"
+            ),
         )
     )
 
@@ -4166,6 +4177,108 @@ def ann_ivfpq_append_topk_q(spark, sf_dir):
     )
     append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), "ivfpq_index_append_q")
     return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), "ivfpq_index_append_q")
+
+
+def _twin_screen_oracle(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    """Code-identity twin-screen oracle: the _ivf_pq_oracle routing +
+    sampled-codebook + codes CTEs, then per-vector signatures
+    (cid, list(code ORDER BY s)) — keep = no even-half corpus row holds
+    the same cell AND the row is the lowest id in its cell within the
+    batch (the intra-batch keep-first arm)."""
+    sub = dim // m
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    r AS (
+      SELECT n.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 6) DESC,
+                        cent.cid) AS rn
+      FROM n, cent
+    ),
+    asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    subs(s) AS (SELECT UNNEST(range({m}))),
+    cb AS (
+      SELECT subs.s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS BIGINT) AS j,
+             list_transform(range(1, {sub + 1}), i -> b.v[subs.s*{sub} + i]) AS c
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}) b, subs
+    ),
+    d AS (
+      SELECT e.vec_id, cb.s, cb.j,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (e.v[cb.s*{sub} + i] - cb.c[i])
+                      * (e.v[cb.s*{sub} + i] - cb.c[i]))), 6) AS d2
+      FROM e, cb
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    sig AS (
+      SELECT c.vec_id, a.cid, list(c.code ORDER BY c.s) AS sg
+      FROM codes c JOIN asg a USING (vec_id)
+      GROUP BY c.vec_id, a.cid
+    ),
+    corpus_sig AS (SELECT DISTINCT cid, sg FROM sig WHERE vec_id % 2 = 0),
+    batch AS (
+      SELECT vec_id AS bid, vec_id AS src FROM e
+      WHERE vec_id % 2 = 1 AND vec_id < 400
+      UNION ALL
+      SELECT vec_id + 1000000, vec_id FROM e
+      WHERE vec_id % 2 = 0 AND vec_id < 40
+    ),
+    bsig AS (SELECT b.bid, s.cid, s.sg FROM batch b JOIN sig s ON s.vec_id = b.src),
+    flagged AS (
+      SELECT b.bid, b.cid, b.sg, cs.cid IS NOT NULL AS hit,
+             ROW_NUMBER() OVER (PARTITION BY b.cid, b.sg ORDER BY b.bid) AS rn
+      FROM bsig b LEFT JOIN corpus_sig cs ON b.cid = cs.cid AND b.sg = cs.sg
+    )
+    SELECT bid AS vec_id, ((NOT hit) AND rn = 1) AS keep FROM flagged
+    """
+
+
+@query("ann_index_twin_screen", _twin_screen_oracle())
+def ann_index_twin_screen_q(spark, sf_dir):
+    """Code-identity twin screen against the persisted IVF-PQ index (the
+    batch form of the r7 streaming-screen fix): index the EVEN half of
+    the corpus, then screen a batch of odd-half rows PLUS exact twins of
+    40 indexed rows (re-keyed +1,000,000). A batch vector is dropped when
+    its (centroid_id, code_0..code_{m-1}) signature already exists in the
+    index — SDC distance 0, exact for twins under the frozen codebook,
+    something no ADC threshold can express (ADC to a twin = its
+    quantization error, > 0). The intra-batch arm keeps only the lowest
+    id per signature within the batch itself. Index side read
+    bucket-pruned to the batch's probed centroid buckets."""
+    from sparsity_spark.operators.similarity import (
+        ivfpq_twin_screen,
+        pq_sampled_codebook,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    book = pq_sampled_codebook(emb, 4, 16, 64)
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cents,
+        "ivfpq_twin_screen_q",
+        num_buckets=8,
+        codebook=book,
+    )
+    batch = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 400)).select(
+        "vec_id", "embedding"
+    ).unionByName(
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return ivfpq_twin_screen(batch, "ivfpq_twin_screen_q", dim=64, intra_batch=True)
 
 
 @query("ann_pq_adc_topk", _pq_adc_oracle())

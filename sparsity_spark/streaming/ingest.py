@@ -510,16 +510,29 @@ def streaming_index_and_screen(
     dedup_threshold: float | None = None,
     topk: int = 5,
     nprobe: int = 1,
+    intra_batch: bool = True,
     sink=None,
 ):
     """Streaming ANN index maintenance (the store-family loop applied to
     the IVF-PQ index): each micro-batch of new vectors is optionally
-    screened for near-duplicates against the CURRENT index (ADC top-1
-    distance under ``dedup_threshold`` drops the vector), then the
+    screened for duplicates against the CURRENT index, then the
     survivors are appended into the persisted index through the frozen
     codebook/centroids and the bucket spec — so increment N+1 is searched
     against everything increment N indexed, forever, with zero corpus
     re-reads.
+
+    Screening semantics (VERDICT r6 #1 fix): when ``dedup_threshold`` is
+    set, EXACT twins are always dropped via the CODE-IDENTITY screen
+    (:func:`operators.similarity.ivfpq_twin_screen` — SDC-0, exact for
+    twins under the frozen codebook). ADC distance alone cannot express
+    twin-ness: it is bounded below by the indexed vector's quantization
+    error (measured 68.0 for an exact twin in the r6 test fixture), so
+    the old min-ADC-≤-threshold rule dropped nothing at threshold 0.
+    A ``dedup_threshold > 0`` additionally drops NEAR-dups whose top-1
+    ADC distance falls under it — callers must set it ABOVE the index's
+    quantization floor (the ADC distance of a twin) for it to fire.
+    ``intra_batch=True`` (default) also keeps only the lowest id per code
+    signature within each micro-batch, the store-family keep-first rule.
 
     `foreachBatch` for the same reason as :func:`streaming_screen_and_maintain`:
     the index append is a bucketed batch table write. Inside the batch
@@ -535,6 +548,7 @@ def streaming_index_and_screen(
     from sparsity_spark.operators.similarity import (
         append_ivfpq_index,
         ivfpq_index_topk,
+        ivfpq_twin_screen,
     )
 
     def _process(batch_df, batch_id):
@@ -547,13 +561,26 @@ def streaming_index_and_screen(
                 id_col=id_col, vec_col=vec_col,
             ).localCheckpoint(eager=True)
         if dedup_threshold is not None:
-            dups = (
-                matches.groupBy("query_id")
-                .agg(F.min("adc_d2").alias("best_d2"))
-                .filter(F.col("best_d2") <= dedup_threshold)
-                .select(F.col("query_id").alias(id_col))
+            # exact twins: code identity against the index, keep-first
+            # within the batch — frozen before the append mutates the
+            # index the screen's lineage reads (the store-family rule)
+            decisions = ivfpq_twin_screen(
+                batch_df, index_table, dim=dim, id_col=id_col, vec_col=vec_col,
+                intra_batch=intra_batch,
+            ).localCheckpoint(eager=True)
+            to_add = batch_df.join(
+                decisions.filter(F.col("keep")).select(id_col), on=id_col
             )
-            to_add = batch_df.join(dups, on=id_col, how="left_anti")
+            if dedup_threshold > 0:
+                # near-dups: top-1 ADC under the threshold (only meaningful
+                # above the quantization floor — see docstring)
+                near = (
+                    matches.groupBy("query_id")
+                    .agg(F.min("adc_d2").alias("best_d2"))
+                    .filter(F.col("best_d2") <= dedup_threshold)
+                    .select(F.col("query_id").alias(id_col))
+                )
+                to_add = to_add.join(near, on=id_col, how="left_anti")
         append_ivfpq_index(to_add, index_table, dim=dim, id_col=id_col, vec_col=vec_col)
         if sink is not None:
             sink(matches, batch_id)

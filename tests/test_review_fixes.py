@@ -380,3 +380,27 @@ def test_dhash_kernel_null_content(spark):
     assert out.loc[1, "dhash"] == out.loc[1, "dhash"]  # not NaN
     assert pd.isna(out.loc[2, "dhash"])  # NULL payload
     assert pd.isna(out.loc[3, "dhash"])  # too small
+
+
+def test_money_math_hash_stable_across_partitioning(spark, sf_dir):
+    """VERDICT r6 #2: the money-math query family must be hash-exact under
+    any shuffle-partition setting (the judge's 1/8/32/200 sweep). w5's
+    integer-cents rewrite makes the per-customer sum an exact BIGINT, so
+    the result is bit-identical regardless of summation order."""
+    from sparsity_spark.queries import QUERIES
+
+    baseline = None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "8", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pdf = QUERIES["w5_spend_quartiles"](spark, sf_dir).toPandas()
+            pdf = pdf[sorted(pdf.columns)].sort_values(
+                list(sorted(pdf.columns))
+            ).reset_index(drop=True)
+            snap = pdf.to_csv(index=False)
+            if baseline is None:
+                baseline = snap
+            assert snap == baseline, f"hash flip at shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

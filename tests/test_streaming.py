@@ -558,9 +558,18 @@ def test_streaming_semantic_screen_matches_batch(spark, tmp_path):
 def test_streaming_index_and_screen_two_increments(spark, tmp_path):
     """availableNow two-file stream through the ANN index maintenance
     loop: batch 2's exact twin of a batch-1 indexed vector is screened
-    out (ADC distance 0 against the maintained index), the novel batch-2
-    vector is appended, and the final index equals the batch-built
-    equivalent bit for bit."""
+    out (CODE IDENTITY against the maintained index — the SDC-0 rule; ADC
+    distance to a twin is the quantization error, never 0), the novel
+    batch-2 vector is appended, and the final index equals the
+    batch-built equivalent bit for bit.
+
+    Fixture discipline (r6 postmortem: the original mod-13 generator made
+    the 'novel' vectors exact twins of corpus rows 9/8): corpus vectors
+    are injective mod 101, the codebook holds ALL 16 corpus rows
+    (k_code=16), so every corpus signature is (cid, i, i) — each row
+    quantizes to its own codeword at distance 0. The novel vectors are
+    MIXED halves of two different corpus rows, giving signatures (a, b)
+    with a != b, which therefore can never collide with a corpus cell."""
     import time
 
     import pandas as pd
@@ -576,24 +585,27 @@ def test_streaming_index_and_screen_two_increments(spark, tmp_path):
     schema = "vec_id long, embedding array<double>"
 
     def vec(seed):
-        return [float((seed * 31 + j * 7) % 13) for j in range(dim)]
+        return [float((seed * 31 + j * 7) % 101) for j in range(dim)]
+
+    novel1 = vec(3)[:4] + vec(7)[4:]  # codes (3, 7) — no corpus cell
+    novel2 = vec(5)[:4] + vec(2)[4:]  # codes (5, 2) — no corpus cell
 
     corpus = spark.createDataFrame([(i, vec(i)) for i in range(16)], schema)
     cents = corpus.filter(F.col("vec_id") < 2).selectExpr(
         "vec_id as centroid_id", "embedding"
     )
-    book = pq_sampled_codebook(corpus, m=2, k=4, dim=dim)
-    write_ivfpq_index(corpus, cents, "ivfpq_stream", m=2, k_code=4, dim=dim,
+    book = pq_sampled_codebook(corpus, m=2, k=16, dim=dim)
+    write_ivfpq_index(corpus, cents, "ivfpq_stream", m=2, k_code=16, dim=dim,
                       num_buckets=4, codebook=book)
 
     src = str(tmp_path / "vecs")
     spark.createDataFrame(
-        pd.DataFrame({"vec_id": [100], "embedding": [vec(100)]}), schema
+        pd.DataFrame({"vec_id": [100], "embedding": [novel1]}), schema
     ).coalesce(1).write.mode("overwrite").parquet(src)
     time.sleep(2)
     spark.createDataFrame(
         pd.DataFrame(
-            {"vec_id": [200, 201], "embedding": [vec(100), vec(333)]}
+            {"vec_id": [200, 201], "embedding": [novel1, novel2]}
         ),  # 200 = exact twin of batch-1 vector 100; 201 novel
         schema,
     ).coalesce(1).write.mode("append").parquet(src)
@@ -625,11 +637,11 @@ def test_streaming_index_and_screen_two_increments(spark, tmp_path):
     # parity: the maintained index answers queries exactly like a batch
     # build over the same final corpus with the same frozen codebook
     final = corpus.unionByName(
-        spark.createDataFrame([(100, vec(100)), (201, vec(333))], schema)
+        spark.createDataFrame([(100, novel1), (201, novel2)], schema)
     )
-    write_ivfpq_index(final, cents, "ivfpq_batch_eq", m=2, k_code=4, dim=dim,
+    write_ivfpq_index(final, cents, "ivfpq_batch_eq", m=2, k_code=16, dim=dim,
                       num_buckets=4, codebook=book)
-    queries = spark.createDataFrame([(900, vec(5)), (901, vec(333))], schema)
+    queries = spark.createDataFrame([(900, vec(5)), (901, novel2)], schema)
     got = {
         tuple(r)
         for r in ivfpq_index_topk(queries, "ivfpq_stream", m=2, dim=dim, topk=3).collect()
