@@ -164,11 +164,24 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
 
     dt = df.schema[order_col].dataType
     if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
-        surrogate = (
-            F.unix_date(F.col(order_col))
-            if isinstance(dt, DateType)
-            else F.unix_micros(F.col(order_col).cast("timestamp"))
-        )
+        if isinstance(dt, DateType):
+            surrogate = F.unix_date(F.col(order_col))
+        elif isinstance(dt, TimestampNTZType):
+            # NTZ must NOT cast through the session timezone (r6 ADVICE):
+            # around a DST spring-forward, distinct wall-clock values map
+            # to the same instant and the surrogate loses injectivity.
+            # Fixed-zone arithmetic on the wall-clock fields instead —
+            # days/hours/minutes/seconds/micros are all timezone-free.
+            c = F.col(order_col)
+            surrogate = (
+                F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+                + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                + F.minute(c).cast("long") * F.lit(60_000_000)
+                + F.second(c).cast("long") * F.lit(1_000_000)
+                + F.date_format(c, "SSSSSS").cast("long")
+            )
+        else:
+            surrogate = F.unix_micros(F.col(order_col))
         out = scan_order_ids(df.withColumn("__ordnum__", surrogate), "__ordnum__")
         return out.drop("__ordnum__")
     spark = df.sparkSession

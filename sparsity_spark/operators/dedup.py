@@ -1295,11 +1295,13 @@ def append_hash_store(
     # row (in-batch twins included) — appending them all would put duplicate
     # content_hash rows in the ledger, and every later increment's left join
     # would fan out per duplicate (r5 ADVICE). Dedup the APPEND regardless
-    # of the decision semantics.
+    # of the decision semantics — keeping the LOWEST id per hash
+    # (min, not dropDuplicates' arbitrary pick) so the persisted ledger
+    # row is deterministic, the engine-wide keep-first rule (r6 ADVICE).
     keep_rows = (
         decisions.filter(F.col("keep"))
-        .select("content_hash", id_col)
-        .dropDuplicates(["content_hash"])
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
     )
     num_buckets = _table_bucket_count(spark, table)
     (

@@ -487,6 +487,13 @@ def write_tdb_sharded(
 
     spark = events.sparkSession
     os.makedirs(dir_path, exist_ok=True)
+    # re-running into an existing directory must not leave orphaned
+    # shards from a previous (possibly wider) layout: the manifest is the
+    # source of truth, so stale shard files it doesn't list are deleted
+    # up front (r6 ADVICE)
+    for old in os.listdir(dir_path):
+        if (old.startswith("shard-") and ".tdb" in old) or old == "manifest.json":
+            os.remove(os.path.join(dir_path, old))
     fields = field_cols or [
         c for c in events.columns if c not in (uuid_col, ts_col, order_col)
     ]
@@ -512,7 +519,8 @@ def write_tdb_sharded(
                 trails.setdefault(hexu, []).append(
                     (key, int(d[_t]), {f: d[f] for f in _f})
                 )
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         if not trails:
             return
         shard = f"shard-{pid:05d}.tdb"
@@ -520,7 +528,14 @@ def write_tdb_sharded(
             (u, [(ts, vals) for _, ts, vals in sorted(evs, key=lambda e: e[0])])
             for u, evs in sorted(trails.items())
         ]
-        _write(_os.path.join(_dir, shard), ordered)
+        # attempt-unique temp file + atomic rename (r6 ADVICE): a retried
+        # or speculative attempt writing the final name directly could
+        # interleave with the first attempt and leave a torn container
+        # that the manifest then records as valid; os.replace is atomic
+        # on POSIX, so the final path only ever holds a complete shard
+        tmp = _os.path.join(_dir, f"{shard}.tmp-{ctx.taskAttemptId()}")
+        _write(tmp, ordered)
+        _os.replace(tmp, _os.path.join(_dir, shard))
         n_events = sum(len(evs) for _, evs in ordered)
         yield pd.DataFrame(
             {"shard": [shard], "n_trails": [len(ordered)], "n_events": [n_events]}

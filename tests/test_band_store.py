@@ -464,3 +464,23 @@ def test_append_ivfpq_index_bit_identical_to_full_build(spark, sf_dir):
     )
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_append_hash_store_ledger_keeps_lowest_id(spark):
+    """r6 ADVICE: with intra_batch=False the ledger dedup must persist the
+    LOWEST id per content_hash (deterministic keep-first), never an
+    arbitrary twin."""
+    from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
+
+    schema = "doc_id long, text string"
+    write_hash_store(spark.createDataFrame(CORPUS, schema), "hs_minid", num_buckets=4)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [307, 301, 305], "text": ["same fresh text"] * 3}
+        ),
+        schema,
+    )
+    append_hash_store(batch, "hs_minid", intra_batch=False)
+    ledger = spark.table("hs_minid").toPandas()
+    new = ledger[~ledger.doc_id.isin(CORPUS["doc_id"])]
+    assert len(new) == 1 and int(new.doc_id.iloc[0]) == 301

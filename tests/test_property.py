@@ -3,6 +3,8 @@ checked against the dense pandas oracle (the reference's own semantics).
 Small matrices, bounded examples — the point is edge-shape coverage
 (empty rows, disjoint keys, full overlap), not volume."""
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -318,3 +320,128 @@ def test_scan_order_bucketing_matches_single_partition_oracle(
     for i, v in enumerate(order):
         want_map.setdefault(v, []).append(i)
     assert got_map == want_map
+
+
+# ---- binary-format parser fuzzing (VERDICT r6 #7): decode-or-ValueError,
+# never a wrong array or an uncontrolled crash ----
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_ppm_fuzz_decode_or_valueerror(raw):
+    from sparsity_spark.operators.multimodal import decode_ppm
+
+    try:
+        img = decode_ppm(b"P6" + raw)
+    except ValueError:
+        return
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    comments=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                        exclude_characters="\n"), max_size=20),
+        max_size=3,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_decode_ppm_header_variants_roundtrip(w, h, comments, seed):
+    """Comments, extra whitespace, and max-width headers must parse to the
+    exact pixel grid; a >255 maxval must raise."""
+    from sparsity_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.RandomState(seed)
+    pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    hdr = b"P6"
+    for c in comments:
+        hdr += b"\n#" + c.encode()
+    hdr += b"\n  %d\t%d  \n255\n" % (w, h)
+    got = decode_ppm(hdr + pix.tobytes())
+    assert (got == pix).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n%d %d\n65535\n" % (w, h) + pix.tobytes())
+    with pytest.raises(ValueError):  # truncated payload
+        decode_ppm(hdr + pix.tobytes()[:-1])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_wav_fuzz_decode_or_valueerror(raw):
+    from sparsity_spark.operators.multimodal import decode_wav
+
+    payload = b"RIFF" + len(raw).to_bytes(4, "little") + b"WAVE" + raw
+    try:
+        samples, rate = decode_wav(payload)
+    except ValueError:
+        return
+    assert samples.dtype == np.dtype("<i2")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+    junk=st.binary(min_size=1, max_size=31),
+)
+def test_decode_wav_unknown_and_odd_chunks_roundtrip(n, seed, junk):
+    """Unknown chunks (odd sizes included, word-aligned pad) around fmt/data
+    must be skipped; the decoded samples must equal the encoded ones."""
+    from sparsity_spark.operators.multimodal import decode_wav, wav_encode
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype("<i2")
+    std = wav_encode(s, rate=8000)
+    fmt_and_data = std[12:]  # strip RIFF header, keep fmt + data chunks
+    jc = b"JUNK" + len(junk).to_bytes(4, "little") + junk
+    if len(junk) & 1:
+        jc += b"\x00"  # word alignment pad
+    body = jc + fmt_and_data + jc
+    payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    got, rate = decode_wav(payload)
+    assert rate == 8000
+    np.testing.assert_array_equal(np.asarray(got), s)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cut=st.floats(0.01, 0.999), seed=st.integers(0, 2**31 - 1))
+def test_tdb_truncation_decode_or_error(tmp_path_factory, cut, seed):
+    """A truncated .tdb container must either fail loudly at open/decode or
+    decode a prefix of the original events — never return corrupted
+    values (the tar member offsets and bitstream lengths are
+    self-describing, so truncation lands outside a valid member)."""
+    import tarfile
+
+    from sparsity_spark.traildb import decode_trails, open_tdb, write_tdb
+
+    rng = np.random.RandomState(seed)
+    trails = [
+        (
+            f"{u:032x}",
+            [
+                (int(t), {"k": f"v{rng.randint(3)}"})
+                for t in sorted(rng.randint(0, 1000, size=rng.randint(1, 6)))
+            ],
+        )
+        for u in range(4)
+    ]
+    base = tmp_path_factory.mktemp("tdbfuzz")
+    full = str(base / "full.tdb")
+    write_tdb(full, trails)
+    want = None
+    meta = open_tdb(full)
+    want = [(tid, ts, vals["k"]) for tid, ts, vals in decode_trails(meta)]
+
+    raw = open(full, "rb").read()
+    trunc = str(base / "trunc.tdb")
+    with open(trunc, "wb") as f:
+        f.write(raw[: max(1, int(len(raw) * cut))])
+    try:
+        m2 = open_tdb(trunc)
+        got = [(tid, ts, vals["k"]) for tid, ts, vals in decode_trails(m2)]
+    except (ValueError, KeyError, AssertionError, struct.error, tarfile.TarError, EOFError, OSError):
+        return
+    assert got == want  # only a byte-complete container may decode fully
