@@ -96,6 +96,13 @@ BENCH_QUERIES = [
     # round-6 additions
     "dedup_member_store_screen",
     "text_lm_perplexity",
+    # round-7 additions
+    "ann_index_twin_screen",
+    "ann_ivfpq_refine_topk",
+    "multimodal_features_real",
+    "multimodal_dhash_real",
+    "multimodal_audio_real",
+    "ann_ivfpq_append_topk",
 ]
 
 
@@ -125,6 +132,11 @@ SCALE_QUERIES = [
     "dedup_semantic_screen",
     "dedup_member_store_screen",
     "text_lm_perplexity",
+    # r7 additions (VERDICT r6 #4): the real-media decoders and the
+    # incremental-index family tracked at the 10x tier
+    "multimodal_dhash_real",
+    "multimodal_audio_real",
+    "ann_ivfpq_append_topk",
 ]
 
 
@@ -268,6 +280,31 @@ def main():
     # very long single line (r5's BENCH_r05.json was tail-truncated to
     # parsed:null — VERDICT r5 What's-wrong #2)
     print(f"# bench total {total} s over {len(timings)} queries at sf{sf:g}")
+    # like-for-like vs the previous round's committed artifact (VERDICT r6
+    # #10): the common-subset total makes a regression visible at commit
+    # time — total-vs-total alone conflates plan changes with suite growth
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r06.json"
+    )
+    if os.path.exists(prev_path):
+        try:
+            d = json.loads(open(prev_path).read())
+            if "queries" in d:
+                prev = d["queries"]
+            else:
+                # driver-recorded wrapper: the bench line lives in "tail"
+                frag = d["tail"]
+                frag = frag[frag.index('"queries": {') + len('"queries": ') :]
+                prev = json.JSONDecoder().raw_decode(frag)[0]
+            common = sorted(set(prev) & set(timings))
+            now_s = round(sum(timings[q] for q in common), 3)
+            then_s = round(sum(prev[q] for q in common), 3)
+            print(
+                f"# common-subset vs BENCH_r06 ({len(common)} queries): "
+                f"{now_s} s vs {then_s} s"
+            )
+        except (ValueError, KeyError, TypeError) as e:
+            print(f"# common-subset comparison unavailable: {e}")
     print(line)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w"

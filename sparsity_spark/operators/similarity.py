@@ -470,11 +470,15 @@ def _adc_lut(
     dim: int,
     id_col: str,
     vec_col: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """Per-query ADC lookup table (query_id, subspace, code, d2) — the
-    round-6 per-subspace distance discipline lives HERE and only here,
-    shared by plain ADC search and the IVF-PQ composition (a drifted copy
-    would silently disagree with whichever oracle guards the other)."""
+    """Per-query ADC lookup table (query_id, [extra...], subspace, code,
+    d2) — the round-6 per-subspace distance discipline lives HERE and only
+    here, shared by plain ADC search and the IVF-PQ compositions (a
+    drifted copy would silently disagree with whichever oracle guards the
+    other). ``extra_cols`` pass through unchanged (the residual variant
+    keys its LUT by (query, probed centroid), since the query residual
+    differs per probe bucket)."""
     sub = dim // m
     spark = queries.sparkSession
     # iterate the book's ACTUAL width — a corpus smaller than k_code yields
@@ -484,11 +488,14 @@ def _adc_lut(
         "subspace int, code int, c array<double>",
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("vq")
+        F.col(id_col).alias("query_id"),
+        *extra_cols,
+        F.col(vec_col).cast("array<double>").alias("vq"),
     )
     qsub = F.slice(F.col("vq"), F.col("subspace") * sub + 1, sub)
     return q.crossJoin(F.broadcast(cb)).select(
         "query_id",
+        *extra_cols,
         "subspace",
         "code",
         F.round(
@@ -1130,3 +1137,148 @@ def ivf_pq_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _adc_topk(scored, topk)
+
+
+def _residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
+) -> DataFrame:
+    """(id, centroid_id, residual) rows: x − centroid(x) for each of the
+    n nearest centroids (n=1 corpus side, n=nprobe query side). The
+    subtraction is one JVM zip_with after the broadcast-centroid
+    assignment; residuals round to 6 decimals so a SQL oracle reproduces
+    the downstream codes exactly."""
+    asg = ivf_assign(df, centroids, id_col, vec_col, n=n)
+    cv = centroids.select(
+        F.col("centroid_id").alias("__rcid__"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    return asg.join(F.broadcast(cv), asg.centroid_id == F.col("__rcid__")).select(
+        id_col,
+        "centroid_id",
+        F.transform(
+            F.zip_with(F.col("vec_d"), F.col("__cv__"), lambda a, b: a - b),
+            lambda x: F.round(x, 6),
+        ).alias("residual"),
+    )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k_code: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS IVFPQ's actual design (and
+    the r7 fix for the clustered-data recall ceiling): PQ codes quantize
+    x − centroid(x), not x. On clustered embeddings (the shape real
+    embedding models produce) raw-vector PQ spends its entire resolution
+    re-encoding the cluster CENTER — every member of a tight cluster gets
+    near-identical codes and within-cluster ranking collapses (measured:
+    recall@10 flat at 0.41 across nprobe 1/3/5 on a 32-Gaussian fixture,
+    i.e. routing perfect, quantizer saturated — tools/recall_study.py).
+    Encoding residuals spends the same m codes on the within-cluster
+    offsets, which is where the ranking information lives.
+
+    Plan shape matches :func:`ivf_pq_topk` with ONE twist: the query's
+    residual differs per probed bucket (q − c_b), so the broadcast ADC
+    LUT is keyed (query_id, centroid_id) and the big-side join on
+    (centroid_id, subspace, code) stays bucket-aligned. Still one
+    equi-join + one partial+final aggregate; the corpus raw vectors are
+    read once at encode time, never at query time.
+
+    ``codebook`` defaults to the residual-sampled book (deterministic,
+    SQL-derivable); pass a :func:`pq_trained_codebook` fit on residuals
+    for the production recall path. Returns (query_id, neighbor_id,
+    adc_d2)."""
+    res = _residuals(embeddings, centroids, id_col, vec_col)
+    book = codebook or pq_sampled_codebook(res, m, k_code, dim, id_col, "residual")
+    codes = pq_encode(res, m, k_code, dim, id_col, "residual", codebook=book)
+    bucket_codes = codes.join(res.select(id_col, "centroid_id"), on=id_col)
+    qres = _residuals(queries, centroids, id_col, vec_col, n=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id", "residual"
+    )
+    lut = _adc_lut(
+        qres, book, m, dim, "query_id", "residual", extra_cols=("centroid_id",)
+    )
+    scored = (
+        bucket_codes.join(F.broadcast(lut), on=["centroid_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_topk(scored, topk)
+
+
+def ivf_pq_refine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k_code: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 4,
+    residual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list | None = None,
+) -> DataFrame:
+    """IVF-PQ search with an EXACT-COSINE refine stage (FAISS
+    IndexRefineFlat's shape): the compressed-domain ADC search produces a
+    ``topk × shortlist`` candidate list per query, and only those
+    candidates' RAW vectors are re-read and re-ranked by exact cosine.
+    This closes BOTH residues the r7 recall study isolated
+    (tools/recall_study.py): the quantizer's ranking noise (ADC saturates
+    at 0.41-0.47 recall@10 on the clustered fixture while exact in-bucket
+    L2 reaches 0.835) and the L2-ADC-vs-cosine-truth metric seam (worth
+    ~0.17 on that fixture by itself).
+
+    Scale shape: the shortlist is metadata-sized (Q × topk × shortlist id
+    rows) and BROADCASTS; the corpus contributes one extra column-pruned
+    (id, vector) scan semi-joined by the broadcast — no corpus shuffle,
+    no pairwise blowup. This is the standard accuracy/IO dial: PQ bounds
+    candidate-generation IO, refine pays raw-vector IO for shortlist rows
+    only. Returns (query_id, neighbor_id, cosine)."""
+    fn = ivf_pq_residual_topk if residual else ivf_pq_topk
+    short = fn(
+        embeddings, queries, centroids, m, k_code, dim,
+        topk * shortlist, nprobe, id_col, vec_col, codebook,
+    ).select("query_id", "neighbor_id")
+    nb = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec_d").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    exact = (
+        nb.join(F.broadcast(short), on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .withColumn(
+            "cosine",
+            F.round(dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -32,6 +32,17 @@ def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> Spar
         # least one split per core fixes the local calibration; a real
         # cluster's many-file tables already exceed this floor.
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # ... but minPartitionNum only bites if openCostInBytes lets it:
+        # the default 4 MB open cost FLOORS the split size, so a ~6 MB
+        # local table still scans as 2 splits and every map-side stage
+        # before the first shuffle runs ~2 tasks on 32 cores (measured:
+        # full-corpus ppjoin at sf1 33 s → 4-5 s once the scan splits,
+        # r7). 256 KB keeps multi-MB scans honestly parallel while
+        # leaving sub-MB sf0.1 tables at a handful of splits — 64 KB
+        # shredded those into 32 micro-tasks and cost a diffuse
+        # +0.2-0.5 s per query in scheduler overhead (measured, r7).
+        # A real cluster's 100 MB+ files never feel this floor.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -1522,3 +1522,50 @@ def test_dhash_real_kernel_matches_decode_ppm(spark):
                     k = y * 8 + x
                     out += (1 << k) if k < 63 else -(1 << 63)
         assert int(got.loc[i, "dhash"]) == out
+
+
+def test_ivfpq_refine_recall_floor_clustered(spark):
+    """VERDICT r6 #9: on CLUSTERED embeddings (the 32-Gaussian fixture from
+    tools/recall_study.py) plain IVF-PQ recall is quantizer-capped (~0.41,
+    flat across nprobe — routing is perfect, the codes can't rank within a
+    tight cluster); residual encoding + the exact-cosine refine stage must
+    clear recall@10 >= 0.75 at nprobe=1/shortlist=4 (measured 0.885, above
+    the 0.835 exact-L2 ceiling because refine ranks in the truth metric)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from recall_study import clustered_fixture
+
+    from sparsity_spark.operators import similarity
+
+    emb = clustered_fixture(spark).localCheckpoint(eager=True)
+    queries = emb.filter(emb.vec_id < 20)
+    k = 10
+    truth = {}
+    for r in similarity.cosine_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cents = similarity.kmeans_fit(emb, k=16, iters=2)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    refined = recall(
+        similarity.ivf_pq_refine_topk(
+            emb, queries, cents, m=16, k_code=256, topk=k, nprobe=1,
+            shortlist=4, residual=True,
+        ).collect()
+    )
+    assert refined >= 0.75, f"refined recall@10 = {refined} (measured 0.885)"
+    plain = recall(
+        similarity.ivf_pq_topk(
+            emb, queries, cents, m=16, k_code=256, topk=k, nprobe=1
+        ).collect()
+    )
+    assert refined > plain + 0.1, (
+        f"refine must materially beat plain ADC on clustered data: "
+        f"refined={refined} plain={plain}"
+    )

@@ -452,3 +452,33 @@ def test_audio_pairs_blocked_never_cartesian(spark):
     plan = formatted_plan(audio_pairs(assets))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twin_screen_index_scan_bucket_pruned(spark, sf_dir):
+    """The r7 code-identity twin screen must read the index bucket-pruned
+    to the batch's own probed centroid buckets (SelectedBucketsCount below
+    the table's bucket count) — the screen's index IO is batch-probe-sized,
+    never corpus-sized — and must never degenerate to a cartesian plan."""
+    import re
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        ivfpq_twin_screen,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    write_ivfpq_index(emb, cents, "twin_plancheck", num_buckets=8)
+    batch = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    plan = ivfpq_twin_screen(batch, "twin_plancheck")._jdf.queryExecution(
+    ).executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "twin screen index scan must be bucket-pruned:\n" + plan
+    assert int(m.group(1)) < int(m.group(2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -75,9 +75,17 @@ def replicate_sf(src_dir: str, out_dir: str, factor: int) -> str:
                 )
             parts.append(p)
         big = pd.concat(parts, ignore_index=True)
+        # many row groups, not one: a parquet ROW GROUP is the minimum
+        # split unit, and a single-row-group table caps every scan (and
+        # all map-side work before the first shuffle) at ~1 effective
+        # task no matter what minPartitionNum asks for — measured on the
+        # full-corpus ppjoin profile: compute-heavy tokenize stages ran
+        # (1+1)/2 tasks on a 32-core box. 64+ groups mirrors a real
+        # many-file 100 TB table; per-group size stays >= 1024 rows.
         pq.write_table(
             pa.Table.from_pandas(big, preserve_index=False),
             f"{out_dir}/{name}.parquet",
+            row_group_size=max(1024, len(big) // 64),
         )
     with open(done_marker, "w") as f:
         f.write("ok")
