@@ -2,10 +2,13 @@
 
 The Spark-side plumbing is fully real — binary columns, metadata structs,
 deterministic chunking, Arrow-batched `mapInPandas` feature extraction with
-a declared schema. Only the *codec* step is stubbed (the container has no
-image/audio libraries): `decode_stub` raises NotImplementedError unless
-`fake=True`, in which case a deterministic md5-seeded pseudo-feature vector
-stands in, so batch shapes, schemas and partitioning are exercised for real.
+a declared schema. Three codecs are fully real, from-scratch over public
+formats: binary PPM (P6), PNG (stdlib zlib inflate + per-scanline
+unfiltering), and 16-bit PCM WAV. The remaining *codec* seam is
+JPEG/MP3/FLAC (the container ships no decoders): for those media types
+`decode_stub` raises NotImplementedError unless `fake=True`, in which case
+a deterministic md5-seeded pseudo-feature vector stands in, so batch
+shapes, schemas and partitioning are exercised for real.
 """
 
 from __future__ import annotations
@@ -109,14 +112,190 @@ def ppm_encode(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """REAL compressed-image decode for PNG — pure stdlib ``zlib`` + numpy,
+    zero new dependencies (closes the "compressed codecs" seam from the
+    round-6 review for the one compressed format whose codec ships with
+    Python itself). Walks the chunk stream with CRC-32 validation, parses
+    IHDR (8-bit depth; color types 0 grayscale / 2 RGB / 6 RGBA; no
+    interlace), concatenates and inflates the IDAT stream, and unfilters
+    every scanline (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    Returns an (H, W, C) uint8 array with C in {1, 3, 4}; raises
+    ValueError on anything malformed — never a wrong array (fuzz-pinned
+    in tests/test_property.py). JPEG/MP3/FLAC remain the documented seam
+    (their codecs are not in the container)."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("decode_png: not a PNG payload")
+    pos, ihdr, idat, seen_iend = 8, None, [], False
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("decode_png: truncated chunk body")
+        crc = payload[pos + 8 + size : pos + 12 + size]
+        if len(crc) < 4:
+            raise ValueError("decode_png: truncated chunk CRC")
+        if zlib.crc32(ctype + body) != int.from_bytes(crc, "big"):
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked then skipped
+        pos += 12 + size
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError("decode_png: bad IHDR length")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8:
+        raise ValueError("decode_png: only 8-bit depth supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"decode_png: unsupported color type {color}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("decode_png: unsupported compression/filter/interlace")
+    if w == 0 or h == 0:
+        raise ValueError("decode_png: zero-dimension image")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"decode_png: bad IDAT stream: {e}") from None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decode_png: decompressed size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        ft, row = int(ftypes[y]), data[y]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            recon[y] = row
+        elif ft == 1:  # Sub: per-byte-lane running sum (exact, mod 256)
+            for j in range(bpp):
+                recon[y, j::bpp] = np.cumsum(row[j::bpp]) % 256
+        elif ft == 2:  # Up
+            recon[y] = (row + prev) % 256
+        elif ft == 3:  # Average — sequential in x (depends on left recon)
+            r = recon[y]
+            for i in range(stride):
+                left = r[i - bpp] if i >= bpp else 0
+                r[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth — sequential in x
+            r = recon[y]
+            for i in range(stride):
+                a = r[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"decode_png: unknown filter type {ft}")
+    return recon.astype(np.uint8).reshape(h, w, channels)
+
+
+def png_encode(arr, filter_mode="cycle") -> bytes:
+    """Inverse of :func:`decode_png` — (H, W[, C]) uint8 → PNG bytes.
+    ``filter_mode`` picks the per-scanline filter: an int 0-4 applies that
+    filter to every row; ``"cycle"`` applies filter ``y % 5`` so a single
+    fixture exercises every unfilter path deterministically (what the
+    ``multimodal_png_real`` oracle query relies on)."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"png_encode: unsupported channel count {c}")
+    color = {1: 0, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int64)
+    bpp, lines = c, []
+    zeros = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        row = flat[y]
+        prev = flat[y - 1] if y else zeros
+        left = np.concatenate([zeros[:bpp], row[:-bpp]]) if w * c > bpp else zeros[: w * c]
+        upleft = np.concatenate([zeros[:bpp], prev[:-bpp]]) if w * c > bpp else zeros[: w * c]
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = (row - left) % 256
+        elif ft == 2:
+            out = (row - prev) % 256
+        elif ft == 3:
+            out = (row - (left + prev) // 2) % 256
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            out = (row - pred) % 256
+        else:
+            raise ValueError(f"png_encode: unknown filter mode {ft}")
+        lines.append(bytes([ft]) + out.astype(np.uint8).tobytes())
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (
+            len(b).to_bytes(4, "big")
+            + t
+            + b
+            + (zlib.crc32(t + b) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_to_rgb(img):
+    """Normalize a decoded image to (H, W, 3) RGB: grayscale replicates the
+    luma channel, RGBA drops alpha (deterministic — no compositing), RGB
+    passes through. The single entry point downstream pipelines (features,
+    dHash, thumbnails) use so PPM and PNG payloads flow identically."""
+    import numpy as np
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
 def decode_stub(payload: bytes, media_type: str):
-    """The codec seam: binary PPM (P6) images and 16-bit PCM WAV audio
-    decode for REAL via :func:`decode_ppm` / :func:`decode_wav`; every
-    other media type still raises — the container ships no image/audio
-    libraries, and the surrounding Spark plumbing (schema, partitioning,
-    Arrow batch shape) is exercised with the deterministic fake instead."""
+    """The codec seam: binary PPM (P6) and PNG images plus 16-bit PCM WAV
+    audio decode for REAL via :func:`decode_ppm` / :func:`decode_png` /
+    :func:`decode_wav`; every other media type still raises — the
+    container ships no further image/audio libraries, and the surrounding
+    Spark plumbing (schema, partitioning, Arrow batch shape) is exercised
+    with the deterministic fake instead."""
     if media_type == "image/x-portable-pixmap" or payload[:2] == b"P6":
         return decode_ppm(payload)
+    if media_type == "image/png" or payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if media_type in ("audio/wav", "audio/x-wav") or payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
@@ -180,6 +359,156 @@ def parse_wav(payload):
             -1, channels
         )
     return samples
+
+
+PNG_SIG = bytes.fromhex("89504e470d0a1a0a")
+
+
+def parse_png(payload):
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not PNG")
+    pos, ihdr, idat, seen_iend = 8, None, [], False
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk body")
+        crc = payload[pos + 8 + size : pos + 12 + size]
+        if len(crc) < 4:
+            raise ValueError("truncated chunk CRC")
+        if zlib.crc32(ctype + body) != int.from_bytes(crc, "big"):
+            raise ValueError("CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + size
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError("bad IHDR length")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8:
+        raise ValueError("only 8-bit depth supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError("unsupported color type")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported compression/filter/interlace")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension image")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        raise ValueError("bad IDAT stream")
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decompressed size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        ft, row = int(ftypes[y]), data[y]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            recon[y] = row
+        elif ft == 1:
+            for j in range(bpp):
+                recon[y, j::bpp] = np.cumsum(row[j::bpp]) % 256
+        elif ft == 2:
+            recon[y] = (row + prev) % 256
+        elif ft == 3:
+            r = recon[y]
+            for i in range(stride):
+                left = r[i - bpp] if i >= bpp else 0
+                r[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:
+            r = recon[y]
+            for i in range(stride):
+                a = r[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError("unknown filter type")
+    return recon.astype(np.uint8).reshape(h, w, channels)
+
+
+def parse_image(payload):
+    if payload[:2] == b"P6":
+        img = parse_p6(payload)
+    elif payload[:8] == PNG_SIG:
+        img = parse_png(payload)
+    else:
+        raise ValueError("not a supported image payload")
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
+def encode_png(arr, filter_mode="cycle"):
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3, 4):
+        raise ValueError("unsupported channel count")
+    color = {1: 0, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int64)
+    bpp, lines = c, []
+    zeros = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        row = flat[y]
+        prev = flat[y - 1] if y else zeros
+        left = np.concatenate([zeros[:bpp], row[:-bpp]]) if w * c > bpp else zeros[: w * c]
+        upleft = np.concatenate([zeros[:bpp], prev[:-bpp]]) if w * c > bpp else zeros[: w * c]
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = (row - left) % 256
+        elif ft == 2:
+            out = (row - prev) % 256
+        elif ft == 3:
+            out = (row - (left + prev) // 2) % 256
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            out = (row - pred) % 256
+        else:
+            raise ValueError("unknown filter mode")
+        lines.append(bytes([ft]) + out.astype(np.uint8).tobytes())
+
+    def chunk(t, b):
+        return (
+            len(b).to_bytes(4, "big")
+            + t
+            + b
+            + (zlib.crc32(t + b) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
 '''
 
 
@@ -193,7 +522,8 @@ def extract_features(
     The UDF sees (id, content, media_type) batches and must emit
     (id, feature: array<double>, n_bytes) — schema enforced by Spark.
 
-    Real features for the real codecs (VERDICT r6 #3): PPM payloads yield
+    Real features for the real codecs (VERDICT r6 #3): PPM and PNG
+    payloads yield
     a g×g block-mean luma grid (g = √dim; exact integer BT.601 luma,
     floor-boundary blocks, integer mean, one division by 255.0 — every
     value an exact small rational both engines reproduce, pinned by the
@@ -221,7 +551,8 @@ def extract_features(
 
         ns = {"np": np}
         exec(_src, ns)
-        parse_p6, parse_wav = ns["parse_p6"], ns["parse_wav"]
+        parse_image, parse_wav = ns["parse_image"], ns["parse_wav"]
+        png_sig = ns["PNG_SIG"]
 
         def fake_features(payload: bytes) -> list[float]:
             out: list[float] = []
@@ -263,13 +594,13 @@ def extract_features(
                 raw = bytes(payload)
                 if fake:
                     feats.append(fake_features(raw))
-                elif raw[:2] == b"P6":
+                elif raw[:2] == b"P6" or raw[:8] == png_sig:
                     if g * g != dim:
                         raise ValueError(
                             f"extract_features: image features need a square dim, got {dim}"
                         )
                     try:
-                        feats.append(image_features(parse_p6(raw)))
+                        feats.append(image_features(parse_image(raw)))
                     except ValueError:
                         feats.append(None)
                 elif raw[:4] == b"RIFF":
@@ -333,14 +664,15 @@ def frame_sample(
 
         ns = {"np": np}
         exec(_src, ns)
-        parse_p6, parse_wav = ns["parse_p6"], ns["parse_wav"]
+        parse_image, parse_wav = ns["parse_image"], ns["parse_wav"]
+        png_sig = ns["PNG_SIG"]
 
         def frame_md5(raw, idx, n_frames):
             if fake:
                 return hashlib.md5(raw + b":" + str(idx).encode()).hexdigest()
-            if raw[:2] == b"P6":
+            if raw[:2] == b"P6" or raw[:8] == png_sig:
                 try:
-                    img = parse_p6(raw)
+                    img = parse_image(raw)
                 except ValueError:
                     return None
                 return hashlib.md5(img.tobytes()).hexdigest()
@@ -381,7 +713,7 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: Arrow-batched mapInPandas whose UDF contract is
     (id, content, n_bytes) → (id, width, height, thumb_md5, out_bytes).
-    PPM (P6) payloads are resized for REAL (VERDICT r6 #3): per-channel
+    PPM (P6) and PNG payloads are resized for REAL (VERDICT r6 #3): per-channel
     block-mean downsample to width×height (floor-boundary blocks, exact
     integer means), re-encoded as P6 — thumb_md5 hashes the actual
     thumbnail payload and out_bytes is its true size; corrupt or
@@ -402,15 +734,17 @@ def resize_images(
 
         ns = {"np": np}
         exec(_src, ns)
-        parse_p6 = ns["parse_p6"]
+        parse_image, encode_png = ns["parse_image"], ns["encode_png"]
+        png_sig = ns["PNG_SIG"]
 
-        def thumb_p6(raw):
+        def thumb(raw):
             # real downsample (VERDICT r6 #3): per-channel block means
             # (floor boundaries, integer mean — the dHash segmentation
-            # discipline), re-encoded as P6; md5 is of the REAL thumbnail
-            # payload. None for corrupt or smaller-than-target images.
+            # discipline), re-encoded as P6 for P6 inputs and filter-0
+            # PNG for PNG inputs; md5 is of the REAL thumbnail payload.
+            # None for corrupt or smaller-than-target images.
             try:
-                img = parse_p6(raw)
+                img = parse_image(raw)
             except ValueError:
                 return None, None
             h, w = img.shape[:2]
@@ -425,7 +759,10 @@ def resize_images(
                     blk = px[y0:y1, x0:x1]
                     npix = blk.shape[0] * blk.shape[1]
                     t[by, bx] = blk.sum(axis=(0, 1)) // npix
-            payload = b"P6\n%d %d\n255\n" % (width, height) + t.tobytes()
+            if raw[:8] == png_sig:
+                payload = encode_png(t, 0)
+            else:
+                payload = b"P6\n%d %d\n255\n" % (width, height) + t.tobytes()
             return hashlib.md5(payload).hexdigest(), len(payload)
 
         for pdf in batches:
@@ -437,12 +774,12 @@ def resize_images(
                 md5s, obytes = [], []
                 for c in pdf["content"]:
                     raw = bytes(c)
-                    if raw[:2] != b"P6":
+                    if raw[:2] != b"P6" and raw[:8] != png_sig:
                         raise NotImplementedError(
                             "no codec available for this image type; "
                             "install a decoder or pass fake=True"
                         )
-                    m, nb = thumb_p6(raw)
+                    m, nb = thumb(raw)
                     md5s.append(m)
                     obytes.append(nb)
             yield pd.DataFrame(
@@ -654,7 +991,9 @@ def dhash_real_fingerprints(
     content_col: str = "content",
 ) -> DataFrame:
     """dHash over REAL pixel grids (VERDICT r5 #6): decode each binary PPM
-    payload with :func:`decode_ppm`, reduce to integer luma
+    payload with :func:`decode_ppm` (and, r7, each PNG payload with
+    :func:`decode_png` — grayscale/RGBA normalized via
+    :func:`image_to_rgb`), reduce to integer luma
     ((299R + 587G + 114B) // 1000 — the BT.601 weights in exact integer
     arithmetic so every engine agrees bit for bit), block-mean downsample
     to the classic 9×8 dHash grid (block boundaries by integer division,
@@ -671,43 +1010,25 @@ def dhash_real_fingerprints(
     id_type = assets.schema[id_col].dataType.simpleString()
     flat = ensure_parallelism(assets.select(F.col(id_col), F.col(content_col)))
 
-    def kern(batches, _id=id_col, _c=content_col):
-        # self-contained closure (imports + a minimal P6 parser inside):
+    def kern(batches, _id=id_col, _c=content_col, _src=_INLINE_CODEC_SRC):
+        # self-contained closure (imports + the shared inline parsers):
         # executors may not have this module importable — same discipline
-        # as every other kernel in the package. decode_ppm is the
-        # reference implementation; this inline parser is identical and
-        # parity-tested (test_operators.py::
-        # test_dhash_real_kernel_matches_decode_ppm).
+        # as every other kernel in the package. decode_ppm / decode_png
+        # are the reference implementations; the inline parsers are
+        # identical and parity-tested (test_operators.py::
+        # test_dhash_real_kernel_matches_decode_ppm and the PNG twin).
         import numpy as np
         import pandas as pd
 
-        def parse_p6(payload: bytes):
-            if not payload.startswith(b"P6"):
-                raise ValueError("not P6")
-            pos, tokens = 2, []
-            while len(tokens) < 3:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos] != 0x0A:
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                tokens.append(payload[start:pos])
-            pos += 1
-            w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
-            if maxval > 255:
-                raise ValueError("16-bit PPM not supported")
-            pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-            return pix.reshape(h, w, 3)
+        ns = {"np": np}
+        exec(_src, ns)
+        parse_image = ns["parse_image"]
 
         def dh(raw):
             if raw is None:
                 return None
             try:
-                img = parse_p6(bytes(raw))
+                img = parse_image(bytes(raw))
             except Exception:
                 return None
             h, w = img.shape[:2]

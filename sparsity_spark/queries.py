@@ -1520,6 +1520,114 @@ def multimodal_features_real_q(spark, sf_dir):
     )
 
 
+def _png_real_oracle(mod: int = 4, w: int = 24, h: int = 20, g: int = 4) -> str:
+    """REAL compressed-image decode end to end, mirrored in SQL (r7): the
+    Spark query generates a deterministic w×h image per doc_id — cycling
+    through grayscale / RGB / RGBA color types by doc_id%3 — encodes it
+    as a REAL PNG (zlib deflate, per-scanline filter y%5 so every
+    unfilter path None/Sub/Up/Average/Paeth is on the decode path),
+    routes it through the generic extract_features plumbing (media-type
+    dispatch → CRC-validated chunk walk → inflate → unfilter →
+    gray-replicate/alpha-drop → integer BT.601 luma → g×g integer
+    block-mean grid). The oracle regenerates the SAME pixels from doc_id
+    (grayscale luma is the gray value itself since the BT.601 weights sum
+    to 1000; RGBA's alpha is dropped before luma, so its luma equals the
+    RGB case) — a mismatch anywhere in deflate → chunk walk → inflate →
+    unfilter → color-normalize → luma → block means breaks the hash."""
+    gray = "(doc_id*19 + x*7 + y*5) % 256"
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = 1),
+    px AS (
+      SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             CASE WHEN doc_id % 3 = 0 THEN {gray}
+                  ELSE (doc_id*37 + x*11 + y*3) % 256 END AS r,
+             CASE WHEN doc_id % 3 = 0 THEN {gray}
+                  ELSE (doc_id*13 + x*5 + y*17) % 256 END AS gg,
+             CASE WHEN doc_id % 3 = 0 THEN {gray}
+                  ELSE (doc_id*29 + x*7 + y*23) % 256 END AS b
+      FROM ids, LATERAL UNNEST(range({w})) tx(x), LATERAL UNNEST(range({h})) ty(y)
+    ),
+    lum AS (SELECT doc_id, x, y, (299*r + 587*gg + 114*b) // 1000 AS l FROM px),
+    blk AS (
+      SELECT doc_id, (y*{g}) // {h} AS by, (x*{g}) // {w} AS bx,
+             (SUM(l) // COUNT(*)) / 255.0 AS fval
+      FROM lum GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(by*{g} + bx AS INTEGER) AS fi, fval FROM blk
+    """
+
+
+@query("multimodal_png_real", _png_real_oracle())
+def multimodal_png_real_q(spark, sf_dir):
+    """REAL PNG decode through the generic multimodal plumbing (r7 —
+    closes the round-6 'compressed codecs' gap for the one compressed
+    format Python can decode with its own stdlib): a deterministic 24×20
+    image per doc_id, color type cycling gray/RGB/RGBA by doc_id%3, is
+    deflate-compressed into a real PNG with the scanline filter cycling
+    y%5 — so the decode path exercises zlib inflate plus ALL FIVE
+    unfilter kernels, CRC validation, and the gray-replicate/alpha-drop
+    normalization — then flows through extract_features' media-type
+    dispatch to the same g×g integer block-mean luma grid as the PPM
+    fixture. The oracle regenerates the pixels in SQL and must land on
+    identical exact rationals."""
+    from sparsity_spark.operators.multimodal import _INLINE_CODEC_SRC, extract_features
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 1  # corpus-proportional fixture, disjoint
+        # from the PPM fixture's %4==0 slice
+    ).distinct()
+
+    def mk_png(batches, _src=_INLINE_CODEC_SRC):
+        import numpy as np
+        import pandas as pd
+
+        ns = {"np": np}
+        exec(_src, ns)
+        encode_png = ns["encode_png"]
+        W, H = 24, 20
+        xs = np.arange(W, dtype=np.int64)[None, :]
+        ys = np.arange(H, dtype=np.int64)[:, None]
+
+        def png(doc_id):
+            if doc_id % 3 == 0:
+                img = ((doc_id * 19 + xs * 7 + ys * 5) % 256).astype(np.uint8)
+                img = np.broadcast_to(img, (H, W))
+            else:
+                r = (doc_id * 37 + xs * 11 + ys * 3) % 256
+                g = (doc_id * 13 + xs * 5 + ys * 17) % 256
+                b = (doc_id * 29 + xs * 7 + ys * 23) % 256
+                chans = [np.broadcast_to(c, (H, W)) for c in (r, g, b)]
+                if doc_id % 3 == 2:
+                    chans.append(
+                        np.broadcast_to((doc_id + xs + ys) % 256, (H, W))
+                    )
+                img = np.stack(chans, axis=2).astype(np.uint8)
+            return encode_png(img, "cycle")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [png(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    raw = ids.mapInPandas(mk_png, schema="doc_id long, content binary")
+    assets = raw.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.octet_length("content").alias("n_bytes"),
+            F.lit(1).alias("chunk_count"),
+        ).alias("meta"),
+    )
+    feats = extract_features(assets, fake=False)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("fi", "fval")
+    )
+
+
 def _audio_real_oracle(mod: int = 4, n: int = 650) -> str:
     """Frame-energy fingerprint over REAL decoded PCM, mirrored in SQL
     (the audio twin of `_dhash_real_oracle`): the Spark query generates a

@@ -118,7 +118,9 @@ def test_multimodal_fake_features(spark, docs):
 
 
 def test_multimodal_stub_raises(spark, docs):
-    assets = multimodal.as_binary_assets(docs, media_type="image/png")
+    # image/jpeg: a genuinely un-decodable type (PNG became a real codec
+    # in r7, so the seam test uses a format the container truly lacks)
+    assets = multimodal.as_binary_assets(docs, media_type="image/jpeg")
     with pytest.raises(Exception, match="no codec|NotImplementedError|PythonException"):
         multimodal.extract_features(assets, fake=False).collect()
 
@@ -1522,6 +1524,145 @@ def test_dhash_real_kernel_matches_decode_ppm(spark):
                     k = y * 8 + x
                     out += (1 << k) if k < 63 else -(1 << 63)
         assert int(got.loc[i, "dhash"]) == out
+
+
+def _mk_png_arr(doc_id, w=24, h=20):
+    """Deterministic pixels matching the multimodal_png_real fixture:
+    grayscale / RGB / RGBA cycling by doc_id % 3."""
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    if doc_id % 3 == 0:
+        return np.broadcast_to((doc_id * 19 + xs * 7 + ys * 5) % 256, (h, w)).astype(np.uint8)
+    r = (doc_id * 37 + xs * 11 + ys * 3) % 256
+    g = (doc_id * 13 + xs * 5 + ys * 17) % 256
+    b = (doc_id * 29 + xs * 7 + ys * 23) % 256
+    chans = [np.broadcast_to(c, (h, w)) for c in (r, g, b)]
+    if doc_id % 3 == 2:
+        chans.append(np.broadcast_to((doc_id + xs + ys) % 256, (h, w)))
+    return np.stack(chans, axis=2).astype(np.uint8)
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """r7: decode(encode(img)) == img for gray/RGB/RGBA across every
+    scanline filter (fixed 0-4 and the cycling mode); CRC corruption and
+    truncation raise ValueError, never return a wrong array; and the
+    inline kernel encoder/parser are bit-identical to the references."""
+    from sparsity_spark.operators.multimodal import (
+        _INLINE_CODEC_SRC,
+        decode_png,
+        decode_stub,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(17)
+    ns = {"np": np}
+    exec(_INLINE_CODEC_SRC, ns)
+    for c in (1, 3, 4):
+        for fm in (0, 1, 2, 3, 4, "cycle"):
+            a = rng.randint(0, 256, size=(11, 13, c)).astype(np.uint8)
+            p = png_encode(a, fm)
+            assert (decode_png(p) == a).all(), (c, fm)
+            # inline kernel parity: same bytes out, same pixels back
+            assert ns["encode_png"](a, fm) == p
+            assert (ns["parse_png"](p) == a).all()
+    a = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    p = png_encode(a, "cycle")
+    assert (decode_stub(p, "image/png") == a).all()
+    # flip one byte inside the IDAT body -> CRC mismatch, ValueError
+    bad = bytearray(p)
+    bad[8 + 25 + 12] ^= 0xFF  # first IDAT payload byte (after sig+IHDR chunk+len+type)
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(p[: len(p) // 2])
+    # gray normalizes to replicated RGB, RGBA drops alpha
+    g = rng.randint(0, 256, size=(6, 7)).astype(np.uint8)
+    img = ns["parse_image"](png_encode(g, 1))
+    assert img.shape == (6, 7, 3) and (img[:, :, 0] == g).all() and (img[:, :, 2] == g).all()
+    rgba = rng.randint(0, 256, size=(6, 7, 4)).astype(np.uint8)
+    assert (ns["parse_image"](png_encode(rgba, 4)) == rgba[:, :, :3]).all()
+
+
+def test_png_real_pipeline_features_resize_dhash_framesample(spark):
+    """r7: PNG payloads flow through EVERY generic multimodal operator for
+    real — extract_features parity vs decode_png, resize_images thumbnails
+    re-encoded as filter-0 PNG, dhash fingerprints recomputed from the
+    reference decoder, frame_sample hashing the normalized RGB grid."""
+    import hashlib
+
+    from sparsity_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_png,
+        dhash_real_fingerprints,
+        extract_features,
+        frame_sample,
+        image_to_rgb,
+        png_encode,
+        resize_images,
+    )
+
+    g = int(FEATURE_DIM**0.5)
+    rows = [(i, png_encode(_mk_png_arr(i), "cycle")) for i in range(6)]
+    assets = _binary_asset_df(spark, rows, "image/png")
+
+    got = extract_features(assets, fake=False).toPandas().set_index("doc_id")
+    for i, raw in rows:
+        img = image_to_rgb(decode_png(raw)).astype(np.int64)
+        luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+        h, w = luma.shape
+        want = []
+        for by in range(g):
+            for bx in range(g):
+                blk = luma[(by * h) // g : ((by + 1) * h) // g,
+                           (bx * w) // g : ((bx + 1) * w) // g]
+                want.append((int(blk.sum()) // blk.size) / 255.0)
+        assert list(got.loc[i, "feature"]) == want
+
+    W, H = 8, 5
+    thumbs = resize_images(assets, width=W, height=H, fake=False).toPandas().set_index("doc_id")
+    for i, raw in rows:
+        img = image_to_rgb(decode_png(raw)).astype(np.int64)
+        h, w = img.shape[:2]
+        t = np.empty((H, W, 3), dtype=np.uint8)
+        for by in range(H):
+            for bx in range(W):
+                blk = img[(by * h) // H : ((by + 1) * h) // H,
+                          (bx * w) // W : ((bx + 1) * w) // W]
+                t[by, bx] = blk.sum(axis=(0, 1)) // (blk.shape[0] * blk.shape[1])
+        payload = png_encode(t, 0)
+        assert thumbs.loc[i, "thumb_md5"] == hashlib.md5(payload).hexdigest()
+        assert thumbs.loc[i, "out_bytes"] == len(payload)
+
+    big = [(i, png_encode(_mk_png_arr(i, w=36, h=16), "cycle")) for i in range(6)]
+    fps = dhash_real_fingerprints(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r[0] for r in big],
+                          "content": [bytearray(r[1]) for r in big]}),
+            "doc_id long, content binary",
+        )
+    ).toPandas().set_index("doc_id")
+    for i, raw in big:
+        img = image_to_rgb(decode_png(raw)).astype(np.int64)
+        luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+        h, w = luma.shape
+        m = np.empty((8, 9))
+        for by in range(8):
+            for bx in range(9):
+                m[by, bx] = luma[(by * h) // 8 : ((by + 1) * h) // 8,
+                                 (bx * w) // 9 : ((bx + 1) * w) // 9].mean()
+        out = 0
+        for y in range(8):
+            for x in range(8):
+                if m[y, x] > m[y, x + 1]:
+                    k = y * 8 + x
+                    out += (1 << k) if k < 63 else -(1 << 63)
+        assert int(fps.loc[i, "dhash"]) == out
+
+    frames = frame_sample(assets.limit(2), every_k=1, fake=False).toPandas()
+    for _, row in frames.iterrows():
+        raw = dict(rows)[int(row["doc_id"])]
+        still = hashlib.md5(image_to_rgb(decode_png(raw)).tobytes()).hexdigest()
+        assert row["frame_md5"] == still
 
 
 def test_ivfpq_refine_recall_floor_clustered(spark):

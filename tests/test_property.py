@@ -445,3 +445,65 @@ def test_tdb_truncation_decode_or_error(tmp_path_factory, cut, seed):
     except (ValueError, KeyError, AssertionError, struct.error, tarfile.TarError, EOFError, OSError):
         return
     assert got == want  # only a byte-complete container may decode fully
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_png_fuzz_decode_or_valueerror(raw):
+    """r7 PNG codec fuzz: arbitrary bytes after the signature must decode
+    or raise ValueError — never a wrong array or an uncontrolled crash."""
+    from sparsity_spark.operators.multimodal import PNG_SIG, decode_png
+
+    try:
+        img = decode_png(PNG_SIG + raw)
+    except ValueError:
+        return
+    assert img.ndim == 3 and img.shape[2] in (1, 3, 4)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    c=st.sampled_from([1, 3, 4]),
+    fm=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, c, fm, seed):
+    """Every (size, color type, filter) combination must round-trip to the
+    exact pixel array; truncation and a flipped CRC byte must raise."""
+    from sparsity_spark.operators.multimodal import decode_png, png_encode
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    p = png_encode(a, fm)
+    assert (decode_png(p) == a).all()
+    with pytest.raises(ValueError):
+        decode_png(p[:-1])
+    bad = bytearray(p)
+    bad[-5] ^= 0x01  # IEND CRC byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), junk=st.binary(min_size=0, max_size=24))
+def test_png_ancillary_chunks_skipped(seed, junk):
+    """CRC-valid ancillary chunks between IHDR and IDAT must be skipped;
+    the decoded pixels must be unchanged."""
+    import zlib
+
+    from sparsity_spark.operators.multimodal import decode_png, png_encode
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    p = png_encode(a, 2)
+    anc = (
+        len(junk).to_bytes(4, "big")
+        + b"tEXt"
+        + junk
+        + (zlib.crc32(b"tEXt" + junk) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    ihdr_end = 8 + 25  # signature + IHDR chunk
+    spliced = p[:ihdr_end] + anc + p[ihdr_end:]
+    assert (decode_png(spliced) == a).all()
