@@ -102,3 +102,109 @@ def salted_join(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return fact_salted.join(dim_salted, on=[on, salt_col], how=how).drop(salt_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (r7). Spark's own runtime row-group /
+# bloom filters (AQE) are opaque and best-effort; this is the explicit,
+# engine-deterministic form a 100 TB pipeline can rely on and reason about:
+# the build side collapses to a driver-held bitmap whose size is chosen up
+# front (m_bits/8 bytes — metadata, like a codebook or centroid set), the
+# probe is a pure map-side expression on the big side (no exchange, no
+# Python), and the final exact semi-join restores precise semantics — the
+# bloom has no false negatives by construction, so the prefilter is
+# lossless for the final result while cutting the big side's shuffle input
+# by the filter's selectivity. Hashing is the engine-portable md5 scheme
+# shared with the KMV sketches, so every engine computes identical bits.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17  # 16 KiB bitmap — demo default; size to ~10 bits/key
+
+
+def _bloom_positions(key, m_bits: int, k: int) -> list:
+    """The k bloom bit positions of a key column: 60-bit md5 prefixes of
+    "key:j" reduced mod m_bits — nonnegative, engine-portable, and
+    identical across build and probe by construction."""
+    key_s = key.cast("string")
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key_s, F.lit(f":{j}"))), 1, 15), 16, 10
+        ).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_build_hex(
+    small: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = 5
+) -> str:
+    """Build the bitmap as an m_bits/4-char hex string (nibble i covers bit
+    positions 4i..4i+3, low bit first). One map + one tiny hash aggregate
+    over at most m_bits/4 nibble groups; the collect is bitmap-sized
+    metadata, never corpus-sized."""
+    if m_bits % 4 != 0:
+        raise ValueError("m_bits must be a multiple of 4")
+    # NULL keys never match a semi-join; dropping them also keeps the
+    # position arithmetic null-free
+    pos = small.where(F.col(key_col).isNotNull()).select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
+    )
+    nibbles = (
+        pos.select(
+            (F.col("pos") / 4).cast("int").alias("ci"),
+            # shiftleft needs a literal shift amount; 2^(pos%4) is exact in
+            # double for 0..3 and casts back to the {1,2,4,8} nibble bits
+            F.pow(F.lit(2.0), (F.col("pos") % 4).cast("double")).cast("int").alias("b"),
+        )
+        .groupBy("ci")
+        .agg(F.bit_or("b").alias("nib"))
+        .collect()
+    )
+    chars = ["0"] * (m_bits // 4)
+    for r in nibbles:
+        chars[r["ci"]] = "0123456789abcdef"[r["nib"]]
+    return "".join(chars)
+
+
+def bloom_probe_expr(key, hex_bitmap: str, m_bits: int = BLOOM_M_BITS, k: int = 5):
+    """Membership-test expression over the driver-held bitmap: k substring
+    lookups into one string literal plus nibble bit tests — whole-stage-
+    codegen-friendly, zero shuffle, zero Python. May pass false positives
+    (rate (1-e^(-kn/m))^k); never drops a present key."""
+    conds = []
+    for pos in _bloom_positions(key, m_bits, k):
+        nib = F.conv(
+            F.substring(F.lit(hex_bitmap), (pos / 4 + 1).cast("int"), 1), 16, 10
+        ).cast("int")
+        bit = F.pow(F.lit(2.0), (pos % 4).cast("double")).cast("int")
+        conds.append(nib.bitwiseAND(bit) != 0)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semijoin(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = 5,
+) -> DataFrame:
+    """Exact semi-join with an explicit bloom prefilter on the big side.
+
+    Build the bitmap from the small side (eager: one tiny job + a
+    bitmap-sized collect), filter the big side map-side with
+    :func:`bloom_probe_expr`, then run the precise left-semi join on the
+    survivors — bitwise-equal to ``big.join(small, ..., "leftsemi")``
+    (property-pinned), but at scale the shuffle/broadcast-probe input is
+    only the prefilter's survivors. Use when the build side is too big to
+    broadcast raw but its *bitmap* is metadata-sized — the regime between
+    broadcast joins and full shuffle joins."""
+    small_key = small_key or big_key
+    hex_bitmap = bloom_build_hex(small, small_key, m_bits, k)
+    pre = big.filter(bloom_probe_expr(F.col(big_key), hex_bitmap, m_bits, k))
+    return pre.join(
+        small.select(small_key), pre[big_key] == small[small_key], "leftsemi"
+    )

@@ -2683,6 +2683,47 @@ def skew_salted_join(spark, sf_dir):
 
 
 @query(
+    "skew_bloom_semijoin",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS price_cents
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    GROUP BY 1
+    """,
+)
+def skew_bloom_semijoin_q(spark, sf_dir):
+    """Bloom-prefiltered exact semi-join (r7): the build side (urgent
+    big-ticket orders) collapses to a driver-held 16 KiB bitmap; the
+    lineitem side is screened map-side by the pure-expression membership
+    test (no exchange, no Python) before the precise left-semi join runs
+    on the survivors. The oracle is the PLAIN semi-join — the bloom has
+    no false negatives and the exact join removes its false positives, so
+    any bitmap/probe defect that drops or leaks a row breaks the hash.
+    Money math follows the integer-cents discipline (exact BIGINT sums,
+    never a double summation boundary)."""
+    from sparsity_spark.operators.skew import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    matched = bloom_semijoin(li, orders, "l_orderkey", "o_orderkey")
+    return matched.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+
+
+@query(
     "s6_from_pandas",
     """
     SELECT n_nationkey AS idx, 'n_regionkey' AS col, CAST(n_regionkey AS DOUBLE) AS value

@@ -482,3 +482,32 @@ def test_twin_screen_index_scan_bucket_pruned(spark, sf_dir):
     assert int(m.group(1)) < int(m.group(2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_semijoin_prefilter_is_mapside(spark, sf_dir):
+    """The bloom probe must be a pure Filter directly over the big side's
+    scan — below any Exchange — so at scale the bitmap screens rows
+    map-side before shuffle/broadcast-probe; and the final exact join must
+    not be a cartesian plan."""
+    from sparsity_spark.operators.skew import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    out = bloom_semijoin(li, orders, "l_orderkey", "o_orderkey")
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe's md5/conv expression sits in a Filter in the lineitem
+    # branch; Spark renders it as a Filter node containing md5(...) —
+    # absence means the prefilter was lost and the full table flows into
+    # the join
+    assert "md5" in plan, plan
+    # and the filter is NOT separated from the scan by an exchange:
+    # scan -> filter -> ... -> join, never scan -> exchange -> filter
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    li_scan = exec_plan.find("lineitem")
+    assert li_scan != -1
+    md5_pos = exec_plan.find("md5")
+    assert md5_pos != -1 and md5_pos < li_scan or "PushedFilters" in exec_plan

@@ -507,3 +507,33 @@ def test_png_ancillary_chunks_skipped(seed, junk):
     ihdr_end = 8 + 25  # signature + IHDR chunk
     spliced = p[:ihdr_end] + anc + p[ihdr_end:]
     assert (decode_png(spliced) == a).all()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    small_keys=st.lists(st.integers(-1000, 1000), min_size=0, max_size=40, unique=True),
+    big_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=120),
+)
+def test_bloom_semijoin_matches_plain_semijoin(spark, small_keys, big_keys):
+    """r7 bloom prefilter: no false negatives by construction + the exact
+    join removes false positives — bloom_semijoin must equal the plain
+    left-semi join on arbitrary (including negative and absent) keys."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.skew import bloom_semijoin
+
+    big = spark.createDataFrame(
+        [(int(k), i) for i, k in enumerate(big_keys)], "key long, v long"
+    )
+    small = spark.createDataFrame(
+        [(int(k),) for k in small_keys] or [(None,)], "skey long"
+    )
+    got = sorted(
+        (r["key"], r["v"])
+        for r in bloom_semijoin(big, small, "key", "skey", m_bits=1 << 10, k=3).collect()
+    )
+    want = sorted(
+        (r["key"], r["v"])
+        for r in big.join(small, big["key"] == small["skey"], "leftsemi").collect()
+    )
+    assert got == want
