@@ -119,3 +119,95 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     return u.agg(F.count("*").alias("n_union")).crossJoin(
         both.agg(F.count("*").alias("n_both"))
     ).select(F.round(F.col("n_both") / F.col("n_union"), 4).alias("jaccard_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (r7): point-frequency estimates with the same
+# engine-determinism discipline as KMV — fixed md5-derived hash rows, so a
+# DuckDB oracle reproduces every cell and every estimate bit-for-bit
+# (unlike library CMS implementations whose murmur seeds differ across
+# engines). The sketch is (depth × width) counters built by ONE partial+
+# final hash aggregate over depth-exploded rows; it is mergeable cell-wise
+# (cms_merge), which is what lets per-day/per-shard sketches roll up
+# without rescanning 100 TB. Estimates are upper bounds: est >= true, with
+# overestimate < 2N/width at probability 1 - (1/2)^depth.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col, j: int, width: int):
+    """Row j's bucket for a value: 60-bit md5 of "value:j" mod width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{j}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Build the sketch: (d, bucket, cnt) rows — at most depth×width of
+    them, metadata-sized regardless of input size. One explode (×depth, a
+    map) + one hash aggregate; zero-count cells are implicit."""
+    cells = df.where(F.col(value_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_bucket(F.col(value_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the same (width, depth) —
+    exactly the sketch of the concatenated inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates for a probe set: min over the depth rows
+    of the probed cells (absent cell = 0). The join is probe×depth rows
+    against a metadata-sized sketch — broadcastable by construction.
+    Returns (probe_col, est_count)."""
+    probed = probes.select(probe_col).distinct().select(
+        F.col(probe_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_bucket(F.col(probe_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(probe_col, F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+    joined = probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )

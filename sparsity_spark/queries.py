@@ -5984,6 +5984,47 @@ def stats_kmv_jaccard_q(spark, sf_dir):
     return kmv_jaccard(a, b, k=64)
 
 
+@query(
+    "stats_cms_estimate",
+    """
+    WITH cells AS (
+      SELECT j.d AS d,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(j.d AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM events, LATERAL UNNEST(range(3)) j(d)
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (SELECT d, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+    pr AS (
+      SELECT p.c_custkey, j.d AS d,
+             CAST(('0x' || substring(md5(CAST(p.c_custkey AS VARCHAR) || ':' || CAST(j.d AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM probes p, LATERAL UNNEST(range(3)) j(d)
+    )
+    SELECT pr.c_custkey AS user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM pr LEFT JOIN sk USING (d, bucket)
+    GROUP BY 1
+    """,
+)
+def stats_cms_estimate_q(spark, sf_dir):
+    """Count-min point-frequency estimates (r7): the per-user event-count
+    sketch is depth×width counters from ONE hash aggregate (metadata-sized
+    at any corpus size, mergeable cell-wise), probed for every 50th
+    customer key with a broadcast join. Like the KMV family the hash rows
+    are fixed md5 derivations, so the DuckDB oracle reproduces every
+    counter and every min-estimate exactly — no cross-engine sketch
+    drift."""
+    from sparsity_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", width=256, depth=3)
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return cms_estimate(sk, probes, "user_id", width=256, depth=3)
+
+
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
     c{iters}) — same deterministic hash-sampled init (k lowest

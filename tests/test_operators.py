@@ -510,6 +510,36 @@ def test_kmv_sketch_merge_and_accuracy(spark):
     assert kmv_estimate(small, k=64).collect()[0]["distinct_estimate"] == 10.0
 
 
+def test_cms_upper_bound_merge_and_accuracy(spark):
+    """r7 count-min: estimates are upper bounds on true frequency, tight
+    for heavy hitters when width ≫ distinct values; merging half-sketches
+    cell-wise equals the whole-corpus sketch exactly."""
+    from sparsity_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    # skewed stream: value v appears (50 - v) times for v in 0..49
+    rows = [(v,) for v in range(50) for _ in range(50 - v)]
+    df = spark.createDataFrame(rows, "v long")
+    sk = cms_sketch(df, "v", width=512, depth=3)
+    probes = spark.range(60).withColumnRenamed("id", "v")  # incl. absent keys
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(sk, probes, "v", width=512, depth=3).collect()
+    }
+    true = {v: 50 - v for v in range(50)}
+    for v in range(60):
+        t = true.get(v, 0)
+        assert est[v] >= t, (v, est[v], t)  # never underestimates
+        assert est[v] - t <= len(rows) * 2 / 512 + 1  # CMS error bound (+1 slack)
+    # 50 distinct into width 512: the top value is exact w.h.p.
+    assert est[0] == 50
+
+    half1 = cms_sketch(df.filter("v < 25"), "v", width=512, depth=3)
+    half2 = cms_sketch(df.filter("v >= 25"), "v", width=512, depth=3)
+    merged = cms_merge(half1, half2).toPandas().sort_values(["d", "bucket"]).reset_index(drop=True)
+    whole = sk.toPandas().sort_values(["d", "bucket"]).reset_index(drop=True)
+    assert merged.equals(whole)
+
+
 def test_kmv_jaccard_tracks_true_overlap(spark):
     from sparsity_spark.operators.sketches import kmv_jaccard, kmv_sketch
 
