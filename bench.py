@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "multimodal_dhash_real",
     "multimodal_audio_real",
     "ann_ivfpq_append_topk",
+    "multimodal_png_real",
+    "skew_bloom_semijoin",
+    "stats_cms_estimate",
+    "multimodal_adpcm_real",
+    "s7_jsonl_roundtrip",
 ]
 
 

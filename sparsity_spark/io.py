@@ -320,3 +320,33 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Line-delimited JSON ingestion (r7) — the LLM-corpus interchange
+    staple alongside parquet. Spark's native json source is line-splittable
+    (each executor parses its own byte range, snapping to newline
+    boundaries), so a 100 TB JSONL lake fans out without a driver-side
+    listing bottleneck. Pass an explicit DDL ``schema`` in production:
+    schema inference is a SECOND full scan before the first real job —
+    fine at test scale, a doubled pass at 100 TB. ``columns`` prunes
+    parser output early (Jackson still tokenizes each line, but pruning
+    drops parsed values before they reach the row, and keeps downstream
+    plans narrow)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.select(*columns) if columns else df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write line-delimited JSON shards — one file per partition, each a
+    valid standalone JSONL (the property that makes the format splittable
+    on the way back in)."""
+    df.write.mode(mode).json(path)

@@ -333,10 +333,107 @@ def parse_p6(payload):
     return pix.reshape(h, w, 3)
 
 
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_decode_block(body):
+    pred = int.from_bytes(body[0:2], "little", signed=True)
+    idx = body[2]
+    if idx > 88:
+        raise ValueError("step index out of range")
+    out = [pred]
+    for byte in body[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            step = IMA_STEP_TABLE[idx]
+            code = nib & 7
+            diffq = (
+                (step >> 3)
+                + (code & 1) * (step >> 2)
+                + ((code >> 1) & 1) * (step >> 1)
+                + ((code >> 2) & 1) * step
+            )
+            pred = pred - diffq if nib & 8 else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_ADJ[code]))
+            out.append(pred)
+    return out
+
+
+def encode_adpcm_wav(samples, rate=16000, block_align=256):
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    n = len(s)
+    if n == 0 or block_align < 5:
+        raise ValueError("bad adpcm encode input")
+    spb = (block_align - 4) * 2 + 1
+    blocks, idx, i = [], 0, 0
+    while i < n:
+        chunk = s[i : i + spb]
+        pred = int(chunk[0])
+        hdr = (pred & 0xFFFF).to_bytes(2, "little") + bytes([idx, 0])
+        nibbles = []
+        for x in chunk[1:]:
+            step = IMA_STEP_TABLE[idx]
+            d = int(x) - pred
+            sgn = 8 if d < 0 else 0
+            m = -d if d < 0 else d
+            code = 0
+            if m >= step:
+                code |= 4
+                m -= step
+            if m >= step >> 1:
+                code |= 2
+                m -= step >> 1
+            if m >= step >> 2:
+                code |= 1
+            diffq = (
+                (step >> 3)
+                + (code & 1) * (step >> 2)
+                + ((code >> 1) & 1) * (step >> 1)
+                + ((code >> 2) & 1) * step
+            )
+            pred = pred - diffq if sgn else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_ADJ[code]))
+            nibbles.append(code | sgn)
+        packed = bytearray()
+        for j in range(0, len(nibbles), 2):
+            lo = nibbles[j]
+            hi = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+            packed.append(lo | (hi << 4))
+        blocks.append(hdr + bytes(packed))
+        i += spb
+    data = b"".join(blocks)
+    fmt = (
+        (17).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + ((rate * block_align) // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
 def parse_wav(payload):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not RIFF/WAVE")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -345,14 +442,35 @@ def parse_wav(payload):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 17:
+        if channels != 1 or bits != 4:
+            raise ValueError("IMA ADPCM supported as 4-bit mono only")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 5:
+            raise ValueError("bad ADPCM block align")
+        out = []
+        for off in range(0, len(data), block_align):
+            body = data[off : off + block_align]
+            if len(body) < 4:
+                raise ValueError("truncated ADPCM block")
+            out.extend(adpcm_decode_block(body))
+        samples = np.array(out, dtype="<i2")
+        if fact is not None:
+            n_samples = int.from_bytes(fact[0:4], "little")
+            if n_samples > len(samples):
+                raise ValueError("fact count exceeds decoded samples")
+            samples = samples[:n_samples]
+        return samples
     if audio_format != 1 or bits != 16:
-        raise ValueError("only 16-bit PCM supported")
+        raise ValueError("only 16-bit PCM and IMA ADPCM supported")
     samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     if channels > 1:
         samples = samples[: (len(samples) // channels) * channels].reshape(
@@ -1099,22 +1217,137 @@ def binary_exact_dedup(
     )
 
 
+# IMA/DVI ADPCM tables (public spec — the classic 4-bit adaptive
+# quantizer): 89-entry step table, index adjustment by 3-bit magnitude code
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_decode_block(body: bytes) -> list[int]:
+    """One IMA ADPCM block: 4-byte header (int16 predictor = the block's
+    first sample verbatim, uint8 step index, reserved), then packed
+    nibbles low-first. Returns the decoded int16 samples."""
+    pred = int.from_bytes(body[0:2], "little", signed=True)
+    idx = body[2]
+    if idx > 88:
+        raise ValueError("ADPCM block: step index out of range")
+    out = [pred]
+    for byte in body[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            step = IMA_STEP_TABLE[idx]
+            code = nib & 7
+            diffq = (
+                (step >> 3)
+                + (code & 1) * (step >> 2)
+                + ((code >> 1) & 1) * (step >> 1)
+                + ((code >> 2) & 1) * step
+            )
+            pred = pred - diffq if nib & 8 else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_ADJ[code]))
+            out.append(pred)
+    return out
+
+
+def adpcm_wav_encode(samples, rate: int = 16000, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM WAV encoder (format tag 0x11) — the inverse of the
+    ADPCM branch in :func:`decode_wav`. Each block stores its first sample
+    verbatim in the header plus the carried step index, then 4-bit codes
+    for the rest ((block_align-4)*2 + 1 samples per full block); a `fact`
+    chunk records the true sample count so decode truncates the last
+    block's pad nibbles. 4:1 lossy compression with exactly-reproducible
+    integer arithmetic — the decoded waveform is a pure deterministic
+    function of the input, which is what lets a SQL oracle replay the
+    whole quantizer state machine."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    n = len(s)
+    if n == 0:
+        raise ValueError("adpcm_wav_encode: empty sample array")
+    if block_align < 5:
+        raise ValueError("adpcm_wav_encode: block_align must be >= 5")
+    spb = (block_align - 4) * 2 + 1
+    blocks, idx, i = [], 0, 0
+    while i < n:
+        chunk = s[i : i + spb]
+        pred = int(chunk[0])
+        hdr = (pred & 0xFFFF).to_bytes(2, "little") + bytes([idx, 0])
+        nibbles = []
+        for x in chunk[1:]:
+            step = IMA_STEP_TABLE[idx]
+            d = int(x) - pred
+            sgn = 8 if d < 0 else 0
+            m = -d if d < 0 else d
+            code = 0
+            if m >= step:
+                code |= 4
+                m -= step
+            if m >= step >> 1:
+                code |= 2
+                m -= step >> 1
+            if m >= step >> 2:
+                code |= 1
+            diffq = (
+                (step >> 3)
+                + (code & 1) * (step >> 2)
+                + ((code >> 1) & 1) * (step >> 1)
+                + ((code >> 2) & 1) * step
+            )
+            pred = pred - diffq if sgn else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_ADJ[code]))
+            nibbles.append(code | sgn)
+        packed = bytearray()
+        for j in range(0, len(nibbles), 2):
+            lo = nibbles[j]
+            hi = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+            packed.append(lo | (hi << 4))
+        blocks.append(hdr + bytes(packed))
+        i += spb
+    data = b"".join(blocks)
+    spb_bytes = spb.to_bytes(2, "little")
+    fmt = (
+        (17).to_bytes(2, "little")          # IMA ADPCM
+        + (1).to_bytes(2, "little")         # mono
+        + rate.to_bytes(4, "little")
+        + ((rate * block_align) // spb).to_bytes(4, "little")  # byte rate
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")         # bits per sample
+        + (2).to_bytes(2, "little")         # cbSize
+        + spb_bytes                          # samples per block
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
 def decode_wav(payload: bytes):
-    """REAL audio decode for 16-bit PCM WAV — pure numpy, zero new
-    dependencies (the audio twin of :func:`decode_ppm`): walk the RIFF
-    chunk list, read the `fmt ` chunk (PCM format tag 1, 16 bits per
-    sample), and view the `data` chunk as an int16 sample array
-    (multi-channel payloads come back as (n_frames, channels)).
-    Uncompressed PCM WAV is the codec-free interchange format for audio,
-    so this decoder makes the acoustic near-dup pipeline (frame-energy
-    fingerprint → pigeonhole pairs) run on actual waveforms; compressed
-    formats (MP3/AAC/FLAC) remain the documented seam. Returns
+    """REAL audio decode for WAV — pure numpy, zero new dependencies (the
+    audio twin of :func:`decode_ppm`): walk the RIFF chunk list, read the
+    `fmt ` chunk, and decode the `data` chunk. Format tag 1 (16-bit PCM)
+    views the payload as an int16 sample array (multi-channel payloads
+    come back as (n_frames, channels)); format tag 0x11 (IMA ADPCM, r7)
+    runs the real 4-bit adaptive-quantizer decode block by block —
+    a genuinely COMPRESSED audio codec, truncated to the `fact` chunk's
+    sample count. MP3/AAC/FLAC remain the documented seam. Returns
     (samples, sample_rate)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -1123,6 +1356,8 @@ def decode_wav(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("decode_wav: missing fmt/data chunk")
@@ -1130,8 +1365,27 @@ def decode_wav(payload: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 17:  # IMA ADPCM (r7): real COMPRESSED audio decode
+        if channels != 1 or bits != 4:
+            raise ValueError("decode_wav: IMA ADPCM supported as 4-bit mono only")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 5:
+            raise ValueError("decode_wav: bad ADPCM block align")
+        out: list[int] = []
+        for off in range(0, len(data), block_align):
+            body = data[off : off + block_align]
+            if len(body) < 4:
+                raise ValueError("decode_wav: truncated ADPCM block")
+            out.extend(_adpcm_decode_block(body))
+        samples = np.array(out, dtype="<i2")
+        if fact is not None:
+            n_samples = int.from_bytes(fact[0:4], "little")
+            if n_samples > len(samples):
+                raise ValueError("decode_wav: fact count exceeds decoded samples")
+            samples = samples[:n_samples]
+        return samples, rate
     if audio_format != 1 or bits != 16:
-        raise ValueError("decode_wav: only 16-bit PCM supported")
+        raise ValueError("decode_wav: only 16-bit PCM and IMA ADPCM supported")
     samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     if channels > 1:
         samples = samples[: (len(samples) // channels) * channels].reshape(
@@ -1185,46 +1439,27 @@ def audio_fingerprints(
     id_type = assets.schema[id_col].dataType.simpleString()
     flat = ensure_parallelism(assets.select(F.col(id_col), F.col(content_col)))
 
-    def kern(batches, _id=id_col, _c=content_col):
-        # self-contained closure (inline RIFF parser, identical to
-        # decode_wav and parity-tested against it) — executors may not
-        # have this module importable, same discipline as every kernel.
+    def kern(batches, _id=id_col, _c=content_col, _src=_INLINE_CODEC_SRC):
+        # self-contained closure (shared inline RIFF/ADPCM parser,
+        # identical to decode_wav and parity-tested against it) —
+        # executors may not have this module importable, same discipline
+        # as every kernel.
         import numpy as np
         import pandas as pd
 
-        def parse_wav(payload: bytes):
-            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                raise ValueError("not RIFF/WAVE")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos : pos + 4]
-                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-                body = payload[pos + 8 : pos + 8 + size]
-                if cid == b"fmt ":
-                    fmt = body
-                elif cid == b"data":
-                    data = body
-                pos += 8 + size + (size & 1)
-            if fmt is None or data is None:
-                raise ValueError("missing fmt/data")
-            if (
-                int.from_bytes(fmt[0:2], "little") != 1
-                or int.from_bytes(fmt[14:16], "little") != 16
-            ):
-                raise ValueError("only 16-bit PCM")
-            ch = int.from_bytes(fmt[2:4], "little")
-            s = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
-            if ch > 1:  # mixdown: first channel (deterministic)
-                s = s[: (len(s) // ch) * ch].reshape(-1, ch)[:, 0]
-            return s
+        ns = {"np": np}
+        exec(_src, ns)
+        parse_wav = ns["parse_wav"]
 
         def afp(raw):
             if raw is None:
                 return None
             try:
-                s = parse_wav(bytes(raw)).astype(np.int64)
+                s = np.asarray(parse_wav(bytes(raw))).astype(np.int64)
             except Exception:
                 return None
+            if s.ndim > 1:  # mixdown: first channel (deterministic)
+                s = s[:, 0]
             n = len(s)
             if n < 65:
                 return None

@@ -227,3 +227,27 @@ def test_sizeof_and_cells_bytes(spark):
     assert sf.__sizeof__() > 0
     est = sf.cells_bytes()
     assert est >= 4 * (8 + 8 + 1 + 8)  # 4 nnz, key+pos+col+val lower bound
+
+
+def test_jsonl_roundtrip_escaping_nulls_and_pruning(spark, tmp_path):
+    """r7 JSONL source/sink: content with embedded newlines, quotes,
+    backslashes, unicode, and NULL fields must round-trip exactly; the
+    columns parameter prunes; an explicit schema skips inference."""
+    from sparsity_spark.io import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2\t"quoted" \\ back', "en", 10),
+        (2, "naïve déjà-vu — ünïcode", None, 20),
+        (3, None, "fr", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n long")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string, n long")
+    got = {r["doc_id"]: (r["text"], r["lang"], r["n"]) for r in back.collect()}
+    assert got == {i: (t, l, n) for i, t, l, n in rows}
+    pruned = read_jsonl(
+        spark, path, schema="doc_id long, text string, lang string, n long",
+        columns=["doc_id", "lang"],
+    )
+    assert pruned.columns == ["doc_id", "lang"]

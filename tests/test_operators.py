@@ -1740,3 +1740,47 @@ def test_ivfpq_refine_recall_floor_clustered(spark):
         f"refine must materially beat plain ADC on clustered data: "
         f"refined={refined} plain={plain}"
     )
+
+
+def test_adpcm_codec_roundtrip_parity_and_block_anchor(spark):
+    """r7 IMA ADPCM: lossy 4:1 compression whose decode is a pure integer
+    function — SNR bound on a smooth signal, every block's first sample
+    exact (stored verbatim in the header), deterministic across runs,
+    inline kernel encoder/decoder bit-identical to the references, and
+    audio fingerprints flow through the SAME generic kernels as PCM."""
+    import numpy as np
+
+    from sparsity_spark.operators.multimodal import (
+        _INLINE_CODEC_SRC,
+        adpcm_wav_encode,
+        audio_fingerprints,
+        decode_stub,
+        decode_wav,
+    )
+
+    t = np.arange(1400)
+    s = (np.sin(t / 7.0) * 9000 + np.sin(t / 31.0) * 12000).astype(np.int16)
+    p = adpcm_wav_encode(s, rate=8000)
+    dec, rate = decode_wav(p)
+    assert rate == 8000 and len(dec) == len(s)
+    err = dec.astype(np.int64) - s.astype(np.int64)
+    snr = 10 * np.log10((s.astype(np.int64) ** 2).mean() / max((err**2).mean(), 1))
+    assert snr > 20, snr
+    spb = (256 - 4) * 2 + 1
+    for b in range(0, len(s), spb):
+        assert dec[b] == s[b], b
+    assert len(p) < len(s) * 2 / 3  # genuinely compressed vs 16-bit PCM
+
+    ns = {"np": np}
+    exec(_INLINE_CODEC_SRC, ns)
+    assert ns["encode_adpcm_wav"](s, rate=8000) == p
+    assert (np.asarray(ns["parse_wav"](p)) == dec).all()
+    assert (decode_stub(p, "audio/wav")[0] == dec).all()
+
+    # the generic fingerprint kernel accepts ADPCM WAVs transparently
+    assets = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(b"\x00junk"))],
+        "doc_id long, content binary",
+    )
+    fps = {r["doc_id"]: r["afp"] for r in audio_fingerprints(assets).collect()}
+    assert fps[1] is not None and fps[2] is None

@@ -537,3 +537,54 @@ def test_bloom_semijoin_matches_plain_semijoin(spark, small_keys, big_keys):
         for r in big.join(small, big["key"] == small["skey"], "leftsemi").collect()
     )
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_adpcm_fuzz_decode_or_valueerror(raw):
+    """r7 ADPCM branch fuzz: a format-0x11 fmt chunk with arbitrary
+    following bytes must decode or raise ValueError."""
+    from sparsity_spark.operators.multimodal import decode_wav
+
+    fmt = (
+        (17).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (4096).to_bytes(4, "little")
+        + (256).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt + raw
+    payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    try:
+        samples, rate = decode_wav(payload)
+    except ValueError:
+        return
+    assert samples.dtype == np.dtype("<i2")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 1600),
+    seed=st.integers(0, 2**31 - 1),
+    block_align=st.sampled_from([8, 64, 256]),
+)
+def test_adpcm_roundtrip_property(n, seed, block_align):
+    """Any sample count (including non-block-multiples) must round-trip to
+    exactly n samples; block-anchor samples are exact; decode is
+    deterministic; a corrupted step index raises."""
+    from sparsity_spark.operators.multimodal import adpcm_wav_encode, decode_wav
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    p = adpcm_wav_encode(s, rate=16000, block_align=block_align)
+    dec, rate = decode_wav(p)
+    assert rate == 16000 and len(dec) == n
+    spb = (block_align - 4) * 2 + 1
+    for b in range(0, n, spb):
+        assert dec[b] == s[b]
+    dec2, _ = decode_wav(p)
+    assert (dec == dec2).all()
+    # corrupt the first block's step index to 200 -> ValueError
+    data_at = p.find(b"data") + 8
+    bad = bytearray(p)
+    bad[data_at + 2] = 200
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
