@@ -211,3 +211,46 @@ def cms_estimate(
         joined.groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def write_cms_store(
+    df: DataFrame, table: str, value_col: str, width: int = 256, depth: int = 3
+) -> None:
+    """Persist a corpus's count-min sketch as a catalog table. The sketch
+    is metadata-sized (≤ depth×width rows) so a plain parquet overwrite is
+    the right physical shape — no bucketing needed; merges rewrite
+    kilobytes, never the corpus."""
+    sk = cms_sketch(df, value_col, width, depth)
+    sk.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def cms_store(spark, table: str) -> DataFrame:
+    """Read back a persisted sketch."""
+    return spark.table(table)
+
+
+def merge_cms_store(
+    batch_df: DataFrame,
+    table: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Fold one increment into the persisted sketch — the ONE code path
+    both batch appends and the streaming loop use (the store-family
+    discipline: batch and streaming counts cannot drift). Because
+    cms_merge is exactly the sketch of the concatenated inputs, the
+    maintained store is bit-equal to rebuilding from everything ever
+    seen — test-pinned. The merged sketch is frozen (localCheckpoint)
+    before the overwrite so the write never reads its own target.
+    Returns the merged sketch."""
+    spark = batch_df.sparkSession
+    inc = cms_sketch(batch_df, value_col, width, depth)
+    try:
+        existing = spark.table(table)
+        merged = cms_merge(existing, inc)
+    except Exception:
+        merged = inc
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return merged

@@ -6169,6 +6169,58 @@ def stats_cms_estimate_q(spark, sf_dir):
     return cms_estimate(sk, probes, "user_id", width=256, depth=3)
 
 
+@query(
+    "stats_cms_store_merge",
+    """
+    WITH cells AS (
+      SELECT j.d AS d,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(j.d AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM events, LATERAL UNNEST(range(3)) j(d)
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (SELECT d, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 70 = 1),
+    pr AS (
+      SELECT p.c_custkey, j.d AS d,
+             CAST(('0x' || substring(md5(CAST(p.c_custkey AS VARCHAR) || ':' || CAST(j.d AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM probes p, LATERAL UNNEST(range(3)) j(d)
+    )
+    SELECT pr.c_custkey AS user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM pr LEFT JOIN sk USING (d, bucket)
+    GROUP BY 1
+    """,
+)
+def stats_cms_store_merge_q(spark, sf_dir):
+    """Persisted-sketch maintenance under the correctness gate (r7): the
+    store is built from HALF the events, the other half is folded in via
+    merge_cms_store (the shared batch/streaming code path), and the probe
+    estimates must equal the oracle's ONE-SHOT sketch of everything —
+    merge exactness is the property that lets per-day sketches roll up at
+    100 TB without rescanning, so the gate pins it cross-engine."""
+    from sparsity_spark.operators.sketches import (
+        cms_estimate,
+        cms_store,
+        merge_cms_store,
+        write_cms_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    write_cms_store(
+        ev.filter(F.col("event_id") % 2 == 0), "cms_store_oracle_q", "user_id", 256, 3
+    )
+    merge_cms_store(
+        ev.filter(F.col("event_id") % 2 == 1), "cms_store_oracle_q", "user_id", 256, 3
+    )
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 70 == 1)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return cms_estimate(
+        cms_store(spark, "cms_store_oracle_q"), probes, "user_id", width=256, depth=3
+    )
+
+
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
     c{iters}) — same deterministic hash-sampled init (k lowest

@@ -586,3 +586,35 @@ def streaming_index_and_screen(
             sink(matches, batch_id)
 
     return embeddings.writeStream.foreachBatch(_process)
+
+
+def streaming_cms_maintain(
+    stream_df: DataFrame,
+    table: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 3,
+    sink=None,
+):
+    """Streaming frequency-sketch maintenance (the store-family loop
+    applied to the count-min sketch, r7): each micro-batch is sketched and
+    folded cell-wise into the persisted sketch table, so after N
+    increments the store is BIT-EQUAL to sketching everything ever seen
+    (cms_merge is exact, not approximate merging) — the always-current
+    "how often have we seen this key" surface a 100 TB ingest keeps
+    without ever rescanning. The fold is
+    :func:`operators.sketches.merge_cms_store` — the same code path batch
+    appends use, so batch and streaming counts cannot drift.
+
+    `foreachBatch` because the store update is a batch table write; the
+    sketch is metadata-sized, so each fold rewrites kilobytes.
+    ``sink(merged_sketch_df, batch_id)`` observes the post-fold sketch.
+    Returns the started-ready DataStreamWriter."""
+    from sparsity_spark.operators.sketches import merge_cms_store
+
+    def _process(batch_df, batch_id):
+        merged = merge_cms_store(batch_df, table, value_col, width, depth)
+        if sink is not None:
+            sink(merged, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -651,3 +651,56 @@ def test_streaming_index_and_screen_two_increments(spark, tmp_path):
         for r in ivfpq_index_topk(queries, "ivfpq_batch_eq", m=2, dim=dim, topk=3).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_maintain_two_increments(spark, tmp_path):
+    """r7 sketch-store loop: after two micro-batches the maintained CMS
+    table must be BIT-EQUAL to sketching the full union in one batch
+    (cms_merge is exact), and estimates from the maintained store must
+    match the batch-built ones."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.sketches import cms_estimate, cms_sketch, cms_store
+    from sparsity_spark.streaming.ingest import streaming_cms_maintain
+
+    schema = "k long"
+    rows1 = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3] * 5})
+    rows2 = pd.DataFrame({"k": [1, 4, 4, 5] * 5})
+    src = str(tmp_path / "cms_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    spark.sql("DROP TABLE IF EXISTS cms_stream_store")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_cms_maintain(stream, "cms_stream_store", "k", width=64, depth=3)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = spark.createDataFrame(pd.concat([rows1, rows2]), schema)
+    maintained = (
+        cms_store(spark, "cms_stream_store").toPandas()
+        .sort_values(["d", "bucket"]).reset_index(drop=True)
+    )
+    direct = (
+        cms_sketch(whole, "k", width=64, depth=3).toPandas()
+        .sort_values(["d", "bucket"]).reset_index(drop=True)
+    )
+    assert maintained.equals(direct)
+
+    probes = spark.range(1, 7).withColumnRenamed("id", "k")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(
+            cms_store(spark, "cms_stream_store"), probes, "k", width=64, depth=3
+        ).collect()
+    }
+    true = {1: 20, 2: 10, 3: 5, 4: 10, 5: 5, 6: 0}
+    for k, t in true.items():
+        assert est[k] >= t
