@@ -1282,3 +1282,65 @@ def ivf_pq_refine_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top_n: int | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (r7) — the standard hybrid
+    retrieval combiner (lexical BM25 + semantic ANN, or any mix):
+    rrf(d) = Σ_lists 1/(k + rank_list(d)), documents absent from a list
+    contribute nothing for it. Ranks are assigned by (score desc, id) so
+    ties are deterministic; contributions are summed as exact integer
+    nano-units (round(1e9/(k+rank))) and divided once at the end — the
+    money-math discipline, so the fused score can never drift by
+    summation order across engines or partitionings.
+
+    Scale shape: fusion operates on ranked SHORTLISTS (top-N per system),
+    which are metadata-sized by contract — the global rank window is over
+    a shortlist, never a corpus. Pass ``by`` (e.g. ["query_id"]) to fuse
+    many queries at once with the window partitioned per query.
+
+    Returns (by..., id_col, rrf_score, n_lists) — n_lists = how many
+    systems retrieved the doc (a useful agreement signal)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    by = by or []
+    parts = []
+    for df in rankings:
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        parts.append(
+            df.select(*by, F.col(id_col), F.row_number().over(w).alias("rank"))
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    fused = tagged.groupBy(*by, id_col).agg(
+        F.sum(
+            F.round(F.lit(1_000_000_000.0) / (F.lit(k) + F.col("rank"))).cast("long")
+        ).alias("rrf_nano"),
+        F.count("*").alias("n_lists"),
+    )
+    out = fused.select(
+        *by,
+        id_col,
+        F.round(F.col("rrf_nano") / 1e9, 6).alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+    )
+    if top_n is not None:
+        w2 = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+            F.col("rrf_score").desc(), F.col(id_col)
+        )
+        out = (
+            out.withColumn("__rn__", F.row_number().over(w2))
+            .filter(F.col("__rn__") <= top_n)
+            .drop("__rn__")
+        )
+    return out

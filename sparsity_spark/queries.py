@@ -5968,6 +5968,83 @@ def text_bm25_rank_q(spark, sf_dir):
 
 
 @query(
+    "text_hybrid_rrf",
+    """
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             list_filter(string_split(text, ' '),
+                         t -> t IN ('dup', 'query', 'spark')) AS hits
+      FROM documents
+    ),
+    st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(hits) AS term FROM base)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               LN(1.0 + (st.n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfreq USING (term), st
+      GROUP BY doc_id
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sem AS (
+      SELECT neighbor_id AS doc_id, cosine AS score FROM (
+        SELECT c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC,
+                          c.vec_id) AS rn
+        FROM nv q, nv c WHERE q.vec_id = 0 AND c.vec_id != 0
+      ) WHERE rn <= 100
+    ),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM lex
+      UNION ALL
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sem
+    ),
+    fused AS (
+      SELECT doc_id,
+             SUM(CAST(ROUND(1000000000.0 / (60 + rank)) AS BIGINT)) AS rrf_nano,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists FROM (
+      SELECT doc_id, ROUND(rrf_nano / 1e9, 6) AS rrf_score, n_lists,
+             ROW_NUMBER() OVER (ORDER BY ROUND(rrf_nano / 1e9, 6) DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 25
+    """,
+)
+def text_hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (r7): the lexical BM25
+    shortlist and the semantic cosine shortlist (embedding 0 as the query
+    vector, doc_id ≡ vec_id) fuse with rrf k=60 — integer-nano exact
+    contribution sums so the fused score is engine/order-independent.
+    The combiner every RAG-ish corpus query stack needs; both input
+    systems are already oracle-checked alone, so this row pins the
+    fusion algebra itself."""
+    from sparsity_spark.operators.similarity import cosine_topk, rrf_fuse
+    from sparsity_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, ["dup", "query", "spark"])
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=100).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return rrf_fuse([lex, sem], k=60, top_n=25)
+
+
+@query(
     "text_dsir_importance",
     """
     WITH

@@ -1784,3 +1784,50 @@ def test_adpcm_codec_roundtrip_parity_and_block_anchor(spark):
     )
     fps = {r["doc_id"]: r["afp"] for r in audio_fingerprints(assets).collect()}
     assert fps[1] is not None and fps[2] is None
+
+
+def test_rrf_fuse_hand_checked_and_partitioned(spark):
+    """r7 reciprocal-rank fusion: exact hand-computed scores (integer-nano
+    contributions), agreement beats single-list presence, and the
+    partitioned form fuses per query independently."""
+    from sparsity_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.9), (9, 0.8)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([lex, sem], k=60).collect()
+    }
+
+    def rrf(*ranks):
+        return round(sum(round(1e9 / (60 + r)) for r in ranks) / 1e9, 6)
+
+    assert got == {
+        1: (rrf(1), 1),
+        2: (rrf(2, 1), 2),   # in both lists: rank 2 lexical, rank 1 semantic
+        3: (rrf(3), 1),
+        9: (rrf(2), 1),
+    }
+    assert got[2][0] > got[1][0]  # agreement outranks a single top hit
+
+    # per-query fusion: ranks must be assigned within each query_id
+    lex_q = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 1, 5.0), ("b", 2, 6.0)],
+        "query_id string, doc_id long, score double",
+    )
+    sem_q = spark.createDataFrame(
+        [("a", 1, 0.5)], "query_id string, doc_id long, score double"
+    )
+    gq = {
+        (r["query_id"], r["doc_id"]): r["rrf_score"]
+        for r in rrf_fuse([lex_q, sem_q], by=["query_id"], k=60).collect()
+    }
+    assert gq[("a", 1)] == rrf(1, 1)
+    assert gq[("b", 2)] == rrf(1)
+    assert gq[("b", 1)] == rrf(2)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
