@@ -220,7 +220,10 @@ def write_cms_store(
     is metadata-sized (≤ depth×width rows) so a plain parquet overwrite is
     the right physical shape — no bucketing needed; merges rewrite
     kilobytes, never the corpus."""
-    sk = cms_sketch(df, value_col, width, depth)
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    sk = cms_sketch(df, value_col, width, depth).localCheckpoint(eager=True)
+    _drop_table_and_location(df.sparkSession, table)
     sk.write.mode("overwrite").format("parquet").saveAsTable(table)
 
 
@@ -244,6 +247,8 @@ def merge_cms_store(
     seen — test-pinned. The merged sketch is frozen (localCheckpoint)
     before the overwrite so the write never reads its own target.
     Returns the merged sketch."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
     spark = batch_df.sparkSession
     inc = cms_sketch(batch_df, value_col, width, depth)
     try:
@@ -251,6 +256,8 @@ def merge_cms_store(
         merged = cms_merge(existing, inc)
     except Exception:
         merged = inc
+    # freeze BEFORE dropping: the lineage reads the table being replaced
     merged = merged.localCheckpoint(eager=True)
+    _drop_table_and_location(spark, table)
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     return merged
