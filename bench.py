@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "stats_cms_estimate",
     "multimodal_adpcm_real",
     "s7_jsonl_roundtrip",
+    "text_hybrid_rrf",
+    "stats_cms_store_merge",
 ]
 
 
@@ -142,6 +144,16 @@ SCALE_QUERIES = [
     "multimodal_dhash_real",
     "multimodal_audio_real",
     "ann_ivfpq_append_topk",
+    # r7 mid-round additions: the compressed codecs (corpus-proportional
+    # fixtures), the bloom-prefiltered join, the CMS sketch, and the
+    # JSONL round trip — each expected sublinear (map-only or
+    # metadata-sized aggregates)
+    "multimodal_png_real",
+    "multimodal_adpcm_real",
+    "skew_bloom_semijoin",
+    "stats_cms_estimate",
+    "s7_jsonl_roundtrip",
+    "text_hybrid_rrf",
 ]
 
 

@@ -114,70 +114,81 @@ def salted_join(
 # Python), and the final exact semi-join restores precise semantics — the
 # bloom has no false negatives by construction, so the prefilter is
 # lossless for the final result while cutting the big side's shuffle input
-# by the filter's selectivity. Hashing is the engine-portable md5 scheme
-# shared with the KMV sketches, so every engine computes identical bits.
+# by the filter's selectivity.
+#
+# Representation note (measured, r7): the bitmap travels as ONE binary
+# literal (m_bits/8 bytes) probed with byte-positional substring + hex —
+# O(1) per lookup, one py4j call to construct. Two rejected cuts, both
+# measured on the 600 k-row sf0.1 probe: (a) an m/4-char hex STRING
+# probed with substring(lit, pos, 1) — Spark's UTF8String substring is a
+# codepoint SCAN from the start, ~80 KB of traffic per row, 105 s total;
+# (b) an int-word ARRAY literal — O(1) per row, but PySpark builds
+# F.lit(list) as one py4j lit() round trip PER ELEMENT, ~5 s of driver
+# time at every plan construction (bench times plan+execute, so it
+# recurs). The binary form is sub-second end to end. Hashing is native
+# xxhash64 (seeded per probe index): the bitmap is engine-INTERNAL —
+# correctness is pinned by the exact semi-join on the survivors, so no
+# cross-engine hash portability is needed, and xxhash64 is an order of
+# magnitude cheaper than md5-hex parsing.
 # ---------------------------------------------------------------------------
 
 BLOOM_M_BITS = 1 << 17  # 16 KiB bitmap — demo default; size to ~10 bits/key
 
 
 def _bloom_positions(key, m_bits: int, k: int) -> list:
-    """The k bloom bit positions of a key column: 60-bit md5 prefixes of
-    "key:j" reduced mod m_bits — nonnegative, engine-portable, and
-    identical across build and probe by construction."""
-    key_s = key.cast("string")
+    """The k bloom bit positions of a key column: xxhash64 of the key with
+    per-probe seed column j, reduced nonnegatively mod m_bits — identical
+    across build and probe by construction."""
     return [
-        F.conv(
-            F.substring(F.md5(F.concat(key_s, F.lit(f":{j}"))), 1, 15), 16, 10
-        ).cast("long")
-        % m_bits
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)).cast("long")
         for j in range(k)
     ]
 
 
-def bloom_build_hex(
+def bloom_build_bytes(
     small: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = 5
-) -> str:
-    """Build the bitmap as an m_bits/4-char hex string (nibble i covers bit
-    positions 4i..4i+3, low bit first). One map + one tiny hash aggregate
-    over at most m_bits/4 nibble groups; the collect is bitmap-sized
-    metadata, never corpus-sized."""
-    if m_bits % 4 != 0:
-        raise ValueError("m_bits must be a multiple of 4")
+) -> bytes:
+    """Build the bitmap as m_bits/8 bytes (byte b covers bit positions
+    8b..8b+7, low bit first). One map + one tiny hash aggregate over at
+    most m_bits/8 byte groups; the collect is bitmap-sized metadata,
+    never corpus-sized."""
+    if m_bits % 8 != 0:
+        raise ValueError("m_bits must be a multiple of 8")
     # NULL keys never match a semi-join; dropping them also keeps the
     # position arithmetic null-free
     pos = small.where(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
     )
-    nibbles = (
+    rows = (
         pos.select(
-            (F.col("pos") / 4).cast("int").alias("ci"),
-            # shiftleft needs a literal shift amount; 2^(pos%4) is exact in
-            # double for 0..3 and casts back to the {1,2,4,8} nibble bits
-            F.pow(F.lit(2.0), (F.col("pos") % 4).cast("double")).cast("int").alias("b"),
+            (F.col("pos") / 8).cast("int").alias("b"),
+            # shiftleft needs a literal shift amount; 2^(pos%8) is exact in
+            # double for 0..7 and casts back to the int bit mask
+            F.pow(F.lit(2.0), (F.col("pos") % 8).cast("double")).cast("int").alias("m"),
         )
-        .groupBy("ci")
-        .agg(F.bit_or("b").alias("nib"))
+        .groupBy("b")
+        .agg(F.bit_or("m").alias("bits"))
         .collect()
     )
-    chars = ["0"] * (m_bits // 4)
-    for r in nibbles:
-        chars[r["ci"]] = "0123456789abcdef"[r["nib"]]
-    return "".join(chars)
+    out = bytearray(m_bits // 8)
+    for r in rows:
+        out[r["b"]] = r["bits"]
+    return bytes(out)
 
 
-def bloom_probe_expr(key, hex_bitmap: str, m_bits: int = BLOOM_M_BITS, k: int = 5):
-    """Membership-test expression over the driver-held bitmap: k substring
-    lookups into one string literal plus nibble bit tests — whole-stage-
-    codegen-friendly, zero shuffle, zero Python. May pass false positives
-    (rate (1-e^(-kn/m))^k); never drops a present key."""
+def bloom_probe_expr(key, bitmap: bytes, m_bits: int = BLOOM_M_BITS, k: int = 5):
+    """Membership-test expression over the driver-held bitmap: k O(1)
+    byte-positional substring lookups into one binary literal plus bit
+    tests — whole-stage codegen, zero shuffle, zero Python. May pass
+    false positives (rate (1-e^(-kn/m))^k); never drops a present key."""
+    blit = F.lit(bytearray(bitmap))
     conds = []
     for pos in _bloom_positions(key, m_bits, k):
-        nib = F.conv(
-            F.substring(F.lit(hex_bitmap), (pos / 4 + 1).cast("int"), 1), 16, 10
+        byte = F.conv(
+            F.hex(F.substring(blit, (pos / 8).cast("int") + 1, 1)), 16, 10
         ).cast("int")
-        bit = F.pow(F.lit(2.0), (pos % 4).cast("double")).cast("int")
-        conds.append(nib.bitwiseAND(bit) != 0)
+        bit = F.pow(F.lit(2.0), (pos % 8).cast("double")).cast("int")
+        conds.append(byte.bitwiseAND(bit) != 0)
     out = conds[0]
     for c in conds[1:]:
         out = out & c
@@ -203,8 +214,8 @@ def bloom_semijoin(
     broadcast raw but its *bitmap* is metadata-sized — the regime between
     broadcast joins and full shuffle joins."""
     small_key = small_key or big_key
-    hex_bitmap = bloom_build_hex(small, small_key, m_bits, k)
-    pre = big.filter(bloom_probe_expr(F.col(big_key), hex_bitmap, m_bits, k))
+    bitmap = bloom_build_bytes(small, small_key, m_bits, k)
+    pre = big.filter(bloom_probe_expr(F.col(big_key), bitmap, m_bits, k))
     return pre.join(
         small.select(small_key), pre[big_key] == small[small_key], "leftsemi"
     )

@@ -499,15 +499,14 @@ def test_bloom_semijoin_prefilter_is_mapside(spark, sf_dir):
     plan = formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the probe's md5/conv expression sits in a Filter in the lineitem
-    # branch; Spark renders it as a Filter node containing md5(...) —
-    # absence means the prefilter was lost and the full table flows into
-    # the join
-    assert "md5" in plan, plan
+    # the probe's xxhash64 expression sits in a Filter in the lineitem
+    # branch — absence means the prefilter was lost and the full table
+    # flows into the join
+    assert "xxhash64" in plan, plan
     # and the filter is NOT separated from the scan by an exchange:
     # scan -> filter -> ... -> join, never scan -> exchange -> filter
     exec_plan = out._jdf.queryExecution().executedPlan().toString()
     li_scan = exec_plan.find("lineitem")
     assert li_scan != -1
-    md5_pos = exec_plan.find("md5")
-    assert md5_pos != -1 and md5_pos < li_scan or "PushedFilters" in exec_plan
+    probe_pos = exec_plan.find("xxhash64")
+    assert probe_pos != -1 and probe_pos < li_scan or "PushedFilters" in exec_plan
