@@ -6002,7 +6002,7 @@ def text_bm25_rank_q(spark, sf_dir):
                  ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC,
                           c.vec_id) AS rn
         FROM nv q, nv c WHERE q.vec_id = 0 AND c.vec_id != 0
-      ) WHERE rn <= 100
+      ) WHERE rn <= 15
     ),
     ranked AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -6037,8 +6037,11 @@ def text_hybrid_rrf_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # semantic list cut to 15 so the fused top-25 necessarily carries
+    # single-list docs — keeps the n_lists column discriminative (r7
+    # audit: at k=100 every top-25 doc sat in both lists)
     lex = bm25_rank(docs, ["dup", "query", "spark"])
-    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=100).select(
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=15).select(
         F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("score")
     )
     return rrf_fuse([lex, sem], k=60, top_n=25)
@@ -6110,6 +6113,10 @@ def text_dsir_importance_q(spark, sf_dir):
     ),
     batch AS (
       SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 30 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 40 = 0
     ),
     firsts AS (
       SELECT content_hash, MIN(doc_id) AS f FROM batch GROUP BY content_hash
@@ -6125,12 +6132,31 @@ def dedup_hash_store_screen_q(spark, sf_dir):
     """One EXACT-dedup increment against the persisted content-hash ledger
     (the md5 twin of the band store): corpus-side shuffle-free screen via
     the bucket layout + keep-first within the batch + survivor append —
-    `append_hash_store` end to end, decisions oracle-checked."""
+    `append_hash_store` end to end, decisions oracle-checked. The batch
+    re-uploads corpus docs (%30==1, byte-identical, new ids — must be
+    REJECTED against the store) and duplicates batch docs (%40==0 — the
+    lower id keeps, the twin is rejected intra-batch), so both reject
+    arms actually fire (r7 audit: the natural corpus had no cross-decile
+    twin and the keep column was constant True)."""
     from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                *[c for c in docs.columns if c != "doc_id"],
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                *[c for c in docs.columns if c != "doc_id"],
+            )
+        )
+    )
     write_hash_store(corpus, "hash_store_oracle_q", num_buckets=8)
     return append_hash_store(batch, "hash_store_oracle_q")
 
