@@ -228,31 +228,38 @@ def png_encode(arr, filter_mode="cycle") -> bytes:
     if c not in (1, 3, 4):
         raise ValueError(f"png_encode: unsupported channel count {c}")
     color = {1: 0, 3: 2, 4: 6}[c]
+    # whole-image vectorized filtering (r7): all five filter planes are
+    # computed as matrix ops and the per-row plane selected with one
+    # choose — identical scanline bytes to the original per-row loop
+    # (decode-roundtrip-pinned), ~15 numpy calls per image instead of
+    # ~10 per ROW (the per-row form dominated the corpus-proportional
+    # PNG fixture at the sf1 tier)
     flat = a.reshape(h, w * c).astype(np.int64)
-    bpp, lines = c, []
-    zeros = np.zeros(w * c, dtype=np.int64)
-    for y in range(h):
-        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
-        row = flat[y]
-        prev = flat[y - 1] if y else zeros
-        left = np.concatenate([zeros[:bpp], row[:-bpp]]) if w * c > bpp else zeros[: w * c]
-        upleft = np.concatenate([zeros[:bpp], prev[:-bpp]]) if w * c > bpp else zeros[: w * c]
-        if ft == 0:
-            out = row
-        elif ft == 1:
-            out = (row - left) % 256
-        elif ft == 2:
-            out = (row - prev) % 256
-        elif ft == 3:
-            out = (row - (left + prev) // 2) % 256
-        elif ft == 4:
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
-            out = (row - pred) % 256
-        else:
+    bpp = c
+    stride = w * c
+    zrow = np.zeros((1, stride), dtype=np.int64)
+    prev = np.vstack([zrow, flat[:-1]])
+    zcol = np.zeros((h, bpp), dtype=np.int64)
+    left = np.concatenate([zcol, flat[:, :-bpp]], axis=1) if stride > bpp else flat * 0
+    upleft = np.concatenate([zcol, prev[:, :-bpp]], axis=1) if stride > bpp else prev * 0
+    f0 = flat
+    f1 = (flat - left) % 256
+    f2 = (flat - prev) % 256
+    f3 = (flat - (left + prev) // 2) % 256
+    p = left + prev - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+    f4 = (flat - pred) % 256
+    if filter_mode == "cycle":
+        ftypes = (np.arange(h, dtype=np.int64) % 5).astype(np.uint8)
+    else:
+        ft = int(filter_mode)
+        if not 0 <= ft <= 4:
             raise ValueError(f"png_encode: unknown filter mode {ft}")
-        lines.append(bytes([ft]) + out.astype(np.uint8).tobytes())
+        ftypes = np.full(h, ft, dtype=np.uint8)
+    sel = np.choose(ftypes[:, None], [f0, f1, f2, f3, f4]).astype(np.uint8)
+    raw_rows = np.concatenate([ftypes[:, None], sel], axis=1)
+    lines = [raw_rows.tobytes()]
 
     def chunk(t: bytes, b: bytes) -> bytes:
         return (
@@ -430,6 +437,74 @@ def encode_adpcm_wav(samples, rate=16000, block_align=256):
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
+def encode_adpcm_wav_batch(mat, rate=16000, block_align=256):
+    s = np.asarray(mat, dtype=np.int64)
+    if s.ndim != 2 or s.shape[1] == 0 or block_align < 5:
+        raise ValueError("bad adpcm batch encode input")
+    D, n = s.shape
+    spb = (block_align - 4) * 2 + 1
+    steps_t = np.asarray(IMA_STEP_TABLE, dtype=np.int64)
+    adj_t = np.asarray(IMA_INDEX_ADJ, dtype=np.int64)
+    pred = s[:, 0].copy()
+    idx = np.zeros(D, dtype=np.int64)
+    nibs = np.zeros((D, n), dtype=np.uint8)
+    hdr_pred = {0: pred.copy()}
+    hdr_idx = {0: idx.copy()}
+    for t in range(1, n):
+        if t % spb == 0:
+            pred = s[:, t].copy()
+            hdr_pred[t] = pred.copy()
+            hdr_idx[t] = idx.copy()
+            continue
+        step = steps_t[idx]
+        d = s[:, t] - pred
+        sgn = d < 0
+        m = np.abs(d)
+        b2 = m >= step
+        m = m - b2 * step
+        h1 = step >> 1
+        b1 = m >= h1
+        m = m - b1 * h1
+        b0 = m >= step >> 2
+        code3 = b2 * 4 + b1 * 2 + b0 * 1
+        diffq = (step >> 3) + b0 * (step >> 2) + b1 * h1 + b2 * step
+        pred = np.clip(pred + np.where(sgn, -diffq, diffq), -32768, 32767)
+        idx = np.clip(idx + adj_t[code3], 0, 88)
+        nibs[:, t] = (code3 + sgn * 8).astype(np.uint8)
+    out = []
+    fmt = (
+        (17).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + ((rate * block_align) // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    pre = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    pre += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    for d0 in range(D):
+        blocks = []
+        for b_start in range(0, n, spb):
+            codes = nibs[d0, b_start + 1 : min(b_start + spb, n)]
+            if len(codes) & 1:
+                codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+            packed = (codes[0::2] | (codes[1::2] << 4)).tobytes()
+            p = int(hdr_pred[b_start][d0])
+            blocks.append(
+                (p & 0xFFFF).to_bytes(2, "little")
+                + bytes([int(hdr_idx[b_start][d0]), 0])
+                + packed
+            )
+        data = b"".join(blocks)
+        body = pre + b"data" + len(data).to_bytes(4, "little") + data
+        if len(data) & 1:
+            body += b"\\x00"
+        out.append(b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body)
+    return out
+
+
 def parse_wav(payload):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not RIFF/WAVE")
@@ -587,30 +662,31 @@ def encode_png(arr, filter_mode="cycle"):
         raise ValueError("unsupported channel count")
     color = {1: 0, 3: 2, 4: 6}[c]
     flat = a.reshape(h, w * c).astype(np.int64)
-    bpp, lines = c, []
-    zeros = np.zeros(w * c, dtype=np.int64)
-    for y in range(h):
-        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
-        row = flat[y]
-        prev = flat[y - 1] if y else zeros
-        left = np.concatenate([zeros[:bpp], row[:-bpp]]) if w * c > bpp else zeros[: w * c]
-        upleft = np.concatenate([zeros[:bpp], prev[:-bpp]]) if w * c > bpp else zeros[: w * c]
-        if ft == 0:
-            out = row
-        elif ft == 1:
-            out = (row - left) % 256
-        elif ft == 2:
-            out = (row - prev) % 256
-        elif ft == 3:
-            out = (row - (left + prev) // 2) % 256
-        elif ft == 4:
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
-            out = (row - pred) % 256
-        else:
+    bpp = c
+    stride = w * c
+    zrow = np.zeros((1, stride), dtype=np.int64)
+    prev = np.vstack([zrow, flat[:-1]])
+    zcol = np.zeros((h, bpp), dtype=np.int64)
+    left = np.concatenate([zcol, flat[:, :-bpp]], axis=1) if stride > bpp else flat * 0
+    upleft = np.concatenate([zcol, prev[:, :-bpp]], axis=1) if stride > bpp else prev * 0
+    f0 = flat
+    f1 = (flat - left) % 256
+    f2 = (flat - prev) % 256
+    f3 = (flat - (left + prev) // 2) % 256
+    p = left + prev - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+    f4 = (flat - pred) % 256
+    if filter_mode == "cycle":
+        ftypes = (np.arange(h, dtype=np.int64) % 5).astype(np.uint8)
+    else:
+        ft = int(filter_mode)
+        if not 0 <= ft <= 4:
             raise ValueError("unknown filter mode")
-        lines.append(bytes([ft]) + out.astype(np.uint8).tobytes())
+        ftypes = np.full(h, ft, dtype=np.uint8)
+    sel = np.choose(ftypes[:, None], [f0, f1, f2, f3, f4]).astype(np.uint8)
+    raw_rows = np.concatenate([ftypes[:, None], sel], axis=1)
+    lines = [raw_rows.tobytes()]
 
     def chunk(t, b):
         return (
@@ -1495,3 +1571,86 @@ def audio_pairs(
     return pigeonhole_hamming_pairs(
         hashes.filter(F.col("afp").isNotNull()), id_col, "afp", 64, max_hamming
     )
+
+
+def adpcm_wav_encode_batch(mat, rate: int = 16000, block_align: int = 256) -> list[bytes]:
+    """Vectorized-across-streams IMA ADPCM encoder: one (D, n) int16
+    matrix → D format-0x11 WAV payloads, BYTE-IDENTICAL to running
+    :func:`adpcm_wav_encode` per row (parity-pinned in tests). The
+    quantizer is sequential in the SAMPLE axis by construction, so the
+    loop runs n steps of vectorized numpy ops across all D streams —
+    fixture construction for corpus-proportional oracle queries at a
+    per-doc cost that no longer dominates the real decode under test
+    (measured: the per-doc Python encoder was half of the 23 s sf1
+    multimodal_adpcm_real row)."""
+    import numpy as np
+
+    s = np.asarray(mat, dtype=np.int64)
+    if s.ndim != 2 or s.shape[1] == 0:
+        raise ValueError("adpcm_wav_encode_batch: need a (D, n) sample matrix")
+    if block_align < 5:
+        raise ValueError("adpcm_wav_encode_batch: block_align must be >= 5")
+    D, n = s.shape
+    spb = (block_align - 4) * 2 + 1
+    steps_t = np.asarray(IMA_STEP_TABLE, dtype=np.int64)
+    adj_t = np.asarray(IMA_INDEX_ADJ, dtype=np.int64)
+    pred = s[:, 0].copy()
+    idx = np.zeros(D, dtype=np.int64)
+    nibs = np.zeros((D, n), dtype=np.uint8)  # position t holds sample t's code
+    # header state recorded at each block start (pred = anchor sample, idx carried)
+    hdr_pred = {0: pred.copy()}
+    hdr_idx = {0: idx.copy()}
+    for t in range(1, n):
+        if t % spb == 0:
+            pred = s[:, t].copy()
+            hdr_pred[t] = pred.copy()
+            hdr_idx[t] = idx.copy()
+            continue
+        step = steps_t[idx]
+        d = s[:, t] - pred
+        sgn = d < 0
+        m = np.abs(d)
+        b2 = m >= step
+        m = m - b2 * step
+        h1 = step >> 1
+        b1 = m >= h1
+        m = m - b1 * h1
+        b0 = m >= step >> 2
+        code3 = b2 * 4 + b1 * 2 + b0 * 1
+        diffq = (step >> 3) + b0 * (step >> 2) + b1 * h1 + b2 * step
+        pred = np.clip(pred + np.where(sgn, -diffq, diffq), -32768, 32767)
+        idx = np.clip(idx + adj_t[code3], 0, 88)
+        nibs[:, t] = (code3 + sgn * 8).astype(np.uint8)
+    out = []
+    spb_b = spb.to_bytes(2, "little")
+    fmt = (
+        (17).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + ((rate * block_align) // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb_b
+    )
+    pre = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    pre += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    for d0 in range(D):
+        blocks = []
+        for b_start in range(0, n, spb):
+            codes = nibs[d0, b_start + 1 : min(b_start + spb, n)]
+            if len(codes) & 1:
+                codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+            packed = (codes[0::2] | (codes[1::2] << 4)).tobytes()
+            p = int(hdr_pred[b_start][d0])
+            blocks.append(
+                (p & 0xFFFF).to_bytes(2, "little")
+                + bytes([int(hdr_idx[b_start][d0]), 0])
+                + packed
+            )
+        data = b"".join(blocks)
+        body = pre + b"data" + len(data).to_bytes(4, "little") + data
+        if len(data) & 1:
+            body += b"\x00"
+        out.append(b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body)
+    return out

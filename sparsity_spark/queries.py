@@ -1796,25 +1796,36 @@ def multimodal_adpcm_real_q(spark, sf_dir):
 
         ns = {"np": np}
         exec(_src, ns)
-        encode_adpcm_wav, parse_wav = ns["encode_adpcm_wav"], ns["parse_wav"]
+        # fixture construction (the encode) is the vectorized-across-docs
+        # batch encoder — byte-identical to the per-doc encoder
+        # (parity-pinned) but one numpy pass per sample instead of a
+        # Python loop per doc; the DECODE under test stays the real
+        # per-payload RIFF/ADPCM parser
+        encode_batch, parse_wav = ns["encode_adpcm_wav_batch"], ns["parse_wav"]
         N = 650
-        i = np.arange(N, dtype=np.int64)
-
-        def energies(doc_id):
-            v = ((doc_id * 37 + i * i * 11 + i * 17) % 65536) - 32768
-            dec = np.asarray(
-                parse_wav(encode_adpcm_wav(v.astype("<i2"))), dtype=np.int64
-            )
-            return [int((dec[f * 10 : (f + 1) * 10] ** 2).sum()) for f in range(65)]
+        i = np.arange(N, dtype=np.int64)[None, :]
 
         for pdf in batches:
-            out_id, out_fi, out_e = [], [], []
-            for d in pdf["doc_id"]:
-                for f, e in enumerate(energies(int(d))):
-                    out_id.append(int(d))
-                    out_fi.append(f)
-                    out_e.append(e)
-            yield pd.DataFrame({"doc_id": out_id, "fi": out_fi, "energy": out_e})
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                yield pd.DataFrame({"doc_id": [], "fi": [], "energy": []})
+                continue
+            mat = (
+                (ids[:, None] * 37 + i * i * 11 + i * 17) % 65536 - 32768
+            ).astype("<i2")
+            payloads = encode_batch(mat)
+            dec = np.stack(
+                [np.asarray(parse_wav(p), dtype=np.int64) for p in payloads]
+            )
+            energy = (dec.reshape(len(ids), 65, 10) ** 2).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, 65),
+                    "fi": np.tile(np.arange(65, dtype=np.int32), len(ids)),
+                    "energy": energy.reshape(-1),
+                }
+            )
+            yield out
 
     return ids.mapInPandas(mk, schema="doc_id long, fi int, energy long")
 

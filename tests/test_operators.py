@@ -1831,3 +1831,27 @@ def test_rrf_fuse_hand_checked_and_partitioned(spark):
     assert gq[("b", 1)] == rrf(2)
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_adpcm_batch_encoder_byte_parity():
+    """r7: the vectorized-across-streams ADPCM encoder must be
+    byte-identical to the per-stream reference across block boundaries,
+    odd lengths, and single-sample streams — inline kernel copy included."""
+    import numpy as np
+
+    from sparsity_spark.operators.multimodal import (
+        _INLINE_CODEC_SRC,
+        adpcm_wav_encode,
+        adpcm_wav_encode_batch,
+    )
+
+    ns = {"np": np}
+    exec(_INLINE_CODEC_SRC, ns)
+    rng = np.random.RandomState(3)
+    for n in (1, 5, 505, 506, 650, 1400):
+        mat = rng.randint(-32768, 32768, size=(5, n)).astype(np.int16)
+        batch = adpcm_wav_encode_batch(mat, rate=16000)
+        inline = ns["encode_adpcm_wav_batch"](mat, rate=16000)
+        for d in range(5):
+            ref = adpcm_wav_encode(mat[d], rate=16000)
+            assert batch[d] == ref == inline[d], (n, d)
