@@ -727,9 +727,17 @@ def extract_features(
     still raise — the documented codec seam — unless ``fake=True``, which
     keeps the deterministic md5 stand-in for all types. Corrupt payloads
     of a supported type return a NULL feature (null-safe kernels, r6)."""
+    from sparsity_spark.util import ensure_parallelism
+
     g = int(dim**0.5)
-    flat = assets.select(
-        F.col(id_col), F.col("content"), F.col("meta.media_type").alias("media_type")
+    # decode is CPU-heavy per row — repartition up to core count when the
+    # input arrives in fewer partitions (the corpus-proportional fixture
+    # generators otherwise run the whole decode on AQE's one coalesced
+    # task — measured 1-task stages at the sf1 tier)
+    flat = ensure_parallelism(
+        assets.select(
+            F.col(id_col), F.col("content"), F.col("meta.media_type").alias("media_type")
+        )
     )
     schema = f"{id_col} long, feature array<double>, n_bytes long"
 

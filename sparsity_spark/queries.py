@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparsity_spark.data import load_table
+from sparsity_spark.util import ensure_parallelism
 from sparsity_spark.events import events_coo, read_events
 from sparsity_spark.frame import COL, VAL, SparseFrame
 from sparsity_spark.reshape import sparse_one_hot
@@ -1433,7 +1434,7 @@ def multimodal_dhash_real_q(spark, sf_dir):
                 }
             )
 
-    assets = ids.mapInPandas(mk_ppm, schema="doc_id long, content binary")
+    assets = ensure_parallelism(ids).mapInPandas(mk_ppm, schema="doc_id long, content binary")
     return dhash_real_fingerprints(assets)
 
 
@@ -1504,7 +1505,7 @@ def multimodal_features_real_q(spark, sf_dir):
                 }
             )
 
-    raw = ids.mapInPandas(mk_ppm, schema="doc_id long, content binary")
+    raw = ensure_parallelism(ids).mapInPandas(mk_ppm, schema="doc_id long, content binary")
     assets = raw.select(
         "doc_id",
         "content",
@@ -1612,7 +1613,7 @@ def multimodal_png_real_q(spark, sf_dir):
                 }
             )
 
-    raw = ids.mapInPandas(mk_png, schema="doc_id long, content binary")
+    raw = ensure_parallelism(ids).mapInPandas(mk_png, schema="doc_id long, content binary")
     assets = raw.select(
         "doc_id",
         "content",
@@ -1709,7 +1710,7 @@ def multimodal_audio_real_q(spark, sf_dir):
                 }
             )
 
-    assets = ids.mapInPandas(mk_wav, schema="doc_id long, content binary")
+    assets = ensure_parallelism(ids).mapInPandas(mk_wav, schema="doc_id long, content binary")
     return audio_fingerprints(assets)
 
 
@@ -1827,7 +1828,7 @@ def multimodal_adpcm_real_q(spark, sf_dir):
             )
             yield out
 
-    return ids.mapInPandas(mk, schema="doc_id long, fi int, energy long")
+    return ensure_parallelism(ids).mapInPandas(mk, schema="doc_id long, fi int, energy long")
 
 
 @query(
