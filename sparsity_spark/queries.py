@@ -1831,6 +1831,149 @@ def multimodal_adpcm_real_q(spark, sf_dir):
     return ensure_parallelism(ids).mapInPandas(mk, schema="doc_id long, fi int, energy long")
 
 
+def _y4m_fixture_gen(_src=None):
+    """Shared Y4M fixture generator (r7): a deterministic 6-frame 16×12
+    C444 video per doc_id — integer channel formulas over (doc_id, t, x,
+    y) both engines reproduce — encoded through the real YUV4MPEG2
+    encoder. Returns a mapInPandas generator."""
+    from sparsity_spark.operators.multimodal import _INLINE_CODEC_SRC
+
+    src = _src or _INLINE_CODEC_SRC
+
+    def mk(batches, _src=src):
+        import numpy as np
+        import pandas as pd
+
+        ns = {"np": np}
+        exec(_src, ns)
+        encode_y4m = ns["encode_y4m"]
+        T, H, W = 6, 12, 16
+        t = np.arange(T, dtype=np.int64)[:, None, None]
+        y = np.arange(H, dtype=np.int64)[None, :, None]
+        x = np.arange(W, dtype=np.int64)[None, None, :]
+
+        def vid(doc_id):
+            yv = (doc_id * 7 + t * 29 + x * 3 + y * 11) % 256
+            uv = (doc_id * 11 + t * 17 + x * 5 + y * 7) % 256
+            vv = (doc_id * 13 + t * 23 + x * 7 + y * 3) % 256
+            fr = np.stack(
+                [np.broadcast_to(c, (T, H, W)) for c in (yv, uv, vv)], axis=3
+            ).astype(np.uint8)
+            return encode_y4m(fr)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [vid(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return mk
+
+
+def _y4m_assets(spark, sf_dir, mod: int = 4, rem: int = 3):
+    """doc_id %4==3 slice (disjoint from the PPM/PNG/ADPCM fixtures) →
+    real Y4M payloads with typed metadata; chunk_count carries the REAL
+    frame count the JVM-side stride explode samples from."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % mod == rem
+    ).distinct()
+    raw = ensure_parallelism(ids).mapInPandas(
+        _y4m_fixture_gen(), schema="doc_id long, content binary"
+    )
+    return raw.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("media_type"),
+            F.octet_length("content").alias("n_bytes"),
+            F.lit(6).alias("chunk_count"),
+        ).alias("meta"),
+    )
+
+
+def _y4m_frames_oracle(mod: int = 4, w: int = 16, h: int = 12) -> str:
+    """REAL video decode end to end, mirrored in SQL (r7): the Spark side
+    encodes the deterministic fixture as a real YUV4MPEG2 stream, decodes
+    it frame by frame through the real parser (stream-header tags, FRAME
+    markers, planar reshape), and emits EXACT integer per-plane sums for
+    every sampled frame; the oracle regenerates the same pixels from
+    (doc_id, t, x, y) and must land on identical integers — a mismatch
+    anywhere in encode → header walk → frame slicing → plane order breaks
+    the hash."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = 3),
+    px AS (
+      SELECT doc_id, CAST(t AS INTEGER) AS frame_idx,
+             (doc_id*7 + t*29 + x*3 + y*11) % 256 AS yv,
+             (doc_id*11 + t*17 + x*5 + y*7) % 256 AS uv,
+             (doc_id*13 + t*23 + x*7 + y*3) % 256 AS vv
+      FROM ids,
+           LATERAL UNNEST([0, 2, 4]) tt(t),
+           LATERAL UNNEST(range({w})) tx(x),
+           LATERAL UNNEST(range({h})) ty(y)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(SUM(yv) AS BIGINT) AS y_sum,
+           CAST(SUM(uv) AS BIGINT) AS u_sum,
+           CAST(SUM(vv) AS BIGINT) AS v_sum
+    FROM px GROUP BY 1, 2
+    """
+
+
+@query("multimodal_y4m_frames", _y4m_frames_oracle())
+def multimodal_y4m_frames_q(spark, sf_dir):
+    """REAL video decode through the real YUV4MPEG2 parser (r7 — the
+    video member of the real-codec family, next to PPM/PNG stills and
+    PCM/ADPCM audio): a deterministic 6-frame 16×12 C444 video per doc_id
+    is encoded as an actual Y4M stream, frames 0/2/4 are sampled by the
+    JVM-side stride explode, and each sampled frame's decoded planes are
+    reduced to exact integer sums the oracle reproduces from first
+    principles."""
+    from sparsity_spark.operators.multimodal import video_frame_stats
+
+    return video_frame_stats(_y4m_assets(spark, sf_dir), every_k=2)
+
+
+def _y4m_features_oracle(mod: int = 4, w: int = 16, h: int = 12, t: int = 6, g: int = 4) -> str:
+    """Temporal-mean luma features over REAL decoded video, mirrored in
+    SQL: Y IS the luma plane in YUV, so the g×g block means are exact
+    integer sums over (frame, row, col) with ONE integer divide and one
+    /255.0 — the image-feature rational discipline extended in time."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = 3),
+    px AS (
+      SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             (doc_id*7 + t*29 + x*3 + y*11) % 256 AS yv
+      FROM ids,
+           LATERAL UNNEST(range({t})) tt(t),
+           LATERAL UNNEST(range({w})) tx(x),
+           LATERAL UNNEST(range({h})) ty(y)
+    ),
+    blk AS (
+      SELECT doc_id, (y*{g}) // {h} AS by, (x*{g}) // {w} AS bx,
+             (SUM(yv) // COUNT(*)) / 255.0 AS fval
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(by*{g} + bx AS INTEGER) AS fi, fval FROM blk
+    """
+
+
+@query("multimodal_y4m_features", _y4m_features_oracle())
+def multimodal_y4m_features_q(spark, sf_dir):
+    """REAL video feature extraction through the GENERIC extract_features
+    plumbing (r7): the Y4M fixture flows through the media-type dispatch
+    → real stream decode → temporal-mean g×g block-luma grid, exploded to
+    (doc_id, fi, fval) exact rationals the oracle reproduces — proving
+    the video branch is routed end to end, not just the dedicated
+    frame-stats kernel."""
+    from sparsity_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_y4m_assets(spark, sf_dir), fake=False)
+    return feats.select("doc_id", F.posexplode("feature").alias("fi", "fval"))
+
+
 @query(
     "dedup_exact_normalized",
     """

@@ -1855,3 +1855,131 @@ def test_adpcm_batch_encoder_byte_parity():
         for d in range(5):
             ref = adpcm_wav_encode(mat[d], rate=16000)
             assert batch[d] == ref == inline[d], (n, d)
+
+
+def test_y4m_codec_roundtrip_and_inline_parity():
+    """r7: decode(encode(frames)) == frames for C444 and Cmono; the inline
+    kernel encoder/parser are bit-identical to the references; header
+    extension tags and per-frame parameters are skipped; malformed streams
+    raise ValueError, never return a wrong array."""
+    from sparsity_spark.operators.multimodal import (
+        _INLINE_CODEC_SRC,
+        decode_stub,
+        decode_y4m,
+        y4m_encode,
+    )
+
+    rng = np.random.RandomState(23)
+    ns = {"np": np}
+    exec(_INLINE_CODEC_SRC, ns)
+    fr = rng.randint(0, 256, size=(5, 9, 14, 3)).astype(np.uint8)
+    p = y4m_encode(fr, fps=(30, 1))
+    assert (decode_y4m(p) == fr).all()
+    assert ns["encode_y4m"](fr, (30, 1)) == p
+    assert (ns["parse_y4m"](p) == fr).all()
+    assert (decode_stub(p, "video/x-yuv4mpeg") == fr).all()
+    mono = rng.randint(0, 256, size=(3, 6, 8)).astype(np.uint8)
+    pm = y4m_encode(mono)
+    assert (decode_y4m(pm) == mono).all()
+    assert decode_y4m(pm).ndim == 3
+    # X extension tag, odd frame rate, interlace tag, per-frame params
+    hdr = b"YUV4MPEG2 W14 H9 F30000:1001 It A4:3 C444 XYSCSS=444\n"
+    body = b"".join(b"FRAME Ip\n" + np.moveaxis(f, 2, 0).tobytes() for f in fr)
+    assert (decode_y4m(hdr + body) == fr).all()
+    # malformations: truncated frame, bad marker, unterminated header,
+    # unsupported (subsampled) colorspace, unknown tag, zero frames, no W/H
+    for bad in (
+        p[:-1],
+        p.replace(b"FRAME", b"FRAMX", 1),
+        b"YUV4MPEG2 W4 H4 C444",
+        b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + b"\x00" * 24,
+        b"YUV4MPEG2 W4 H4\nFRAME\n" + b"\x00" * 24,  # default C420 unsupported
+        b"YUV4MPEG2 W4 H4 Q9 C444\nFRAME\n" + b"\x00" * 48,
+        b"YUV4MPEG2 W4 H4 C444\n",
+        b"YUV4MPEG2 H4 C444\nFRAME\n" + b"\x00" * 16,
+    ):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+    with pytest.raises(ValueError):
+        y4m_encode(np.zeros((0, 4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        y4m_encode(np.zeros((2, 4, 4, 2), dtype=np.uint8))
+
+
+def _mk_y4m_frames(doc_id, t=6, h=12, w=16):
+    """Deterministic frames matching the multimodal_y4m_frames fixture."""
+    ts = np.arange(t, dtype=np.int64)[:, None, None]
+    ys = np.arange(h, dtype=np.int64)[None, :, None]
+    xs = np.arange(w, dtype=np.int64)[None, None, :]
+    yv = (doc_id * 7 + ts * 29 + xs * 3 + ys * 11) % 256
+    uv = (doc_id * 11 + ts * 17 + xs * 5 + ys * 7) % 256
+    vv = (doc_id * 13 + ts * 23 + xs * 7 + ys * 3) % 256
+    return np.stack(
+        [np.broadcast_to(c, (t, h, w)) for c in (yv, uv, vv)], axis=3
+    ).astype(np.uint8)
+
+
+def test_y4m_real_pipeline_frames_features_framesample(spark):
+    """r7: the full video pipeline on REAL decoded frames — frame_sample
+    md5s recomputed through decode_y4m's planar bytes, video_frame_stats
+    plane sums and extract_features temporal block means recomputed in
+    numpy; out-of-range frame indices and corrupt payloads yield NULLs."""
+    import hashlib
+
+    from sparsity_spark.operators.multimodal import (
+        decode_y4m,
+        extract_features,
+        frame_sample,
+        video_frame_stats,
+        y4m_encode,
+    )
+
+    rows = [(i, y4m_encode(_mk_y4m_frames(i))) for i in (3, 7)]
+    rows.append((9, b"YUV4MPEG2 W16 H12 C444\nFRAME\n" + b"\x00" * 10))  # truncated
+    assets = _binary_asset_df(spark, rows, "video/x-yuv4mpeg", chunk_count=8)
+
+    got = frame_sample(assets, every_k=3, fake=False).toPandas()
+    for doc_id, raw in rows[:2]:
+        fr = decode_y4m(raw)
+        sub = got[got.doc_id == doc_id].set_index("frame_idx")
+        assert sorted(sub.index) == [0, 3, 6]
+        for f in (0, 3):
+            want = hashlib.md5(np.moveaxis(fr[f], 2, 0).tobytes()).hexdigest()
+            assert sub.loc[f, "frame_md5"] == want
+        assert pd.isna(sub.loc[6, "frame_md5"])  # chunk_count=8 > 6 real frames
+    assert got[got.doc_id == 9]["frame_md5"].isna().all()
+
+    stats = video_frame_stats(assets, every_k=2).toPandas()
+    for doc_id, raw in rows[:2]:
+        fr = decode_y4m(raw).astype(np.int64)
+        sub = stats[stats.doc_id == doc_id].set_index("frame_idx")
+        for f in (0, 2, 4):
+            assert sub.loc[f, "y_sum"] == fr[f, :, :, 0].sum()
+            assert sub.loc[f, "u_sum"] == fr[f, :, :, 1].sum()
+            assert sub.loc[f, "v_sum"] == fr[f, :, :, 2].sum()
+        assert sub.loc[6, ["y_sum", "u_sum", "v_sum"]].isna().all()
+    assert stats[stats.doc_id == 9]["y_sum"].isna().all()
+
+    feats = extract_features(assets, fake=False).toPandas().set_index("doc_id")
+    for doc_id, raw in rows[:2]:
+        fr = decode_y4m(raw).astype(np.int64)
+        y = fr[:, :, :, 0]
+        want = []
+        for by in range(4):
+            y0, y1 = (by * 12) // 4, ((by + 1) * 12) // 4
+            for bx in range(4):
+                x0, x1 = (bx * 16) // 4, ((bx + 1) * 16) // 4
+                blk = y[:, y0:y1, x0:x1]
+                want.append(float(int(blk.sum()) // blk.size) / 255.0)
+        assert list(feats.loc[doc_id, "feature"]) == want
+    assert feats.loc[9, "feature"] is None
+
+    # mono streams: u/v sums are NULL, y matches
+    mono = np.arange(4 * 5 * 6, dtype=np.uint8).reshape(4, 5, 6) % 251
+    massets = _binary_asset_df(
+        spark, [(1, y4m_encode(mono))], "video/x-yuv4mpeg", chunk_count=4
+    )
+    ms = video_frame_stats(massets, every_k=1).toPandas().set_index("frame_idx")
+    for f in range(4):
+        assert ms.loc[f, "y_sum"] == mono[f].astype(np.int64).sum()
+        assert pd.isna(ms.loc[f, "u_sum"]) and pd.isna(ms.loc[f, "v_sum"])

@@ -588,3 +588,49 @@ def test_adpcm_roundtrip_property(n, seed, block_align):
     bad[data_at + 2] = 200
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_y4m_fuzz_decode_or_valueerror(raw):
+    """r7 Y4M codec fuzz: arbitrary bytes after the magic must decode or
+    raise ValueError — never a wrong array or an uncontrolled crash."""
+    from sparsity_spark.operators.multimodal import decode_y4m
+
+    try:
+        fr = decode_y4m(b"YUV4MPEG2" + raw)
+    except ValueError:
+        return
+    assert fr.ndim in (3, 4) and fr.shape[0] >= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 5),
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    mono=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    cut=st.floats(0.1, 0.99),
+)
+def test_y4m_roundtrip_property(n, w, h, mono, seed, cut):
+    """Every (frame count, size, colorspace) combination must round-trip
+    to the exact frame array; any truncation must raise — a Y4M stream has
+    no padding, so a cut payload can never decode to the full stream."""
+    from sparsity_spark.operators.multimodal import decode_y4m, y4m_encode
+
+    rng = np.random.RandomState(seed)
+    shape = (n, h, w) if mono else (n, h, w, 3)
+    a = rng.randint(0, 256, size=shape).astype(np.uint8)
+    p = y4m_encode(a)
+    assert (decode_y4m(p) == a).all()
+    trunc = p[: max(1, int(len(p) * cut))]
+    if trunc == p:
+        return
+    try:
+        got = decode_y4m(trunc)
+    except ValueError:
+        return
+    # a cut at an exact frame boundary decodes a valid PREFIX of the stream
+    k = got.shape[0]
+    assert k < n and (got == a[:k]).all()
