@@ -261,3 +261,125 @@ def merge_cms_store(
     _drop_table_and_location(spark, table)
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (r7): register-based cardinality with the SAME cross-engine
+# determinism discipline as KMV/CMS — which library HLLs (and Spark's own
+# approx_count_distinct) cannot offer, because their register hashing and
+# bias tables differ per engine. Here every register is a pure md5
+# derivation: bucket = low b bits of the 60-bit hash, rho = leading-zero
+# rank of the remaining W = 60-b bits (computed exactly via LENGTH(BIN(w))
+# in both engines), and the harmonic-mean denominator is summed as EXACT
+# integers (Σ 2^(R-M_j) with R = W+1 ≤ 53, so every term and the sum fit a
+# BIGINT) — one double division at the end, rounded once. A DuckDB oracle
+# reproduces every register and the estimate bit-for-bit. vs KMV: the HLL
+# register file has fixed size m with ~1.04/√m relative error (m=256 →
+# ~6.5%) and merges by cell-wise MAX — idempotent, so re-processing a
+# batch cannot double-count (the property CMS lacks), which is what makes
+# it the right always-current distinct-count surface for an at-least-once
+# 100 TB ingest.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # 2^8 = 256 registers; W = 52 rho bits; R = 53
+
+
+def _hll_registers(df: DataFrame, value_col: str, b: int = HLL_B) -> DataFrame:
+    """(bucket, rho) rows before the register max — exposed for tests."""
+    m = 1 << b
+    W = 60 - b
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        _h60(F.col(value_col)).alias("h")
+    )
+    w = F.expr(f"h DIV {m}")
+    rho = F.when(w == 0, F.lit(W + 1)).otherwise(F.lit(W + 1) - F.length(F.bin(w)))
+    return hashed.select((F.col("h") % m).alias("bucket"), rho.alias("rho"))
+
+
+def hll_sketch(df: DataFrame, value_col: str, b: int = HLL_B) -> DataFrame:
+    """Build the register file: (bucket, r) — at most 2^b rows, from ONE
+    partial+final max aggregate over a map-side hash projection (no
+    distinct shuffle: register max is duplicate-insensitive by
+    construction, so the corpus is never deduplicated first)."""
+    return _hll_registers(df, value_col, b).groupBy("bucket").agg(
+        F.max("rho").cast("int").alias("r")
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise MAX of two register files built with the same b — exactly
+    the sketch of the concatenated inputs, and IDEMPOTENT: merging a
+    batch twice equals merging it once (safe under at-least-once
+    delivery, unlike counter sketches)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, b: int = HLL_B) -> DataFrame:
+    """Raw HLL estimate α_m·m²/Σ2^(-M_j) with the denominator summed as
+    exact integers (absent registers contribute 2^R each), ONE double
+    division, rounded once — engine/order-exact by construction. The
+    standard small-range linear-counting correction is deliberately NOT
+    applied here: it needs ln(m/V), whose last ulp is libm-dependent —
+    the exact zero_registers count is emitted instead so a caller (or the
+    python-side helper in tests) can apply any bias rule it wants.
+    Returns one row: (distinct_estimate, n_present, zero_registers)."""
+    m = 1 << b
+    R = 60 - b + 1
+    agg = sketch.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {R} - r)")).alias("s_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << R)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = F.round(
+        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(float(1 << R)) / s_total.cast("double"),
+        4,
+    )
+    return agg.select(
+        est.alias("distinct_estimate"),
+        F.col("n_present").cast("long").alias("n_present"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("zero_registers"),
+    )
+
+
+def write_hll_store(df: DataFrame, table: str, value_col: str, b: int = HLL_B) -> None:
+    """Persist a corpus's HLL register file as a catalog table — the
+    metadata-sized store shape (≤ 2^b rows), like the CMS store."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    sk = hll_sketch(df, value_col, b).localCheckpoint(eager=True)
+    _drop_table_and_location(df.sparkSession, table)
+    sk.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def hll_store(spark, table: str) -> DataFrame:
+    """Read back a persisted register file."""
+    return spark.table(table)
+
+
+def merge_hll_store(
+    batch_df: DataFrame, table: str, value_col: str, b: int = HLL_B
+) -> DataFrame:
+    """Fold one increment into the persisted register file — the ONE code
+    path batch appends and the streaming loop share (store-family
+    discipline). hll_merge is exact AND idempotent, so the maintained
+    store is bit-equal to rebuilding from everything ever seen even if an
+    increment is replayed. Returns the merged register file."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    spark = batch_df.sparkSession
+    inc = hll_sketch(batch_df, value_col, b)
+    try:
+        existing = spark.table(table)
+        merged = hll_merge(existing, inc)
+    except Exception:
+        merged = inc
+    # freeze BEFORE dropping: the lineage reads the table being replaced
+    merged = merged.localCheckpoint(eager=True)
+    _drop_table_and_location(spark, table)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return merged

@@ -6328,7 +6328,8 @@ def dedup_hash_store_screen_q(spark, sf_dir):
 def stats_kmv_sketch_q(spark, sf_dir):
     """KMV distinct sketch of events.user_id: the k smallest distinct md5
     hashes — deterministic, so the oracle reproduces the SKETCH ITSELF
-    bit-for-bit (HLL registers can't be cross-engine-checked like this).
+    bit-for-bit (library HLL registers can't be cross-engine-checked like
+    this; the r7 md5-register HLL below achieves it by construction).
     Mergeable: per-day sketches roll up via kmv_union without rescanning."""
     from sparsity_spark.operators.sketches import kmv_sketch
 
@@ -6477,6 +6478,67 @@ def stats_cms_store_merge_q(spark, sf_dir):
     return cms_estimate(
         cms_store(spark, "cms_store_oracle_q"), probes, "user_id", width=256, depth=3
     )
+
+
+_HLL_REG_SQL = """
+      SELECT h % 256 AS bucket,
+             CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+                           ELSE 53 - length(bin(h // 256)) END) AS INTEGER) AS r
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+      ) GROUP BY 1
+"""
+
+
+@query(
+    "stats_hll_estimate",
+    f"""
+    WITH reg AS ({_HLL_REG_SQL}),
+    agg AS (
+      SELECT COUNT(*) AS n_present,
+             SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_present
+      FROM reg
+    )
+    SELECT ROUND((0.7213 / (1 + 1.079/256)) * (256.0 * 256.0) * 9007199254740992.0
+                 / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE),
+                 4) AS distinct_estimate,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(256 - n_present AS BIGINT) AS zero_registers
+    FROM agg
+    """,
+)
+def stats_hll_estimate_q(spark, sf_dir):
+    """HyperLogLog cardinality of events.user_id (r7): 256 registers from
+    ONE partial+final max aggregate — no distinct shuffle (register max is
+    duplicate-insensitive), the scale win over KMV's distinct+TakeOrdered
+    when the hash set itself is huge. Every register is a pure md5
+    derivation (bucket = low 8 hash bits, rho via LENGTH(BIN(w)) on the
+    remaining 52) and the harmonic denominator is an EXACT integer sum, so
+    — unlike library HLLs and approx_count_distinct, whose registers
+    differ per engine — the DuckDB oracle reproduces the estimate to the
+    last rounded digit."""
+    from sparsity_spark.operators.sketches import hll_estimate, hll_sketch
+
+    sk = hll_sketch(load_table(spark, sf_dir, "events"), "user_id")
+    return hll_estimate(sk)
+
+
+@query("stats_hll_store_merge", f"SELECT * FROM ({_HLL_REG_SQL})")
+def stats_hll_store_merge_q(spark, sf_dir):
+    """Persisted HLL register-file maintenance under the correctness gate
+    (r7): the store is built from HALF the events, the other half is
+    folded in via merge_hll_store (the shared batch/streaming code path),
+    and the returned REGISTER FILE ITSELF — not just the estimate — must
+    equal the oracle's one-shot sketch of everything, bucket for bucket.
+    Cell-wise max is exact AND idempotent, so per-day register files roll
+    up at 100 TB without rescanning and survive at-least-once replays."""
+    from sparsity_spark.operators.sketches import hll_store, merge_hll_store, write_hll_store
+
+    ev = load_table(spark, sf_dir, "events")
+    write_hll_store(ev.filter(F.col("event_id") % 2 == 0), "hll_store_oracle_q", "user_id")
+    merge_hll_store(ev.filter(F.col("event_id") % 2 == 1), "hll_store_oracle_q", "user_id")
+    return hll_store(spark, "hll_store_oracle_q")
 
 
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:

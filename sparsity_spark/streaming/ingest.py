@@ -618,3 +618,34 @@ def streaming_cms_maintain(
             sink(merged, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_hll_maintain(
+    stream_df: DataFrame,
+    table: str,
+    value_col: str,
+    b: int = 8,
+    sink=None,
+):
+    """Streaming distinct-count maintenance (the store-family loop applied
+    to the HLL register file, r7): each micro-batch's registers are folded
+    cell-wise-MAX into the persisted file, so after N increments the store
+    is BIT-EQUAL to sketching everything ever seen — and because max is
+    idempotent, a REPLAYED batch leaves the store unchanged (the
+    at-least-once-safety counter sketches lack; cf. streaming_cms_maintain
+    where a replay double-counts). The fold is
+    :func:`operators.sketches.merge_hll_store` — the same code path batch
+    appends use, so batch and streaming registers cannot drift.
+
+    `foreachBatch` because the store update is a batch table write; the
+    register file is metadata-sized, so each fold rewrites kilobytes.
+    ``sink(merged_registers_df, batch_id)`` observes the post-fold file.
+    Returns the started-ready DataStreamWriter."""
+    from sparsity_spark.operators.sketches import merge_hll_store
+
+    def _process(batch_df, batch_id):
+        merged = merge_hll_store(batch_df, table, value_col, b)
+        if sink is not None:
+            sink(merged, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -1983,3 +1983,48 @@ def test_y4m_real_pipeline_frames_features_framesample(spark):
     for f in range(4):
         assert ms.loc[f, "y_sum"] == mono[f].astype(np.int64).sum()
         assert pd.isna(ms.loc[f, "u_sum"]) and pd.isna(ms.loc[f, "v_sum"])
+
+
+def test_hll_registers_estimate_merge_idempotent(spark):
+    """r7 HLL: registers match a python md5 reference bit for bit; the
+    estimate lands within the ~1.04/√m error envelope; merging halves
+    equals the whole-corpus sketch; REPLAYING an increment leaves the
+    registers unchanged (idempotency — the at-least-once-safety property
+    counter sketches lack); NULLs are ignored; sparse sets report exact
+    zero_registers."""
+    import hashlib
+
+    from sparsity_spark.operators.sketches import hll_estimate, hll_merge, hll_sketch
+
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "v")
+    sk = hll_sketch(df, "v")
+    got = {int(r["bucket"]): int(r["r"]) for r in sk.collect()}
+
+    regs = {}
+    for v in range(n):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        w = h // 256
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[h % 256] = max(regs.get(h % 256, 0), rho)
+    assert got == regs
+
+    row = hll_estimate(sk).collect()[0]
+    assert abs(row["distinct_estimate"] - n) / n < 0.2  # 3σ ≈ 19.5% at m=256
+    assert row["n_present"] + row["zero_registers"] == 256
+
+    lo = hll_sketch(df.filter("v < 2500"), "v")
+    hi = hll_sketch(df.filter("v >= 2500"), "v")
+    merged = hll_merge(lo, hi).toPandas().sort_values("bucket").reset_index(drop=True)
+    whole = sk.toPandas().sort_values("bucket").reset_index(drop=True)
+    assert merged.equals(whole)
+    # replay: folding the same half in again must be a no-op
+    replayed = hll_merge(hll_merge(lo, hi), lo).toPandas().sort_values("bucket").reset_index(drop=True)
+    assert replayed.equals(whole)
+
+    # duplicates don't move registers; NULLs ignored; sparse set → zeros
+    dup = spark.createDataFrame([(1,), (1,), (None,), (2,)], "v long")
+    sk2 = hll_sketch(dup, "v").toPandas()
+    assert len(sk2) == 2
+    row2 = hll_estimate(hll_sketch(dup, "v")).collect()[0]
+    assert row2["zero_registers"] == 254

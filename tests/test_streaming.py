@@ -704,3 +704,70 @@ def test_streaming_cms_maintain_two_increments(spark, tmp_path):
     true = {1: 20, 2: 10, 3: 5, 4: 10, 5: 5, 6: 0}
     for k, t in true.items():
         assert est[k] >= t
+
+
+def test_streaming_hll_maintain_two_increments_and_replay(spark, tmp_path):
+    """r7 sketch-store loop: after two micro-batches the maintained HLL
+    register file must be BIT-EQUAL to sketching the full union in one
+    batch, and re-folding an already-seen increment (an at-least-once
+    replay) must leave the registers unchanged — max is idempotent, the
+    property that distinguishes this store from the CMS counter store."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+        hll_store,
+        merge_hll_store,
+    )
+    from sparsity_spark.streaming.ingest import streaming_hll_maintain
+
+    schema = "k long"
+    rows1 = pd.DataFrame({"k": [i % 40 for i in range(200)]})
+    rows2 = pd.DataFrame({"k": [i % 70 for i in range(200)]})
+    src = str(tmp_path / "hll_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    spark.sql("DROP TABLE IF EXISTS hll_stream_store")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_hll_maintain(stream, "hll_stream_store", "k")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = spark.createDataFrame(pd.concat([rows1, rows2]), schema)
+    maintained = (
+        hll_store(spark, "hll_stream_store").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    direct = (
+        hll_sketch(whole, "k").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    assert maintained.equals(direct)
+
+    # replay an increment through the SAME fold path: registers unchanged
+    merge_hll_store(spark.createDataFrame(rows1, schema), "hll_stream_store", "k")
+    replayed = (
+        hll_store(spark, "hll_stream_store").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    assert replayed.equals(direct)
+
+    # 70 distinct in 256 registers is the linear-counting regime: apply
+    # the standard small-range correction python-side from the EXACT
+    # zero_registers count the estimate row carries (the engine emits the
+    # raw estimate only — ln(m/V) is libm-dependent, hll_estimate doc)
+    import math
+
+    est = hll_estimate(hll_store(spark, "hll_stream_store")).collect()[0]
+    v = est["zero_registers"]
+    corrected = 256 * math.log(256 / v) if v > 0 else est["distinct_estimate"]
+    assert abs(corrected - 70) / 70 < 0.25
