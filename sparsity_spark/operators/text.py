@@ -588,3 +588,140 @@ def dsir_importance(
     return agg.withColumn(
         "importance", F.round(F.col("logp_target") - F.col("logp_raw"), 6)
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (r7): hashing-trick features + multinomial
+# Naive Bayes — the fastText-style linear curation scorer, trained CLOSED
+# FORM in two aggregate passes so there is no iteration to destabilize and
+# the whole run is engine-exact. The log-likelihood weights follow the
+# bigram-LM determinism discipline (lm_bigram_model / lm_score_documents):
+# ONE round(ln(rational), 6) per model cell, then every per-doc score is a
+# sum of EXACT INTEGER micro-log-odds — a DuckDB oracle replays training
+# and scoring bit for bit. A full-batch perceptron was built and measured
+# first and REJECTED: with shared background vocabulary the summed update
+# overshoots and the classifier oscillates between all-positive and
+# all-negative states (measured 0.67/0.33/0.67 accuracy across passes even
+# on a marker-separable corpus; the perceptron convergence theorem covers
+# only the sequential online variant, which is not a data-parallel shape).
+# ---------------------------------------------------------------------------
+
+
+def hashed_token_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 1024
+) -> DataFrame:
+    """Hashing-trick bag of words: (id, f, x) rows with f = 60-bit md5 of
+    the token mod dim and x = the token's count in the doc. One explode +
+    one hash aggregate; the feature space is fixed at dim regardless of
+    vocabulary, which is the point of the trick at 100 TB — no vocab
+    build, no dictionary shuffle, new tokens land in existing buckets."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    f = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
+    return (
+        toks.select(F.col(id_col), f.alias("f"))
+        .groupBy(id_col, "f")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+
+
+def lexicon_label(
+    docs: DataFrame,
+    pos_tokens: list[str],
+    neg_tokens: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weak-supervision labels from a lexicon rule: y = +1 when the doc
+    uses more pos_tokens than neg_tokens (ties and token-free docs → -1).
+    One map-only projection — the cheap heuristic a curation pipeline
+    distills into a generalizing classifier (the CCNet/GPT-3 quality-
+    classifier recipe: heuristic labels in, learned scorer out)."""
+    w = words_expr(text_col)
+    pos_arr = F.array(*[F.lit(t) for t in pos_tokens])
+    neg_arr = F.array(*[F.lit(t) for t in neg_tokens])
+    ca = F.size(F.filter(w, lambda t: F.array_contains(pos_arr, t)))
+    cb = F.size(F.filter(w, lambda t: F.array_contains(neg_arr, t)))
+    return docs.select(
+        F.col(id_col), F.when(ca > cb, 1).otherwise(-1).cast("int").alias("y")
+    )
+
+
+def nb_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    dim: int = 1024,
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed features, closed form: per-class
+    token-count aggregates → Laplace-smoothed log-likelihood ratios. Every
+    weight is round(ln((c+1)/(t+dim)), 6) scaled to an exact integer
+    micro-log-odds (the LM-scorer seam discipline): the only float op is
+    one ln per model cell, rounded once — no order-dependent float sums
+    anywhere, so training is reproducible across engines/partitionings.
+
+    All dim buckets are materialized (unseen buckets carry the smoothed
+    floor), plus one f = -1 row holding the log-prior — the weight table
+    is exactly dim+1 rows, broadcastable at any corpus size. Scale shape:
+    ONE pass over the feature rows (two conditional sums in the same
+    aggregate), one scalar aggregate, no iteration. Returns (f, w6)."""
+    spark = feats.sparkSession
+    lab = labels.select(F.col(id_col), F.col(label_col).alias("y"))
+    j = feats.join(lab, id_col)
+    cls = j.groupBy("f").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("x")).otherwise(0)).alias("cpos"),
+        F.sum(F.when(F.col("y") == -1, F.col("x")).otherwise(0)).alias("cneg"),
+    )
+    tot = j.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("x")).otherwise(0)).alias("tpos"),
+        F.sum(F.when(F.col("y") == -1, F.col("x")).otherwise(0)).alias("tneg"),
+    )
+    nd = lab.agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("npos"),
+        F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).alias("nneg"),
+    )
+    allf = spark.range(dim).select(F.col("id").cast("long").alias("f"))
+    full = allf.join(cls, "f", "left").crossJoin(F.broadcast(tot))
+
+    def lp(c, t):
+        return F.round(F.log((F.coalesce(c, F.lit(0)) + 1) / (F.col(t) + F.lit(dim))), 6)
+
+    w6 = (
+        F.round(lp(F.col("cpos"), "tpos") * 1e6) - F.round(lp(F.col("cneg"), "tneg") * 1e6)
+    ).cast("long")
+    weights = full.select("f", w6.alias("w6"))
+    prior = nd.select(
+        F.lit(-1).cast("long").alias("f"),
+        F.round(F.round(F.log(F.col("npos") / F.col("nneg")), 6) * 1e6)
+        .cast("long")
+        .alias("w6"),
+    )
+    return weights.unionByName(prior)
+
+
+def nb_score(
+    feats: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score docs against the trained model: one broadcast join + one
+    per-doc aggregate over exact integer micro-log-odds; the log-prior
+    (the f = -1 row) joins in through a per-doc bias feature. Returns
+    (id, score6, pred) — pred = sign(score6), score6 = 0 → -1."""
+    ids = feats.select(id_col).distinct()
+    bias = ids.select(
+        F.col(id_col), F.lit(-1).cast("long").alias("f"), F.lit(1).cast("long").alias("x")
+    )
+    allrows = feats.select(id_col, "f", "x").unionByName(bias)
+    return (
+        allrows.join(F.broadcast(weights), "f")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w6")).cast("long").alias("score6"))
+        .select(
+            id_col,
+            "score6",
+            F.when(F.col("score6") > 0, 1).otherwise(-1).cast("int").alias("pred"),
+        )
+    )

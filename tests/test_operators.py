@@ -2028,3 +2028,64 @@ def test_hll_registers_estimate_merge_idempotent(spark):
     assert len(sk2) == 2
     row2 = hll_estimate(hll_sketch(dup, "v")).collect()[0]
     assert row2["zero_registers"] == 254
+
+
+def test_nb_classifier_learns_and_is_partition_invariant(spark):
+    """r7 classifier: multinomial NB over hashed features separates a
+    token-disjoint corpus perfectly; weights/scores are exact integer
+    micro-log-odds, identical across partitionings (the engine-exactness
+    claim the oracle relies on); the f=-1 prior row reflects the class
+    balance; on a lexicon-labeled slice of the real fixture the model
+    beats the majority baseline (it must generalize the rule through hash
+    buckets, not copy it)."""
+    import pandas as pd
+
+    from sparsity_spark.operators.text import (
+        hashed_token_features,
+        lexicon_label,
+        nb_score,
+        nb_train,
+    )
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        vocab = ["alpha", "beta", "gamma"] if pos else ["zulu", "yankee", "xray"]
+        text = " ".join(vocab[(i + j) % 3] for j in range(6))
+        rows.append((i, text, 1 if pos else -1))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "y"])
+    docs = spark.createDataFrame(pdf)
+
+    feats = hashed_token_features(docs, dim=64)
+    labels = docs.select("doc_id", "y")
+    w = nb_train(feats, labels, dim=64)
+    wp = w.toPandas()
+    assert len(wp) == 65  # 64 buckets + the f=-1 prior row
+    assert int(wp[wp.f == -1]["w6"].iloc[0]) == 0  # balanced classes
+    scored = nb_score(feats, w).toPandas().set_index("doc_id")
+    joined = pdf.set_index("doc_id").join(scored)
+    assert (joined["pred"] == joined["y"]).mean() == 1.0
+
+    # partition invariance: different layout -> bit-identical weights
+    w8 = (
+        nb_train(hashed_token_features(docs.repartition(8), dim=64), labels, dim=64)
+        .toPandas().sort_values("f").reset_index(drop=True)
+    )
+    assert w8.equals(wp.sort_values("f").reset_index(drop=True))
+
+    # real fixture + lexicon labels: learned model beats majority
+    sf = "/root/testdata/sf0.001"
+    from sparsity_spark.data import load_table
+
+    rdocs = load_table(spark, sf, "documents")
+    rl = lexicon_label(
+        rdocs,
+        ["table", "row", "scan", "query", "filter"],
+        ["stream", "window", "batch", "vector", "hash"],
+    )
+    rf = hashed_token_features(rdocs)
+    rw = nb_train(rf, rl)
+    got = nb_score(rf, rw).join(rl, "doc_id").toPandas()
+    acc = (got["pred"] == got["y"]).mean()
+    base = max((got["y"] == 1).mean(), (got["y"] == -1).mean())
+    assert acc > base + 0.1, (acc, base)
