@@ -110,6 +110,15 @@ BENCH_QUERIES = [
     "s7_jsonl_roundtrip",
     "text_hybrid_rrf",
     "stats_cms_store_merge",
+    # round-7 late additions: the video codec, the HLL register file, and
+    # the closed-form NB classifier
+    "multimodal_y4m_frames",
+    "multimodal_y4m_features",
+    "multimodal_gif_frames",
+    "multimodal_gif_features",
+    "stats_hll_estimate",
+    "stats_hll_store_merge",
+    "text_nb_distill",
 ]
 
 
@@ -154,6 +163,13 @@ SCALE_QUERIES = [
     "stats_cms_estimate",
     "s7_jsonl_roundtrip",
     "text_hybrid_rrf",
+    # r7 late additions: real video decode (corpus-proportional fixture),
+    # the no-distinct-shuffle HLL, and single-pass NB training — each
+    # expected sublinear
+    "multimodal_y4m_frames",
+    "multimodal_gif_frames",
+    "stats_hll_estimate",
+    "text_nb_distill",
 ]
 
 

@@ -2089,3 +2089,116 @@ def test_nb_classifier_learns_and_is_partition_invariant(spark):
     acc = (got["pred"] == got["y"]).mean()
     base = max((got["y"] == 1).mean(), (got["y"] == -1).mean())
     assert acc > base + 0.1, (acc, base)
+
+
+def test_gif_codec_roundtrip_lzw_and_inline_parity():
+    """r7: decode(encode(idx, pal)) == pal[idx] across interlace modes,
+    palette sizes, LZW width growth (256-color random frame) and the
+    4095-entry dictionary freeze (long repetitive stream); the inline
+    kernel encoder/parser are bit-identical to the references; malformed
+    streams raise ValueError, never wrong pixels."""
+    from sparsity_spark.operators.multimodal import (
+        _INLINE_CODEC_SRC,
+        decode_gif,
+        decode_stub,
+        gif_encode,
+    )
+
+    rng = np.random.RandomState(41)
+    ns = {"np": np}
+    exec(_INLINE_CODEC_SRC, ns)
+    pal8 = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, (4, 10, 20)).astype(np.uint8)
+    for inter in (False, True):
+        p = gif_encode(idx, pal8, interlace=inter)
+        assert (decode_gif(p) == pal8[idx]).all()
+        assert ns["encode_gif"](idx, pal8, inter) == p
+        assert (ns["parse_gif"](p) == pal8[idx]).all()
+    p = gif_encode(idx, pal8)
+    assert (decode_stub(p, "image/gif") == pal8[idx]).all()
+
+    # LZW code-width growth: a 256-color random frame fills the table fast
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    big = rng.randint(0, 256, (1, 60, 70)).astype(np.uint8)
+    assert (decode_gif(gif_encode(big, pal256)) == pal256[big]).all()
+    # dictionary freeze past 4095 entries: long repetitive stream
+    rep = np.tile(np.arange(64, dtype=np.uint8).reshape(8, 8), (1, 40, 40))[:, :300, :300]
+    assert (decode_gif(gif_encode(rep, pal256)) == pal256[rep]).all()
+
+    # GIF89a extension blocks (e.g. graphics control) must be skipped
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    hdr_end = 13 + 3 * 8  # header + 8-color global table
+    spliced = p[:hdr_end] + gce + p[hdr_end:]
+    assert (decode_gif(spliced) == pal8[idx]).all()
+
+    for bad in (
+        p[:-1],                        # missing trailer
+        p[:-2] + b"\x99\x3b",          # corrupt last sub-block terminator
+        b"GIF89a" + p[6:20],           # truncated mid-header
+        p.replace(b"\x2c", b"\x2d", 1),  # unknown block type
+    ):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    with pytest.raises(ValueError):
+        gif_encode(idx, pal8[:1])  # palette too small
+    with pytest.raises(ValueError):
+        gif_encode(np.full((1, 2, 2), 9, dtype=np.uint8), pal8)  # index > palette
+
+
+def test_gif_real_pipeline_frames_features_framesample(spark):
+    """r7: the full GIF pipeline on REAL decoded frames — frame_sample
+    md5s recomputed through decode_gif, gif_frame_stats channel sums and
+    extract_features temporal luma block means recomputed in numpy;
+    corrupt payloads and out-of-range indices yield NULLs."""
+    import hashlib
+
+    from sparsity_spark.operators.multimodal import (
+        decode_gif,
+        extract_features,
+        frame_sample,
+        gif_encode,
+        gif_frame_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    rows = []
+    for doc_id in (2, 5):
+        idx = rng.randint(0, 16, (4, 12, 20)).astype(np.uint8)
+        rows.append((doc_id, gif_encode(idx, pal, interlace=bool(doc_id % 2))))
+    rows.append((9, rows[0][1][: len(rows[0][1]) // 2]))  # truncated
+    assets = _binary_asset_df(spark, rows, "image/gif", chunk_count=6)
+
+    got = frame_sample(assets, every_k=2, fake=False).toPandas()
+    for doc_id, raw in rows[:2]:
+        fr = decode_gif(raw)
+        sub = got[got.doc_id == doc_id].set_index("frame_idx")
+        assert sorted(sub.index) == [0, 2, 4]
+        for f in (0, 2):
+            assert sub.loc[f, "frame_md5"] == hashlib.md5(fr[f].tobytes()).hexdigest()
+        assert pd.isna(sub.loc[4, "frame_md5"])  # chunk_count=6 > 4 real frames
+    assert got[got.doc_id == 9]["frame_md5"].isna().all()
+
+    stats = gif_frame_stats(assets, every_k=2).toPandas()
+    for doc_id, raw in rows[:2]:
+        fr = decode_gif(raw).astype(np.int64)
+        sub = stats[stats.doc_id == doc_id].set_index("frame_idx")
+        for f in (0, 2):
+            assert sub.loc[f, "r_sum"] == fr[f, :, :, 0].sum()
+            assert sub.loc[f, "g_sum"] == fr[f, :, :, 1].sum()
+            assert sub.loc[f, "b_sum"] == fr[f, :, :, 2].sum()
+    assert stats[stats.doc_id == 9]["r_sum"].isna().all()
+
+    feats = extract_features(assets, fake=False).toPandas().set_index("doc_id")
+    for doc_id, raw in rows[:2]:
+        fr = decode_gif(raw).astype(np.int64)
+        luma = (299 * fr[:, :, :, 0] + 587 * fr[:, :, :, 1] + 114 * fr[:, :, :, 2]) // 1000
+        want = []
+        for by in range(4):
+            y0, y1 = (by * 12) // 4, ((by + 1) * 12) // 4
+            for bx in range(4):
+                x0, x1 = (bx * 20) // 4, ((bx + 1) * 20) // 4
+                blk = luma[:, y0:y1, x0:x1]
+                want.append(float(int(blk.sum()) // blk.size) / 255.0)
+        assert list(feats.loc[doc_id, "feature"]) == want
+    assert feats.loc[9, "feature"] is None

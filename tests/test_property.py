@@ -634,3 +634,58 @@ def test_y4m_roundtrip_property(n, w, h, mono, seed, cut):
     # a cut at an exact frame boundary decodes a valid PREFIX of the stream
     k = got.shape[0]
     assert k < n and (got == a[:k]).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_gif_fuzz_decode_or_valueerror(raw):
+    """r7 GIF codec fuzz: arbitrary bytes after the magic must decode or
+    raise ValueError — never wrong pixels or an uncontrolled crash."""
+    from sparsity_spark.operators.multimodal import decode_gif
+
+    try:
+        fr = decode_gif(b"GIF89a" + raw)
+    except ValueError:
+        return
+    assert fr.ndim == 4 and fr.shape[3] == 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 4),
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    ncolors=st.sampled_from([2, 3, 8, 16, 256]),
+    inter=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(n, w, h, ncolors, inter, seed):
+    """Every (frame count, size, palette size, interlace) combination must
+    round-trip to the exact RGB frames; truncation must raise."""
+    from sparsity_spark.operators.multimodal import decode_gif, gif_encode
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, (n, h, w)).astype(np.uint8)
+    p = gif_encode(idx, pal, interlace=inter)
+    assert (decode_gif(p) == pal[idx]).all()
+    with pytest.raises(ValueError):
+        decode_gif(p[: len(p) - 1])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    mcs=st.integers(2, 8),
+    seed=st.integers(0, 2**31 - 1),
+    length=st.integers(1, 2000),
+)
+def test_gif_lzw_roundtrip_property(mcs, seed, length):
+    """The LZW pair must round-trip arbitrary index streams across every
+    code size, including streams long enough to grow the code width and
+    freeze the dictionary."""
+    from sparsity_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    rng = np.random.RandomState(seed)
+    idxs = rng.randint(0, 1 << mcs, length).tolist()
+    data = _gif_lzw_encode(idxs, mcs)
+    assert _gif_lzw_decode(data, mcs, length) == idxs
