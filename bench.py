@@ -118,7 +118,9 @@ BENCH_QUERIES = [
     "multimodal_gif_features",
     "stats_hll_estimate",
     "stats_hll_store_merge",
+    "stats_hll_group_estimate",
     "text_nb_distill",
+    "dedup_edit_distance_pairs",
 ]
 
 
@@ -170,6 +172,7 @@ SCALE_QUERIES = [
     "multimodal_gif_frames",
     "stats_hll_estimate",
     "text_nb_distill",
+    "dedup_edit_distance_pairs",
 ]
 
 

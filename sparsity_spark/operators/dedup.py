@@ -1510,3 +1510,60 @@ def minhash_expr_bands(
     # rows for it, so the expression form returns NULL (not md5-of-empty
     # keys, which would spuriously collide every shingle-less doc)
     return F.when(F.size(hashes) > 0, out)
+
+
+def deletion_variants_expr(str_col: str):
+    """FastSS k=1 deletion neighborhood as a pure array expression: the
+    string itself plus every single-character deletion. Two strings are
+    within edit distance 1 iff they share a neighborhood entry (equality
+    shares the identity; insert/delete pairs share the shorter string;
+    substitution pairs share the deletion at the differing position) —
+    sharing is necessary, not sufficient, so candidates are verified."""
+    return F.expr(
+        f"transform(sequence(0, length({str_col})), i -> "
+        f"CASE WHEN i = length({str_col}) THEN {str_col} "
+        f"ELSE concat(substring({str_col}, 1, i), substring({str_col}, i+2)) END)"
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str = "doc_id", str_col: str = "text"
+) -> DataFrame:
+    """All pairs within edit distance 1 via FastSS deletion neighborhoods
+    (Bocek et al., "Fast Similarity Search in Large Dictionaries") — the
+    short-string twin of the pigeonhole/prefix near-dup family (titles,
+    names, codes; for long documents use the shingle-based operators).
+
+    LOSSLESS: candidate pairs come from ONE equi-join on shared deletion
+    variants (a string of length L explodes to ≤ L+1 variants, so the
+    join is bucketed by construction — never a cartesian product), then
+    exact ``levenshtein(a, b) <= 1`` verification kills the false
+    positives the neighborhood admits (e.g. 'ab'/'ba' share variants but
+    sit at distance 2). Both Spark and the SQL oracle use the engine's
+    levenshtein — identical classic edit-distance semantics. Map-side
+    pair dedup collapses multi-variant collisions before the verify.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}."""
+    variants = df.select(
+        F.col(id_col), F.col(str_col).alias("__s__"),
+        F.explode(deletion_variants_expr(str_col)).alias("__v__"),
+    ).dropDuplicates([id_col, "__v__"])
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__v__") == F.col("b.__v__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__s__").alias("__sa__"),
+            F.col("b.__s__").alias("__sb__"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.levenshtein("__sa__", "__sb__") <= 1).select(
+        "id_a", "id_b", F.levenshtein("__sa__", "__sb__").cast("int").alias("dist")
+    )

@@ -383,3 +383,56 @@ def merge_hll_store(
     _drop_table_and_location(spark, table)
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     return merged
+
+
+def hll_group_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, b: int = HLL_B
+) -> DataFrame:
+    """Per-group HLL register files in ONE aggregate: (group_cols…,
+    bucket, r). The classic production rollup shape — distinct users per
+    day/segment — at ≤ 2^b rows per group regardless of group size, and
+    mergeable across time/shards by per-group cell-wise max (idempotent,
+    so replays are safe). No distinct shuffle: the single groupBy is on
+    (group_cols, bucket), and map-side max collapses each task's
+    contribution to at most |groups|·2^b rows before the exchange."""
+    m = 1 << b
+    W = 60 - b
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c in group_cols], _h60(F.col(value_col)).alias("h")
+    )
+    w = F.expr(f"h DIV {m}")
+    rho = F.when(w == 0, F.lit(W + 1)).otherwise(F.lit(W + 1) - F.length(F.bin(w)))
+    cells = hashed.select(
+        *[F.col(c) for c in group_cols],
+        (F.col("h") % m).alias("bucket"),
+        rho.alias("rho"),
+    )
+    return cells.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").cast("int").alias("r")
+    )
+
+
+def hll_group_estimate(
+    sketch: DataFrame, group_cols: list[str], b: int = HLL_B
+) -> DataFrame:
+    """Per-group raw-HLL estimates from a grouped register file — the same
+    exact-integer harmonic sum as :func:`hll_estimate`, one row per group:
+    (group_cols…, distinct_estimate, n_present, zero_registers)."""
+    m = 1 << b
+    R = 60 - b + 1
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {R} - r)")).alias("s_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << R)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = F.round(
+        F.lit(alpha) * F.lit(float(m) * float(m)) * F.lit(float(1 << R)) / s_total.cast("double"),
+        4,
+    )
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        est.alias("distinct_estimate"),
+        F.col("n_present").cast("long").alias("n_present"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("zero_registers"),
+    )

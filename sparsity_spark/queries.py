@@ -2097,6 +2097,38 @@ def multimodal_gif_features_q(spark, sf_dir):
 
 
 @query(
+    "dedup_edit_distance_pairs",
+    """
+    WITH v AS (
+      SELECT DISTINCT c_custkey AS id, c_name AS s,
+             CASE WHEN i = length(c_name) THEN c_name
+                  ELSE substr(c_name, 1, i) || substr(c_name, i+2) END AS var
+      FROM customer, LATERAL UNNEST(range(length(c_name) + 1)) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 1
+    """,
+)
+def dedup_edit_distance_pairs_q(spark, sf_dir):
+    """Edit-distance-1 pair search over customer names via FastSS deletion
+    neighborhoods (r7): every name explodes to its ≤ L+1 single-deletion
+    variants, candidates come from ONE bucketed equi-join on shared
+    variants (never cartesian), and exact levenshtein verification keeps
+    the result lossless — the short-string member of the near-dup family
+    (record linkage on names/titles/codes). The oracle mirrors the full
+    neighborhood → join → verify pipeline with the same classic
+    edit-distance semantics."""
+    from sparsity_spark.operators.dedup import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_pairs(cust, id_col="c_custkey", str_col="c_name")
+
+
+@query(
     "dedup_exact_normalized",
     """
     WITH d AS (
@@ -6760,6 +6792,49 @@ def text_nb_distill_q(spark, sf_dir):
     )
     w = nb_train(feats, labels, dim=1024)
     return nb_score(feats, w)
+
+
+@query(
+    "stats_hll_group_estimate",
+    """
+    WITH reg AS (
+      SELECT event_type, h % 256 AS bucket,
+             MAX(CASE WHEN h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h // 256)) END) AS r
+      FROM (
+        SELECT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+      ) GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_present,
+             SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_present
+      FROM reg GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND((0.7213 / (1 + 1.079/256)) * (256.0 * 256.0) * 9007199254740992.0
+                 / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE),
+                 4) AS distinct_estimate,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(256 - n_present AS BIGINT) AS zero_registers
+    FROM agg
+    """,
+)
+def stats_hll_group_estimate_q(spark, sf_dir):
+    """Per-group HLL rollup (r7): distinct users per event_type from ONE
+    (group, bucket) max aggregate — the production daily-uniques shape at
+    ≤ 256 rows per group with no COUNT(DISTINCT) expansion and no distinct
+    shuffle; grouped register files merge across days/shards by per-group
+    cell-wise max (idempotent under replay). Deterministic md5 registers,
+    so the oracle reproduces every group's estimate to the rounded
+    digit."""
+    from sparsity_spark.operators.sketches import hll_group_estimate, hll_group_sketch
+
+    sk = hll_group_sketch(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    )
+    return hll_group_estimate(sk, ["event_type"])
 
 
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:

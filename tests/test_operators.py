@@ -2202,3 +2202,122 @@ def test_gif_real_pipeline_frames_features_framesample(spark):
                 want.append(float(int(blk.sum()) // blk.size) / 255.0)
         assert list(feats.loc[doc_id, "feature"]) == want
     assert feats.loc[9, "feature"] is None
+
+
+def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
+    """r7 FastSS: the deletion-neighborhood join + levenshtein verify must
+    find EXACTLY the brute-force edit-distance ≤ 1 pairs — equality,
+    insert/delete, and substitution all covered; distance-2 lookalikes
+    that share variants (transpositions) are rejected by the verify."""
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        "alpha", "alpah",      # transposition: ed 2, shares variants -> rejected
+        "alphas", "alph",      # insert (ed1 to alpha), delete (ed1 to alpha)
+        "altha",               # substitution: ed1 to alpha
+        "beta", "beta",        # exact duplicate (ed 0)
+        "gamma", "delta",      # unrelated
+        "", "x",               # empty and 1-char edge cases (ed 1)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(names)), "text": names})
+    df = spark.createDataFrame(pdf)
+    got = {
+        (int(r["id_a"]), int(r["id_b"]), int(r["dist"]))
+        for r in edit_distance_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+    assert (0, 1, 2) not in got  # the transposition stayed out
+
+
+def test_edit_distance_pairs_property_random(spark):
+    """Randomized losslessness: on a corpus of short random strings over a
+    tiny alphabet (dense near-dup structure), the operator equals brute
+    force exactly."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import edit_distance_pairs
+
+    rnd = random.Random(19)
+    names = [
+        "".join(rnd.choice("abc") for _ in range(rnd.randint(0, 5)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(names)), "text": names})
+    got = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in edit_distance_pairs(spark.createDataFrame(pdf)).collect()
+    }
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+def test_hll_group_sketch_matches_per_group_build(spark):
+    """r7 grouped HLL: the one-aggregate grouped register file must equal
+    building an independent sketch per group, and per-group estimates
+    track the true distinct counts within the m=256 error envelope."""
+    import pandas as pd
+
+    from sparsity_spark.operators.sketches import (
+        hll_estimate,
+        hll_group_estimate,
+        hll_group_sketch,
+        hll_sketch,
+    )
+
+    rows = []
+    for g, n in (("a", 900), ("b", 90), ("c", 3)):
+        rows += [(g, f"{g}_{i % n}") for i in range(n * 2)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "v"]))
+    grouped = hll_group_sketch(df, ["grp"], "v")
+    for g, n in (("a", 900), ("b", 90), ("c", 3)):
+        sub = (
+            grouped.filter(F.col("grp") == g).select("bucket", "r")
+            .toPandas().sort_values("bucket").reset_index(drop=True)
+        )
+        solo = (
+            hll_sketch(df.filter(F.col("grp") == g), "v")
+            .toPandas().sort_values("bucket").reset_index(drop=True)
+        )
+        assert sub.equals(solo), g
+    est = {r["grp"]: r for r in hll_group_estimate(grouped, ["grp"]).collect()}
+    assert abs(est["a"]["distinct_estimate"] - 900) / 900 < 0.25
+    assert est["c"]["n_present"] == 3  # 3 values -> at most 3 registers
