@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "stats_hll_group_estimate",
     "text_nb_distill",
     "dedup_edit_distance_pairs",
+    "text_bpe_train",
 ]
 
 
@@ -172,7 +173,12 @@ SCALE_QUERIES = [
     "multimodal_gif_frames",
     "stats_hll_estimate",
     "text_nb_distill",
-    "dedup_edit_distance_pairs",
+    # dedup_edit_distance_pairs is deliberately NOT in the tier: the
+    # key-shifted replica copies customer names verbatim, so the ANSWER
+    # itself grows 100x on 10x data (every base pair lifts to 10x10
+    # copies + 45-pair dist-0 cliques = 26,925,000 pairs, measured) —
+    # an output-bound fixture pathology, not an operator scale property;
+    # throughput analysis in SCALE.md
 ]
 
 

@@ -725,3 +725,134 @@ def nb_score(
             F.when(F.col("score6") > 0, 1).otherwise(-1).cast("int").alias("pred"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r7): learn byte-pair-encoding merges from the
+# corpus — the actual tokenizer-training workload of an LLM data pipeline,
+# engine-exact end to end. The corpus is touched ONCE (the word-frequency
+# aggregate); every merge iteration then runs on the vocabulary table
+# (cardinality-guarded), exactly how sentencepiece/HF trainers operate on
+# word counts. The greedy left-to-right single-pair merge is a string-state
+# fold ('OUT|PREV') both engines express natively (Spark aggregate() HOF /
+# DuckDB list_reduce), so the SQL oracle replays TRAINING — pair counts,
+# argmax with lexicographic tie-break, and the fold itself — bit for bit.
+# Plain string replace was rejected: replace(' A B ', ' AB ') drops merges
+# in runs of the same symbol (boundary-space sharing), diverging from
+# textbook BPE on 'a a a a'.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_merge(tokens, a: str, b: str):
+    """Greedy left-to-right merge of the pair (a, b) over a token array via
+    a fold with state 'OUT|PREV' — tokens must not contain '|' or spaces
+    (guaranteed by bpe_train's tokenization). Returns the merged sequence
+    as a space-joined string."""
+    A, B, AB = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def out(acc):
+        return F.substring_index(acc, "|", 1)
+
+    def prev(acc):
+        return F.substring_index(acc, "|", -1)
+
+    def j(o, tok):
+        return F.when(o == "", tok).otherwise(F.concat(o, F.lit(" "), tok))
+
+    def step(acc, x):
+        return (
+            F.when(prev(acc) == "", F.concat(out(acc), F.lit("|"), x))
+            .when((prev(acc) == A) & (x == B), F.concat(j(out(acc), AB), F.lit("|")))
+            .otherwise(F.concat(j(out(acc), prev(acc)), F.lit("|"), x))
+        )
+
+    def finish(acc):
+        return F.when(prev(acc) == "", out(acc)).otherwise(j(out(acc), prev(acc)))
+
+    return F.aggregate(tokens, F.lit("|"), step, finish)
+
+
+_BPE_PAIRS_EXPR = (
+    "transform(sequence(0, size(split(seq, ' ')) - 2), "
+    "i -> concat(split(seq, ' ')[i], ' ', split(seq, ' ')[i + 1]))"
+)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 3,
+    max_vocab: int = 1_000_000,
+):
+    """Learn BPE merges: word frequencies (ONE corpus aggregate — the only
+    corpus-sized pass), char+'</w>' initial segmentation, then per merge:
+    adjacent-pair counts weighted by word frequency, argmax with
+    (count DESC, pair ASC) tie-break — a deterministic vocab-sized sort —
+    and the greedy fold applied to every word. The vocabulary table is
+    frozen per iteration (localCheckpoint, vocab-sized ≤ max_vocab), so
+    driver state stays bounded and lineage flat; the collected best pair
+    is ONE row per merge.
+
+    Returns (merges, seqs): merges = [(rank, a, b, count)], seqs = the
+    final (w, cnt, seq) segmentation table."""
+    words = (
+        docs.select(F.explode(words_expr(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nv = words.limit(max_vocab + 1).count()
+    if nv > max_vocab:
+        raise ValueError(
+            f"bpe_train: vocabulary exceeds max_vocab={max_vocab}; raise the "
+            f"guard deliberately — the merge loop is vocab-sized by design"
+        )
+    seqs = words.select(
+        "w",
+        "cnt",
+        F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>")).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = (
+            seqs.filter(F.size(F.split(F.col("seq"), " ")) >= 2)
+            .select("cnt", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)
+        merges.append((rank, a, b, int(best[0]["c"])))
+        seqs = seqs.select(
+            "w", "cnt", _bpe_apply_merge(F.split(F.col("seq"), " "), a, b).alias("seq")
+        ).localCheckpoint(eager=True)
+    return merges, seqs
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained merge list: per word, the initial
+    char segmentation then every merge's greedy fold in rank order — pure
+    string expressions, no UDF. Returns (id, n_words, n_tokens): the
+    LLM-pipeline token accounting surface (n_tokens shrinks as merges
+    compress)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias("w")
+    ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
+    seq = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>"))
+    expr = seq
+    for _, a, b, _c in merges:
+        expr = _bpe_apply_merge(F.split(expr, " "), a, b)
+    per_word = toks.select(
+        F.col(id_col), F.size(F.split(expr, " ")).cast("long").alias("ntok")
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )

@@ -2104,6 +2104,7 @@ def multimodal_gif_features_q(spark, sf_dir):
              CASE WHEN i = length(c_name) THEN c_name
                   ELSE substr(c_name, 1, i) || substr(c_name, i+2) END AS var
       FROM customer, LATERAL UNNEST(range(length(c_name) + 1)) t(i)
+      WHERE c_custkey % 4 = 0
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
@@ -2124,7 +2125,15 @@ def dedup_edit_distance_pairs_q(spark, sf_dir):
     edit-distance semantics."""
     from sparsity_spark.operators.dedup import edit_distance_pairs
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)  # density-bounded slice: the
+        # sequential-keyspace fixture is an ed-1 CLIQUE generator (every
+        # name has ~35 one-digit neighbors at sf0.1); a quarter slice
+        # keeps the oracle discriminative without an output-bound bench
+        # row — full-corpus density analysis in SCALE.md
+        .select("c_custkey", "c_name")
+    )
     return edit_distance_pairs(cust, id_col="c_custkey", str_col="c_name")
 
 
@@ -6835,6 +6844,75 @@ def stats_hll_group_estimate_q(spark, sf_dir):
         load_table(spark, sf_dir, "events"), ["event_type"], "user_id"
     )
     return hll_group_estimate(sk, ["event_type"])
+
+
+def _bpe_oracle(num_merges: int = 3) -> str:
+    """BPE training replayed in SQL (r7): per merge, one pair-count CTE,
+    one argmax CTE (count DESC, pair ASC — the trainer's tie-break), and
+    the SAME greedy 'OUT|PREV' string-state fold the Spark side runs
+    (DuckDB list_reduce ≡ Spark aggregate HOF) — the kmeans-oracle
+    unrolling pattern applied to tokenizer training."""
+    fold = """
+  SELECT w, cnt,
+    (SELECT CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+                 WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+                 ELSE split_part(st,'|',1) || ' ' || split_part(st,'|',2) END
+     FROM (SELECT list_reduce(list_prepend('|', string_split(seq, ' ')), (acc, x) ->
+       CASE
+         WHEN split_part(acc, '|', 2) = '' THEN split_part(acc,'|',1) || '|' || x
+         WHEN split_part(acc, '|', 2) = {B}.a AND x = {B}.b
+           THEN (CASE WHEN split_part(acc,'|',1)='' THEN {B}.a || {B}.b
+                 ELSE split_part(acc,'|',1) || ' ' || {B}.a || {B}.b END) || '|'
+         ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+               ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+       END) AS st)) AS seq
+  FROM {IT} CROSS JOIN {B}
+"""
+    parts = [
+        r"""words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' AND w NOT LIKE '%|%'
+  GROUP BY w
+)""",
+        r"""it0 AS (
+  SELECT w, cnt, regexp_replace(w, '(.)', '\1 ', 'g') || '</w>' AS seq FROM words
+)""",
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, toks[i+1] || ' ' || toks[i+2] AS pair
+    FROM (SELECT cnt, string_split(seq, ' ') AS toks FROM it{r - 1}),
+         LATERAL UNNEST(range(len(toks) - 1)) t(i)
+  ) GROUP BY pair
+)""")
+        parts.append(f"""b{r} AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1
+)""")
+        parts.append(
+            f"it{r} AS ({fold.format(B=f'b{r}', IT=f'it{r - 1}')})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT w, cnt, seq FROM it{num_merges}"
+    )
+
+
+@query("text_bpe_train", _bpe_oracle(3))
+def text_bpe_train_q(spark, sf_dir):
+    """BPE tokenizer training with TRAINING replayed by the oracle (r7):
+    three merges learned from the documents corpus — word frequencies in
+    ONE corpus pass, then vocab-sized pair-count/argmax/greedy-fold
+    iterations (the sentencepiece/HF word-count training shape) — and the
+    full final segmentation table returned. Counts are exact integers,
+    the tie-break lexicographic, and the fold identical in both engines,
+    so a one-token drift anywhere in training flips the hash."""
+    from sparsity_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, seqs = bpe_train(docs, num_merges=3)
+    return seqs.select("w", "cnt", "seq")
 
 
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:

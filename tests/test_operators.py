@@ -2321,3 +2321,64 @@ def test_hll_group_sketch_matches_per_group_build(spark):
     est = {r["grp"]: r for r in hll_group_estimate(grouped, ["grp"]).collect()}
     assert abs(est["a"]["distinct_estimate"] - 900) / 900 < 0.25
     assert est["c"]["n_present"] == 3  # 3 values -> at most 3 registers
+
+
+def test_bpe_train_matches_textbook_reference(spark):
+    """r7 BPE: the distributed trainer must produce exactly the merges and
+    segmentations of a textbook python reference (Sennrich-style greedy
+    pair merging over word frequencies, count-then-lexicographic
+    tie-break), including the same-symbol-run case plain string replace
+    gets wrong; bpe_encode token counts shrink monotonically with merges."""
+    import pandas as pd
+
+    from sparsity_spark.operators.text import bpe_encode, bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa",  # same-symbol runs: the greedy-fold edge case
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    merges, seqs = bpe_train(docs, num_merges=4)
+
+    # textbook reference
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    ref = {w: [*w, "</w>"] for w in wc}
+    ref_merges = []
+    for _ in range(4):
+        pc = Counter()
+        for w, toks in ref.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        a, b = best
+        for w, toks in ref.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            ref[w] = out
+
+    assert [(a, b) for _, a, b, _c in merges] == ref_merges
+    got = {r["w"]: r["seq"] for r in seqs.collect()}
+    assert got == {w: " ".join(t) for w, t in ref.items()}
+
+    # encode: token counts match the reference segmentation; more merges
+    # never increase the count
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        want = sum(len(ref[w]) for w in t.split(" ") if w)
+        assert enc[i]["n_tokens"] == want
+    enc0 = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, []).collect()}
+    for i in enc:
+        assert enc[i]["n_tokens"] <= enc0[i]
