@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "text_nb_distill",
     "dedup_edit_distance_pairs",
     "text_bpe_train",
+    "stats_quantile_sample",
+    "s8_orc_roundtrip",
 ]
 
 

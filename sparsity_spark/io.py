@@ -350,3 +350,46 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     valid standalone JSONL (the property that makes the format splittable
     on the way back in)."""
     df.write.mode(mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """CSV ingestion (r7) — the remaining interchange staple next to
+    parquet/JSONL. Spark's csv source is line-splittable like json (byte
+    ranges snapped to newlines), with the same production discipline:
+    pass an explicit DDL ``schema`` (inference is a second full scan) and
+    prune columns at the reader. Quoting/escaping follow RFC 4180
+    defaults; multiline records are deliberately NOT enabled — a
+    multiline CSV is not splittable, which silently serializes a 100 TB
+    scan onto whole-file tasks."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path)
+    return df.select(*columns) if columns else df
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """Write CSV shards — one file per partition, RFC 4180 quoting, so
+    every shard is a valid standalone CSV and the directory reads back
+    splittably."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC ingestion (r7): Spark's native vectorized ORC reader — the
+    second columnar interchange format after parquet, with the same
+    pushdown surface (predicate pushdown + column pruning reach the
+    stripe reader; min/max stripe stats prune like parquet footers)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ORC shards via the native writer (zlib default codec)."""
+    df.write.mode(mode).orc(path)

@@ -436,3 +436,68 @@ def hll_group_estimate(
         F.col("n_present").cast("long").alias("n_present"),
         (F.lit(m) - F.col("n_present")).cast("long").alias("zero_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sample (r7): a mergeable quantile summary with the
+# family's engine-exactness discipline. Classic quantile sketches (t-digest,
+# KLL, GK) are order-dependent — merging the same data in a different
+# partition order yields different summaries, so no SQL oracle can replay
+# them. A HASH-THRESHOLD Bernoulli sample is not: keep exactly the rows
+# whose 60-bit md5 of the ROW KEY falls under rate·2^60 — a pure function
+# of the key set, so the sample (and every quantile read off it) is
+# bit-reproducible across engines, partitionings, and replays, and two
+# samples merge by plain union (same rule ⇒ same keep decision). The
+# estimate is the exact interpolated quantile of the sample — Spark
+# percentile() ≡ DuckDB quantile_cont(), pinned by the stats_percentiles
+# family. Error: standard Bernoulli-sample quantile bounds (±O(1/√(p·n))
+# rank error); at 100 TB a p = 1e-6 sample of a 10^12-row column is 10^6
+# rows — metadata next to the corpus, exact-rank to ~0.1%.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sample(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rate_ppm: int = 62500,
+) -> DataFrame:
+    """The summary itself: (key, value) rows whose md5(key) < rate.
+    ``rate_ppm`` is parts-per-million (62500 = 1/16) as an INTEGER so the
+    threshold rate_ppm·2^60/10^6 is computed identically in both engines
+    with exact integer arithmetic. Map-only — the sample is selected by a
+    pushdown-friendly filter, no shuffle, no state."""
+    if not 0 < rate_ppm <= 1_000_000:
+        raise ValueError(f"rate_ppm must be in (0, 1e6], got {rate_ppm}")
+    thresh = ((1 << 60) * rate_ppm) // 1_000_000
+    return df.where(
+        F.col(value_col).isNotNull() & (_h60(F.col(key_col)) < F.lit(thresh))
+    ).select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+
+
+def quantile_sample_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two summaries built with the same rate — exactly the
+    summary of the concatenated inputs when key spaces are disjoint
+    (per-day/per-shard rollup); with overlapping keys, dedupe upstream."""
+    return a.unionByName(b)
+
+
+def quantile_sample_estimate(
+    sample: DataFrame, qs: list[float] | None = None
+) -> DataFrame:
+    """Interpolated quantiles of the deterministic sample — one tiny
+    aggregate over the sample rows. Returns (q, value_estimate round-6),
+    one row per requested quantile."""
+    qs = qs or [0.25, 0.5, 0.75, 0.9, 0.99]
+    agg = sample.agg(
+        *[
+            F.round(F.expr(f"percentile(v, {q!r})"), 6).alias(f"__q{i}__")
+            for i, q in enumerate(qs)
+        ]
+    )
+    stacked = ", ".join(
+        f"CAST({q!r} AS DOUBLE), __q{i}__" for i, q in enumerate(qs)
+    )
+    return agg.select(
+        F.expr(f"stack({len(qs)}, {stacked}) AS (q, value_estimate)")
+    )

@@ -3020,6 +3020,38 @@ def s7_jsonl_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s8_orc_roundtrip",
+    """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS text_md5_sum
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def s8_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round trip (r7): documents → native vectorized ORC
+    writer → ORC reader → the same per-group md5 content sums as the
+    JSONL row, against the oracle's read of the ORIGINAL parquet — the
+    second columnar interchange format, with parquet-equivalent pushdown
+    (stripe stats prune like footers)."""
+    import tempfile
+
+    from sparsity_spark.io import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sparsity_orc_") + "/docs"
+    write_orc(docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
+    back = read_orc(spark, path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        ).alias("text_md5_sum"),
+    )
+
+
+@query(
     "src_csv_events",
     """
     SELECT user_id, event_type AS col, CAST(COUNT(*) AS DOUBLE) AS value
@@ -6913,6 +6945,39 @@ def text_bpe_train_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     _merges, seqs = bpe_train(docs, num_merges=3)
     return seqs.select("w", "cnt", "seq")
+
+
+@query(
+    "stats_quantile_sample",
+    """
+    WITH s AS (
+      SELECT value AS v FROM events
+      WHERE value IS NOT NULL
+        AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            < (CAST(1 AS BIGINT) << 60) // 16
+    )
+    SELECT q, ROUND(CAST(quantile_cont(v, q) AS DOUBLE), 6) AS value_estimate
+    FROM s, LATERAL UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) t(q)
+    GROUP BY q
+    """,
+)
+def stats_quantile_sample_q(spark, sf_dir):
+    """Deterministic quantile summary (r7): a hash-threshold Bernoulli
+    sample (md5(event_id) < 2^60/16 — a pure function of the key set, so
+    the summary is bit-reproducible across engines/partitionings/replays
+    and merges by plain union, unlike order-dependent t-digest/KLL
+    sketches), then exact interpolated quantiles of the sample. The
+    oracle selects the SAME rows and quantile_cont ≡ Spark percentile —
+    the whole summary pipeline is replayed, not just sanity-checked."""
+    from sparsity_spark.operators.sketches import (
+        quantile_sample,
+        quantile_sample_estimate,
+    )
+
+    s = quantile_sample(
+        load_table(spark, sf_dir, "events"), "event_id", "value", rate_ppm=62500
+    )
+    return quantile_sample_estimate(s)
 
 
 def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:

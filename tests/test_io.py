@@ -251,3 +251,35 @@ def test_jsonl_roundtrip_escaping_nulls_and_pruning(spark, tmp_path):
         columns=["doc_id", "lang"],
     )
     assert pruned.columns == ["doc_id", "lang"]
+
+
+def test_csv_orc_roundtrips(spark, tmp_path):
+    """r7 generic CSV/ORC source-sink: quoted commas and unicode survive
+    the CSV round trip under an explicit schema; ORC round-trips the full
+    frame byte-exactly; column pruning applies at both readers."""
+    import pandas as pd
+
+    from sparsity_spark.io import read_csv, read_orc, write_csv, write_orc
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "s": ['comma, inside', 'quote " inside', "unicode ✓ works"],
+            "x": [1.5, -2.25, 0.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    cpath = str(tmp_path / "csv")
+    write_csv(df, cpath)
+    back = read_csv(spark, cpath, schema="id long, s string, x double")
+    got = back.toPandas().sort_values("id").reset_index(drop=True)
+    assert got.equals(pdf)
+    pruned = read_csv(spark, cpath, schema="id long, s string, x double", columns=["id"])
+    assert pruned.columns == ["id"] and pruned.count() == 3
+
+    opath = str(tmp_path / "orc")
+    write_orc(df, opath)
+    oback = read_orc(spark, opath).toPandas().sort_values("id").reset_index(drop=True)
+    assert oback.equals(pdf)
+    assert read_orc(spark, opath, columns=["s"]).columns == ["s"]

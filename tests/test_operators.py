@@ -2382,3 +2382,44 @@ def test_bpe_train_matches_textbook_reference(spark):
     enc0 = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, []).collect()}
     for i in enc:
         assert enc[i]["n_tokens"] <= enc0[i]
+
+
+def test_quantile_sample_deterministic_and_mergeable(spark):
+    """r7 quantile summary: the hash-threshold sample is a pure function
+    of the key set (identical across partitionings), merges by union
+    (disjoint key shards == one-shot build), and its interpolated
+    quantiles track the true ones within Bernoulli-sample rank error."""
+    import pandas as pd
+
+    from sparsity_spark.operators.sketches import (
+        quantile_sample,
+        quantile_sample_estimate,
+        quantile_sample_merge,
+    )
+
+    n = 20000
+    pdf = pd.DataFrame({"k": range(n), "v": [float(i % 1000) for i in range(n)]})
+    df = spark.createDataFrame(pdf)
+    s = quantile_sample(df, "k", "v", rate_ppm=62500)
+    samp = s.toPandas().sort_values("k").reset_index(drop=True)
+    # partition invariance
+    samp8 = (
+        quantile_sample(df.repartition(8), "k", "v", rate_ppm=62500)
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert samp.equals(samp8)
+    # sample size concentrates around n/16
+    assert abs(len(samp) - n / 16) < 4 * (n / 16) ** 0.5
+    # merge of disjoint shards == one-shot
+    lo = quantile_sample(df.filter("k < 10000"), "k", "v", rate_ppm=62500)
+    hi = quantile_sample(df.filter("k >= 10000"), "k", "v", rate_ppm=62500)
+    merged = (
+        quantile_sample_merge(lo, hi).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert merged.equals(samp)
+    # estimates track the true quantiles of the uniform 0..999 values
+    est = {r["q"]: r["value_estimate"] for r in quantile_sample_estimate(s).collect()}
+    for q in (0.25, 0.5, 0.75, 0.9):
+        assert abs(est[q] - q * 999) < 40, (q, est[q])
+    with pytest.raises(ValueError):
+        quantile_sample(df, "k", "v", rate_ppm=0)
