@@ -2986,7 +2986,7 @@ def s3_traildb_binary(spark, sf_dir):
     """
     SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS text_md5_sum
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_md5_sum
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -3024,7 +3024,7 @@ def s7_jsonl_roundtrip(spark, sf_dir):
     """
     SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS text_md5_sum
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_md5_sum
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -3182,7 +3182,7 @@ def skew_salted_join(spark, sf_dir):
     SELECT l.l_returnflag AS returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS price_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
     FROM lineitem l
     WHERE l.l_orderkey IN (
       SELECT o_orderkey FROM orders
@@ -6956,9 +6956,16 @@ def text_bpe_train_q(spark, sf_dir):
         AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
             < (CAST(1 AS BIGINT) << 60) // 16
     )
-    SELECT q, ROUND(CAST(quantile_cont(v, q) AS DOUBLE), 6) AS value_estimate
-    FROM s, LATERAL UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) t(q)
-    GROUP BY q
+    SELECT CAST(0.25 AS DOUBLE) AS q,
+           ROUND(CAST(quantile_cont(v, 0.25) AS DOUBLE), 6) AS value_estimate FROM s
+    UNION ALL SELECT CAST(0.5 AS DOUBLE),
+           ROUND(CAST(quantile_cont(v, 0.5) AS DOUBLE), 6) FROM s
+    UNION ALL SELECT CAST(0.75 AS DOUBLE),
+           ROUND(CAST(quantile_cont(v, 0.75) AS DOUBLE), 6) FROM s
+    UNION ALL SELECT CAST(0.9 AS DOUBLE),
+           ROUND(CAST(quantile_cont(v, 0.9) AS DOUBLE), 6) FROM s
+    UNION ALL SELECT CAST(0.99 AS DOUBLE),
+           ROUND(CAST(quantile_cont(v, 0.99) AS DOUBLE), 6) FROM s
     """,
 )
 def stats_quantile_sample_q(spark, sf_dir):

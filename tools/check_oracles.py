@@ -38,6 +38,24 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def dtype_kinds(pdf: pd.DataFrame) -> dict:
+    """Per-column dtype KIND (int/float/other). The driver hashes
+    STRINGIFIED values, so an int64 Spark column vs a float64 oracle
+    column ("3" vs "3.0") is a hash mismatch even when the values are
+    numerically equal — the r7 s7/skew_bloom red rows were exactly this
+    (DuckDB SUM(BIGINT) → HUGEINT → float64 in pandas). assert_frame_equal
+    with check_dtype=False cannot see it; this check can."""
+    out = {}
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            out[c] = "int"
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            out[c] = "float"
+        else:
+            out[c] = "other"
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,6 +96,15 @@ def main():
             status.append(f"rows {len(got)} != {len(want)}")
         if list(got.columns) != list(want.columns):
             status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        if not status:
+            gk, wk = dtype_kinds(got), dtype_kinds(want)
+            drift = [
+                f"{c}: spark={gk[c]} oracle={wk[c]}"
+                for c in got.columns
+                if {gk[c], wk[c]} == {"int", "float"}
+            ]
+            if drift:
+                status.append("dtype drift (driver hashes strings!): " + "; ".join(drift))
         if not status:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-6)
