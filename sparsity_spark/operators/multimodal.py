@@ -2241,6 +2241,60 @@ def video_frame_stats(
     return sampled.mapInPandas(_stats, schema=schema)
 
 
+def video_shot_mad(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Shot-boundary signal over REAL decoded video (r8): for every
+    consecutive frame pair of each Y4M asset, the EXACT integer luma
+    mean-absolute-difference numerator ``mad = Σ |Y_t − Y_{t−1}|`` over
+    the full plane (channel 0 for C444, the single plane for Cmono).
+    Thresholding this signal is the classical hard-cut detector; the
+    caller picks the threshold (content-dependent policy), the engine
+    delivers the exact signal.
+
+    Scale shape: videos are independent rows — ONE Arrow-batched decode
+    per asset (never per pair; the pairwise diffs reuse the decoded
+    stack), map-only at corpus-width parallelism, no shuffle anywhere.
+    Every value is a bounded integer both engines reproduce, so the
+    whole decode → frame-pair walk is oracle-checkable. Corrupt payloads
+    contribute no rows (the decode-or-ValueError contract is pinned in
+    unit tests; a signal row from a corrupt stream would be a wrong
+    answer, not a degraded one)."""
+    flat = assets.select(F.col(id_col), F.col("content"))
+    schema = f"{id_col} long, frame_idx int, mad long"
+
+    # self-contained closure — executors may not have this module importable
+    def _mad(batches, _src=_INLINE_CODEC_SRC):
+        import numpy as np
+        import pandas as pd
+
+        ns = {"np": np}
+        exec(_src, ns)
+        parse_y4m = ns["parse_y4m"]
+
+        for pdf in batches:
+            ids, idxs, mads = [], [], []
+            for rid, c in zip(pdf[id_col], pdf["content"]):
+                try:
+                    fr = parse_y4m(bytes(c))
+                except ValueError:
+                    continue
+                luma = fr if fr.ndim == 3 else fr[:, :, :, 0]
+                d = np.abs(np.diff(luma.astype(np.int64), axis=0))
+                per_pair = d.reshape(d.shape[0], -1).sum(axis=1)
+                for t, m in enumerate(per_pair, start=1):
+                    ids.append(rid)
+                    idxs.append(t)
+                    mads.append(int(m))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "mad": pd.array(mads, dtype="Int64"),
+                }
+            )
+
+    return flat.mapInPandas(_mad, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # GIF (r7): a real LZW-compressed multi-frame image format, from scratch
 # over the public GIF89a spec — header/logical-screen parse, global+local

@@ -1974,6 +1974,105 @@ def multimodal_y4m_features_q(spark, sf_dir):
     return feats.select("doc_id", F.posexplode("feature").alias("fi", "fval"))
 
 
+def _shot_y4m_assets(spark, sf_dir, mod: int = 3, rem: int = 1):
+    """Shot-boundary fixture (r8): a deterministic 6-frame 16×12 Cmono
+    video per doc_id (%3==1 slice) with a HARD CUT between frames 2 and
+    3 — segment A drifts +1/frame over a (doc, x, y) base pattern capped
+    at 192, segment B is a different pattern offset to 200+, so the luma
+    MAD is exactly H·W=192 within a segment and ≥ 9·H·W across the cut.
+    Integer formulas both engines reproduce, encoded through the real
+    Y4M encoder (the mono colorspace branch, which the color fixture
+    never exercises)."""
+    from sparsity_spark.operators.multimodal import _INLINE_CODEC_SRC
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % mod == rem
+    ).distinct()
+
+    def mk(batches, _src=_INLINE_CODEC_SRC):
+        import numpy as np
+        import pandas as pd
+
+        ns = {"np": np}
+        exec(_src, ns)
+        encode_y4m = ns["encode_y4m"]
+        T, H, W = 6, 12, 16
+        t = np.arange(T, dtype=np.int64)[:, None, None]
+        y = np.arange(H, dtype=np.int64)[None, :, None]
+        x = np.arange(W, dtype=np.int64)[None, None, :]
+
+        def vid(doc_id):
+            seg_a = (doc_id * 7 + x * 2 + y * 5) % 190 + t
+            seg_b = 200 + (doc_id * 3 + x * 5 + y * 2) % 50 + (t - 3)
+            yv = np.where(t < 3, seg_a, seg_b)
+            return encode_y4m(np.broadcast_to(yv, (T, H, W)).astype(np.uint8))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [vid(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    raw = ensure_parallelism(ids).mapInPandas(
+        mk, schema="doc_id long, content binary"
+    )
+    return raw.select(
+        "doc_id",
+        "content",
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("media_type"),
+            F.octet_length("content").alias("n_bytes"),
+            F.lit(6).alias("chunk_count"),
+        ).alias("meta"),
+    )
+
+
+def _shot_boundaries_oracle(mod: int = 3, w: int = 16, h: int = 12, thr: int = 1000) -> str:
+    """The whole shot detector replayed in SQL: regenerate both segments'
+    pixels from (doc_id, t, x, y), self-join consecutive frames, sum
+    |ΔY| exactly, threshold. A defect anywhere in mono encode → stream
+    parse → frame slicing → pairwise diff → cut rule breaks the hash."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = 1),
+    px AS (
+      SELECT doc_id, t, x, y,
+             CASE WHEN t < 3 THEN (doc_id*7 + x*2 + y*5) % 190 + t
+                  ELSE 200 + (doc_id*3 + x*5 + y*2) % 50 + (t-3) END AS yv
+      FROM ids,
+           LATERAL UNNEST(range(6)) tt(t),
+           LATERAL UNNEST(range({w})) tx(x),
+           LATERAL UNNEST(range({h})) ty(y)
+    ),
+    d AS (
+      SELECT a.doc_id, CAST(a.t AS INTEGER) AS frame_idx,
+             CAST(SUM(ABS(a.yv - b.yv)) AS BIGINT) AS mad
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.t = a.t - 1 AND b.x = a.x AND b.y = a.y
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_idx, mad, mad > {thr} AS is_cut FROM d
+    """
+
+
+@query("multimodal_shot_boundaries", _shot_boundaries_oracle())
+def multimodal_shot_boundaries_q(spark, sf_dir):
+    """Shot-boundary detection over REAL decoded video (r8): the mono
+    Y4M fixture with a hard cut at frame 3 flows through the real stream
+    parser, every consecutive frame pair's exact integer luma MAD is
+    computed in ONE Arrow decode per asset (map-only, no shuffle), and
+    the classical threshold rule flags the cut. The oracle replays
+    pixels → pairwise |ΔY| sums → threshold from first principles, so
+    the 5 pairs per video must land on identical integers AND the same
+    boolean — within-segment pairs (mad = 192) prove the detector stays
+    quiet, the cut pair proves it fires."""
+    from sparsity_spark.operators.multimodal import video_shot_mad
+
+    mad = video_shot_mad(_shot_y4m_assets(spark, sf_dir))
+    return mad.withColumn("is_cut", F.col("mad") > 1000)
+
+
 def _gif_assets(spark, sf_dir, mod: int = 4, rem: int = 1):
     """Deterministic 4-frame 20×10 animated-GIF fixture per doc_id
     (%4==1 slice): an 8-color palette and per-pixel indices from integer

@@ -1985,6 +1985,41 @@ def test_y4m_real_pipeline_frames_features_framesample(spark):
         assert pd.isna(ms.loc[f, "u_sum"]) and pd.isna(ms.loc[f, "v_sum"])
 
 
+def test_video_shot_mad_detects_cut(spark):
+    """r8 shot boundaries: the exact luma-MAD signal equals a numpy
+    recompute for both mono and C444 streams, the hard-cut pair is the
+    unique maximum, and corrupt payloads contribute NO rows (a signal
+    from a broken stream would be a wrong answer, not a degraded one)."""
+    from sparsity_spark.operators.multimodal import video_shot_mad, y4m_encode
+
+    # mono: flat segments with a jump between frames 2 and 3
+    t = np.arange(6, dtype=np.int64)[:, None, None]
+    y = np.arange(8, dtype=np.int64)[None, :, None]
+    x = np.arange(10, dtype=np.int64)[None, None, :]
+    mono = np.where(t < 3, (x + y) % 100 + t, 180 + (x * 2 + y) % 40 + t).astype(
+        np.uint8
+    )
+    mono = np.broadcast_to(mono, (6, 8, 10))
+    # C444: luma channel carries the cut, chroma is constant (must be ignored)
+    lum = mono
+    chroma = np.full_like(lum, 7)
+    color = np.stack([lum, chroma, chroma], axis=3)
+
+    rows = [(1, y4m_encode(mono)), (2, y4m_encode(color))]
+    rows.append((9, b"YUV4MPEG2 W16 H12 Cmono\nFRAME\n" + b"\x00" * 4))  # truncated
+    assets = _binary_asset_df(spark, rows, "video/x-yuv4mpeg", chunk_count=6)
+
+    got = video_shot_mad(assets).toPandas()
+    want = np.abs(np.diff(lum.astype(np.int64), axis=0)).reshape(5, -1).sum(axis=1)
+    for doc_id in (1, 2):
+        sub = got[got.doc_id == doc_id].set_index("frame_idx").sort_index()
+        assert list(sub.index) == [1, 2, 3, 4, 5]
+        assert list(sub["mad"]) == [int(v) for v in want]
+        assert sub["mad"].idxmax() == 3  # the cut pair (frames 2→3)
+        assert sub.loc[3, "mad"] > 4 * sub.drop(index=3)["mad"].max()
+    assert (got.doc_id == 9).sum() == 0
+
+
 def test_hll_registers_estimate_merge_idempotent(spark):
     """r7 HLL: registers match a python md5 reference bit for bit; the
     estimate lands within the ~1.04/√m error envelope; merging halves
