@@ -7331,6 +7331,103 @@ def dedup_member_store_screen_q(spark, sf_dir):
     return semantic_screen(batch, store, cents, threshold=0.3).select("vec_id", "cid")
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Integer micro-unit PageRank unrolled as CTEs — same symmetrized
+    edge set, same BIGINT floors (DuckDB // ≡ Spark div on positives),
+    same damping arithmetic, so every rank is engine-exact."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.r // g.d)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN deg g ON g.src = e.src JOIN r{i-1} r ON r.node = e.src
+      GROUP BY 1)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, r AS rank_micro FROM r{iters} WHERE node LIKE 's%'
+    """
+    )
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank_q(spark, sf_dir):
+    """Iterative graph ranking (r8 — the iterative-algorithm family the
+    engine lacked): suppliers ranked by PageRank over the symmetrized
+    customer↔supplier interaction graph (an edge per distinct
+    customer-ordered-from-supplier pair). Ranks are BIGINT micro-units
+    with integer-division contributions and integer damping — exact,
+    order-independent arithmetic the oracle unrolls iteration by
+    iteration, so a drift anywhere in degree counting, contribution
+    routing, or the damping step flips the hash. Per iteration: ONE
+    node-sized join against edges + ONE aggregate — the minimum any
+    topology-following iteration communicates; lineage bounded via
+    checkpoint_every for production depths."""
+    from sparsity_spark.operators.graph import pagerank, symmetrize_edges
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp")
+    ranks = pagerank(edges, iterations=3)
+    return ranks.filter(F.col("node").startswith("s"))
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH co AS (
+      SELECT DISTINCT CAST(a.l_suppkey AS VARCHAR) AS s1,
+                      CAST(b.l_suppkey AS VARCHAR) AS s2
+      FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+      WHERE CAST(a.l_suppkey AS VARCHAR) < CAST(b.l_suppkey AS VARCHAR)
+    ),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM co e1 JOIN co e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+      WHERE EXISTS (SELECT 1 FROM co e3 WHERE e3.s1 = e1.s2 AND e3.s2 = e2.s2)
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY 1
+    """,
+)
+def graph_triangles_q(spark, sf_dir):
+    """Exact per-node triangle counts (r8) over the supplier co-supply
+    graph (two suppliers adjacent when they supply the same part): edges
+    oriented low→high so each triangle {a<b<c} is enumerated exactly once
+    as wedge (a→b, a→c) closed by a semi-join on (b→c). Any total order
+    works for the orientation — per-node counts are order-independent —
+    so Spark's string comparison and the oracle's integer comparison must
+    agree on every count. Wedge volume Σdeg²/2 is the irreducible cost of
+    exactness; the enumeration is two equi-joins, never a cartesian."""
+    from sparsity_spark.operators.graph import symmetrize_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    pairs = a.join(b, "pk").where(F.col("s1") != F.col("s2"))
+    return triangle_count(symmetrize_edges(pairs, "s1", "s2"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the

@@ -1,0 +1,103 @@
+"""Graph operators (r8): integer micro-unit PageRank and exact triangle
+counts — each checked against a from-scratch python replay on fixtures
+small enough to reason about and adversarial enough to matter."""
+
+from itertools import combinations
+
+import pytest
+
+from sparsity_spark.operators.graph import pagerank, symmetrize_edges, triangle_count
+
+
+def _py_pagerank(edge_list, iterations=3, unit=1_000_000, damping_pct=85):
+    """Reference replay: same integer floors, plain dicts."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edge_list:
+        deg[s] += 1
+    ranks = {n: unit for n in deg}
+    base = (unit * (100 - damping_pct)) // 100
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for s, d in edge_list:
+            acc[d] += ranks[s] // deg[s]
+        ranks = {n: base + (damping_pct * c) // 100 for n, c in acc.items()}
+    return ranks
+
+
+def _sym(pairs):
+    out = sorted({(str(a), str(b)) for a, b in pairs})
+    return out + [(b, a) for a, b in out]
+
+
+def test_pagerank_matches_integer_replay_star_plus_chain(spark):
+    # star center 0 with leaves 1..5, plus a chain 5-6-7: hub must rank top
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(symmetrize_edges(edges, "a", "b"), iterations=3).collect()
+    }
+    want = _py_pagerank(_sym(pairs), iterations=3)
+    assert got == want
+    assert max(got, key=got.get) == "0"
+
+
+def test_pagerank_checkpoint_and_damping_contract(spark):
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
+    plain = {r["node"]: r["rank_micro"] for r in pagerank(edges, iterations=4).collect()}
+    ckpt = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, iterations=4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt  # bounded lineage never changes values
+    # symmetric 3-cycle: every node identical by symmetry
+    assert len(set(plain.values())) == 1
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_pct=0)
+
+
+def _py_triangles(pairs):
+    from collections import defaultdict
+
+    nodes = sorted({str(n) for p in pairs for n in p})
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    counts = defaultdict(int)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # K4 on {1,2,3,4} (every node in 3 triangles) + pendant 5 + an isolated
+    # edge (6,7): pendants and triangle-free nodes must NOT appear
+    pairs = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (6, 7)]
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == _py_triangles(pairs) == {"1": 3, "2": 3, "3": 3, "4": 3}
+
+
+def test_triangle_count_randomized_vs_bruteforce(spark):
+    # deterministic pseudo-random graph on 12 nodes, ~40% density —
+    # includes string-order traps ("10" < "2" lexicographically)
+    import hashlib
+
+    nodes = list(range(1, 13))
+    pairs = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest(), 16) % 5 < 2
+    ]
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == _py_triangles(pairs)
