@@ -856,3 +856,51 @@ def bpe_encode(
         F.count("*").cast("long").alias("n_words"),
         F.sum("ntok").cast("long").alias("n_tokens"),
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines: int = 2,
+) -> DataFrame:
+    """C4-style web-text cleaning (r8 — Raffel et al. 2020 §2.2, the
+    canonical LLM-corpus line filter): keep only lines that end in
+    terminal punctuation, have at least ``min_words`` words, and don't
+    mention javascript; drop WHOLE documents that contain curly braces
+    (code signal), the phrase "lorem ipsum" (placeholder boilerplate),
+    or end up with fewer than ``min_lines`` surviving lines.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped, kept) —
+    cleaning and the doc gate as data, so the caller decides whether to
+    filter or audit.
+
+    Scale shape: ONE map-only projection — array lambda expressions over
+    the line split, zero Python, zero shuffle, whole-stage codegen. A
+    100 TB crawl cleans at scan speed."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(x):
+        t = F.trim(x)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & (~F.lower(x).contains("javascript"))
+        )
+
+    kept_lines = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    doc_ok = (
+        (F.size(kept_lines) >= min_lines)
+        & (~low.contains("lorem ipsum"))
+        & (~low.contains("{"))
+        & (~low.contains("}"))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.size(kept_lines).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept_lines)).cast("long").alias("n_lines_dropped"),
+        doc_ok.alias("kept"),
+    )

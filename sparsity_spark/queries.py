@@ -7428,6 +7428,75 @@ def graph_triangles_q(spark, sf_dir):
     return triangle_count(symmetrize_edges(pairs, "s1", "s2"))
 
 
+@query(
+    "text_c4_clean",
+    """
+    WITH page AS (
+      SELECT doc_id,
+        substring(text, 1, 60) || '.' || chr(10) ||
+        'enable javascript to view this page.' || chr(10) ||
+        substring(text, 61, 50) || chr(10) ||
+        CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+             ELSE substring(text, 111, 80) || '!' END || chr(10) ||
+        CASE WHEN doc_id % 5 = 0 THEN 'function f() { return 1; }'
+             ELSE 'that is fine.' END || chr(10) ||
+        'one.' AS text
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+             list_filter(
+               string_split(text, chr(10)),
+               x -> regexp_matches(trim(x), '[.!?"]$')
+                    AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                    AND NOT contains(lower(x), 'javascript')
+             ) AS kl,
+             len(string_split(text, chr(10))) AS n_all
+      FROM page
+    )
+    SELECT doc_id,
+           array_to_string(kl, chr(10)) AS clean_text,
+           CAST(len(kl) AS BIGINT) AS n_lines_kept,
+           CAST(n_all - len(kl) AS BIGINT) AS n_lines_dropped,
+           (len(kl) >= 2
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(lower(text), '{')
+            AND NOT contains(lower(text), '}')) AS kept
+    FROM f
+    """,
+)
+def text_c4_clean_q(spark, sf_dir):
+    """C4-style web-page cleaning (r8): a synthetic multi-line "webpage"
+    per document — a real sentence line, a javascript boilerplate line, a
+    punctuation-less fragment, a lorem-ipsum or code-brace line on
+    deterministic doc_id slices, and a too-short line — flows through the
+    line filter + doc gate. The oracle rebuilds the SAME pages and
+    replays the filter with DuckDB list lambdas, so the hash covers the
+    cleaned TEXT byte for byte (line order, joins, trims), not just the
+    counts. Map-only whole-stage codegen — a 100 TB crawl cleans at scan
+    speed."""
+    from sparsity_spark.operators.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.lit("enable javascript to view this page."),
+            F.substring("text", 61, 50),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ).otherwise(F.concat(F.substring("text", 111, 80), F.lit("!"))),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("function f() { return 1; }")
+            ).otherwise(F.lit("that is fine.")),
+            F.lit("one."),
+        ).alias("text"),
+    )
+    return c4_clean(page)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the

@@ -182,6 +182,51 @@ def test_heavy_hitters_match_pandas(spark, docs):
     assert list(zip(got["token"], got["df"])) == want
 
 
+def test_c4_clean_line_rules_and_doc_gate(spark):
+    """r8 C4 cleaning: every line rule and doc gate exercised one at a
+    time — terminal punctuation, min word count, javascript mention,
+    lorem ipsum / brace doc kills, and the min-surviving-lines gate."""
+    from sparsity_spark.operators.text import c4_clean
+
+    rows = [
+        # all-good two-liner: kept, nothing dropped
+        (1, 'this line is fine.\nand "so is this one!"'),
+        # punctuationless + short + javascript lines dropped; 2 survive
+        (2, "good first sentence here.\nno terminal punct\ntoo short.\n"
+            "Enable JavaScript now.\nanother good line stays in?"),
+        # only ONE surviving line -> doc gate fails but cleaning still runs
+        (3, "only this one survives.\nnope\nalso nope"),
+        # lorem ipsum kills the doc even with enough good lines
+        (4, "perfectly good line here.\nlorem ipsum dolor sit amet.\nmore good text."),
+        # brace kills the doc
+        (5, "var config = { a: 1 };\nthis good line is wasted.\nso is this one."),
+    ]
+    got = (
+        c4_clean(spark.createDataFrame(rows, "doc_id long, text string"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "clean_text"] == rows[0][1]
+    assert got.loc[1, "kept"] and got.loc[1, "n_lines_dropped"] == 0
+    assert got.loc[2, "clean_text"] == (
+        "good first sentence here.\nanother good line stays in?"
+    )
+    assert got.loc[2, "kept"] and got.loc[2, "n_lines_dropped"] == 3
+    assert got.loc[3, "n_lines_kept"] == 1 and not got.loc[3, "kept"]
+    assert got.loc[4, "n_lines_kept"] == 3 and not got.loc[4, "kept"]
+    assert not got.loc[5, "kept"]
+    # threshold knobs are honored
+    relaxed = (
+        c4_clean(
+            spark.createDataFrame(rows[2:3], "doc_id long, text string"),
+            min_lines=1,
+        )
+        .collect()[0]
+    )
+    assert relaxed["kept"]
+
+
 def test_repetition_stats_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "a a b"), (2, "x"), (3, "a b a b a")], "doc_id long, text string"
