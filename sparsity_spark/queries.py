@@ -7046,6 +7046,44 @@ def text_bpe_train_q(spark, sf_dir):
     return seqs.select("w", "cnt", "seq")
 
 
+def _bpe_encode_oracle(num_merges: int = 3) -> str:
+    """Corpus ENCODING under the trained tokenizer, replayed in SQL (r8):
+    the training CTEs verbatim, then every document's words joined to the
+    final per-word segmentation and token counts summed — the oracle
+    covers train → apply end to end, not just training."""
+    base = _bpe_oracle(num_merges)
+    cte = base[: base.rfind("\nSELECT")]
+    return (
+        cte
+        + f""",
+    enc AS (SELECT w, len(string_split(seq, ' ')) AS ntok FROM it{num_merges}),
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND w NOT LIKE '%|%'
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.ntok) AS BIGINT) AS n_tokens
+    FROM docw d JOIN enc e ON e.w = d.w GROUP BY 1
+    """
+    )
+
+
+@query("text_bpe_encode", _bpe_encode_oracle(3))
+def text_bpe_encode_q(spark, sf_dir):
+    """Tokenizer APPLICATION (r8, closing the train→encode loop): the
+    corpus is re-encoded with the merges just trained on it and each
+    document's exact token accounting returned. The encode path is pure
+    string expressions (the merge folds as plan constants — no UDF, no
+    shuffle beyond the final per-doc aggregate); a drift in either
+    training or the greedy fold application flips per-doc token counts."""
+    from sparsity_spark.operators.text import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _seqs = bpe_train(docs, num_merges=3)
+    return bpe_encode(docs, merges)
+
+
 @query(
     "stats_quantile_sample",
     """
