@@ -1344,3 +1344,117 @@ def rrf_fuse(
             .drop("__rn__")
         )
     return out
+
+
+def kmeans_parallel_init(
+    embeddings: DataFrame,
+    l: int = 4,
+    rounds: int = 2,
+    micro: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| initialization (r8 — Bahmani et al., VLDB 2012: the
+    distributed k-means++ that needs ``rounds`` passes instead of k).
+
+    Each round computes every point's distance to the current candidate
+    set (ONE map-only Arrow kernel — the corpus never shuffles), then
+    oversamples ~``l`` new candidates with probability ∝ cost. The final
+    (candidate, weight) table — weight = points nearest to the candidate
+    — is what the caller feeds to a cheap weighted reduction (or straight
+    into kmeans_fit as init).
+
+    Engine-exact sampling discipline: cost is the SQUARED integer
+    micro-distance ``floor(d·micro + 0.5)²`` (the kmeans_fit seam,
+    squared to keep k-means||'s d² weighting), the total is an exact
+    BIGINT sum, and a point is drawn when ``md5_60(id) % total <
+    l·cost`` — integer arithmetic end to end, so Spark and the SQL
+    oracle select the IDENTICAL candidate set; no RNG, reproducible
+    across partitionings/replays. Already-chosen candidates have cost 0
+    and can never be re-drawn. Overflow bound: Σ (d·micro)² must stay
+    below 2^63 — at micro=10^4 that is ~10^8 rows of unit-scale
+    embeddings per job; shrink ``micro`` for larger corpora.
+
+    Driver state is candidate-sized (1 + ~l·rounds vectors), the same
+    bounded-lineage iterative shape as kmeans_fit. Returns
+    (vec_id, weight) over the candidate ids."""
+    import numpy as np
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    first = (
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    cands = {int(first[id_col]): np.asarray(first["v"], dtype=np.float64)}
+    h60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+    def cost_kernel(C, _micro=micro):
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                dm = np.floor(
+                    np.sqrt(np.maximum(d2, 0.0)) * _micro + 0.5
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "v": pdf["v"],
+                        "cost": dm.min(axis=1) ** 2,
+                    }
+                )
+
+        return run
+
+    for _ in range(rounds):
+        C = np.array([cands[i] for i in sorted(cands)], dtype=np.float64)
+        cost_df = vecs.mapInPandas(
+            cost_kernel(C), schema=f"{id_col} long, v array<double>, cost long"
+        ).persist()
+        total = cost_df.agg(F.sum("cost")).collect()[0][0] or 0
+        if total <= 0:
+            cost_df.unpersist()
+            break
+        sel = cost_df.filter(h60 % F.lit(total) < l * F.col("cost")).collect()
+        cost_df.unpersist()
+        for r in sel:
+            cands[int(r[id_col])] = np.asarray(r["v"], dtype=np.float64)
+
+    ids = sorted(cands)
+    C = np.array([cands[i] for i in ids], dtype=np.float64)
+    ids_arr = np.array(ids, dtype=np.int64)
+
+    def assign_kernel(batches, _C=C, _ids=ids_arr, _micro=micro):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                + (_C * _C).sum(axis=1)[None, :]
+                - 2.0 * (X @ _C.T)
+            )
+            dm = np.floor(np.sqrt(np.maximum(d2, 0.0)) * _micro + 0.5).astype(
+                np.int64
+            )
+            yield pd.DataFrame({id_col: _ids[dm.argmin(axis=1)]})
+
+    assigned = vecs.mapInPandas(assign_kernel, schema=f"{id_col} long")
+    out = assigned.groupBy(id_col).agg(F.count("*").cast("long").alias("weight"))
+    vecs.unpersist()
+    return out

@@ -7084,6 +7084,69 @@ def text_bpe_encode_q(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _kmeans_par_oracle(l: int = 4, rounds: int = 2, micro: int = 10_000) -> str:
+    """k-means|| replayed in SQL: same md5-lowest seed, same integer
+    micro-distance costs (floor(d·micro + ½)² ≡ ROUND half-away on
+    positives), same exact-BIGINT total, same md5-modulo draw — the
+    candidate set must be IDENTICAL, then the weight assignment repeats
+    the kmeans round-before-argmin tie-break (distance, then candidate
+    id)."""
+    parts = [
+        """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    h AS (SELECT vec_id, v,
+                 CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+          FROM e),
+    cand0 AS (SELECT vec_id, v FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    cost{r} AS (
+      SELECT h.vec_id,
+             MIN(CAST(ROUND(list_distance(h.v, c.v) * {micro}) AS BIGINT)) AS dm
+      FROM h CROSS JOIN cand{r-1} c GROUP BY h.vec_id),
+    tot{r} AS (SELECT CAST(SUM(dm * dm) AS BIGINT) AS total FROM cost{r}),
+    sel{r} AS (
+      SELECT h.vec_id, h.v
+      FROM cost{r} k JOIN h ON h.vec_id = k.vec_id, tot{r} t
+      WHERE h.h60 % GREATEST(t.total, 1) < {l} * k.dm * k.dm),
+    cand{r} AS (SELECT vec_id, v FROM cand{r-1}
+                UNION ALL SELECT vec_id, v FROM sel{r})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    assign AS (
+      SELECT h.vec_id AS pid, c.vec_id AS cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY h.vec_id
+               ORDER BY CAST(ROUND(list_distance(h.v, c.v) * {micro}) AS BIGINT),
+                        c.vec_id) AS rn
+      FROM h CROSS JOIN cand{rounds} c)
+    SELECT cid AS vec_id, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM assign WHERE rn = 1 GROUP BY 1
+    """
+    )
+
+
+@query("ann_kmeans_parallel_init", _kmeans_par_oracle())
+def ann_kmeans_parallel_init_q(spark, sf_dir):
+    """k-means|| oversampled initialization (r8): the distributed
+    k-means++ variant that replaces k sequential passes with `rounds`
+    map-only passes. Candidate selection is integer arithmetic end to
+    end (micro-distance costs, exact BIGINT total, md5-modulo draw) —
+    the oracle replays BOTH rounds and must land on the identical
+    candidate set AND identical nearest-candidate weights, so a drift in
+    the seed, a cost, the total, or a tie-break flips the hash."""
+    from sparsity_spark.operators.similarity import kmeans_parallel_init
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(emb, l=4, rounds=2)
+
+
 @query(
     "stats_quantile_sample",
     """

@@ -2030,6 +2030,41 @@ def test_y4m_real_pipeline_frames_features_framesample(spark):
         assert pd.isna(ms.loc[f, "u_sum"]) and pd.isna(ms.loc[f, "v_sum"])
 
 
+def test_kmeans_parallel_init_covers_blobs_and_is_partition_invariant(spark):
+    """r8 k-means||: weights sum to n (every point credited once); on
+    well-separated blobs the oversampled candidate set touches every
+    blob (the d² sampling property that uniform sampling lacks);
+    repartitioning changes nothing (integer md5 draw, no RNG); an
+    all-identical corpus degenerates to the seed candidate alone."""
+    import numpy as np
+
+    from sparsity_spark.operators.similarity import kmeans_parallel_init
+
+    # 4 tight blobs at corners of a square, 25 points each
+    rows = []
+    for b, (cx, cy) in enumerate([(0, 0), (50, 0), (0, 50), (50, 50)]):
+        for i in range(25):
+            rows.append(
+                (b * 25 + i, [cx + (i % 5) * 0.1, cy + (i // 5) * 0.1])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_parallel_init(emb, l=4, rounds=3).toPandas()
+    assert got["weight"].sum() == 100
+    blobs_hit = {vid // 25 for vid in got["vec_id"]}
+    assert blobs_hit == {0, 1, 2, 3}
+
+    again = kmeans_parallel_init(emb.repartition(7), l=4, rounds=3).toPandas()
+    a = got.sort_values("vec_id").reset_index(drop=True)
+    b = again.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    deg = kmeans_parallel_init(same, l=4, rounds=2).toPandas()
+    assert len(deg) == 1 and deg["weight"].iloc[0] == 30
+
+
 def test_video_shot_mad_detects_cut(spark):
     """r8 shot boundaries: the exact luma-MAD signal equals a numpy
     recompute for both mono and C444 streams, the hard-cut pair is the
