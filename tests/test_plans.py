@@ -510,3 +510,56 @@ def test_bloom_semijoin_prefilter_is_mapside(spark, sf_dir):
     assert li_scan != -1
     probe_pos = exec_plan.find("xxhash64")
     assert probe_pos != -1 and probe_pos < li_scan or "PushedFilters" in exec_plan
+
+
+def test_c4_clean_is_pure_projection(spark, sf_dir):
+    """r8: the C4 line filter + doc gate is ONE map-only projection —
+    no aggregate, no shuffle; a 100 TB crawl cleans at scan speed."""
+    from sparsity_spark.operators.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(c4_clean(docs))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_video_shot_mad_no_shuffle(spark):
+    """r8: the shot-boundary kernel decodes once per asset and never
+    shuffles — corpus-width map parallelism only."""
+    from sparsity_spark.operators.multimodal import video_shot_mad, y4m_encode
+    import numpy as np
+
+    fr = (np.arange(2 * 4 * 4, dtype=np.uint8)).reshape(2, 4, 4)
+    assets = spark.createDataFrame(
+        [(1, bytearray(y4m_encode(fr)))], "doc_id long, content binary"
+    )
+    plan = formatted_plan(video_shot_mad(assets))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_pagerank_iteration_shape(spark):
+    """r8: one PageRank iteration = equi-joins on src + ONE final hash
+    aggregate on dst — no cartesian, no nested-loop join, no window."""
+    from sparsity_spark.operators.graph import pagerank, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long"), "a", "b"
+    )
+    plan = formatted_plan(pagerank(edges, iterations=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_triangle_count_never_cartesian(spark):
+    """r8: wedge enumeration and closure are equi-joins (shared endpoint
+    keys) — an all-pairs plan would be quadratic in nodes, not edges."""
+    from sparsity_spark.operators.graph import symmetrize_edges, triangle_count
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long"), "a", "b"
+    )
+    plan = formatted_plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
