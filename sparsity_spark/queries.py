@@ -7492,11 +7492,16 @@ def graph_pagerank_q(spark, sf_dir):
 @query(
     "graph_triangles",
     """
-    WITH co AS (
-      SELECT DISTINCT CAST(a.l_suppkey AS VARCHAR) AS s1,
-                      CAST(b.l_suppkey AS VARCHAR) AS s2
-      FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
-      WHERE CAST(a.l_suppkey AS VARCHAR) < CAST(b.l_suppkey AS VARCHAR)
+    WITH buy AS (
+      SELECT DISTINCT l.l_partkey AS pk,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(o.o_custkey AS VARCHAR) AS cust
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT DISTINCT a.cust AS s1, b.cust AS s2
+      FROM buy a JOIN buy b ON a.pk = b.pk AND a.q = b.q
+      WHERE a.cust < b.cust
     ),
     tri AS (
       SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
@@ -7512,20 +7517,29 @@ def graph_pagerank_q(spark, sf_dir):
     """,
 )
 def graph_triangles_q(spark, sf_dir):
-    """Exact per-node triangle counts (r8) over the supplier co-supply
-    graph (two suppliers adjacent when they supply the same part): edges
-    oriented low→high so each triangle {a<b<c} is enumerated exactly once
-    as wedge (a→b, a→c) closed by a semi-join on (b→c). Any total order
-    works for the orientation — per-node counts are order-independent —
-    so Spark's string comparison and the oracle's integer comparison must
-    agree on every count. Wedge volume Σdeg²/2 is the irreducible cost of
-    exactness; the enumeration is two equi-joins, never a cartesian."""
+    """Exact per-node triangle counts (r8) over the customer co-purchase
+    graph — two customers adjacent when they bought the same part at the
+    same quantity (the sparse co-occurrence relation; the naive
+    same-part graph saturates into a complete graph whose constant
+    triangle count the degeneracy audit rightly rejects). Edges oriented
+    low→high so each triangle {a<b<c} is enumerated exactly once as
+    wedge (a→b, a→c) closed by a semi-join on (b→c); both engines use
+    the same string order end to end. Per-node counts here range 1–68 at
+    sf0.01 — every count discriminative. Wedge volume Σdeg²/2 is the
+    irreducible cost of exactness; the enumeration is two equi-joins,
+    never a cartesian."""
     from sparsity_spark.operators.graph import symmetrize_edges, triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
-    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
-    pairs = a.join(b, "pk").where(F.col("s1") != F.col("s2"))
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
     return triangle_count(symmetrize_edges(pairs, "s1", "s2"))
 
 
@@ -7605,49 +7619,43 @@ def text_c4_clean_q(spark, sf_dir):
 # else (TPC-H extensions, streaming, windows) follows in original order and
 # is still covered by tools/check_oracles.py + tests/test_robustness.py.
 _FIRST_50 = [
-    # SURVEY §2 operator rows (28 — the r5-rotated-out j1_join_inner
-    # returns per VERDICT r5 #9)
+    # SURVEY §2 operator rows (24 pinned — the reference-parity core)
     "a1_onehot_groupby_sum", "r1_one_hot_cells", "s5_events_coo",
     "s2_parquet_roundtrip", "s6_from_pandas", "s3_traildb_binary",
-    "j1_join_outer", "j1_join_inner", "j5_add_halves", "multimodal_y4m_frames",
-    "u1_vstack_halves", "stats_cms_estimate",
-    "p1_project", "p3_iloc_slice", "p4_loc_range", "stats_hll_store_merge",
-    "p6_dedup_first", "s7_jsonl_roundtrip", "p8_assign", "p9_set_index",
-    "a2_col_sums", "a3_mean_dense_denominator", "a5_minmax", "multimodal_adpcm_real",
-    "text_nb_distill", "o2_topk_users", "f1_map_partitions", "r3_transpose",
-    # r7 rotation (VERDICT r6 #8 — window differs from r6's by 19 entries):
-    # the r7 fixes get driver slots (w5's integer-cents rewrite stays in;
-    # ann_index_twin_screen and multimodal_features_real are new); the
-    # never-driver-checked TPC-H (q4/q13/q16/q17/q21/q22) and temporal
-    # (t1-t5) families rotate in, plus never-checked heavyweights
-    # (text_lm_perplexity, dedup_substring_spans, dedup_hash_store_screen,
-    # stats_profile_columns, pipe_curate_e2e, ann_ivfpq_refine_topk —
-    # the r7 residual+refine ANN fix).
-    # Rotated OUT (all driver-green in r6 and still judge-verified by the
-    # full check_oracles rerun): dedup_exact, dedup_minhash_signatures,
-    # dedup_clusters, dedup_simhash, dedup_simhash_pairs, ann_ivfpq_topk,
-    # ann_ivfpq_trained_topk, ann_kmeans_centroids, text_token_stats,
-    # text_fingerprint, multimodal_phash_pairs, multimodal_dhash_real,
-    # multimodal_audio_real, stream_windowed_counts, stream_session_stats,
-    # stream_ewma, w4_event_transitions, q7_volume_shipping,
-    # q9_product_profit.
-    # mid-r7 swaps: the five operators built this round (PNG codec, bloom
-    # semi-join, count-min, ADPCM codec, JSONL source) take the slots of
-    # five rows that were driver-green in r6 (dedup_member_store_screen,
-    # ann_ivfpq_append_topk, u3_intersect_except, p7_rename, a6_nnz — all
-    # still covered by check_oracles)
-    # late-r7 swaps: the video codec, the HLL store merge, and the NB
-    # classifier take the slots of three r6-driver-green rows (j6_concat,
-    # p5_dropna, o1_sort_index — all still covered by check_oracles)
-    "w5_spend_quartiles", "ann_index_twin_screen", "multimodal_features_real",
-    "multimodal_png_real", "skew_bloom_semijoin",
-    "q4_order_priority", "q13_customer_distribution",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q21_sole_returned_supplier", "q22_customers_no_big_order",
-    "t1_asof_join", "t2_range_join", "t3_time_rollup", "t4_sessionize",
-    "t5_gap_fill_daily",
-    "text_lm_perplexity", "dedup_substring_spans", "dedup_hash_store_screen",
-    "stats_profile_columns", "pipe_curate_e2e", "ann_ivfpq_refine_topk",
+    "j1_join_outer", "j1_join_inner", "j5_add_halves",
+    "u1_vstack_halves",
+    "p1_project", "p3_iloc_slice", "p4_loc_range",
+    "p6_dedup_first", "p8_assign", "p9_set_index",
+    "a2_col_sums", "a3_mean_dense_denominator", "a5_minmax",
+    "o2_topk_users", "f1_map_partitions", "r3_transpose",
+    # the two r7-red rows stay in so the driver confirms the r8 fix
+    # (HUGEINT oracle sums -> float64 in pandas -> string-hash flip):
+    "s7_jsonl_roundtrip", "skew_bloom_semijoin",
+    # r8 rotation (window differs from r7's by 26 entries): the six
+    # operators built this round get driver slots; the two r8-PATCHED
+    # never-driver-checked rows (s8_orc_roundtrip shared the HUGEINT
+    # defect, stats_quantile_sample's oracle needed constant quantile
+    # unrolling) get slots; the rest are never-driver-checked rows
+    # rotated in family by family (multimodal real-decode, dedup, text
+    # ranking/selection, sketches, temporal, windows, io). Rotated OUT
+    # (ALL driver-green in r7 and still verified every round by the full
+    # tools/check_oracles.py sweep): w5_spend_quartiles,
+    # ann_index_twin_screen, multimodal_features_real,
+    # multimodal_png_real, multimodal_y4m_frames, multimodal_adpcm_real,
+    # stats_cms_estimate, stats_hll_store_merge, text_nb_distill,
+    # q4/q13/q16/q17/q21/q22, t1-t5, text_lm_perplexity,
+    # dedup_substring_spans, dedup_hash_store_screen,
+    # stats_profile_columns, pipe_curate_e2e, ann_ivfpq_refine_topk.
+    "multimodal_shot_boundaries", "graph_pagerank", "graph_triangles",
+    "text_c4_clean", "text_bpe_encode", "ann_kmeans_parallel_init",
+    "s8_orc_roundtrip", "stats_quantile_sample",
+    "text_bpe_train", "multimodal_gif_frames", "multimodal_y4m_features",
+    "dedup_edit_distance_pairs", "dedup_jaccard_prefix_shingles",
+    "stats_hll_group_estimate", "stats_kmv_jaccard",
+    "text_dsir_importance", "text_hybrid_rrf", "pipe_target_mix",
+    "evt_cohort_retention", "w6_rolling_time_window", "io_zorder_code",
+    "emb_outliers", "src_csv_events", "pipe_merge_upsert",
+    "stats_grouped_corr", "evt_user_sequences",
 ]
 
 

@@ -40,6 +40,10 @@ KNOWN = {
     ("text_redact_pii", "n_phone"),
     ("text_redact_pii", "n_ssn"),
     ("text_redact_pii", "n_ipv4"),
+    # FastSS searches edit distance ≤ 1 and identical strings are not
+    # pairs, so every emitted pair has dist=1 by construction; the
+    # DISCRIMINATIVE columns are the pair ids themselves
+    ("dedup_edit_distance_pairs", "dist"),
 }
 
 
