@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     "text_bpe_train",
     "stats_quantile_sample",
     "s8_orc_roundtrip",
+    # round-8 additions
+    "multimodal_shot_boundaries",
+    "graph_pagerank",
+    "graph_triangles",
+    "text_c4_clean",
+    "text_bpe_encode",
+    "ann_kmeans_parallel_init",
 ]
 
 
@@ -175,6 +182,15 @@ SCALE_QUERIES = [
     "multimodal_gif_frames",
     "stats_hll_estimate",
     "text_nb_distill",
+    # r8 additions: the iterative graph family (per-iteration joins must
+    # stay edge-proportional), the wedge-bounded triangle count, the
+    # map-only C4 cleaner and shot detector, and k-means|| (two corpus
+    # passes per round, candidate-sized driver state)
+    "graph_pagerank",
+    "graph_triangles",
+    "text_c4_clean",
+    "multimodal_shot_boundaries",
+    "ann_kmeans_parallel_init",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10
@@ -328,7 +344,7 @@ def main():
     # #10): the common-subset total makes a regression visible at commit
     # time — total-vs-total alone conflates plan changes with suite growth
     prev_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r06.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r07.json"
     )
     if os.path.exists(prev_path):
         try:
@@ -336,15 +352,19 @@ def main():
             if "queries" in d:
                 prev = d["queries"]
             else:
-                # driver-recorded wrapper: the bench line lives in "tail"
+                # driver-recorded wrapper: the bench line lives in "tail",
+                # possibly truncated at the FRONT (r7's was) — recover
+                # whatever "name": seconds pairs survive, keyed to known
+                # query names so wrapper fields (n/rc/cpus/sf) don't leak in
                 frag = d["tail"]
-                frag = frag[frag.index('"queries": {') + len('"queries": ') :]
-                prev = json.JSONDecoder().raw_decode(frag)[0]
+                pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', frag)
+                known = set(BENCH_QUERIES)
+                prev = {k: float(v) for k, v in pairs if k in known}
             common = sorted(set(prev) & set(timings))
             now_s = round(sum(timings[q] for q in common), 3)
             then_s = round(sum(prev[q] for q in common), 3)
             print(
-                f"# common-subset vs BENCH_r06 ({len(common)} queries): "
+                f"# common-subset vs BENCH_r07 ({len(common)} queries): "
                 f"{now_s} s vs {then_s} s"
             )
         except (ValueError, KeyError, TypeError) as e:

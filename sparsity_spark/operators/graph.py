@@ -76,17 +76,19 @@ def pagerank(
         raise ValueError("pagerank: damping_pct must be in (0, 100)")
     base = (unit * (100 - damping_pct)) // 100
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # (src, dst, deg) is loop-INVARIANT: materialize it once instead of
+    # re-running the upstream edge build + degree aggregate every
+    # iteration (measured 7.6 s → ~3 s at sf0.1 over 3 iterations). At
+    # cluster scale this is the Pregel discipline — the topology persists
+    # (memory-and-disk), only the node-sized rank table moves per round.
+    adj = edges.join(deg, "src").persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(unit).cast("long").alias("rank_micro")
     )
     for i in range(iterations):
-        contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_micro div deg").alias("c"),
-            )
+        contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro div deg").alias("c"),
         )
         ranks = contrib.groupBy("node").agg(
             F.expr(f"cast({base} + ({damping_pct} * sum(c)) div 100 as bigint)").alias(
