@@ -42,14 +42,23 @@ from pyspark.sql import functions as F
 __all__ = ["symmetrize_edges", "pagerank", "triangle_count"]
 
 
-def symmetrize_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+def symmetrize_edges(
+    df: DataFrame, src_col: str, dst_col: str, as_string: bool = True
+) -> DataFrame:
     """Distinct directed pairs, emitted in both directions — the
     undirected-graph on-ramp. Symmetric graphs have no dangling nodes
     (every node has out-degree ≥ 1), which removes PageRank's dangling
-    mass redistribution term entirely — the variant the oracle replays."""
+    mass redistribution term entirely — the variant the oracle replays.
+
+    ``as_string=False`` keeps integer node ids: on a 1.17 M-edge build at
+    sf0.1 the string form costs ~2× in the distinct/join shuffles (UTF8
+    hashing + wider rows). Mixed entity namespaces should be encoded into
+    DISJOINT integer ranges (``custkey·2`` / ``suppkey·2+1``) rather than
+    string prefixes — same disambiguation, integer speed."""
+    typ = "string" if as_string else "long"
     raw = df.select(
-        F.col(src_col).cast("string").alias("src"),
-        F.col(dst_col).cast("string").alias("dst"),
+        F.col(src_col).cast(typ).alias("src"),
+        F.col(dst_col).cast(typ).alias("dst"),
     ).distinct()
     return raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -75,13 +84,19 @@ def pagerank(
     if not 0 < damping_pct < 100:
         raise ValueError("pagerank: damping_pct must be in (0, 100)")
     base = (unit * (100 - damping_pct)) // 100
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # (src, dst, deg) is loop-INVARIANT: materialize it once instead of
-    # re-running the upstream edge build + degree aggregate every
-    # iteration (measured 7.6 s → ~3 s at sf0.1 over 3 iterations). At
-    # cluster scale this is the Pregel discipline — the topology persists
-    # (memory-and-disk), only the node-sized rank table moves per round.
+    # the topology is loop-INVARIANT: persist the edge table (its upstream
+    # build — typically a join + distinct — is the expensive part and must
+    # run ONCE, not once per degree-agg and once per iteration join) and
+    # the node-sized degree table. This is the Pregel discipline: the
+    # graph persists (memory-and-disk at cluster scale), only the
+    # node-sized rank table moves per round. Measured at sf0.1 (1.17 M
+    # edges, 3 iterations): 7.6 s → ~3 s.
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # degree rides WITH the edge: one join per iteration, not two
     adj = edges.join(deg, "src").persist()
+    adj.count()  # eager — so the raw edge build runs exactly once ...
+    edges.unpersist()  # ... and its cache can be dropped immediately
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(unit).cast("long").alias("rank_micro")
     )
