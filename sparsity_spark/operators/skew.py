@@ -145,13 +145,13 @@ def _bloom_positions(key, m_bits: int, k: int) -> list:
     ]
 
 
-def bloom_build_bytes(
+def _bloom_byte_rows(
     small: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = 5
-) -> bytes:
-    """Build the bitmap as m_bits/8 bytes (byte b covers bit positions
-    8b..8b+7, low bit first). One map + one tiny hash aggregate over at
-    most m_bits/8 byte groups; the collect is bitmap-sized metadata,
-    never corpus-sized."""
+) -> DataFrame:
+    """The bitmap as ≤ m_bits/8 rows of (b, bits) — byte b covers bit
+    positions 8b..8b+7, low bit first. One map + one tiny hash aggregate;
+    this row form is both what the driver collects into bytes and what
+    the persisted bloom STORE keeps on disk."""
     if m_bits % 8 != 0:
         raise ValueError("m_bits must be a multiple of 8")
     # NULL keys never match a semi-join; dropping them also keeps the
@@ -159,7 +159,7 @@ def bloom_build_bytes(
     pos = small.where(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
     )
-    rows = (
+    return (
         pos.select(
             (F.col("pos") / 8).cast("int").alias("b"),
             # shiftleft needs a literal shift amount; 2^(pos%8) is exact in
@@ -168,12 +168,82 @@ def bloom_build_bytes(
         )
         .groupBy("b")
         .agg(F.bit_or("m").alias("bits"))
-        .collect()
     )
+
+
+def _rows_to_bytes(rows, m_bits: int) -> bytes:
     out = bytearray(m_bits // 8)
     for r in rows:
         out[r["b"]] = r["bits"]
     return bytes(out)
+
+
+def bloom_build_bytes(
+    small: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = 5
+) -> bytes:
+    """Build the bitmap driver-side: the (b, bits) aggregate collected —
+    bitmap-sized metadata, never corpus-sized."""
+    return _rows_to_bytes(
+        _bloom_byte_rows(small, key_col, m_bits, k).collect(), m_bits
+    )
+
+
+def write_bloom_store(
+    small: DataFrame, table: str, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = 5
+) -> None:
+    """Persist the corpus's bloom bitmap as a catalog table of (b, bits)
+    rows (r8 — the membership member of the persisted-sketch family next
+    to CMS counts and HLL distincts). Metadata-sized: a plain parquet
+    overwrite; merges rewrite kilobytes, never the corpus."""
+    sk = _bloom_byte_rows(small, key_col, m_bits, k).localCheckpoint(eager=True)
+    _drop_table_and_location(small.sparkSession, table)
+    sk.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bloom_store_bytes(
+    spark: SparkSession, table: str, m_bits: int = BLOOM_M_BITS
+) -> bytes:
+    """Load a persisted bloom bitmap back into probe-ready driver bytes."""
+    return _rows_to_bytes(spark.table(table).collect(), m_bits)
+
+
+def merge_bloom_store(
+    batch_df: DataFrame,
+    table: str,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = 5,
+) -> DataFrame:
+    """Fold one increment into the persisted bitmap — full-outer
+    byte-wise OR, the ONE code path batch appends and a streaming
+    maintenance loop share. OR is IDEMPOTENT (set union): replaying a
+    batch cannot change the bitmap — the at-least-once-safety property
+    the HLL store has and counter sketches lack — and the maintained
+    store is bit-equal to one built from everything ever seen
+    (test-pinned). Frozen (localCheckpoint) before the overwrite so the
+    write never reads its own target. Returns the merged (b, bits)."""
+    spark = batch_df.sparkSession
+    inc = _bloom_byte_rows(batch_df, key_col, m_bits, k)
+    try:
+        existing = spark.table(table)
+        merged = (
+            existing.withColumnRenamed("bits", "bits_a")
+            .join(inc.withColumnRenamed("bits", "bits_b"), "b", "full_outer")
+            .select(
+                "b",
+                (
+                    F.coalesce(F.col("bits_a"), F.lit(0)).bitwiseOR(
+                        F.coalesce(F.col("bits_b"), F.lit(0))
+                    )
+                ).alias("bits"),
+            )
+        )
+    except Exception:
+        merged = inc
+    merged = merged.localCheckpoint(eager=True)
+    _drop_table_and_location(spark, table)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return merged
 
 
 def bloom_probe_expr(key, bitmap: bytes, m_bits: int = BLOOM_M_BITS, k: int = 5):

@@ -3317,6 +3317,61 @@ def skew_bloom_semijoin_q(spark, sf_dir):
 
 
 @query(
+    "skew_bloom_store_semijoin",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    GROUP BY 1
+    """,
+)
+def skew_bloom_store_semijoin_q(spark, sf_dir):
+    """Persisted bloom store + maintenance loop (r8 — the membership
+    member of the persisted-sketch family next to CMS counts and HLL
+    distincts): the urgent big-ticket build side lands in the store in
+    TWO increments (write even orderkeys, merge odd), the second
+    increment is REPLAYED (byte-wise OR is idempotent — at-least-once
+    safe), then lineitem is screened map-side by the store's bitmap and
+    the exact semi-join removes false positives. The oracle is the plain
+    semi-join: a dropped or leaked row anywhere in rows→bytes→probe→
+    merge breaks the hash. Integer-cents money math throughout."""
+    from sparsity_spark.operators.skew import (
+        bloom_probe_expr,
+        bloom_store_bytes,
+        merge_bloom_store,
+        write_bloom_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    tbl = "bloom_store_semijoin_q"
+    write_bloom_store(urgent.filter(F.col("o_orderkey") % 2 == 0), tbl, "o_orderkey")
+    odd = urgent.filter(F.col("o_orderkey") % 2 == 1)
+    merge_bloom_store(odd, tbl, "o_orderkey")
+    merge_bloom_store(odd, tbl, "o_orderkey")  # replay — must be a no-op
+    bitmap = bloom_store_bytes(spark, tbl)
+    pre = li.filter(bloom_probe_expr(F.col("l_orderkey"), bitmap))
+    matched = pre.join(
+        urgent.select("o_orderkey"), pre.l_orderkey == F.col("o_orderkey"), "leftsemi"
+    )
+    return matched.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+@query(
     "s6_from_pandas",
     """
     SELECT n_nationkey AS idx, 'n_regionkey' AS col, CAST(n_regionkey AS DOUBLE) AS value

@@ -129,3 +129,35 @@ def test_partitioned_sink_prunes_directories(spark, tmp_path):
         (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
     ).count()
     assert one_week.count() == total
+
+
+def test_bloom_store_merge_idempotent_and_equals_oneshot(spark):
+    """r8 persisted bloom: two-increment maintained store bit-equal to a
+    one-shot build over the union; replaying an increment changes
+    nothing (byte-wise OR is set union — at-least-once safe); the loaded
+    bitmap has NO false negatives against every inserted key."""
+    from sparsity_spark.operators.skew import (
+        bloom_build_bytes,
+        bloom_probe_expr,
+        bloom_store_bytes,
+        merge_bloom_store,
+        write_bloom_store,
+    )
+
+    m_bits = 1 << 10
+    keys = spark.range(0, 500).select((F.col("id") * 17 + 3).alias("key"))
+    a = keys.filter(F.col("key") % 2 == 0)
+    b = keys.filter(F.col("key") % 2 == 1)
+
+    write_bloom_store(a, "bloom_store_t", "key", m_bits=m_bits)
+    merge_bloom_store(b, "bloom_store_t", "key", m_bits=m_bits)
+    merged = bloom_store_bytes(spark, "bloom_store_t", m_bits=m_bits)
+    oneshot = bloom_build_bytes(keys, "key", m_bits=m_bits)
+    assert merged == oneshot
+
+    merge_bloom_store(b, "bloom_store_t", "key", m_bits=m_bits)  # replay
+    assert bloom_store_bytes(spark, "bloom_store_t", m_bits=m_bits) == oneshot
+
+    # no false negatives: every inserted key passes the probe
+    hits = keys.filter(bloom_probe_expr(F.col("key"), merged, m_bits=m_bits)).count()
+    assert hits == keys.count()
