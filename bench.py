@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "text_c4_clean",
     "text_bpe_encode",
     "ann_kmeans_parallel_init",
+    "skew_bloom_store_semijoin",
 ]
 
 

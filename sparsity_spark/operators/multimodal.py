@@ -2637,3 +2637,89 @@ def gif_frame_stats(
             )
 
     return sampled.mapInPandas(_stats, schema=schema)
+
+
+def dft8_coeffs(scale: int = 512):
+    """Integer-coefficient 8-point DFT filterbank table (r8): cos/−sin of
+    2πkn/8 scaled by ``scale`` and rounded — the SAME integer table feeds
+    the Spark kernel and the SQL oracle, so band energies are exact
+    BIGINTs on both engines (a float DFT could never hash-match across
+    libm implementations; an integer filterbank cannot miss). At the
+    8-point size every angle is a multiple of 45°, so coefficients are
+    just {0, ±√2/2, ±1}·scale — no tie-break ambiguity at scale 512."""
+    import math
+
+    C = [
+        [int(math.floor(math.cos(2 * math.pi * k * n / 8) * scale + 0.5)) for n in range(8)]
+        for k in range(5)
+    ]
+    S = [
+        [int(math.floor(-math.sin(2 * math.pi * k * n / 8) * scale + 0.5)) for n in range(8)]
+        for k in range(5)
+    ]
+    return C, S
+
+
+def audio_spectral_bands(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 8,
+    coeff_scale: int = 512,
+) -> DataFrame:
+    """Spectral band energies over REAL decoded PCM (r8 — frequency-domain
+    audio features next to the time-domain frame-energy fingerprints):
+    each waveform is framed into ``frame``-sample windows, every window
+    passes through the integer 8-point DFT filterbank (bins 0..4 — DC to
+    Nyquist), and per-bin energies Σ(re² + im²) are summed over all
+    frames. Returns (id, bin, energy) — 5 exact BIGINT rows per asset.
+
+    Scale shape: ONE Arrow decode per asset, matmul against a 5×8
+    constant table, map-only at corpus width — no shuffle before the
+    trivially small final rows. Overflow bound: |re| ≤ frame·32768·scale
+    (1.3e8 at the defaults), so per-bin sums stay under 2^63 up to ~10⁵
+    frames (~50 s of 16 kHz audio) per asset; shrink ``coeff_scale`` for
+    longer assets. Corrupt payloads contribute no rows."""
+    import numpy as np
+
+    if frame != 8:
+        raise ValueError("audio_spectral_bands: the integer table is 8-point")
+    Ct, St = dft8_coeffs(coeff_scale)
+    Cm = np.array(Ct, dtype=np.int64)
+    Sm = np.array(St, dtype=np.int64)
+    flat = assets.select(F.col(id_col), F.col("content"))
+    schema = f"{id_col} long, bin int, energy long"
+
+    def _bands(batches, _src=_INLINE_CODEC_SRC, _C=Cm, _S=Sm, _frame=frame):
+        import pandas as pd
+
+        ns = {"np": np}
+        exec(_src, ns)
+        parse_wav = ns["parse_wav"]
+
+        for pdf in batches:
+            ids, bins, energies = [], [], []
+            for rid, c in zip(pdf[id_col], pdf["content"]):
+                try:
+                    v = parse_wav(bytes(c)).astype(np.int64)
+                except ValueError:
+                    continue
+                nf = len(v) // _frame
+                if nf == 0:
+                    continue
+                X = v[: nf * _frame].reshape(nf, _frame)
+                re = X @ _C.T  # (nf, 5)
+                im = X @ _S.T
+                e = (re * re + im * im).sum(axis=0)
+                for k in range(_C.shape[0]):
+                    ids.append(rid)
+                    bins.append(k)
+                    energies.append(int(e[k]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "bin": pd.array(bins, dtype="Int32"),
+                    "energy": pd.array(energies, dtype="Int64"),
+                }
+            )
+
+    return flat.mapInPandas(_bands, schema=schema)

@@ -1714,6 +1714,94 @@ def multimodal_audio_real_q(spark, sf_dir):
     return audio_fingerprints(assets)
 
 
+def _spectral_oracle(mod: int = 4, n: int = 650, scale: int = 512) -> str:
+    """The integer DFT filterbank replayed in SQL: the same waveform
+    formula, the same 5×8 integer coefficient table (VALUES literal
+    emitted from the SAME python function the Spark kernel uses), the
+    same frame windows, the same exact Σ(re²+im²) integers."""
+    from sparsity_spark.operators.multimodal import dft8_coeffs
+
+    C, S = dft8_coeffs(scale)
+    rows = ", ".join(
+        f"({k}, {nn}, {C[k][nn]}, {S[k][nn]})" for k in range(5) for nn in range(8)
+    )
+    nt = (n // 8) * 8
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = 0),
+    s AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             ((doc_id*31 + i*i*7 + i*13) % 65536) - 32768 AS v
+      FROM ids, LATERAL UNNEST(range({n})) t(i)
+    ),
+    cf AS (SELECT * FROM (VALUES {rows}) AS t(k, nn, c, sn)),
+    fr AS (
+      SELECT s.doc_id, cf.k, s.i // 8 AS f,
+             SUM(s.v * cf.c) AS re, SUM(s.v * cf.sn) AS im
+      FROM s JOIN cf ON cf.nn = s.i % 8
+      WHERE s.i < {nt}
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS bin,
+           CAST(SUM(re*re + im*im) AS BIGINT) AS energy
+    FROM fr GROUP BY 1, 2
+    """
+
+
+@query("multimodal_spectral_bands", _spectral_oracle())
+def multimodal_spectral_bands_q(spark, sf_dir):
+    """Frequency-domain audio features over REAL decoded PCM (r8): the
+    650-sample waveform fixture round-trips through the real RIFF/WAV
+    codec, then every 8-sample window passes the integer-coefficient
+    DFT filterbank and per-bin energies are summed — exact BIGINTs the
+    oracle reproduces from the shared coefficient table, so a drift
+    anywhere in decode → framing → matmul → energy flips the hash. One
+    Arrow decode per asset, map-only (the audio sibling of the dhash
+    real-pixel discipline, extended into the frequency domain)."""
+    from sparsity_spark.operators.multimodal import audio_spectral_bands
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 0
+    ).distinct()
+
+    def mk_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        N = 650
+        i = np.arange(N, dtype=np.int64)
+
+        def enc(samples, rate=16000):
+            data = np.asarray(samples, dtype="<i2").tobytes()
+            fmt = (
+                (1).to_bytes(2, "little")
+                + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little")
+                + (16).to_bytes(2, "little")
+            )
+            body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            body += b"data" + len(data).to_bytes(4, "little") + data
+            return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+        def wav(doc_id):
+            v = ((doc_id * 31 + i * i * 7 + i * 13) % 65536) - 32768
+            return enc(v.astype("<i2"), rate=16000)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    assets = ensure_parallelism(ids).mapInPandas(
+        mk_wav, schema="doc_id long, content binary"
+    )
+    return audio_spectral_bands(assets)
+
+
 def _adpcm_real_oracle(mod: int = 4, n: int = 650, spb: int = 505) -> str:
     """REAL compressed-audio decode, mirrored by a set-based RECURSIVE CTE
     (r7): the Spark query generates a deterministic n-sample waveform per

@@ -2100,6 +2100,52 @@ def test_video_shot_mad_detects_cut(spark):
     assert (got.doc_id == 9).sum() == 0
 
 
+def test_audio_spectral_bands_integer_dft(spark):
+    """r8 spectral bands: exact parity with a numpy replay of the shared
+    integer table; a pure k-th-bin tone concentrates its energy in bin k
+    (the filterbank actually separates frequencies); trailing samples
+    beyond the last full frame are dropped; corrupt payloads contribute
+    no rows; frame sizes other than 8 raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparsity_spark.operators.multimodal import (
+        audio_spectral_bands,
+        dft8_coeffs,
+        wav_encode,
+    )
+
+    rng = np.arange(83, dtype=np.int64)  # 10 frames + 3 trailing samples
+    noise = (((rng * rng) * 7 + rng * 13) % 4096 - 2048).astype(np.int16)
+    # a pure bin-2 tone: period 4 at the 8-sample frame (cos(2π·2n/8))
+    tone = (1000 * np.cos(2 * np.pi * 2 * rng[:80] / 8)).round().astype(np.int16)
+    rows = [
+        (1, bytearray(wav_encode(noise))),
+        (2, bytearray(wav_encode(tone))),
+        (9, bytearray(b"RIFF\x00\x00\x00\x00JUNK")),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = audio_spectral_bands(assets).toPandas()
+
+    C, S = dft8_coeffs()
+    Cm, Sm = np.array(C, dtype=np.int64), np.array(S, dtype=np.int64)
+
+    def replay(v):
+        X = v.astype(np.int64)[: (len(v) // 8) * 8].reshape(-1, 8)
+        re, im = X @ Cm.T, X @ Sm.T
+        return (re * re + im * im).sum(axis=0)
+
+    sub = got[got.doc_id == 1].set_index("bin").sort_index()
+    assert list(sub["energy"]) == [int(e) for e in replay(noise)]
+    t = got[got.doc_id == 2].set_index("bin").sort_index()
+    assert list(t["energy"]) == [int(e) for e in replay(tone)]
+    assert t["energy"].idxmax() == 2
+    assert t.loc[2, "energy"] > 100 * t.drop(index=2)["energy"].max()
+    assert (got.doc_id == 9).sum() == 0
+    with _pytest.raises(ValueError):
+        audio_spectral_bands(assets, frame=16)
+
+
 def test_hll_registers_estimate_merge_idempotent(spark):
     """r7 HLL: registers match a python md5 reference bit for bit; the
     estimate lands within the ~1.04/√m error envelope; merging halves
