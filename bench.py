@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "ann_kmeans_parallel_init",
     "skew_bloom_store_semijoin",
+    "multimodal_spectral_bands",
 ]
 
 
@@ -192,6 +193,8 @@ SCALE_QUERIES = [
     "text_c4_clean",
     "multimodal_shot_boundaries",
     "ann_kmeans_parallel_init",
+    "skew_bloom_store_semijoin",
+    "multimodal_spectral_bands",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -649,3 +649,38 @@ def streaming_hll_maintain(
             sink(merged, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_bloom_maintain(
+    stream_df: DataFrame,
+    table: str,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    sink=None,
+):
+    """Streaming membership-bitmap maintenance (r8 — the store-family
+    loop applied to the persisted bloom filter): each micro-batch's keys
+    are hashed into (b, bits) rows and OR-folded into the persisted
+    bitmap, so after N increments the store is BIT-EQUAL to one built
+    from everything ever seen — and because OR is idempotent (set
+    union), a REPLAYED batch leaves the bitmap unchanged, the
+    at-least-once-safety property the HLL file shares and counter
+    sketches lack. The fold is :func:`operators.skew.merge_bloom_store`
+    — the same code path batch appends use, so batch and streaming
+    membership cannot drift. The always-current use: the bloom-semijoin
+    prefilter's bitmap stays fresh as the corpus ingests, without ever
+    rescanning it.
+
+    `foreachBatch` because the store update is a batch table write; the
+    bitmap is metadata-sized (m_bits/8 bytes), so each fold rewrites
+    kilobytes. ``sink(merged_rows_df, batch_id)`` observes the post-fold
+    rows. Returns the started-ready DataStreamWriter."""
+    from sparsity_spark.operators.skew import merge_bloom_store
+
+    def _process(batch_df, batch_id):
+        merged = merge_bloom_store(batch_df, table, key_col, m_bits, k)
+        if sink is not None:
+            sink(merged, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -771,3 +771,53 @@ def test_streaming_hll_maintain_two_increments_and_replay(spark, tmp_path):
     v = est["zero_registers"]
     corrected = 256 * math.log(256 / v) if v > 0 else est["distinct_estimate"]
     assert abs(corrected - 70) / 70 < 0.25
+
+
+def test_streaming_bloom_maintain_two_increments_and_replay(spark, tmp_path):
+    """r8 membership-store loop: after two micro-batches the maintained
+    bloom bitmap must be BIT-EQUAL to one built from the full union in
+    one batch; re-folding an already-seen increment leaves it unchanged
+    (OR is set union — at-least-once safe, like the HLL file); and every
+    streamed key passes the probe (no false negatives)."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.skew import (
+        bloom_build_bytes,
+        bloom_probe_expr,
+        bloom_store_bytes,
+        merge_bloom_store,
+    )
+    from sparsity_spark.streaming.ingest import streaming_bloom_maintain
+
+    m_bits = 1 << 10
+    schema = "k long"
+    rows1 = pd.DataFrame({"k": [i * 3 + 1 for i in range(150)]})
+    rows2 = pd.DataFrame({"k": [i * 5 + 2 for i in range(150)]})
+    src = str(tmp_path / "bloom_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    spark.sql("DROP TABLE IF EXISTS bloom_stream_store")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_bloom_maintain(stream, "bloom_stream_store", "k", m_bits=m_bits)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = spark.createDataFrame(pd.concat([rows1, rows2]), schema)
+    maintained = bloom_store_bytes(spark, "bloom_stream_store", m_bits=m_bits)
+    assert maintained == bloom_build_bytes(whole, "k", m_bits=m_bits)
+
+    merge_bloom_store(
+        spark.createDataFrame(rows1, schema), "bloom_stream_store", "k", m_bits=m_bits
+    )
+    assert bloom_store_bytes(spark, "bloom_stream_store", m_bits=m_bits) == maintained
+
+    hits = whole.filter(bloom_probe_expr(F.col("k"), maintained, m_bits=m_bits)).count()
+    assert hits == whole.count()
