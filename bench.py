@@ -127,13 +127,7 @@ BENCH_QUERIES = [
     # round-8 additions
     "multimodal_shot_boundaries",
     "graph_pagerank",
-    # graph_triangles is deliberately NOT in the tier: the key-shifted
-    # replica scales customers/orders but NOT parts (unreplicated dim),
-    # so (part, quantity) co-purchase buckets get 10x the rows -> pairs
-    # x100 -> ~400 M wedges (OOM'd an 8 g driver, measured) — a replica
-    # density artifact, not an operator property: at true 10x TPC-H
-    # parts scale with SF and wedge volume grows ~linearly. Analysis in
-    # SCALE.md; the sf0.1 bench row remains the committed measurement.
+    "graph_triangles",
     "text_c4_clean",
     "text_bpe_encode",
     "ann_kmeans_parallel_init",
