@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "ann_kmeans_parallel_init",
     "skew_bloom_store_semijoin",
     "multimodal_spectral_bands",
+    "ann_kmeans_parallel_fit",
 ]
 
 

@@ -768,6 +768,7 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: list | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for IVF centroid (re)training.
 
@@ -814,12 +815,21 @@ def kmeans_fit(
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
-    init_rows = (
-        vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    if init is not None:
+        # explicit init (r8): ordered [(cid, vector), ...] — the
+        # k-means|| composition path (kmeans_parallel_init candidates,
+        # weight-ranked, feed straight into Lloyd); caller owns the order,
+        # cids must be distinct
+        centroids = [(int(c), list(map(float, v))) for c, v in init]
+        if len({c for c, _ in centroids}) != len(centroids):
+            raise ValueError("kmeans_fit: init cids must be distinct")
+    else:
+        init_rows = (
+            vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
 
     for _ in range(iters):
         cids = np.array([cid for cid, _ in centroids], dtype=np.int64)

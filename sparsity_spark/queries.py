@@ -7330,7 +7330,9 @@ def stats_quantile_sample_q(spark, sf_dir):
     return quantile_sample_estimate(s)
 
 
-def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> list[str]:
+def _kmeans_cte_parts(
+    k: int = 8, iters: int = 2, src_where: str = "TRUE", init_cte: str | None = None
+) -> list[str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts (v, c0, a1, c1, ...,
     c{iters}) — same deterministic hash-sampled init (k lowest
     md5-of-id), same ROUND(distance, 6)-before-argmin and tie-break
@@ -7359,8 +7361,11 @@ def _kmeans_cte_parts(k: int = 8, iters: int = 2, src_where: str = "TRUE") -> li
   WHERE {src_where}
 )""",
         # hash-sampled deterministic init (VERDICT r4 #6): lowest
-        # md5(id-as-string) ties by id — mirrors kmeans_fit exactly
-        f"""c0 AS (
+        # md5(id-as-string) ties by id — mirrors kmeans_fit exactly.
+        # init_cte (r8) swaps in a caller-supplied c0 (the k-means||
+        # composition) — it must emit (cid BIGINT, c DOUBLE[]).
+        init_cte
+        or f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
          e AS c
   FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
@@ -7389,6 +7394,71 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
 SELECT cid AS centroid_id, CAST(u.dim AS INT) AS dim, u.x AS val
 FROM (SELECT cid, UNNEST(c) AS x, UNNEST(range(len(c))) AS dim FROM c{iters}) u
 """
+    )
+
+
+def _kmeans_par_fit_oracle(
+    k: int = 8, iters: int = 2, l: int = 4, rounds: int = 2, micro: int = 10_000
+) -> str:
+    """The FULL k-means|| → Lloyd composition in SQL: the parallel-init
+    CTEs verbatim (seed, rounds, draws, weights), candidates reduced to
+    the k heaviest (weight DESC, id — the deterministic reduction), and
+    the standard Lloyd CTEs running FROM that init instead of the
+    hash-sampled one. Initialization drift, reduction drift, or training
+    drift each flip the hash."""
+    par = _kmeans_par_oracle(l, rounds, micro)
+    par_cte = par[par.index("WITH ") + len("WITH ") : par.rfind("\n    SELECT")]
+    w_cte = """w AS (
+      SELECT cid AS vec_id, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM assign WHERE rn = 1 GROUP BY 1)"""
+    init_cte = f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY t.weight DESC, t.vec_id) - 1 AS BIGINT) AS cid,
+         v.e AS c
+  FROM (SELECT * FROM w ORDER BY weight DESC, vec_id LIMIT {k}) t
+  JOIN v ON v.vec_id = t.vec_id
+)"""
+    lloyd = _kmeans_cte_parts(k, iters, init_cte=init_cte)
+    return (
+        "WITH "
+        + par_cte
+        + ",\n"
+        + w_cte
+        + ",\n"
+        + ",\n".join(lloyd)
+        + f"""
+SELECT cid AS centroid_id, CAST(u.dim AS INT) AS dim, u.x AS val
+FROM (SELECT cid, UNNEST(c) AS x, UNNEST(range(len(c))) AS dim FROM c{iters}) u
+"""
+    )
+
+
+@query("ann_kmeans_parallel_fit", _kmeans_par_fit_oracle())
+def ann_kmeans_parallel_fit_q(spark, sf_dir):
+    """k-means|| initialization feeding Lloyd training end to end (r8 —
+    the composition that makes the init real, not a standalone demo):
+    oversampled candidates → k heaviest by weight (deterministic
+    reduction, ties by id) → kmeans_fit(init=...) for two iterations.
+    Every stage is the engine-exact integer/round-6 discipline, so the
+    oracle replays initialization AND training and the final centroid
+    components must match to the last rounded decimal."""
+    from sparsity_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = kmeans_parallel_init(emb, l=4, rounds=2)
+    top = (
+        cand.orderBy(F.col("weight").desc(), F.col("vec_id"))
+        .limit(8)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .orderBy(F.col("weight").desc(), F.col("vec_id"))
+        .collect()
+    )
+    init = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(top)]
+    cents = kmeans_fit(emb, k=8, iters=2, init=init)
+    return cents.select(
+        "centroid_id", F.posexplode("embedding").alias("dim", "val")
     )
 
 

@@ -2065,6 +2065,30 @@ def test_kmeans_parallel_init_covers_blobs_and_is_partition_invariant(spark):
     assert len(deg) == 1 and deg["weight"].iloc[0] == 30
 
 
+def test_kmeans_fit_explicit_init(spark):
+    """r8: kmeans_fit(init=...) honors caller cids and starting points —
+    one Lloyd step from per-blob seeds recovers each blob's round-6 mean
+    under the caller's cid labels; duplicate cids raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    a = [[float(i % 3), 0.0] for i in range(30)]
+    b = [[100.0 + (i % 5), 1.0] for i in range(30)]
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(
+        emb, k=2, iters=1, init=[(5, [0.0, 0.0]), (9, [100.0, 1.0])]
+    ).collect()
+    got = {r["centroid_id"]: r["embedding"] for r in cents}
+    assert set(got) == {5, 9}
+    np.testing.assert_allclose(got[5], np.array(a).mean(axis=0), atol=1e-6)
+    np.testing.assert_allclose(got[9], np.array(b).mean(axis=0), atol=1e-6)
+    with _pytest.raises(ValueError):
+        kmeans_fit(emb, k=2, init=[(1, [0.0, 0.0]), (1, [1.0, 1.0])])
+
+
 def test_video_shot_mad_detects_cut(spark):
     """r8 shot boundaries: the exact luma-MAD signal equals a numpy
     recompute for both mono and C444 streams, the hard-cut pair is the
