@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "skew_bloom_store_semijoin",
     "multimodal_spectral_bands",
     "ann_kmeans_parallel_fit",
+    "graph_ppr_seeded",
 ]
 
 

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["symmetrize_edges", "pagerank", "triangle_count"]
+__all__ = [
+    "symmetrize_edges",
+    "pagerank",
+    "personalized_pagerank",
+    "triangle_count",
+]
 
 
 def symmetrize_edges(
@@ -140,3 +145,69 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .union(tris.select(F.col("c").alias("node")))
     )
     return per_corner.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector is uniform over a SEED
+    set instead of all nodes — the "rank everything by relatedness to
+    this curated set" primitive (seed = trusted documents / known-good
+    domains; rank = curation affinity; Gleich's PPR survey is the public
+    reference). ``seeds`` is a one-column (node) DataFrame.
+
+    Integer discipline (engine-exact like :func:`pagerank`): with n
+    nodes, s seeds, unit U — r₀ = (n·U) div s on seeds, 0 elsewhere;
+    each iteration credits ((100−d)·n·U) div (100·s) to every seed plus
+    (d · Σ contrib) div 100 from the topology. Mass floors identically
+    in both engines; nodes unreachable from the seed set along ≤
+    ``iterations`` hops keep rank 0 and (like absent keys in a sparse
+    frame) drop from the output. Same per-iteration communication as
+    pagerank: one join against the persisted adjacency + one aggregate;
+    the seed join stays node-sized."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("personalized_pagerank: damping_pct must be in (0, 100)")
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    adj = edges.join(deg, "src").persist()
+    adj.count()
+    edges.unpersist()
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    seed_nodes = seed_nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "leftsemi"
+    ).persist()
+    n = deg.count()
+    s = seed_nodes.count()
+    if s == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    seed0 = (n * unit) // s
+    base = ((100 - damping_pct) * n * unit) // (100 * s)
+    ranks = seed_nodes.select(
+        "node", F.lit(seed0).cast("long").alias("rank_micro")
+    )
+    for i in range(iterations):
+        contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro div deg").alias("c"),
+        )
+        spread = contrib.groupBy("node").agg(
+            F.expr(f"cast(({damping_pct} * sum(c)) div 100 as bigint)").alias("sp")
+        )
+        ranks = (
+            spread.join(seed_nodes.withColumn("__s__", F.lit(1)), "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("sp"), F.lit(0))
+                    + F.when(F.col("__s__") == 1, F.lit(base)).otherwise(F.lit(0))
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

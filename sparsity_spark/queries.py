@@ -7713,6 +7713,86 @@ def graph_pagerank_q(spark, sf_dir):
     )
 
 
+def _ppr_oracle(iters: int = 3, nation: int = 0) -> str:
+    """Personalized PageRank unrolled as CTEs: same symmetrized edges and
+    degrees as the global oracle, teleport mass concentrated on the
+    seed suppliers (nation {nation}), same integer floors throughout."""
+    parts = [
+        f"""
+    WITH raw AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    sg AS (
+      SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+      FROM supplier WHERE s_nationkey = {nation}
+        AND CAST(s_suppkey * 2 + 1 AS BIGINT) IN (SELECT src FROM deg)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sg),
+    r0 AS (SELECT node, CAST((nn.n * 1000000) // ss.s AS BIGINT) AS r
+           FROM sg CROSS JOIN nn CROSS JOIN ss)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    sp{i} AS (
+      SELECT e.dst AS node, (85 * SUM(r.r // g.d)) // 100 AS v
+      FROM edges e JOIN deg g ON g.src = e.src JOIN r{i-1} r ON r.node = e.src
+      GROUP BY 1),
+    r{i} AS (
+      SELECT COALESCE(sp{i}.node, sg.node) AS node,
+             CAST(COALESCE(sp{i}.v, 0)
+                  + CASE WHEN sg.node IS NOT NULL
+                         THEN (15 * nn.n * 1000000) // (100 * ss.s)
+                         ELSE 0 END AS BIGINT) AS r
+      FROM sp{i} FULL OUTER JOIN sg ON sg.node = sp{i}.node
+      CROSS JOIN nn CROSS JOIN ss)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT (node - 1) // 2 AS suppkey, r AS rank_micro
+    FROM r{iters} WHERE node % 2 = 1
+    """
+    )
+
+
+@query("graph_ppr_seeded", _ppr_oracle())
+def graph_ppr_seeded_q(spark, sf_dir):
+    """Personalized PageRank from a curated seed set (r8): teleport mass
+    concentrated on nation-0 suppliers, diffused 3 hops through the
+    customer↔supplier interaction graph — the "rank the corpus by
+    relatedness to this trusted set" curation primitive. Integer floors
+    end to end; the oracle unrolls seeds, totals, and all three
+    iterations, so seed selection, teleport shares, and topology spread
+    must each be exact. Seed suppliers must out-rank topology-distant
+    ones (asserted in tests); suppliers unreachable in ≤3 hops drop out
+    like absent sparse keys."""
+    from sparsity_spark.operators.graph import (
+        personalized_pagerank,
+        symmetrize_edges,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp", as_string=False)
+    seeds = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 0
+    ).select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    ranks = personalized_pagerank(edges, seeds, iterations=3)
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("suppkey"), "rank_micro"
+    )
+
+
 @query(
     "graph_triangles",
     """

@@ -5,6 +5,7 @@ small enough to reason about and adversarial enough to matter."""
 from itertools import combinations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sparsity_spark.operators.graph import pagerank, symmetrize_edges, triangle_count
 
@@ -101,3 +102,54 @@ def test_triangle_count_randomized_vs_bruteforce(spark):
     edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
     got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert got == _py_triangles(pairs)
+
+
+def _py_ppr(edge_list, seed_nodes, iterations=3, unit=1_000_000, damping_pct=85):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edge_list:
+        deg[s] += 1
+    seeds = {str(x) for x in seed_nodes} & set(deg)
+    n, s = len(deg), len(seeds)
+    r = {v: (n * unit) // s for v in seeds}
+    base = ((100 - damping_pct) * n * unit) // (100 * s)
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for u, v in edge_list:
+            if u in r:
+                acc[v] += r[u] // deg[u]
+        nxt = {v: (damping_pct * c) // 100 for v, c in acc.items()}
+        for v in seeds:
+            nxt[v] = nxt.get(v, 0) + base
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_replay_and_locality(spark):
+    """r8 PPR: equals the python integer replay; seed-adjacent nodes
+    out-rank distant ones; nodes unreachable within the horizon are
+    absent; a seed set with no graph member raises."""
+    import pytest as _pytest
+
+    from sparsity_spark.operators.graph import personalized_pagerank, symmetrize_edges
+
+    # two communities bridged by one edge, plus an isolated pair (8,9)
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (8, 9)]
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
+    seeds = spark.createDataFrame([(1,), (2,)], "node long").select(
+        F.col("node").cast("string").alias("node")
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    want = _py_ppr(_sym(pairs), [1, 2], iterations=3)
+    assert got == want
+    assert got["1"] > got["5"] and got["2"] > got["6"]
+    assert "8" not in got and "9" not in got  # unreachable from seeds
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("77",)], "node string"), iterations=1
+        )
