@@ -629,3 +629,34 @@ def contamination_fraction(
         F.count("__hit__").cast("long").alias("n_shared_grams"),
         F.round(F.count("__hit__") / F.count("*"), 6).alias("contamination"),
     )
+
+
+def percentile_gate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Per-group quantile gate (r8): keep rows at or above their group's
+    exact q-quantile of ``value_col`` — the "top half of each language by
+    quality" curation step, as data (a kept flag the caller filters or
+    audits on). One exact-percentile aggregate (group-cardinality-sized,
+    broadcast back) + a map-side comparison; for thousands of groups the
+    cutoff table is still metadata, for millions switch the aggregate to
+    ``approx_percentile`` (same plan shape, the engine's mergeable-sketch
+    path).
+
+    Determinism note: at q=0.5 the interpolated cutoff is either a data
+    point or the midpoint of two adjacent ones, so with round-6-quantized
+    values no row can sit within float drift of the threshold — the
+    kept flag is engine-exact (the cutoff itself is deliberately NOT
+    emitted: its last ulp is interpolation-order-dependent)."""
+    cut = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {q})").alias("__cut__")
+    )
+    return (
+        df.join(F.broadcast(cut), group_col)
+        .withColumn(keep_col, F.col(value_col) >= F.col("__cut__"))
+        .drop("__cut__")
+    )

@@ -2859,6 +2859,42 @@ def text_quality_q(spark, sf_dir):
     return quality_score(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "pipe_quality_percentile_gate",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             ROUND(least(len(w) / 100.0, 1.0) *
+                   (0.5 + 0.5 * ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6)),
+                   6) AS quality
+      FROM base
+    ),
+    c AS (SELECT lang, quantile_cont(quality, 0.5) AS cut FROM s GROUP BY 1)
+    SELECT s.doc_id, s.lang, s.quality, s.quality >= c.cut AS kept
+    FROM s JOIN c USING (lang)
+    """,
+)
+def pipe_quality_percentile_gate_q(spark, sf_dir):
+    """Per-language quality median gate (r8 composition): every document
+    scored by the cheap composite, then kept iff at/above ITS LANGUAGE'S
+    exact median — the standard within-group curation cut that a single
+    global threshold gets wrong (languages with shorter average docs
+    would be wiped out). percentile ≡ quantile_cont, scores round-6
+    quantized, q=0.5 cutoffs land on data points or midpoints — the kept
+    flag is engine-exact by construction (analysis in percentile_gate's
+    docstring)."""
+    from sparsity_spark.operators.pipeline import percentile_gate
+    from sparsity_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return percentile_gate(scored, "lang", "quality", q=0.5)
+
+
 def _lang_id_oracle() -> str:
     from sparsity_spark.operators.text import LANG_MARKERS
 

@@ -364,3 +364,29 @@ def test_grouped_quantiles_approx_close_to_exact(spark):
     # neighbor-rank value -> within one percentile of the exact answer
     spread = pdf["v"].max() - pdf["v"].min()
     assert (exact["quantile_value"] - approx["quantile_value"]).abs().max() < spread * 0.02
+
+
+def test_percentile_gate_per_group_median(spark):
+    """r8: each group gated by ITS OWN exact quantile — hand-checked
+    medians, group isolation (one group's outliers don't move another's
+    cutoff), and the q knob."""
+    from sparsity_spark.operators.pipeline import percentile_gate
+
+    rows = [
+        ("en", 1, 0.1), ("en", 2, 0.2), ("en", 3, 0.3), ("en", 4, 0.4), ("en", 5, 0.5),
+        ("de", 6, 0.9), ("de", 7, 1.0), ("de", 8, 1.1),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v double")
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in percentile_gate(df, "lang", "v", q=0.5).collect()
+    }
+    # en median 0.3, de median 1.0 — despite every de value beating en's max
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: True,
+                   6: False, 7: True, 8: True}
+    strict = {
+        r["doc_id"]: r["kept"]
+        for r in percentile_gate(df, "lang", "v", q=0.9).collect()
+    }
+    assert sum(strict.values()) < sum(got.values())
+    assert strict[5] and strict[8]  # each group's max always survives
