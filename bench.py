@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "multimodal_spectral_bands",
     "ann_kmeans_parallel_fit",
     "graph_ppr_seeded",
+    "graph_hits_authorities",
     "pipe_quality_percentile_gate",
 ]
 

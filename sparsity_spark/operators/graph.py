@@ -43,6 +43,7 @@ __all__ = [
     "symmetrize_edges",
     "pagerank",
     "personalized_pagerank",
+    "hits",
     "triangle_count",
 ]
 
@@ -211,3 +212,61 @@ def personalized_pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    unit: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED (src, dst) edge table
+    (Kleinberg 1999) — the complement to PageRank's single score:
+    authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v) over
+    out-edges, renormalized each half-step.
+
+    Integer discipline: scores are BIGINT micro-units renormalized by the
+    deterministic MAX (``s·unit div max_s``) after every half-step — max
+    is order-independent (unlike an L2 norm's float sum), so the rescale
+    is engine-exact and bounds every score in [0, unit], which also makes
+    overflow impossible for in/out-degrees up to 2^63/unit. Nodes with
+    no in-edges carry authority 0 and drop from the authority side (and
+    symmetrically for hubs).
+
+    Per half-step: ONE join of the node-sized score table against the
+    persisted edge table + ONE aggregate + ONE metadata-sized max — the
+    pagerank communication shape, doubled. Returns
+    (node, hub_micro, auth_micro) as a full outer of the two sides."""
+    edges = edges.select("src", "dst").distinct().persist()
+    edges.count()
+    hubs = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(unit).cast("long").alias("h")
+    )
+    auths = None
+    for i in range(iterations):
+        # authority step: sum hub scores along edges, rescale by max
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw")).collect()[0][0] or 1
+        auths = a_raw.select(
+            "node", F.expr(f"cast((a_raw * {unit}) div {a_max} as bigint)").alias("a")
+        )
+        # hub step: sum authority scores along edges, rescale by max
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw")).collect()[0][0] or 1
+        hubs = h_raw.select(
+            "node", F.expr(f"cast((h_raw * {unit}) div {h_max} as bigint)").alias("h")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs.withColumnRenamed("h", "hub_micro").join(
+        auths.withColumnRenamed("a", "auth_micro"), "node", "full_outer"
+    )

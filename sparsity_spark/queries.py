@@ -7829,6 +7829,67 @@ def graph_ppr_seeded_q(spark, sf_dir):
     )
 
 
+def _hits_oracle(iters: int = 2) -> str:
+    """HITS unrolled: per iteration one authority sum + max-rescale and
+    one hub sum + max-rescale, every score an exact BIGINT both engines
+    floor identically."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM raw)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    ar{i} AS (
+      SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a_raw
+      FROM raw e JOIN h{i-1} h ON h.node = e.src GROUP BY 1),
+    am{i} AS (SELECT MAX(a_raw) AS m FROM ar{i}),
+    a{i} AS (SELECT node, CAST((a_raw * 1000000) // am{i}.m AS BIGINT) AS a
+             FROM ar{i} CROSS JOIN am{i}),
+    hr{i} AS (
+      SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h_raw
+      FROM raw e JOIN a{i} a ON a.node = e.dst GROUP BY 1),
+    hm{i} AS (SELECT MAX(h_raw) AS m FROM hr{i}),
+    h{i} AS (SELECT node, CAST((h_raw * 1000000) // hm{i}.m AS BIGINT) AS h
+             FROM hr{i} CROSS JOIN hm{i})"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT (node - 1) // 2 AS suppkey, a AS auth_micro FROM a{iters}
+    """
+    )
+
+
+@query("graph_hits_authorities", _hits_oracle())
+def graph_hits_authorities_q(spark, sf_dir):
+    """HITS authority scores for suppliers over the DIRECTED
+    customer→supplier purchase graph (r8 — the directed complement to
+    PageRank: hubs = broadly-buying customers, authorities = suppliers
+    those hubs concentrate on). Scores renormalize by the deterministic
+    integer MAX each half-step — order-independent where an L2 norm's
+    float sum is not — so the oracle unrolls both iterations and every
+    score must match exactly."""
+    from sparsity_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    out = hits(edges, iterations=2)
+    return out.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("suppkey"),
+        F.col("auth_micro"),
+    )
+
+
 @query(
     "graph_triangles",
     """

@@ -153,3 +153,47 @@ def test_personalized_pagerank_matches_replay_and_locality(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([("77",)], "node string"), iterations=1
         )
+
+
+def _py_hits(edge_list, iterations=2, unit=1_000_000):
+    from collections import defaultdict
+
+    edges = sorted({(str(a), str(b)) for a, b in edge_list})
+    h = {u: unit for u, _ in edges}
+    a = {}
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for u, v in edges:
+            if u in h:
+                acc[v] += h[u]
+        m = max(acc.values()) if acc else 1
+        a = {v: (x * unit) // m for v, x in acc.items()}
+        acc = defaultdict(int)
+        for u, v in edges:
+            if v in a:
+                acc[u] += a[v]
+        m = max(acc.values()) if acc else 1
+        h = {u: (x * unit) // m for u, x in acc.items()}
+    return h, a
+
+
+def test_hits_matches_replay_and_semantics(spark):
+    """r8 HITS: equals the python integer replay on a bipartite star
+    (authority concentrates on the supplier every hub buys from; the
+    top authority pins at exactly `unit` after rescale); directed edges
+    only — the pure-source hubs carry no authority."""
+    from sparsity_spark.operators.graph import hits
+
+    # customers 1..4 all buy from supplier 100; customers 1,2 also from 200
+    pairs = [(1, 100), (2, 100), (3, 100), (4, 100), (1, 200), (2, 200)]
+    edges = spark.createDataFrame(pairs, "src long, dst long").select(
+        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
+    )
+    out = hits(edges, iterations=2).collect()
+    got_h = {r["node"]: r["hub_micro"] for r in out if r["hub_micro"] is not None}
+    got_a = {r["node"]: r["auth_micro"] for r in out if r["auth_micro"] is not None}
+    want_h, want_a = _py_hits(pairs)
+    assert got_h == want_h and got_a == want_a
+    assert got_a["100"] == 1_000_000 and got_a["100"] > got_a["200"]
+    assert set(got_a) == {"100", "200"}  # pure hubs have no authority
+    assert got_h["1"] == got_h["2"] > got_h["3"] == got_h["4"]
