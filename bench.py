@@ -205,6 +205,10 @@ SCALE_QUERIES = [
     "ann_kmeans_parallel_init",
     "skew_bloom_store_semijoin",
     "multimodal_spectral_bands",
+    # late-r8: seeded PPR and HITS (both linear in edges per iteration;
+    # the replica grows edges ~10x via custkey scaling)
+    "graph_ppr_seeded",
+    "graph_hits_authorities",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

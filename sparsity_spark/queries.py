@@ -8025,10 +8025,15 @@ _FIRST_50 = [
     "s2_parquet_roundtrip", "s6_from_pandas", "s3_traildb_binary",
     "j1_join_outer", "j1_join_inner", "j5_add_halves",
     "u1_vstack_halves",
-    "p1_project", "p3_iloc_slice", "p4_loc_range",
+    "p4_loc_range",
     "p6_dedup_first", "p8_assign", "p9_set_index",
-    "a2_col_sums", "a3_mean_dense_denominator", "a5_minmax",
+    "a3_mean_dense_denominator", "a5_minmax",
     "o2_topk_users", "f1_map_partitions", "r3_transpose",
+    # late-r8 swaps: the seeded-PPR / HITS graph rows and the percentile
+    # gate take the slots of three rows green since round 1 (p1_project,
+    # p3_iloc_slice, a2_col_sums — all still covered by check_oracles)
+    "graph_ppr_seeded", "graph_hits_authorities",
+    "pipe_quality_percentile_gate",
     # the two r7-red rows stay in so the driver confirms the r8 fix
     # (HUGEINT oracle sums -> float64 in pandas -> string-hash flip):
     "s7_jsonl_roundtrip", "skew_bloom_semijoin",
