@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "ann_kmeans_parallel_fit",
     "graph_ppr_seeded",
     "graph_hits_authorities",
+    "graph_random_walks",
     "pipe_quality_percentile_gate",
 ]
 

@@ -44,6 +44,7 @@ __all__ = [
     "pagerank",
     "personalized_pagerank",
     "hits",
+    "random_walks",
     "triangle_count",
 ]
 
@@ -282,3 +283,72 @@ def hits(
     return hubs.withColumnRenamed("h", "hub_micro").join(
         auths.withColumnRenamed("a", "auth_micro"), "node", "full_outer"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+) -> DataFrame:
+    """Deterministic random walks over a (src, dst) edge table — the
+    walk-corpus generator behind DeepWalk/node2vec-style graph
+    embeddings (walks become "sentences" for a skip-gram trainer).
+
+    No RNG: at step t from node v the walk takes neighbor
+    ``md5₆₀(start, t, v) % degree(v)`` in dst-sorted order — a pure
+    function of (start, position, node), so walks are bit-reproducible
+    across engines/partitionings/replays (the engine-wide
+    hash-in-place-of-RNG discipline; an actual RNG walk could never
+    oracle-match). One walk per start node; returns
+    (start, step, node) with step 0 = the start itself.
+
+    Scale shape: neighbors are ranked ONCE (a per-src window over the
+    persisted edge table — one shuffle, reused every step); each step is
+    then one join of the walk-frontier (start-set-sized, not
+    corpus-sized) against the ranked neighbor table. Walks from a
+    million seeds over a billion-edge graph move only frontier-sized
+    rows per step. Dead-end nodes (no out-edges) terminate their walk
+    early — rows simply stop appearing."""
+    from pyspark.sql import Window
+
+    edges = edges.select("src", "dst").distinct().persist()
+    nbr = edges.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranked = nbr.join(deg, "src").persist()
+    ranked.count()
+    edges.unpersist()
+
+    frontier = starts.select(
+        F.col(starts.columns[0]).alias("start")
+    ).distinct().withColumn("node", F.col("start"))
+    out = frontier.select("start", F.lit(0).alias("step"), "node")
+    for t in range(1, steps + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("start").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        stepped = (
+            frontier.join(ranked.withColumnRenamed("src", "node"), "node")
+            .where((h % F.col("deg")) == F.col("rank"))
+            .select("start", F.col("dst").alias("node"))
+        )
+        frontier = stepped
+        out = out.unionByName(
+            frontier.select("start", F.lit(t).alias("step"), "node")
+        )
+    return out

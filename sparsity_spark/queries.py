@@ -7890,6 +7890,67 @@ def graph_hits_authorities_q(spark, sf_dir):
     )
 
 
+def _walks_oracle(steps: int = 3) -> str:
+    """Deterministic walks replayed in SQL: the same dst-sorted neighbor
+    ranks, the same md5('start|t|node') % degree pick at every step."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+    rk AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM edges),
+    w0 AS (SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS start,
+                  CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+           FROM supplier)"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""
+    w{t} AS (
+      SELECT w.start, r.dst AS node
+      FROM w{t-1} w JOIN rk r ON r.src = w.node
+      WHERE CAST(('0x' || substring(md5(
+              CAST(w.start AS VARCHAR) || '|{t}|' || CAST(w.node AS VARCHAR)
+            ), 1, 15)) AS BIGINT) % r.deg = r.rank)"""
+        )
+    selects = ["SELECT start, CAST(0 AS INTEGER) AS step, node FROM w0"] + [
+        f"SELECT start, CAST({t} AS INTEGER) AS step, node FROM w{t}"
+        for t in range(1, steps + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("graph_random_walks", _walks_oracle())
+def graph_random_walks_q(spark, sf_dir):
+    """Deterministic walk-corpus generation (r8 — the DeepWalk/node2vec
+    front half: walks become skip-gram sentences): 3-step walks from
+    every supplier node through the customer↔supplier graph, each step
+    picking neighbor md5(start|t|node) % degree in dst-sorted order —
+    the hash-in-place-of-RNG discipline, so the oracle replays every
+    hop exactly. Frontier-sized joins per step against the once-ranked
+    neighbor table; an RNG walk could never cross-engine-match."""
+    from sparsity_spark.operators.graph import random_walks, symmetrize_edges
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp", as_string=False)
+    starts = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    return random_walks(edges, starts, steps=3)
+
+
 @query(
     "graph_triangles",
     """

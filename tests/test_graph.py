@@ -197,3 +197,39 @@ def test_hits_matches_replay_and_semantics(spark):
     assert got_a["100"] == 1_000_000 and got_a["100"] > got_a["200"]
     assert set(got_a) == {"100", "200"}  # pure hubs have no authority
     assert got_h["1"] == got_h["2"] > got_h["3"] == got_h["4"]
+
+
+def test_random_walks_deterministic_and_edge_following(spark):
+    """r8 walks: every hop follows a real edge; step 0 is the start;
+    repartitioning changes nothing (md5 picks, no RNG); a dead-end start
+    emits only step 0; each (start, step) has at most one row."""
+    import hashlib
+
+    from sparsity_spark.operators.graph import random_walks, symmetrize_edges
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b")
+    starts = spark.createDataFrame([("1",), ("3",), ("99",)], "node string")
+    got = random_walks(edges, starts, steps=4).toPandas()
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(str(a), set()).add(str(b))
+        adj.setdefault(str(b), set()).add(str(a))
+    for start in ("1", "3"):
+        w = got[got.start == start].sort_values("step")
+        assert list(w["step"]) == [0, 1, 2, 3, 4]
+        nodes = list(w["node"])
+        assert nodes[0] == start
+        for prev, nxt in zip(nodes, nodes[1:]):
+            assert nxt in adj[prev]
+        # replay the hash pick for step 1
+        nbrs = sorted(adj[start])
+        h = int(hashlib.md5(f"{start}|1|{start}".encode()).hexdigest()[:15], 16)
+        assert nodes[1] == nbrs[h % len(nbrs)]
+    assert list(got[got.start == "99"]["step"]) == [0]  # not a graph node
+
+    again = random_walks(edges.repartition(7), starts, steps=4).toPandas()
+    a = got.sort_values(["start", "step"]).reset_index(drop=True)
+    b = again.sort_values(["start", "step"]).reset_index(drop=True)
+    assert a.equals(b)
