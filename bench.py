@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "graph_ppr_seeded",
     "graph_hits_authorities",
     "graph_random_walks",
+    "graph_skipgram_pairs",
     "pipe_quality_percentile_gate",
 ]
 

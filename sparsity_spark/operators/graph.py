@@ -45,6 +45,7 @@ __all__ = [
     "personalized_pagerank",
     "hits",
     "random_walks",
+    "walk_skipgram_pairs",
     "triangle_count",
 ]
 
@@ -352,3 +353,32 @@ def random_walks(
             frontier.select("start", F.lit(t).alias("step"), "node")
         )
     return out
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts from a walk corpus (r8 — the back
+    half of DeepWalk: walks are sentences, these pairs are the
+    word2vec-style training input). For every walk, each ordered
+    (center, context) pair within ``window`` steps is counted; the
+    output (center, context, n_pairs) is exactly the sparse co-occurrence
+    matrix an embedding trainer consumes.
+
+    One self-join per walk id on a bounded step distance (|Δstep| ≤
+    window, Δ ≠ 0) — the join key is the walk id, so pair volume is
+    Σ walk_len·window per walk, never quadratic in the corpus; one hash
+    aggregate folds the counts."""
+    w = walks.select(
+        F.col("start").alias("wid"), F.col("step").alias("s"), F.col("node")
+    )
+    a = w.select("wid", F.col("s").alias("s_a"), F.col("node").alias("center"))
+    b = w.select("wid", F.col("s").alias("s_b"), F.col("node").alias("context"))
+    pairs = a.join(b, "wid").where(
+        (F.col("s_a") != F.col("s_b"))
+        & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

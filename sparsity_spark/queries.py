@@ -7951,6 +7951,58 @@ def graph_random_walks_q(spark, sf_dir):
     return random_walks(edges, starts, steps=3)
 
 
+def _skipgram_oracle(steps: int = 3, window: int = 2) -> str:
+    """Walks CTEs verbatim, then the windowed self-join and count fold in
+    SQL — a drift in any hop shifts co-occurrence counts."""
+    base = _walks_oracle(steps)
+    selects = ["SELECT start, CAST(0 AS INTEGER) AS step, node FROM w0"] + [
+        f"SELECT start, CAST({t} AS INTEGER) AS step, node FROM w{t}"
+        for t in range(1, steps + 1)
+    ]
+    cte = base[: base.index("\n    SELECT start, CAST(0")]
+    return (
+        cte
+        + ",\n    walks AS (\n    "
+        + "\n    UNION ALL ".join(selects)
+        + f""")
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON b.start = a.start AND a.step <> b.step
+     AND ABS(a.step - b.step) <= {window}
+    GROUP BY 1, 2
+    """
+    )
+
+
+@query("graph_skipgram_pairs", _skipgram_oracle())
+def graph_skipgram_pairs_q(spark, sf_dir):
+    """Skip-gram co-occurrence counts from the deterministic walk corpus
+    (r8 — DeepWalk's back half: the sparse (center, context, count)
+    matrix a word2vec-style trainer consumes). Pairs join on the walk id
+    with a bounded step-distance window, so volume is walk_len·window
+    per walk, never corpus-quadratic; the oracle replays walks AND the
+    windowed fold."""
+    from sparsity_spark.operators.graph import (
+        random_walks,
+        symmetrize_edges,
+        walk_skipgram_pairs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp", as_string=False)
+    starts = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    walks = random_walks(edges, starts, steps=3)
+    return walk_skipgram_pairs(walks, window=2)
+
+
 @query(
     "graph_triangles",
     """

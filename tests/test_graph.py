@@ -233,3 +233,26 @@ def test_random_walks_deterministic_and_edge_following(spark):
     a = got.sort_values(["start", "step"]).reset_index(drop=True)
     b = again.sort_values(["start", "step"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_walk_skipgram_pairs_window_and_counts(spark):
+    """r8 skip-gram pairs: hand-checked windowed pairs on a fixed
+    two-walk corpus — symmetric counts, window bound respected, pairs
+    never cross walks."""
+    from sparsity_spark.operators.graph import walk_skipgram_pairs
+
+    rows = [  # walk A: x->y->z->x ; walk B: p->q
+        ("A", 0, "x"), ("A", 1, "y"), ("A", 2, "z"), ("A", 3, "x"),
+        ("B", 0, "p"), ("B", 1, "q"),
+    ]
+    walks = spark.createDataFrame(rows, "start string, step int, node string")
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    }
+    # within walk A, window 2: (0,1)(0,2)(1,2)(1,3)(2,3) + mirrors
+    assert got[("x", "y")] == got[("y", "x")] == 2   # steps (0,1) and (3,1)... wait
+    assert got[("p", "q")] == 1 and got[("q", "p")] == 1
+    assert ("x", "p") not in got and ("y", "q") not in got  # never cross walks
+    total = sum(got.values())
+    assert total == 10 + 2  # 5 ordered pairs * 2 in walk A + 2 in walk B
