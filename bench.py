@@ -211,6 +211,8 @@ SCALE_QUERIES = [
     # the replica grows edges ~10x via custkey scaling)
     "graph_ppr_seeded",
     "graph_hits_authorities",
+    "graph_random_walks",
+    "graph_skipgram_pairs",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10
