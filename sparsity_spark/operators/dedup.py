@@ -1245,9 +1245,17 @@ def write_hash_store(
     before any near-dup machinery."""
     from sparsity_spark.operators.skew import write_bucketed
 
+    # ledger uniqueness invariant holds from the FIRST write, not only on
+    # appends: a corpus with natural exact twins would otherwise put
+    # duplicate content_hash rows in the ledger and every later screen's
+    # left join would fan out per duplicate — the r8 sf0.1 sweep caught
+    # exactly this (8 natural twin pairs in the 90% slice, one batch row
+    # duplicated: 793 rows vs the oracle's 792; invisible at sf0.01,
+    # which has no twin in that slice). Lowest id per hash, matching the
+    # append path's rule.
     ledger = docs.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
-    )
+    ).groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     write_bucketed(ledger, table, ["content_hash"], num_buckets)
 
 

@@ -484,3 +484,31 @@ def test_append_hash_store_ledger_keeps_lowest_id(spark):
     ledger = spark.table("hs_minid").toPandas()
     new = ledger[~ledger.doc_id.isin(CORPUS["doc_id"])]
     assert len(new) == 1 and int(new.doc_id.iloc[0]) == 301
+
+
+def test_write_hash_store_dedups_natural_corpus_twins(spark):
+    """r8 (caught by the sf0.1 sweep): a corpus containing natural exact
+    twins must still produce a UNIQUE ledger — otherwise every later
+    screen's left join fans out per duplicate (one batch row came back
+    twice: 793 vs 792). Lowest id per hash, matching the append rule."""
+    from sparsity_spark.operators.dedup import append_hash_store, write_hash_store
+
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"), (7, "alpha beta"),  # 1 & 7 twins
+        (9, "epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    write_hash_store(docs, "hash_store_twin_t", num_buckets=4)
+    ledger = spark.table("hash_store_twin_t").toPandas()
+    assert len(ledger) == 3  # twins collapsed
+    assert ledger.set_index("content_hash")["doc_id"].min() >= 1
+    twin_ids = ledger.sort_values("doc_id")["doc_id"].tolist()
+    assert 1 in twin_ids and 7 not in twin_ids  # lowest id kept
+
+    batch = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "new text here")], "doc_id long, text string"
+    )
+    out = append_hash_store(batch, "hash_store_twin_t").toPandas()
+    assert len(out) == 2  # no fanout against the twin hash
+    keep = out.set_index("doc_id")["keep"]
+    assert not keep[100] and keep[101]
