@@ -531,7 +531,13 @@ class SparseFrame:
     # joins / combination                                                #
     # ------------------------------------------------------------------ #
 
-    def join(self, other: "SparseFrame", axis: int = 1, how: str = "outer") -> "SparseFrame":
+    def join(
+        self,
+        other: "SparseFrame",
+        axis: int = 1,
+        how: str = "outer",
+        level: int | str | None = None,
+    ) -> "SparseFrame":
         """Index equi-join (reference sparse_frame.py:233-288).
 
         axis=1 concatenates column sets, aligning rows on the key — in long
@@ -548,7 +554,20 @@ class SparseFrame:
         is the right trade at scale; the reference never tests dup-label
         joins. Call drop_duplicate_idx() first when labels may repeat
         (pinned in tests/test_frame.py::test_join_duplicate_labels_merge).
+
+        ``level`` (r9 — the reference signature's MultiIndex-level join,
+        reference sparse_frame.py:233-241; dead code THERE — its MultiIndex
+        branch raises NotImplementedError at :252 — but live here):
+        aligns ``other`` on one named or positional level of this frame's
+        composite key. ``other`` must be keyed by that single column; its
+        cells fan out to every row of this frame sharing the level value —
+        the dimension-attach join (attach nation-level features to
+        (customer, nation)-keyed rows). how='left'/'inner' only: an outer
+        level-join would need rows with the non-level key levels NULL,
+        which a sparse frame (absent row == all zeros) cannot represent.
         """
+        if level is not None and axis == 1:
+            return self._join_on_level(other, how, level)
         if axis == 0:
             return self._vstack_aligned(other)
         if set(self.key_cols) != set(other.key_cols):
@@ -574,6 +593,48 @@ class SparseFrame:
         dup = [c for c in other.columns if c in self.columns]
         if dup:
             raise ValueError(f"axis=1 join with overlapping columns: {dup}")
+        return SparseFrame(cells, ks, self.columns + other.columns, idx)
+
+    def _join_on_level(
+        self, other: "SparseFrame", how: str, level: int | str
+    ) -> "SparseFrame":
+        """axis=1 join aligned on ONE level of the composite key (see
+        :meth:`join`). Plan shape: the other frame's cells are renamed to
+        the level column and equi-joined against this frame's key table —
+        the level side is dimension-sized in every real use, so AQE
+        broadcasts it and the corpus-sized cell table never shuffles; the
+        result keeps this frame's full composite key."""
+        lvl = self.key_cols[level] if isinstance(level, int) else str(level)
+        if lvl not in self.key_cols:
+            raise ValueError(
+                f"level {level!r} is not a key level of {self.key_cols}"
+            )
+        if len(other.key_cols) != 1:
+            raise ValueError(
+                "level-join requires `other` keyed by the single level "
+                f"column; got keys {other.key_cols}"
+            )
+        dup = [c for c in other.columns if c in self.columns]
+        if dup:
+            raise ValueError(f"axis=1 join with overlapping columns: {dup}")
+        if how not in ("left", "inner"):
+            raise NotImplementedError(
+                "level-join supports how='left'/'inner' (an outer "
+                "level-join cannot represent rows whose other key levels "
+                "are undefined; reference sparse_frame.py:252 raises for "
+                "ALL MultiIndex joins)"
+            )
+        ks = self.key_cols
+        ok = other.key_cols[0]
+        ocells = other._bare_cells().select(F.col(ok).alias(lvl), COL, VAL)
+        okeys = other.index.select(F.col(ok).alias(lvl)).distinct()
+        idx = self.index.select(*ks).distinct()
+        left = self._bare_cells()
+        if how == "inner":
+            idx = idx.join(okeys, on=lvl, how="leftsemi")
+            left = left.join(idx, on=ks, how="leftsemi")
+        expanded = idx.join(ocells, on=lvl).select(*ks, COL, VAL)
+        cells = left.unionByName(expanded)
         return SparseFrame(cells, ks, self.columns + other.columns, idx)
 
     def _vstack_aligned(self, other: "SparseFrame") -> "SparseFrame":

@@ -47,6 +47,7 @@ __all__ = [
     "random_walks",
     "walk_skipgram_pairs",
     "triangle_count",
+    "triangle_count_capped",
 ]
 
 
@@ -120,6 +121,13 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+    # materialize the node-sized result, then release the loop-invariant
+    # caches — a long-lived session (the bench loop, a notebook) running
+    # many graph queries must not accumulate adjacency tables in the
+    # block manager (r9, matching kmeans_parallel_init's discipline)
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -148,6 +156,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .union(tris.select(F.col("c").alias("node")))
     )
     return per_corner.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+
+
+def triangle_count_capped(edges: DataFrame, max_degree: int = 64) -> DataFrame:
+    """Skew-safe exact triangle counts (r9): drop every node whose
+    undirected degree exceeds ``max_degree`` (and all its edges), then
+    count triangles EXACTLY on the capped subgraph with the same oriented
+    wedge-join formulation as :func:`triangle_count`.
+
+    Why: exact enumeration's wedge volume is Σ deg² — irreducible, and on
+    a skewed 100× graph a single celebrity node's deg² dwarfs the rest of
+    the corpus (the sf1 key-shifted replica's density blowup that forced
+    the plain row OUT of the scale tier, r8). Capping bounds wedge volume
+    by n·max_degree² — LINEAR in nodes at fixed cap, so the operator is
+    shuffle-stable at any scale and any skew; hub-incident triangles are
+    deliberately not counted (a hub's triangle count is rarely the signal
+    — community density lives in the low-degree bulk; sample hub
+    neighborhoods separately when they matter). Deterministic (a pure
+    degree threshold, no RNG), so a SQL oracle replays it exactly.
+    Returns (node, triangles) over the capped subgraph."""
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    keep = deg.where(F.col("deg") <= max_degree).select("src")
+    capped = (
+        und.join(keep, "src", "leftsemi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+    )
+    return triangle_count(capped)
 
 
 def personalized_pagerank(
@@ -213,6 +248,10 @@ def personalized_pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
+    seed_nodes.unpersist()
     return ranks
 
 
@@ -281,9 +320,13 @@ def hits(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             hubs = hubs.localCheckpoint(eager=False)
             auths = auths.localCheckpoint(eager=False)
-    return hubs.withColumnRenamed("h", "hub_micro").join(
+    out = hubs.withColumnRenamed("h", "hub_micro").join(
         auths.withColumnRenamed("a", "auth_micro"), "node", "full_outer"
-    )
+    ).localCheckpoint(eager=True)
+    for df in held:
+        df.unpersist()
+    edges.unpersist()
+    return out
 
 
 def random_walks(
@@ -352,6 +395,11 @@ def random_walks(
         out = out.unionByName(
             frontier.select("start", F.lit(t).alias("step"), "node")
         )
+    # result is walk-corpus-sized (|starts|·steps rows) — materialize it,
+    # then drop the ranked-neighbor cache so repeated walk queries in one
+    # session don't accumulate edge-sized tables in the block manager
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
     return out
 
 

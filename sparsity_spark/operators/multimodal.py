@@ -2675,10 +2675,16 @@ def audio_spectral_bands(
 
     Scale shape: ONE Arrow decode per asset, matmul against a 5×8
     constant table, map-only at corpus width — no shuffle before the
-    trivially small final rows. Overflow bound: |re| ≤ frame·32768·scale
-    (1.3e8 at the defaults), so per-bin sums stay under 2^63 up to ~10⁵
-    frames (~50 s of 16 kHz audio) per asset; shrink ``coeff_scale`` for
-    longer assets. Corrupt payloads contribute no rows."""
+    trivially small final rows. Overflow discipline (r9): |re| ≤
+    frame·32768·scale (1.3e8 at the defaults) so each PER-FRAME energy
+    re²+im² stays under 2·(frame·32768·scale)² ≈ 3.6e16 < 2^63, but a
+    worst-case full-scale signal wraps an int64 FRAME-SUM after only
+    ~256 frames (~0.13 s at 16 kHz) — so per-bin energies are summed in
+    int64 chunks of that provably-safe size and the chunk totals combined
+    as arbitrary-precision Python ints: exact for any asset length, with
+    the numpy matmul still doing all the per-sample work. Sums beyond
+    2^63 raise (the BIGINT output column cannot carry them; shrink
+    ``coeff_scale``). Corrupt payloads contribute no rows."""
     import numpy as np
 
     if frame != 8:
@@ -2686,10 +2692,20 @@ def audio_spectral_bands(
     Ct, St = dft8_coeffs(coeff_scale)
     Cm = np.array(Ct, dtype=np.int64)
     Sm = np.array(St, dtype=np.int64)
+    # frames per int64-safe partial sum: worst-case per-frame bin energy
+    # is 2·(frame·32768·coeff_scale)², so chunks of this size cannot wrap
+    safe_chunk = max(1, (1 << 62) // (2 * (frame * 32768 * coeff_scale) ** 2))
     flat = assets.select(F.col(id_col), F.col("content"))
     schema = f"{id_col} long, bin int, energy long"
 
-    def _bands(batches, _src=_INLINE_CODEC_SRC, _C=Cm, _S=Sm, _frame=frame):
+    def _bands(
+        batches,
+        _src=_INLINE_CODEC_SRC,
+        _C=Cm,
+        _S=Sm,
+        _frame=frame,
+        _chunk=safe_chunk,
+    ):
         import pandas as pd
 
         ns = {"np": np}
@@ -2709,11 +2725,20 @@ def audio_spectral_bands(
                 X = v[: nf * _frame].reshape(nf, _frame)
                 re = X @ _C.T  # (nf, 5)
                 im = X @ _S.T
-                e = (re * re + im * im).sum(axis=0)
+                per_frame = re * re + im * im  # each entry < 2^63 (bound above)
+                e = [0] * _C.shape[0]
+                for lo in range(0, nf, _chunk):
+                    part = per_frame[lo : lo + _chunk].sum(axis=0)
+                    e = [acc + int(p) for acc, p in zip(e, part)]
+                if max(e) >= 1 << 63:
+                    raise ValueError(
+                        "audio_spectral_bands: bin energy exceeds BIGINT; "
+                        "shrink coeff_scale for assets this long/loud"
+                    )
                 for k in range(_C.shape[0]):
                     ids.append(rid)
                     bins.append(k)
-                    energies.append(int(e[k]))
+                    energies.append(e[k])
             yield pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="Int64"),

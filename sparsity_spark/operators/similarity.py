@@ -1381,9 +1381,13 @@ def kmeans_parallel_init(
     l·cost`` — integer arithmetic end to end, so Spark and the SQL
     oracle select the IDENTICAL candidate set; no RNG, reproducible
     across partitionings/replays. Already-chosen candidates have cost 0
-    and can never be re-drawn. Overflow bound: Σ (d·micro)² must stay
-    below 2^63 — at micro=10^4 that is ~10^8 rows of unit-scale
-    embeddings per job; shrink ``micro`` for larger corpora.
+    and can never be re-drawn. Bound (r9, tightened): Σ (d·micro)² must
+    stay below 2^60, NOT 2^63 — the draw hash ``md5_60`` has only 60
+    bits, so once total ≥ 2^60 the modulo is the identity and the draw
+    probability stops being ∝ cost (systematic oversampling that an
+    oracle replaying the same bias would never catch). Enforced with a
+    hard raise; at micro=10^4 that is still ~10^7 rows of unit-scale
+    embeddings per job — shrink ``micro`` for larger corpora.
 
     Driver state is candidate-sized (1 + ~l·rounds vectors), the same
     bounded-lineage iterative shape as kmeans_fit. Returns
@@ -1435,6 +1439,13 @@ def kmeans_parallel_init(
             cost_kernel(C), schema=f"{id_col} long, v array<double>, cost long"
         ).persist()
         total = cost_df.agg(F.sum("cost")).collect()[0][0] or 0
+        if total >= 1 << 60:
+            cost_df.unpersist()
+            raise ValueError(
+                "kmeans_parallel_init: total cost >= 2^60 exceeds the draw "
+                "hash's 60 bits (md5_60 % total would no longer be ∝ cost); "
+                "shrink micro"
+            )
         if total <= 0:
             cost_df.unpersist()
             break

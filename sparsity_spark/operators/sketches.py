@@ -251,10 +251,13 @@ def merge_cms_store(
 
     spark = batch_df.sparkSession
     inc = cms_sketch(batch_df, value_col, width, depth)
-    try:
+    # only TABLE-ABSENT may fall back to the bare increment — a swallowed
+    # transient read error here would silently replace the accumulated
+    # counters with one batch's (merge_bloom_store had the same bug, r9)
+    if spark.catalog.tableExists(table):
         existing = spark.table(table)
         merged = cms_merge(existing, inc)
-    except Exception:
+    else:
         merged = inc
     # freeze BEFORE dropping: the lineage reads the table being replaced
     merged = merged.localCheckpoint(eager=True)
@@ -373,10 +376,12 @@ def merge_hll_store(
 
     spark = batch_df.sparkSession
     inc = hll_sketch(batch_df, value_col, b)
-    try:
+    # table-absent only — see merge_cms_store: transient read errors must
+    # propagate, not silently reset the register file to one batch
+    if spark.catalog.tableExists(table):
         existing = spark.table(table)
         merged = hll_merge(existing, inc)
-    except Exception:
+    else:
         merged = inc
     # freeze BEFORE dropping: the lineage reads the table being replaced
     merged = merged.localCheckpoint(eager=True)

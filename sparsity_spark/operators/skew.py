@@ -224,7 +224,12 @@ def merge_bloom_store(
     write never reads its own target. Returns the merged (b, bits)."""
     spark = batch_df.sparkSession
     inc = _bloom_byte_rows(batch_df, key_col, m_bits, k)
-    try:
+    # table-absent is the ONLY condition that may fall back to the bare
+    # increment: a transient read/metastore error swallowed here would
+    # overwrite the persisted bitmap with one batch's bits, and since the
+    # bloom is used as a semijoin PREFILTER the lost bits become silent
+    # false negatives (dropped matches) downstream. Real errors propagate.
+    if spark.catalog.tableExists(table):
         existing = spark.table(table)
         merged = (
             existing.withColumnRenamed("bits", "bits_a")
@@ -238,7 +243,7 @@ def merge_bloom_store(
                 ).alias("bits"),
             )
         )
-    except Exception:
+    else:
         merged = inc
     merged = merged.localCheckpoint(eager=True)
     _drop_table_and_location(spark, table)

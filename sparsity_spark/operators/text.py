@@ -831,27 +831,164 @@ def bpe_train(
     return merges, seqs
 
 
+def _apply_merges_py(word: str, merges) -> list[str]:
+    """Pure-Python replay of the greedy 'OUT|PREV' fold, one full
+    left-to-right pass PER MERGE in rank order — token-for-token identical
+    to :func:`_bpe_apply_merge` (the Spark aggregate() HOF) and to the
+    oracle's DuckDB list_reduce, so either encode path lands on the same
+    segmentation. ``merges`` is [(a, b), ...] in rank order."""
+    toks: list[str] = list(word) + ["</w>"]
+    for a, b in merges:
+        if len(toks) < 2:
+            break
+        toks = _apply_merges_py_one(toks, a, b)
+    return toks
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 64,
+    max_vocab: int = 1_000_000,
+) -> list[tuple[int, str, str, int]]:
+    """Tokenizer training with a DRIVER-SIDE merge loop (r9 — the scale
+    path for deep merge counts): the corpus is touched ONCE by the
+    distributed word-frequency aggregate (the only corpus-sized pass —
+    unchanged from :func:`bpe_train`), then the merge iterations run in
+    plain Python over the collected (word, count) table. This is exactly
+    how sentencepiece/HF trainers operate: word counts are metadata-sized
+    (``max_vocab``-guarded), and at 32k merges a per-merge distributed
+    job (let alone a per-merge fold EXPRESSION) is the wrong shape — the
+    vocabulary fits on the driver with room to spare.
+
+    Bit-equivalent to :func:`bpe_train`: same exact-integer pair counts
+    (weighted by word frequency), same (count DESC, pair-string ASC)
+    argmax tie-break — Python's str ordering is code-point order, which
+    equals Spark's and DuckDB's binary UTF-8 ordering — and the same
+    greedy single-pass fold (:func:`_apply_merges_py`). Returns
+    [(rank, a, b, count)], the :func:`bpe_encode` input format."""
+    words = (
+        docs.select(F.explode(words_expr(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rows = words.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"bpe_train_local: vocabulary exceeds max_vocab={max_vocab}; "
+            f"raise the guard deliberately — driver state is vocab-sized"
+        )
+    seqs: dict[str, list[str]] = {r["w"]: list(r["w"]) + ["</w>"] for r in rows}
+    cnts: dict[str, int] = {r["w"]: int(r["cnt"]) for r in rows}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pair_counts: dict[str, int] = {}
+        for w, toks in seqs.items():
+            c = cnts[w]
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best_pair, best_c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        a, b = best_pair.split(" ", 1)
+        merges.append((rank, a, b, best_c))
+        for w, toks in seqs.items():
+            if len(toks) >= 2:
+                seqs[w] = _apply_merges_py_one(toks, a, b)
+    return merges
+
+
+def _apply_merges_py_one(toks: list[str], a: str, b: str) -> list[str]:
+    """One greedy left-to-right merge pass over an existing token list
+    (the per-iteration step of :func:`bpe_train_local`)."""
+    ab = a + b
+    out: list[str] = []
+    prev = None
+    for x in toks:
+        if prev is None:
+            prev = x
+        elif prev == a and x == b:
+            out.append(ab)
+            prev = None
+        else:
+            out.append(prev)
+            prev = x
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_expr_merges: int = 8,
 ) -> DataFrame:
-    """Tokenize documents with a trained merge list: per word, the initial
-    char segmentation then every merge's greedy fold in rank order — pure
-    string expressions, no UDF. Returns (id, n_words, n_tokens): the
-    LLM-pipeline token accounting surface (n_tokens shrinks as merges
-    compress)."""
+    """Tokenize documents with a trained merge list. Returns
+    (id, n_words, n_tokens): the LLM-pipeline token accounting surface
+    (n_tokens shrinks as merges compress).
+
+    Two plan shapes behind one API (r9 — the ``max_expr_merges`` seam,
+    same split discipline as the fake-vs-real codec seams):
+
+    * ≤ ``max_expr_merges`` merges — per word, the initial char
+      segmentation then every merge's greedy fold in rank order as pure
+      string EXPRESSIONS (no UDF, no extra shuffle). Oracle-friendly, but
+      the expression tree grows linearly with merge count: a real
+      tokenizer's 32k merges would blow the analyzer/codegen long before
+      data size matters, so this form is capped.
+    * deeper merge lists — the DISTINCT-word table (vocab-sized by
+      definition) passes once through an Arrow kernel that replays the
+      same greedy folds in Python with the merge list broadcast as a plan
+      constant, and the corpus's exploded words broadcast-join back to
+      the per-word token counts. Python work is strictly vocab-sized;
+      every corpus-sized operation (explode, distinct's map-side-combined
+      shuffle, the broadcast hash join, the final per-doc aggregate)
+      stays JVM-side — a 100 TB corpus tokenizes at scan speed with one
+      vocab-sized side computation.
+
+    Both paths produce identical counts (:func:`_apply_merges_py` is the
+    fold, token for token) — test-pinned at every boundary width."""
     toks = docs.select(
         F.col(id_col), F.explode(words_expr(text_col)).alias("w")
     ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
-    seq = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>"))
-    expr = seq
-    for _, a, b, _c in merges:
-        expr = _bpe_apply_merge(F.split(expr, " "), a, b)
-    per_word = toks.select(
-        F.col(id_col), F.size(F.split(expr, " ")).cast("long").alias("ntok")
-    )
+    if len(merges) <= max_expr_merges:
+        seq = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>"))
+        expr = seq
+        for _, a, b, _c in merges:
+            expr = _bpe_apply_merge(F.split(expr, " "), a, b)
+        per_word = toks.select(
+            F.col(id_col), F.size(F.split(expr, " ")).cast("long").alias("ntok")
+        )
+    else:
+        pairs = tuple((a, b) for _, a, b, _c in merges)
+
+        def _encode_kernel(batches, _merges=pairs):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "ntok": pd.array(
+                            [
+                                len(_apply_merges_py(w, _merges))
+                                for w in pdf["w"]
+                            ],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+
+        enc = toks.select("w").distinct().mapInPandas(
+            _encode_kernel, schema="w string, ntok long"
+        )
+        per_word = toks.join(F.broadcast(enc), "w").select(F.col(id_col), "ntok")
     return per_word.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("ntok").cast("long").alias("n_tokens"),

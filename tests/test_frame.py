@@ -514,3 +514,54 @@ def test_join_duplicate_labels_merge(spark):
     assert list(out.index) == [1, 2]
     assert list(out["x"]) == [3.0, 3.0]   # 1+2 merged on label 1
     assert list(out["y"]) == [10.0, 50.0]  # 20+30 merged on label 2
+
+
+def test_join_level_dimension_attach(spark):
+    """r9 join(level=) — the reference signature's MultiIndex-level join
+    (reference sparse_frame.py:233-241; ITS MultiIndex branch raises, so
+    this is a live superset): a (user, region)-keyed frame picks up a
+    region-keyed frame's columns on the 'region' level; how='inner' drops
+    rows whose region the other side lacks; misuse raises."""
+    cells = spark.createDataFrame(
+        [(1, "eu", "x", 1.0), (2, "us", "x", 2.0), (3, "ap", "x", 3.0)],
+        "user long, region string, col string, value double",
+    )
+    left = SparseFrame(cells, ["user", "region"], ["x"])
+    rcells = spark.createDataFrame(
+        [("eu", "gdp", 10.0), ("us", "gdp", 20.0), ("us", "pop", 5.0)],
+        "region string, col string, value double",
+    )
+    right = SparseFrame(rcells, ["region"], ["gdp", "pop"])
+
+    out = left.join(right, axis=1, how="left", level="region")
+    assert out.key_cols == ["user", "region"]
+    assert out.columns == ["x", "gdp", "pop"]
+    dense = {
+        (r["user"], r["region"], r["col"]): r["value"]
+        for r in out.data.collect()
+    }
+    assert dense[(1, "eu", "gdp")] == 10.0
+    assert dense[(2, "us", "gdp")] == 20.0
+    assert dense[(2, "us", "pop")] == 5.0
+    assert (3, "ap", "gdp") not in dense  # no region match -> no cells
+    assert dense[(3, "ap", "x")] == 3.0  # but the left row survives (left join)
+    assert out.index.count() == 3
+
+    inner = left.join(right, axis=1, how="inner", level="region")
+    keys = {(r["user"], r["region"]) for r in inner.index.collect()}
+    assert keys == {(1, "eu"), (2, "us")}  # ap dropped
+    icells = {
+        (r["user"], r["region"], r["col"]) for r in inner.data.collect()
+    }
+    assert (3, "ap", "x") not in icells
+
+    # positional level works too
+    pos = left.join(right, axis=1, how="left", level=1)
+    assert pos.columns == ["x", "gdp", "pop"]
+
+    with pytest.raises(ValueError):
+        left.join(right, axis=1, how="left", level="nope")
+    with pytest.raises(NotImplementedError):
+        left.join(right, axis=1, how="outer", level="region")
+    with pytest.raises(ValueError):  # other must be single-key
+        left.join(left, axis=1, how="left", level="region")

@@ -256,3 +256,36 @@ def test_walk_skipgram_pairs_window_and_counts(spark):
     assert ("x", "p") not in got and ("y", "q") not in got  # never cross walks
     total = sum(got.values())
     assert total == 10 + 2  # 5 ordered pairs * 2 in walk A + 2 in walk B
+
+
+def test_triangle_count_capped_drops_hubs_exact_below_cap(spark):
+    """r9 skew-safe triangles: a star hub (degree 8) plus a K4 — with
+    max_degree below the hub degree the hub and ALL its edges vanish
+    (including hub-incident triangles), while the K4's counts stay EXACT
+    and equal to the uncapped operator's on the same subgraph; a cap
+    above every degree reproduces triangle_count verbatim."""
+    from sparsity_spark.operators.graph import triangle_count_capped
+
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    hub = [(100, i) for i in range(1, 9)]  # hub 100 — degree 8
+    pairs = k4 + hub
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b"
+    )
+
+    capped = {
+        r["node"]: r["triangles"]
+        for r in triangle_count_capped(edges, max_degree=5).collect()
+    }
+    # hub gone; K4 triangles among 1..4 survive BUT each of 1..4 also lost
+    # its hub edge — recompute expected on the hub-free subgraph
+    assert "100" not in capped
+    assert capped == _py_triangles(k4) == {"1": 3, "2": 3, "3": 3, "4": 3}
+
+    # cap above max degree == plain triangle_count
+    full = {
+        r["node"]: r["triangles"]
+        for r in triangle_count_capped(edges, max_degree=100).collect()
+    }
+    plain = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert full == plain == _py_triangles(pairs)

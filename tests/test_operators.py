@@ -2608,3 +2608,136 @@ def test_quantile_sample_deterministic_and_mergeable(spark):
         assert abs(est[q] - q * 999) < 40, (q, est[q])
     with pytest.raises(ValueError):
         quantile_sample(df, "k", "v", rate_ppm=0)
+
+
+def test_bpe_train_local_and_kernel_encode_parity(spark):
+    """r9 scale-path BPE: the driver-side trainer must produce EXACTLY the
+    distributed trainer's merge list (same pair counts, same count-desc /
+    pair-asc tie-break), and the Arrow vocab-kernel encode path (forced
+    via max_expr_merges=0) must land on identical per-doc token counts to
+    the fold-expression path — at every merge-list width including the
+    same-symbol-run edge case."""
+    import pandas as pd
+
+    from sparsity_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_local,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa",
+        "the cat sat on the mat",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for nm in (1, 4, 12):
+        dist_merges, _ = bpe_train(docs, num_merges=nm)
+        local_merges = bpe_train_local(docs, num_merges=nm)
+        assert local_merges == dist_merges, nm
+        expr = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_encode(docs, local_merges, max_expr_merges=99).collect()
+        }
+        kern = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_encode(docs, local_merges, max_expr_merges=0).collect()
+        }
+        assert expr == kern, nm
+
+
+def test_bpe_encode_deep_merges_via_kernel(spark):
+    """r9: a 64-merge tokenizer — far past any sane expression depth —
+    encodes through the kernel seam and its counts match a from-scratch
+    python replay of train+encode (the textbook greedy reference)."""
+    import pandas as pd
+    from collections import Counter
+
+    from sparsity_spark.operators.text import bpe_encode, bpe_train_local
+
+    texts = [
+        f"alpha beta gamma delta epsilon {w}"
+        for w in ("zeta eta theta", "iota kappa", "lambda mu nu xi", "omicron pi")
+    ] * 3
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    merges = bpe_train_local(docs, num_merges=64)
+    assert len(merges) > 8  # deep enough to force the kernel path
+    got = {
+        r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, merges).collect()
+    }
+
+    # python replay (same greedy fold, merges already trusted from the
+    # parity test above)
+    wc = Counter(w for t in texts for w in t.split(" ") if w and "|" not in w)
+    seg = {}
+    for w in wc:
+        toks = [*w, "</w>"]
+        for _, a, b, _c in merges:
+            out, prev = [], None
+            for x in toks:
+                if prev is None:
+                    prev = x
+                elif prev == a and x == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            toks = out
+        seg[w] = len(toks)
+    want = {
+        i: sum(seg[w] for w in t.split(" ") if w and "|" not in w)
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+def test_audio_spectral_bands_overflow_raises_not_wraps(spark):
+    """r9 overflow fix: a full-scale square wave whose true bin energy
+    exceeds 2^63 must RAISE (the BIGINT column cannot carry it) instead
+    of silently wrapping — and the same asset at a smaller coeff_scale
+    must produce the exact arbitrary-precision energies (python-int
+    replay), proving the chunked accumulation is exact past the naive
+    ~256-frame int64 partial-sum bound the old docstring ignored."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparsity_spark.operators.multimodal import (
+        audio_spectral_bands,
+        dft8_coeffs,
+        wav_encode,
+    )
+
+    n = 8 * 2000  # 2000 frames of alternating full-scale samples
+    sig = np.tile(np.array([32767, -32768] * 4, dtype=np.int16), n // 8)
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav_encode(sig)))], "doc_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="exceeds BIGINT"):
+        audio_spectral_bands(assets).collect()
+
+    got = {
+        r["bin"]: r["energy"]
+        for r in audio_spectral_bands(assets, coeff_scale=16).collect()
+    }
+    C, S = dft8_coeffs(16)
+    X = sig.astype(object).reshape(-1, 8)  # object dtype: exact python ints
+    want = {}
+    for k in range(5):
+        e = 0
+        for row in X:
+            re = sum(int(c) * int(v) for c, v in zip(C[k], row))
+            im = sum(int(s) * int(v) for s, v in zip(S[k], row))
+            e += re * re + im * im
+        want[k] = e
+    assert got == want
+    # the fixture is long/loud enough that exactness here is meaningful:
+    # 2000 frames is ~8x past the naive full-scale int64 frame-sum bound
+    assert max(want.values()) > (1 << 50)
