@@ -112,6 +112,7 @@ def events_coo(
     uuid_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    single_partition_max: int | None = None,
 ) -> DataFrame:
     """Raw COO triplet view: ``(row_idx, col_idx, uuid, ts)`` per event —
     parity with the C scanner's output buffers (reference traildb_cooc:77-91,
@@ -135,6 +136,7 @@ def events_coo(
             F.col(ts_col).alias("ts"),
         ),
         order_col,
+        single_partition_max=single_partition_max,
     ).withColumnRenamed("__scan_idx__", "row_idx")
     return (
         numbered.join(F.broadcast(dictionary), on="value", how="inner")
@@ -147,7 +149,9 @@ def events_coo(
 SCAN_ORDER_SINGLE_PARTITION_MAX = 2_000_000
 
 
-def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
+def scan_order_ids(
+    df: DataFrame, order_col: str, single_partition_max: int | None = None
+) -> DataFrame:
     """Global 0-based ids in ``order_col`` order WITHOUT a single-partition
     window: range-partition on the order column, number rows inside each
     partition in parallel, then add per-partition offsets (a tiny driver
@@ -159,9 +163,19 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     bucketed path; genuinely non-numeric order columns (strings, …) above
     the single-partition threshold RAISE instead of silently funneling the
     whole frame through one sort task (r5 VERDICT #4 — the loud-failure
-    discipline of pack_sequences/field_dictionary)."""
+    discipline of pack_sequences/field_dictionary).
+
+    ``single_partition_max`` overrides the module threshold (r9): pass 0
+    to force the bucketed numbering at any size — the form the driver's
+    scaled COO row exercises so its permanently-green slot runs the plan
+    you'd run at 100 TB, not the small-data parity window."""
     from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
+    spm = (
+        SCAN_ORDER_SINGLE_PARTITION_MAX
+        if single_partition_max is None
+        else single_partition_max
+    )
     dt = df.schema[order_col].dataType
     if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
         if isinstance(dt, DateType):
@@ -182,7 +196,11 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
             )
         else:
             surrogate = F.unix_micros(F.col(order_col))
-        out = scan_order_ids(df.withColumn("__ordnum__", surrogate), "__ordnum__")
+        out = scan_order_ids(
+            df.withColumn("__ordnum__", surrogate),
+            "__ordnum__",
+            single_partition_max=single_partition_max,
+        )
         return out.drop("__ordnum__")
     spark = df.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, 1)
@@ -203,18 +221,18 @@ def scan_order_ids(df: DataFrame, order_col: str) -> DataFrame:
     if total == 0:
         return df.withColumn("__scan_idx__", F.lit(0).cast("long"))
     numeric_order = isinstance(lo, (int, float)) and not isinstance(lo, bool)
-    if not numeric_order and total > SCAN_ORDER_SINGLE_PARTITION_MAX:
+    if not numeric_order and total > spm:
         # the bucketed math below can't range-partition a non-numeric order
         # column, and a global window above the threshold is the silent
         # single-task funnel this function exists to avoid — refuse loudly
         raise ValueError(
             f"scan_order_ids: order column {order_col!r} is non-numeric and "
             f"the frame has {total} rows (> "
-            f"{SCAN_ORDER_SINGLE_PARTITION_MAX} single-partition cap) — a "
+            f"{spm} single-partition cap) — a "
             "global sort would run on ONE task. Use a numeric or timestamp "
             "order column, or pre-map values to a numeric surrogate."
         )
-    if total <= SCAN_ORDER_SINGLE_PARTITION_MAX or not numeric_order:
+    if total <= spm or not numeric_order:
         # small input: a single sort partition is cheapest
         w = Window.orderBy(order_col)
         return df.withColumn("__scan_idx__", (F.row_number().over(w) - 1).cast("long"))

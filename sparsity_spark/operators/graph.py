@@ -45,6 +45,7 @@ __all__ = [
     "personalized_pagerank",
     "hits",
     "random_walks",
+    "node2vec_walks",
     "walk_skipgram_pairs",
     "triangle_count",
     "triangle_count_capped",
@@ -400,6 +401,107 @@ def random_walks(
     # session don't accumulate edge-sized tables in the block manager
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
+    return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    ret_w: int = 1000,
+    out_w: int = 1000,
+) -> DataFrame:
+    """Biased second-order random walks — node2vec's p/q sampling (Grover
+    & Leskovec, KDD 2016) completing the DeepWalk family (r9): at step
+    t ≥ 2 from ``cur`` with previous node ``prev``, candidate neighbor x
+    is weighted ``ret_w`` when x == prev (the 1/p return bias), 1000 when
+    x is ALSO a neighbor of prev (distance 1 — BFS-ish), and ``out_w``
+    otherwise (distance 2 — the 1/q in-out bias). Integer milli-unit
+    weights (1000 ≡ 1.0) keep the cumulative sums exact, so the draw —
+    ``md5₆₀(start|t|prev|cur) % total_weight`` landing in x's cumulative
+    range in dst order — is engine-exact and an SQL oracle replays every
+    hop (the RNG-free discipline of :func:`random_walks`, which is the
+    special case ret_w = out_w = 1000 only for its FIRST-order draw).
+    Step 1 has no prev and draws uniformly like :func:`random_walks`.
+
+    Scale shape: neighbors ranked once; each step joins the
+    frontier (one row per live walk) against the ranked table — frontier
+    × degree candidate rows — plus ONE equi-join against the distinct
+    edge table on (prev, dst) for the distance-1 flag; the per-walk
+    cumulative window partitions by walk id, so no global sort anywhere.
+    Dead ends terminate their walk. Returns (start, step, node)."""
+    from pyspark.sql import Window
+
+    if ret_w <= 0 or out_w <= 0:
+        raise ValueError("node2vec_walks: weights must be positive integers")
+    edges = edges.select("src", "dst").distinct().persist()
+    nbr = edges.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranked = nbr.join(deg, "src").persist()
+    ranked.count()
+
+    def h60(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    start0 = starts.select(F.col(starts.columns[0]).alias("start")).distinct()
+    out = start0.select("start", F.lit(0).alias("step"), F.col("start").alias("node"))
+    # step 1: uniform first-order draw (no prev yet)
+    h1 = h60(F.col("start").cast("string"), F.lit("1"), F.col("node").cast("string"))
+    frontier = (
+        start0.withColumn("node", F.col("start"))
+        .join(ranked.withColumnRenamed("src", "node"), "node")
+        .where((h1 % F.col("deg")) == F.col("rank"))
+        .select("start", F.col("node").alias("prev"), F.col("dst").alias("node"))
+    )
+    out = out.unionByName(
+        frontier.select("start", F.lit(1).alias("step"), "node")
+    )
+    flag = edges.select(
+        F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("__d1__")
+    )
+    for t in range(2, steps + 1):
+        cand = frontier.join(
+            ranked.withColumnRenamed("src", "node"), "node"
+        ).join(flag, ["prev", "dst"], "left")
+        w = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("__d1__") == 1, F.lit(1000))
+            .otherwise(F.lit(out_w))
+            .cast("long")
+        )
+        wspec = Window.partitionBy("start")
+        cum = (
+            F.sum(w).over(wspec.orderBy("dst").rowsBetween(Window.unboundedPreceding, 0))
+        )
+        total = F.sum(w).over(wspec)
+        h = h60(
+            F.col("start").cast("string"),
+            F.lit(str(t)),
+            F.col("prev").cast("string"),
+            F.col("node").cast("string"),
+        )
+        stepped = (
+            cand.withColumn("__w__", w)
+            .withColumn("__cum__", cum)
+            .withColumn("__tot__", total)
+            .where(
+                ((h % F.col("__tot__")) >= F.col("__cum__") - F.col("__w__"))
+                & ((h % F.col("__tot__")) < F.col("__cum__"))
+            )
+            .select("start", F.col("node").alias("prev"), F.col("dst").alias("node"))
+        )
+        frontier = stepped
+        out = out.unionByName(
+            frontier.select("start", F.lit(t).alias("step"), "node")
+        )
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    edges.unpersist()
     return out
 
 

@@ -107,6 +107,36 @@ def s5_events_coo(spark, sf_dir):
     return events_coo(events, "event_type", order_col="event_id").select("row_idx", "col_idx", "uuid")
 
 
+@query(
+    "s5_events_coo_scaled",
+    """
+    WITH d AS (
+      SELECT event_type AS v, CAST(ROW_NUMBER() OVER (ORDER BY MIN(event_id)) - 1 AS INTEGER) AS col_id
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY e.event_id) - 1 AS BIGINT) AS row_idx,
+           d.col_id AS col_idx, e.user_id AS uuid
+    FROM events e JOIN d ON e.event_type = d.v
+    """,
+)
+def s5_events_coo_scaled(spark, sf_dir):
+    """S5's SCALE path as a driver row (r9 — VERDICT r8 #6): the same COO
+    output as s5_events_coo but with the bucketed scan-order numbering
+    FORCED (single_partition_max=0): deterministic value-range buckets on
+    the order column, per-bucket parallel row_number, per-bucket offsets
+    from a partition-count-sized driver aggregate — the zipWithIndex shape
+    that holds at 100 TB, where the parity row's single-partition window
+    cannot. Identical integers by construction (the bucket offsets replay
+    the global order); the oracle is the same global-window SQL, so the
+    equivalence is hash-checked, not assumed. The plan carries NO
+    event-sized single-partition window (asserted in test_plans.py; the
+    only SinglePartition exchange is the lexicon-sized dictionary's)."""
+    events = load_table(spark, sf_dir, "events")
+    return events_coo(
+        events, "event_type", order_col="event_id", single_partition_max=0
+    ).select("row_idx", "col_idx", "uuid")
+
+
 # --------------------------------------------------------------------- #
 # J1/J5/U1: joins, aligned add, vstack                                  #
 # --------------------------------------------------------------------- #
@@ -7995,6 +8025,93 @@ def _walks_oracle(steps: int = 3) -> str:
         for t in range(1, steps + 1)
     ]
     return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def _node2vec_oracle(steps: int = 3, ret_w: int = 250, out_w: int = 4000) -> str:
+    """node2vec walks replayed in SQL: the same uniform first hop, then
+    per step the same integer candidate weights (ret/1000/out by
+    return / distance-1 / distance-2), the same dst-ordered cumulative
+    sum, and the same md5(start|t|prev|cur) draw landing in a candidate's
+    cumulative range — the _walks_oracle unrolling with a second-order
+    state column."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+    rk AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM edges),
+    w0 AS (SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS start,
+                  CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+           FROM supplier),
+    n1 AS (
+      SELECT w.start, w.node AS prev, r.dst AS node
+      FROM w0 w JOIN rk r ON r.src = w.node
+      WHERE CAST(('0x' || substring(md5(
+              CAST(w.start AS VARCHAR) || '|1|' || CAST(w.node AS VARCHAR)
+            ), 1, 15)) AS BIGINT) % r.deg = r.rank)"""
+    ]
+    for t in range(2, steps + 1):
+        parts.append(
+            f"""
+    c{t} AS (
+      SELECT w.start, w.prev, w.node, r.dst,
+             CAST(CASE WHEN r.dst = w.prev THEN {ret_w}
+                  WHEN f.src IS NOT NULL THEN 1000
+                  ELSE {out_w} END AS BIGINT) AS wgt
+      FROM n{t - 1} w JOIN rk r ON r.src = w.node
+      LEFT JOIN edges f ON f.src = w.prev AND f.dst = r.dst),
+    n{t} AS (
+      SELECT start, node AS prev, dst AS node FROM (
+        SELECT start, prev, node, dst, wgt,
+               SUM(wgt) OVER (PARTITION BY start ORDER BY dst
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(wgt) OVER (PARTITION BY start) AS tot
+        FROM c{t})
+      WHERE CAST(('0x' || substring(md5(
+              CAST(start AS VARCHAR) || '|{t}|' || CAST(prev AS VARCHAR)
+              || '|' || CAST(node AS VARCHAR)
+            ), 1, 15)) AS BIGINT) % tot >= cum - wgt
+        AND CAST(('0x' || substring(md5(
+              CAST(start AS VARCHAR) || '|{t}|' || CAST(prev AS VARCHAR)
+              || '|' || CAST(node AS VARCHAR)
+            ), 1, 15)) AS BIGINT) % tot < cum)"""
+        )
+    selects = ["SELECT start, CAST(0 AS INTEGER) AS step, node FROM w0"] + [
+        f"SELECT start, CAST({t} AS INTEGER) AS step, node FROM n{t}"
+        for t in range(1, steps + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("graph_node2vec_walks", _node2vec_oracle(3, 250, 4000))
+def graph_node2vec_walks_q(spark, sf_dir):
+    """Biased second-order walks (r9 — VERDICT r8 #7, node2vec p/q): the
+    DeepWalk walk corpus with return weight 250 (strong anti-backtrack,
+    p≈4) and in-out weight 4000 (exploration, q≈0.25) in integer
+    milli-units over the customer↔supplier graph. Every hop's weighted
+    draw — md5(start|t|prev|cur) % Σweights landing in the dst-ordered
+    cumulative range — is replayed by the oracle's unrolled per-hop CTEs;
+    one weight or one cumulative boundary off anywhere flips the hash."""
+    from sparsity_spark.operators.graph import node2vec_walks, symmetrize_edges
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp", as_string=False)
+    starts = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    return node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000)
 
 
 @query("graph_random_walks", _walks_oracle())

@@ -289,3 +289,82 @@ def test_triangle_count_capped_drops_hubs_exact_below_cap(spark):
     }
     plain = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert full == plain == _py_triangles(pairs)
+
+
+def _py_node2vec(pairs, starts, steps=3, ret_w=1000, out_w=1000):
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for s in starts:
+        rows.append((s, 0, s))
+        nbrs = sorted(adj[s])
+        if not nbrs:
+            continue
+        prev, cur = s, nbrs[h60(f"{s}|1|{s}") % len(nbrs)]
+        rows.append((s, 1, cur))
+        for t in range(2, steps + 1):
+            cands = sorted(adj[cur])
+            if not cands:
+                break
+            ws = [
+                ret_w if x == prev else (1000 if x in adj[prev] else out_w)
+                for x in cands
+            ]
+            draw = h60(f"{s}|{t}|{prev}|{cur}") % sum(ws)
+            acc = 0
+            for x, w in zip(cands, ws):
+                acc += w
+                if draw < acc:
+                    nxt = x
+                    break
+            prev, cur = cur, nxt
+            rows.append((s, t, cur))
+    return set(rows)
+
+
+def test_node2vec_walks_match_python_replay_and_bias_direction(spark):
+    """r9 node2vec: hop-for-hop parity with a python replay of the biased
+    draw on a graph with triangles (distance-1 candidates exist) AND a
+    bias sanity check — with a huge return weight every even step walks
+    straight back to where it came from."""
+    from sparsity_spark.operators.graph import node2vec_walks
+
+    pairs = (
+        list(combinations([1, 2, 3, 4], 2))  # K4: d1 candidates abound
+        + [(4, 5), (5, 6), (6, 7), (7, 4)]  # a cycle hanging off node 4
+        + [(6, 8), (8, 9)]
+    )
+    edges = symmetrize_edges(spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False)
+    starts_df = spark.createDataFrame([(n,) for n in (1, 5, 8, 9)], "node long")
+
+    for ret_w, out_w in ((1000, 1000), (100, 4000), (3000, 250)):
+        got = {
+            (r["start"], r["step"], r["node"])
+            for r in node2vec_walks(
+                edges, starts_df, steps=4, ret_w=ret_w, out_w=out_w
+            ).collect()
+        }
+        want = _py_node2vec(pairs, [1, 5, 8, 9], steps=4, ret_w=ret_w, out_w=out_w)
+        assert got == want, (ret_w, out_w)
+
+    # overwhelming return bias: from step 2 on, the walk oscillates
+    osc = {
+        (r["start"], r["step"]): r["node"]
+        for r in node2vec_walks(
+            edges, starts_df, steps=4, ret_w=10_000_000, out_w=1
+        ).collect()
+    }
+    for s in (1, 5, 8, 9):
+        assert osc[(s, 2)] == osc[(s, 0)] == s
+        assert osc[(s, 3)] == osc[(s, 1)]
