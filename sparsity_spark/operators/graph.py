@@ -49,6 +49,7 @@ __all__ = [
     "walk_skipgram_pairs",
     "triangle_count",
     "triangle_count_capped",
+    "merge_edge_store",
 ]
 
 
@@ -402,6 +403,38 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+def merge_edge_store(
+    batch_df: DataFrame,
+    table: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fold one edge increment into the persisted adjacency table (r9 —
+    the store-family discipline applied to the graph): distinct-union
+    set fold, so the maintained table is exactly the edge SET of
+    everything ever appended and a REPLAYED batch leaves it unchanged
+    (the at-least-once-safety property of the bloom/HLL stores). The ONE
+    code path batch appends and the streaming maintenance loop share.
+    Only table-absent falls back to the bare increment — transient read
+    errors propagate (merge_bloom_store's r9 rule). Frozen
+    (localCheckpoint) before the overwrite so the write never reads its
+    own target. Returns the merged (src, dst) edge set."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    spark = batch_df.sparkSession
+    inc = batch_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    if spark.catalog.tableExists(table):
+        merged = spark.table(table).unionByName(inc).distinct()
+    else:
+        merged = inc
+    merged = merged.localCheckpoint(eager=True)
+    _drop_table_and_location(spark, table)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return merged
 
 
 def node2vec_walks(

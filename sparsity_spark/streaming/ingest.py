@@ -684,3 +684,45 @@ def streaming_bloom_maintain(
             sink(merged, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_edge_maintain(
+    stream_df: DataFrame,
+    table: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    top_k: int = 10,
+    sink=None,
+):
+    """Streaming graph maintenance (r9 — VERDICT r8 #10, the store-family
+    loop applied to the adjacency table): each micro-batch's edges are
+    distinct-union-folded into the persisted edge set
+    (:func:`operators.graph.merge_edge_store` — idempotent, replay-safe,
+    the same code path batch appends use), then the node ranking is
+    recomputed over the maintained set and the top-k surfaced. The
+    recompute is deliberately FULL integer pagerank, not an incremental
+    approximation: the maintained part is the corpus-sized adjacency
+    (never rescanned from raw events); the rank iteration is the
+    node-sized part and exact PageRank has no sound incremental form —
+    re-running it per micro-batch is both correct and cheap relative to
+    the data it would otherwise re-ingest. Batch parity pinned in
+    test_streaming: after N increments the top-k equals batch pagerank
+    on the union of every edge ever appended.
+
+    `foreachBatch` because the store update is a batch table write.
+    ``sink(topk_df, batch_id)`` observes each micro-batch's post-fold
+    top-k (node, rank_micro). Returns the started-ready
+    DataStreamWriter."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.graph import merge_edge_store, pagerank
+
+    def _process(batch_df, batch_id):
+        edges = merge_edge_store(batch_df, table, src_col, dst_col)
+        ranks = pagerank(edges, iterations=iterations)
+        top = ranks.orderBy(F.desc("rank_micro"), "node").limit(top_k)
+        if sink is not None:
+            sink(top, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -2741,3 +2741,47 @@ def test_audio_spectral_bands_overflow_raises_not_wraps(spark):
     # the fixture is long/loud enough that exactness here is meaningful:
     # 2000 frames is ~8x past the naive full-scale int64 frame-sum bound
     assert max(want.values()) > (1 << 50)
+
+
+def test_ivfpq_refine_wide_nprobe_recall_floor_uniform(spark):
+    """r9 recall push (VERDICT r8 #8): on the NEAR-UNIFORM sf0.01
+    embeddings — where r6 diagnosed recall as routing-capped (0.55 at
+    nprobe=3) — widening the probe set AND exact-cosine refining the
+    residual-ADC shortlist clears the cap: measured 0.820 at
+    nprobe=5/shortlist=4 and 0.985-1.000 at nprobe=8 (r9 sweep, SCALE.md).
+    Floor pinned at 0.6 (r8's was 0.4 without refine); also pins
+    refined > plain ADC at the same nprobe."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+    k = 10
+    truth = {}
+    for r in similarity.cosine_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    book = similarity.pq_trained_codebook(emb, m=16, k=256, dim=64, iters=2)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+            len(t) for t in truth.values()
+        )
+
+    refined = recall(
+        similarity.ivf_pq_refine_topk(
+            emb, queries, cents, m=16, k_code=256, dim=64, topk=k,
+            nprobe=5, shortlist=4, residual=True, codebook=book,
+        ).collect()
+    )
+    assert refined >= 0.6, f"refined recall@10 = {refined} (measured 0.820)"
+    plain = recall(
+        similarity.ivf_pq_topk(
+            emb, queries, cents, m=16, k_code=256, dim=64, topk=k,
+            nprobe=5, codebook=book,
+        ).collect()
+    )
+    assert refined > plain, (refined, plain)

@@ -390,3 +390,68 @@ def test_percentile_gate_per_group_median(spark):
     }
     assert sum(strict.values()) < sum(got.values())
     assert strict[5] and strict[8]  # each group's max always survives
+
+
+def test_percentile_gate_approx_path_agrees_on_fixture(spark, sf_dir):
+    """r9 (VERDICT r8 #9): the bounded-memory approx_percentile path —
+    same API, approx_accuracy set — must produce the SAME kept flags as
+    the exact path on the hand fixture AND on the real documents quality
+    scores (the oracle row's own inputs at test scale)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.pipeline import percentile_gate
+    from sparsity_spark.operators.text import quality_score
+
+    rows = [
+        ("en", 1, 0.1), ("en", 2, 0.2), ("en", 3, 0.3), ("en", 4, 0.4), ("en", 5, 0.5),
+        ("de", 6, 0.9), ("de", 7, 1.0), ("de", 8, 1.1),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v double")
+    exact = {
+        r["doc_id"]: r["kept"]
+        for r in percentile_gate(df, "lang", "v", q=0.5).collect()
+    }
+    approx = {
+        r["doc_id"]: r["kept"]
+        for r in percentile_gate(
+            df, "lang", "v", q=0.5, approx_accuracy=10_000
+        ).collect()
+    }
+    assert exact == approx
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    e = {
+        r["doc_id"]: (r["kept"], r["lang"], r["quality"])
+        for r in percentile_gate(scored, "lang", "quality", q=0.5).collect()
+    }
+    a = {
+        r["doc_id"]: r["kept"]
+        for r in percentile_gate(
+            scored, "lang", "quality", q=0.5, approx_accuracy=10_000
+        ).collect()
+    }
+    # at this accuracy the sketch is rank-exact; the ONLY legal
+    # disagreement is the interpolation gap — approx_percentile returns a
+    # DATA POINT (the lower middle of an even-sized group) where exact
+    # percentile interpolates a midpoint, so a row can flip only to
+    # kept=True and only when its value IS that group's approx cutoff
+    import pyspark.sql.functions as _F
+
+    cuts = {
+        r["lang"]: r["c"]
+        for r in scored.groupBy("lang")
+        .agg(_F.percentile_approx("quality", _F.lit(0.5), _F.lit(10_000)).alias("c"))
+        .collect()
+    }
+    n_flip = 0
+    for doc, (ke, lang, qual) in e.items():
+        if a[doc] != ke:
+            n_flip += 1
+            assert a[doc] is True and ke is False, doc
+            assert qual == cuts[lang], (doc, qual, cuts[lang])
+    assert n_flip <= len(e) * 0.02  # the gap is rare, not systematic
+    assert len(e) > 0
