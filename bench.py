@@ -139,6 +139,12 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "graph_skipgram_pairs",
     "pipe_quality_percentile_gate",
+    # round-9 additions
+    "text_bpe_encode_deep",
+    "graph_triangles_capped",
+    "graph_node2vec_walks",
+    "s5_events_coo_scaled",
+    "j1_join_level",
 ]
 
 
@@ -213,6 +219,15 @@ SCALE_QUERIES = [
     "graph_hits_authorities",
     "graph_random_walks",
     "graph_skipgram_pairs",
+    # r9 additions: the 64-merge kernel tokenizer (vocab-sized Python,
+    # corpus-side JVM — expected sublinear), the degree-capped triangle
+    # count (wedge volume n*cap^2 — the row the r8 density blowup
+    # excluded returns to the tier in its skew-safe form), the biased
+    # walks (frontier-sized per step), and the bucketed COO numbering
+    "text_bpe_encode_deep",
+    "graph_triangles_capped",
+    "graph_node2vec_walks",
+    "s5_events_coo_scaled",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10
@@ -366,7 +381,7 @@ def main():
     # #10): the common-subset total makes a regression visible at commit
     # time — total-vs-total alone conflates plan changes with suite growth
     prev_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r07.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r08.json"
     )
     if os.path.exists(prev_path):
         try:
@@ -386,7 +401,7 @@ def main():
             now_s = round(sum(timings[q] for q in common), 3)
             then_s = round(sum(prev[q] for q in common), 3)
             print(
-                f"# common-subset vs BENCH_r07 ({len(common)} queries): "
+                f"# common-subset vs BENCH_r08 ({len(common)} queries): "
                 f"{now_s} s vs {then_s} s"
             )
         except (ValueError, KeyError, TypeError) as e:

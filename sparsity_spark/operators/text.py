@@ -922,6 +922,32 @@ def _apply_merges_py_one(toks: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+def write_merge_store(spark, merges: list, table: str) -> None:
+    """Persist a trained merge list as a table (r9 — the production
+    tokenizer seam: train once, encode forever without retraining). One
+    row per merge (rank, a, b, cnt); overwrite semantics — a tokenizer is
+    versioned wholesale, never incrementally patched (merges are
+    order-dependent: appending to a live store would silently change the
+    meaning of every earlier encode)."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    rows = [(int(r), str(a), str(b), int(c)) for r, a, b, c in merges]
+    df = spark.createDataFrame(
+        rows, "rank int, a string, b string, cnt long"
+    ).coalesce(1)
+    _drop_table_and_location(spark, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def read_merge_store(spark, table: str) -> list:
+    """Load a persisted merge list in rank order — the
+    :func:`bpe_encode` input format (metadata-sized collect)."""
+    return [
+        (r["rank"], r["a"], r["b"], r["cnt"])
+        for r in spark.table(table).orderBy("rank").collect()
+    ]
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list,

@@ -7367,6 +7367,31 @@ def text_bpe_encode_deep_q(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+@query("text_bpe_encode_stored", _bpe_encode_oracle(64))
+def text_bpe_encode_stored_q(spark, sf_dir):
+    """Tokenizer STORE roundtrip (r9 — the production seam): the 64-merge
+    tokenizer is trained, persisted as a table (write_merge_store), read
+    back, and the corpus encoded from the STORED merges. The oracle is
+    the train→encode replay — identical to text_bpe_encode_deep's — so a
+    store that loses rank order, truncates a merge string, or drops a row
+    flips every downstream token count: the roundtrip is hash-proven, not
+    assumed. This is how a real pipeline runs: training is one job,
+    encode is many, and the merge table is the versioned contract
+    between them."""
+    from sparsity_spark.operators.text import (
+        bpe_encode,
+        bpe_train_local,
+        read_merge_store,
+        write_merge_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_local(docs, num_merges=64)
+    write_merge_store(spark, merges, "bpe_merge_store_q")
+    stored = read_merge_store(spark, "bpe_merge_store_q")
+    return bpe_encode(docs, stored)
+
+
 def _kmeans_par_oracle(l: int = 4, rounds: int = 2, micro: int = 10_000) -> str:
     """k-means|| replayed in SQL: same md5-lowest seed, same integer
     micro-distance costs (floor(d·micro + ½)² ≡ ROUND half-away on
@@ -8388,50 +8413,45 @@ def text_c4_clean_q(spark, sf_dir):
 # else (TPC-H extensions, streaming, windows) follows in original order and
 # is still covered by tools/check_oracles.py + tests/test_robustness.py.
 _FIRST_50 = [
-    # SURVEY §2 operator rows (24 pinned — the reference-parity core)
-    "a1_onehot_groupby_sum", "r1_one_hot_cells", "s5_events_coo",
-    "s2_parquet_roundtrip", "s6_from_pandas", "s3_traildb_binary",
-    "j1_join_outer", "j1_join_inner", "j5_add_halves",
-    "u1_vstack_halves",
-    "p4_loc_range",
-    "p6_dedup_first", "p8_assign", "p9_set_index",
-    "a3_mean_dense_denominator", "a5_minmax",
-    "o2_topk_users", "f1_map_partitions", "r3_transpose",
-    # late-r8 swaps: the seeded-PPR / HITS graph rows and the percentile
-    # gate take the slots of three rows green since round 1 (p1_project,
-    # p3_iloc_slice, a2_col_sums — all still covered by check_oracles)
-    "graph_ppr_seeded", "graph_hits_authorities",
-    "pipe_quality_percentile_gate",
-    # the two r7-red rows stay in so the driver confirms the r8 fix
-    # (HUGEINT oracle sums -> float64 in pandas -> string-hash flip):
-    "s7_jsonl_roundtrip", "skew_bloom_semijoin",
-    # r8 rotation (window differs from r7's by 26 entries): the six
-    # operators built this round get driver slots; the two r8-PATCHED
-    # never-driver-checked rows (s8_orc_roundtrip shared the HUGEINT
-    # defect, stats_quantile_sample's oracle needed constant quantile
-    # unrolling) get slots; the rest are never-driver-checked rows
-    # rotated in family by family (multimodal real-decode, dedup, text
-    # ranking/selection, sketches, temporal, windows, io). Rotated OUT
-    # (ALL driver-green in r7 and still verified every round by the full
-    # tools/check_oracles.py sweep): w5_spend_quartiles,
-    # ann_index_twin_screen, multimodal_features_real,
-    # multimodal_png_real, multimodal_y4m_frames, multimodal_adpcm_real,
-    # stats_cms_estimate, stats_hll_store_merge, text_nb_distill,
-    # q4/q13/q16/q17/q21/q22, t1-t5, text_lm_perplexity,
-    # dedup_substring_spans, dedup_hash_store_screen,
-    # stats_profile_columns, pipe_curate_e2e, ann_ivfpq_refine_topk.
-    "multimodal_shot_boundaries", "graph_pagerank", "graph_triangles",
-    "text_c4_clean", "text_bpe_encode", "ann_kmeans_parallel_init",
-    "s8_orc_roundtrip", "stats_quantile_sample",
-    "text_bpe_train", "multimodal_gif_frames", "multimodal_y4m_features",
-    "dedup_edit_distance_pairs", "dedup_jaccard_prefix_shingles",
-    "stats_hll_group_estimate", "stats_kmv_jaccard",
-    "text_dsir_importance", "text_hybrid_rrf", "pipe_target_mix",
-    "evt_cohort_retention", "w6_rolling_time_window", "io_zorder_code",
-    "emb_outliers", "src_csv_events", "pipe_merge_upsert",
-    "stats_grouped_corr", "evt_user_sequences",
+    # r9 window (VERDICT r8 #2: >=26 never-driver-checked rows — this
+    # window carries 48: every row except the two keepers below has never
+    # been in a CORRECTNESS_r* artifact; all were green in the judge's
+    # r8 207-query sweep and remain covered by tools/check_oracles.py).
+    # Keepers: the flagship, plus text_bpe_encode ("green as today" is the
+    # r8 #1 done-condition alongside the new deep row). Rotated OUT (all
+    # driver-green in r8, still swept every round): the r8 window's other
+    # 48 rows — see CORRECTNESS_r08.json.
+    "a1_onehot_groupby_sum", "text_bpe_encode",
+    # r9-built rows (driver confirmation of this round's new operators)
+    "s5_events_coo_scaled",       # S5 scale path (r8 #6) — bucketed numbering
+    "j1_join_level",              # join(level=) parity (r8 #5)
+    "text_bpe_encode_deep",       # 64-merge kernel encode (r8 #1)
+    "graph_triangles_capped",     # skew-safe triangles (r8 #3)
+    "graph_node2vec_walks",       # biased walks (r8 #7)
+    # r9-touched code paths, never driver-checked before
+    "multimodal_spectral_bands",  # overflow fix landed this round
+    "ann_kmeans_parallel_fit",    # similarity 2^60 guard module
+    "skew_bloom_store_semijoin",  # merge_bloom_store tableExists fix
+    "graph_random_walks", "graph_skipgram_pairs",  # graph.py unpersist fix
+    # never-driver-checked rotation, family by family
+    "s11_head", "s1_melt_numeric", "a4_std_dense_denominator",
+    "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
+    "a7_cube_revenue", "a8_session_window",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q20_volume_suppliers",
+    "multimodal_binary_dedup", "multimodal_gif_features",
+    "multimodal_frames", "multimodal_resize",
+    "dedup_exact_normalized", "dedup_incremental_lsh",
+    "dedup_semdedup", "dedup_semantic_screen",
+    "ann_hard_negatives", "emb_quantize_int8",
+    "src_orc_events", "src_json_events", "sink_partitioned_day",
+    "skew_salted_join", "skew_distinct_count",
+    "stream_enriched_counts", "stream_sliding_counts",
+    "stats_percentiles", "stats_kmv_sketch",
+    "pipe_split_counts", "pipe_pack_bins", "pipe_stratified_sample",
+    "fn_json_extract", "text_redact_pii", "web_domain_cap",
+    "evt_funnel",
 ]
-
 
 def _apply_registry_order() -> None:
     missing = [n for n in _FIRST_50 if n not in QUERIES]

@@ -2785,3 +2785,38 @@ def test_ivfpq_refine_wide_nprobe_recall_floor_uniform(spark):
         ).collect()
     )
     assert refined > plain, (refined, plain)
+
+
+def test_bpe_merge_store_roundtrip_exact(spark):
+    """r9 tokenizer store: write→read returns the EXACT merge list
+    (ranks, strings, counts) and encode-from-store equals
+    encode-from-memory; a second write fully replaces the first
+    (version-wholesale semantics — stale rows from a longer previous
+    tokenizer must not survive)."""
+    import pandas as pd
+
+    from sparsity_spark.operators.text import (
+        bpe_encode,
+        bpe_train_local,
+        read_merge_store,
+        write_merge_store,
+    )
+
+    texts = ["low low lower lowest", "new newer newest low", "aaaa aa a"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    merges = bpe_train_local(docs, num_merges=12)
+    write_merge_store(spark, merges, "bpe_store_test")
+    assert read_merge_store(spark, "bpe_store_test") == merges
+
+    mem = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, merges).collect()}
+    stored = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode(docs, read_merge_store(spark, "bpe_store_test")).collect()
+    }
+    assert mem == stored
+
+    shorter = bpe_train_local(docs, num_merges=3)
+    write_merge_store(spark, shorter, "bpe_store_test")
+    assert read_merge_store(spark, "bpe_store_test") == shorter  # no stale tail

@@ -98,6 +98,25 @@ PICKS = {
         "pivots to long format via an explode of a literal struct array — "
         "no second scan, no driver loop."
     ),
+    "text_bpe_encode_deep": (
+        "Deep BPE encode (r9): the 64-merge kernel path — corpus explode "
+        "and the final per-doc aggregate JVM-side, the Arrow kernel runs "
+        "only on the DISTINCT-word table (vocab-sized), and its output "
+        "broadcast-joins back; expression depth is constant regardless of "
+        "merge count (the unrolled-fold form is capped at 8 merges)."
+    ),
+    "graph_triangles_capped": (
+        "Skew-safe triangles (r9): degree filter (one aggregate + two "
+        "semi-joins) BEFORE the wedge self-join, so wedge volume is "
+        "n·cap² at any skew; the enumeration stays two equi-joins + one "
+        "leftsemi close — never a cartesian."
+    ),
+    "s5_events_coo_scaled": (
+        "Bucketed COO numbering (r9): the zipWithIndex shape — value-range "
+        "buckets, per-bucket parallel row_number windows, a "
+        "partition-count-sized offset broadcast; the only SinglePartition "
+        "exchange is the lexicon-sized dictionary's."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
