@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "graph_skipgram_pairs",
     "pipe_quality_percentile_gate",
     # round-9 additions
+    "graph_kcore",
+    "graph_node2vec_skipgram",
     "text_bpe_encode_deep",
     "graph_triangles_capped",
     "graph_node2vec_walks",
@@ -228,6 +230,7 @@ SCALE_QUERIES = [
     "graph_triangles_capped",
     "graph_node2vec_walks",
     "s5_events_coo_scaled",
+    "graph_kcore",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -537,6 +537,7 @@ class SparseFrame:
         axis: int = 1,
         how: str = "outer",
         level: int | str | None = None,
+        dup_labels: str = "merge",
     ) -> "SparseFrame":
         """Index equi-join (reference sparse_frame.py:233-288).
 
@@ -565,7 +566,22 @@ class SparseFrame:
         (customer, nation)-keyed rows). how='left'/'inner' only: an outer
         level-join would need rows with the non-level key levels NULL,
         which a sparse frame (absent row == all zeros) cannot represent.
+        ``dup_labels='cross'`` (r9 — strict pandas parity, the engine's
+        documented deviation made opt-in): duplicate row labels align as a
+        WITHIN-KEY CROSS PRODUCT like pandas (each left occurrence pairs
+        with each right occurrence, left-order-major), instead of the
+        default scale-first merge-on-key. Requires both frames to carry a
+        stable row order (positional identity is what distinguishes
+        duplicate occurrences); how='inner'/'left' only. The default
+        'merge' stays the right call at scale — a hot key's occurrences
+        multiply under cross semantics.
         """
+        if dup_labels not in ("merge", "cross"):
+            raise ValueError(f"dup_labels={dup_labels!r}")
+        if dup_labels == "cross":
+            if axis != 1 or level is not None:
+                raise ValueError("dup_labels='cross' applies to plain axis=1 joins")
+            return self._join_cross(other, how)
         if level is not None and axis == 1:
             return self._join_on_level(other, how, level)
         if axis == 0:
@@ -594,6 +610,62 @@ class SparseFrame:
         if dup:
             raise ValueError(f"axis=1 join with overlapping columns: {dup}")
         return SparseFrame(cells, ks, self.columns + other.columns, idx)
+
+    def _join_cross(self, other: "SparseFrame", how: str) -> "SparseFrame":
+        """axis=1 join with pandas duplicate-label alignment (see
+        :meth:`join`). Plan shape: the two POSITION tables (row-label
+        sized, not cell sized) equi-join on the key to enumerate
+        occurrence pairs; each side's cells then equi-join the pair table
+        on (key, own position) — cells replicate exactly per opposite
+        occurrence, which IS the semantics' output size. New positions
+        are the injective composite lpos·(max_rpos+2) + rpos+1, so row
+        order is left-major/right-minor like pandas without any global
+        renumbering window."""
+        if set(self.key_cols) != set(other.key_cols):
+            raise ValueError(f"key mismatch: {self.key_cols} vs {other.key_cols}")
+        if not (
+            self.has_pos
+            and other.has_pos
+            and self.cells_have_pos
+            and other.cells_have_pos
+        ):
+            raise ValueError(
+                "dup_labels='cross' needs both frames to carry a stable row "
+                "order (positional identity distinguishes duplicate "
+                "occurrences); build via from_pandas or set a row order first"
+            )
+        if how not in ("inner", "left"):
+            raise NotImplementedError(
+                "dup_labels='cross' supports how='inner'/'left' (right/outer "
+                "rows missing from the left side have no left-major position)"
+            )
+        dup = [c for c in other.columns if c in self.columns]
+        if dup:
+            raise ValueError(f"axis=1 join with overlapping columns: {dup}")
+        ks = self.key_cols
+        lidx = self._index.select(*ks, F.col(POS).alias("__lp__"))
+        ridx = other._index.select(*ks, F.col(POS).alias("__rp__"))
+        maxr = other._index.agg(F.max(POS).alias("m")).collect()[0]["m"]
+        stride = (0 if maxr is None else int(maxr)) + 2
+        pairs = lidx.join(ridx, on=ks, how=how)
+        new_pos = (
+            F.col("__lp__") * F.lit(stride)
+            + F.coalesce(F.col("__rp__") + 1, F.lit(0))
+        ).alias(POS)
+        idx = pairs.select(*ks, new_pos)
+        lcells = (
+            self._cells.withColumnRenamed(POS, "__lp__")
+            .join(pairs, on=[*ks, "__lp__"])
+            .select(*ks, new_pos, COL, VAL)
+        )
+        rcells = (
+            other._cells.withColumnRenamed(POS, "__rp__")
+            .join(pairs.where(F.col("__rp__").isNotNull()), on=[*ks, "__rp__"])
+            .select(*ks, new_pos, COL, VAL)
+        )
+        return SparseFrame(
+            lcells.unionByName(rcells), ks, self.columns + other.columns, idx
+        )
 
     def _join_on_level(
         self, other: "SparseFrame", how: str, level: int | str

@@ -49,6 +49,7 @@ __all__ = [
     "walk_skipgram_pairs",
     "triangle_count",
     "triangle_count_capped",
+    "k_core",
     "merge_edge_store",
 ]
 
@@ -403,6 +404,58 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    peels: int = 8,
+    until_converged: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (r9): repeatedly drop
+    every node whose degree in the CURRENT subgraph is < k, until the
+    fixed point — the maximal subgraph where every node keeps ≥ k
+    neighbors. The classic graph-curation primitive: spam/bot rings and
+    boilerplate mirror farms live in dense cores; tendrils and one-off
+    links peel away. Input is an undirected (symmetric, distinct) edge
+    table; returns (node, deg) — each survivor with its WITHIN-CORE
+    degree.
+
+    Determinism/oracle seam: a FIXED ``peels`` count replays exactly in
+    SQL (each peel is one degree aggregate + two semi-joins — the
+    triangle_count_capped shape, iterated); ``until_converged=True``
+    keeps peeling past ``peels`` until the node count is stable (one
+    metadata-sized count action per extra round), for graphs whose peel
+    depth exceeds the fixed count. Peeling is monotone — each round's
+    subgraph shrinks — so lineage is bounded with periodic
+    localCheckpoints and per-round work is edge-linear."""
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    prev_nodes = None
+    rounds = 0
+    while True:
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+        )
+        rounds += 1
+        if checkpoint_every and rounds % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        if rounds >= peels:
+            if not until_converged:
+                break
+            n = cur.select("src").distinct().count()
+            if prev_nodes is not None and n == prev_nodes:
+                break
+            prev_nodes = n
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
 
 
 def merge_edge_store(

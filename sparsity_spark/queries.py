@@ -8052,6 +8052,70 @@ def _walks_oracle(steps: int = 3) -> str:
     return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
+def _kcore_oracle(k: int = 15, peels: int = 4) -> str:
+    """Fixed-peel k-core replayed in SQL: per peel one degree aggregate,
+    one keep filter, two joins back — every e{r}/k{r} MATERIALIZED (each
+    is referenced twice; DuckDB's default inlining doubles the plan per
+    peel — the BPE-oracle lesson applied)."""
+    parts = [
+        """
+    WITH buy AS (
+      SELECT DISTINCT l.l_partkey AS pk,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(o.o_custkey AS BIGINT) AS cust
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT DISTINCT a.cust AS s1, b.cust AS s2
+      FROM buy a JOIN buy b ON a.pk = b.pk AND a.q = b.q
+      WHERE a.cust < b.cust
+    ),
+    e0 AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co
+                        UNION ALL SELECT s2, s1 FROM co)"""
+    ]
+    for r in range(1, peels + 1):
+        parts.append(f"""
+    k{r} AS MATERIALIZED (
+      SELECT src FROM (SELECT src, COUNT(*) AS deg FROM e{r - 1} GROUP BY 1)
+      WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON a.src = e.src JOIN k{r} b ON b.src = e.dst)""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{peels} GROUP BY 1"""
+    )
+
+
+@query("graph_kcore", _kcore_oracle(15, 4))
+def graph_kcore_q(spark, sf_dir):
+    """k-core peel over the customer co-purchase graph (r9): four rounds
+    of dropping sub-15-degree nodes — the dense-core extraction that
+    graph curation uses to find spam rings and mirror farms (and,
+    inverted, to keep the organic tail). FIXED peel count so the oracle
+    replays every round exactly (the deterministic-iteration seam shared
+    with pagerank/kmeans oracles); production convergence runs
+    until_converged=True on the same code path (test-pinned cascade
+    behavior). Per peel: one degree aggregate + two semi-joins —
+    edge-linear, the triangle_count_capped shape iterated."""
+    from sparsity_spark.operators.graph import k_core, symmetrize_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+    edges = symmetrize_edges(pairs, "s1", "s2", as_string=False)
+    return k_core(edges, k=15, peels=4)
+
+
 def _node2vec_oracle(steps: int = 3, ret_w: int = 250, out_w: int = 4000) -> str:
     """node2vec walks replayed in SQL: the same uniform first hop, then
     per step the same integer candidate weights (ret/1000/out by
@@ -8137,6 +8201,60 @@ def graph_node2vec_walks_q(spark, sf_dir):
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
     return node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000)
+
+
+def _node2vec_skipgram_oracle(
+    steps: int = 3, ret_w: int = 250, out_w: int = 4000, window: int = 2
+) -> str:
+    """node2vec walks → skip-gram pairs end to end: the biased-walk CTEs
+    verbatim, then the bounded |Δstep| self-join per walk id and one
+    count aggregate — the full DeepWalk data pipeline in one replay."""
+    base = _node2vec_oracle(steps, ret_w, out_w)
+    cte, selects = base.split("\n    SELECT start, CAST(0 AS INTEGER)", 1)
+    walks_union = (
+        "SELECT start, CAST(0 AS INTEGER)" + selects
+    )
+    return (
+        cte
+        + f""",
+    walks AS ({walks_union}),
+    pr AS (
+      SELECT a.node AS center, b.node AS context
+      FROM walks a JOIN walks b ON b.start = a.start
+      WHERE a.step <> b.step AND ABS(a.step - b.step) <= {window}
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pr GROUP BY 1, 2"""
+    )
+
+
+@query("graph_node2vec_skipgram", _node2vec_skipgram_oracle())
+def graph_node2vec_skipgram_q(spark, sf_dir):
+    """The complete biased DeepWalk data pipeline in one row (r9):
+    node2vec walks (return 250 / in-out 4000 milli-weights) over the
+    customer↔supplier graph, then window-2 skip-gram co-occurrence
+    counts — exactly the sparse training input a graph-embedding trainer
+    consumes, every hop and every pair count oracle-replayed. Pair
+    volume stays Σ len·window per walk (the walk-id-keyed self-join),
+    never corpus²."""
+    from sparsity_spark.operators.graph import (
+        node2vec_walks,
+        symmetrize_edges,
+        walk_skipgram_pairs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
+    )
+    edges = symmetrize_edges(pairs, "cust", "supp", as_string=False)
+    starts = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    walks = node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000)
+    return walk_skipgram_pairs(walks, window=2)
 
 
 @query("graph_random_walks", _walks_oracle())

@@ -565,3 +565,37 @@ def test_join_level_dimension_attach(spark):
         left.join(right, axis=1, how="outer", level="region")
     with pytest.raises(ValueError):  # other must be single-key
         left.join(left, axis=1, how="left", level="region")
+
+
+def test_join_cross_duplicate_labels_pandas_parity(spark):
+    """r9 dup_labels='cross' — the engine's documented merge-on-key
+    deviation made opt-in: duplicate row labels align as a within-key
+    cross product, differentially checked against pandas' own join on
+    the same frames (inner + left, incl. a left label missing from the
+    right and right-side duplicate occurrences)."""
+    lp = pd.DataFrame(
+        {"a": [1.0, 0.0, 2.0, 3.0], "b": [0.0, 5.0, 0.0, 7.0]},
+        index=[0, 0, 2, 9],  # 0 duplicated on the left; 9 absent right
+    )
+    rp = pd.DataFrame(
+        {"c": [10.0, 0.0, 30.0], "d": [0.0, 20.0, 40.0]},
+        index=[0, 2, 2],  # 2 duplicated on the right
+    )
+    left = from_pandas(spark, lp)
+    right = from_pandas(spark, rp)
+
+    for how in ("inner", "left"):
+        got = left.join(right, axis=1, how=how, dup_labels="cross").todense()
+        want = lp.join(rp, how=how).fillna(0.0)
+        assert got.shape == want.shape, how
+        np.testing.assert_array_equal(
+            got.to_numpy(), want.to_numpy(), err_msg=how
+        )
+        assert list(got.index) == list(want.index), how
+
+    # default stays merge-on-key (the scale semantics) — unchanged
+    merged = left.join(right, axis=1, how="inner").index.count()
+    assert merged == 2  # keys {0, 2}, one row each
+
+    with pytest.raises(NotImplementedError):
+        left.join(right, axis=1, how="outer", dup_labels="cross")

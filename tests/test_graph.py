@@ -368,3 +368,54 @@ def test_node2vec_walks_match_python_replay_and_bias_direction(spark):
     for s in (1, 5, 8, 9):
         assert osc[(s, 2)] == osc[(s, 0)] == s
         assert osc[(s, 3)] == osc[(s, 1)]
+
+
+def _py_kcore(pairs, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """r9 k-core: K5 with a tendril chain and a triangle appendage —
+    the 3-core must be exactly the K5 (the triangle is 2-core-only, the
+    chain peels entirely); matches a python peel replay at k=2 and k=3;
+    a cascade (removing one node drops another below k) requires more
+    than one peel round, which until_converged must handle even when
+    peels=1."""
+    from sparsity_spark.operators.graph import k_core
+
+    k5 = list(combinations([1, 2, 3, 4, 5], 2))
+    chain = [(5, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (22, 20), (5, 20)]
+    pairs = k5 + chain + tri
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    got3 = {r["node"]: r["deg"] for r in k_core(edges, k=3).collect()}
+    assert got3 == _py_kcore(pairs, 3) == {n: 4 for n in (1, 2, 3, 4, 5)}
+    got2 = {r["node"]: r["deg"] for r in k_core(edges, k=2).collect()}
+    assert got2 == _py_kcore(pairs, 2)
+    assert 10 not in got2 and 20 in got2  # chain peeled, triangle survives k=2
+
+    # cascade: peels=1 is NOT enough for the chain at k=2 (12 drops, then
+    # 11, then 10) — until_converged must finish the job anyway
+    conv = {
+        r["node"]: r["deg"]
+        for r in k_core(edges, k=2, peels=1, until_converged=True).collect()
+    }
+    assert conv == got2
