@@ -463,31 +463,41 @@ def merge_edge_store(
     table: str,
     src_col: str = "src",
     dst_col: str = "dst",
+    num_buckets: int = 16,
 ) -> DataFrame:
     """Fold one edge increment into the persisted adjacency table (r9 —
-    the store-family discipline applied to the graph): distinct-union
-    set fold, so the maintained table is exactly the edge SET of
-    everything ever appended and a REPLAYED batch leaves it unchanged
-    (the at-least-once-safety property of the bloom/HLL stores). The ONE
-    code path batch appends and the streaming maintenance loop share.
-    Only table-absent falls back to the bare increment — transient read
-    errors propagate (merge_bloom_store's r9 rule). Frozen
-    (localCheckpoint) before the overwrite so the write never reads its
-    own target. Returns the merged (src, dst) edge set."""
-    from sparsity_spark.operators.skew import _drop_table_and_location
-
+    the store-family discipline applied to the graph). Unlike the
+    metadata-sized sketch stores, the edge set is CORPUS-sized, so the
+    fold must never rewrite it: the store is written BUCKETED BY
+    (src, dst) — exactly the fold's join key, the band-store rule — and
+    each increment LEFT-ANTI-joins the store: one Exchange for the
+    (small) batch, a bare bucketed scan for the corpus — then APPENDS
+    only the genuinely new edges through the same bucket spec (Spark
+    validates it). Set semantics make the fold idempotent: a replayed
+    batch anti-joins to empty and appends nothing (the at-least-once
+    safety the bloom/HLL stores share). The rank recompute re-shuffles
+    edges by src once per run regardless, so the bucket spec serves the
+    hot per-batch path. Only table-absent creates the store fresh; transient
+    read errors propagate (merge_bloom_store's r9 rule). The increment
+    is frozen (localCheckpoint) before the append so the write never
+    races its own read. Returns the maintained edge table."""
     spark = batch_df.sparkSession
     inc = batch_df.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     if spark.catalog.tableExists(table):
-        merged = spark.table(table).unionByName(inc).distinct()
+        new = (
+            inc.join(spark.table(table), on=["src", "dst"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        new.write.mode("append").bucketBy(num_buckets, "src", "dst").saveAsTable(table)
     else:
-        merged = inc
-    merged = merged.localCheckpoint(eager=True)
-    _drop_table_and_location(spark, table)
-    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
-    return merged
+        from sparsity_spark.operators.skew import write_bucketed
+
+        write_bucketed(
+            inc.localCheckpoint(eager=True), table, ["src", "dst"], num_buckets
+        )
+    return spark.table(table)
 
 
 def node2vec_walks(

@@ -576,3 +576,29 @@ def test_events_coo_scaled_no_event_sized_single_partition_window(spark, sf_dir)
     assert plan.count("SinglePartition") <= 1, plan
     assert "__bkt__" in plan  # the bucketed numbering actually engaged
     assert re.findall(r"\(\d+\) Window", plan)  # per-bucket row_number window
+
+
+def test_edge_store_screen_store_side_shuffle_free(spark, sf_dir):
+    """r9 edge store: the increment's anti-join against the bucketed edge
+    table must read the store WITHOUT an Exchange (bucketed scan is the
+    join layout) — same band-store discipline, corpus-sized store, so a
+    rewrite-or-reshuffle fold would be O(store) per micro-batch."""
+    from sparsity_spark.operators.graph import merge_edge_store
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 97).alias("dst")
+    )
+    spark.sql("DROP TABLE IF EXISTS edge_plancheck")
+    merge_edge_store(base.filter(F.col("src") % 3 != 0), "edge_plancheck")
+    inc = base.filter(F.col("src") % 3 == 0).distinct()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        screened = inc.join(
+            spark.table("edge_plancheck"), on=["src", "dst"], how="left_anti"
+        )
+        plan = screened._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, "store scan must use its bucketing"
