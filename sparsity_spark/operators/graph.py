@@ -49,6 +49,7 @@ __all__ = [
     "walk_skipgram_pairs",
     "triangle_count",
     "triangle_count_capped",
+    "label_propagation",
     "k_core",
     "merge_edge_store",
 ]
@@ -404,6 +405,65 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan-Albert-Kumara 2007) — the missing member of the graph
+    family: PageRank ranks nodes, triangles measure local density, and
+    LPA names the COMMUNITIES (purchase cohorts, mirror farms, topic
+    clusters) that the curation pipeline then caps or rebalances.
+
+    Every node starts labeled with its own id; each round a node adopts
+    the most frequent label among its neighbors plus ONE self-vote (the
+    standard damping that keeps synchronous LPA from oscillating on
+    bipartite structures). Classic LPA breaks frequency ties at random —
+    useless for a reproducible pipeline — so ties break to the SMALLEST
+    label: the argmax is ``max(struct(votes, -label))``, a plain
+    aggregate both engines evaluate identically, making every round
+    engine-exact and the whole run replayable as unrolled SQL. A FIXED
+    ``iterations`` count is the oracle seam (LPA has no guaranteed
+    fixpoint under synchronous update, so unlike hash-min components a
+    converge-loop is not well-defined).
+
+    Scale shape: identical to pagerank — the symmetric edge table is
+    loop-invariant (persisted once, eagerly); per round ONE node-sized
+    join against edges + TWO hash aggregates ((node, label) vote count,
+    then per-node argmax), all keyed by node. Label tables are
+    node-sized; nothing corpus-sized moves after the edge build. Input
+    must be symmetric (see symmetrize_edges); returns (node, label)."""
+    if iterations < 1:
+        raise ValueError("label_propagation: iterations must be >= 1")
+    # votes are multiset counts, so edge MULTIPLICITY changes results:
+    # dedup defensively (triangle_count's rule) — a doubled edge would
+    # double every neighbor vote against the single self-vote
+    edges = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    )
+    edges.count()  # eager: the upstream pair build runs exactly once
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node").cast("long"))
+    )
+    for i in range(iterations):
+        nbr_votes = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        votes = nbr_votes.unionByName(labels)  # one self-vote damps flip-flop
+        counts = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("negl"))).alias("m")
+        ).select("node", (-F.col("m.negl")).alias("label"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels
 
 
 def k_core(

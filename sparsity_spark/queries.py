@@ -8455,6 +8455,78 @@ def graph_triangles_capped_q(spark, sf_dir):
     )
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    """Synchronous LPA unrolled as CTEs: same symmetrized co-purchase
+    edges as the triangle rows, one self-vote per round, frequency
+    argmax with ties to the smallest label — ROW_NUMBER(ORDER BY c DESC,
+    label ASC) is exactly Spark's max(struct(c, -label)), so every
+    round's labels are engine-identical integers."""
+    parts = [
+        """
+    WITH buy AS (
+      SELECT DISTINCT l.l_partkey AS pk,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(o.o_custkey AS BIGINT) AS cust
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT DISTINCT a.cust AS s1, b.cust AS s2
+      FROM buy a JOIN buy b ON a.pk = b.pk AND a.q = b.q
+      WHERE a.cust < b.cust
+    ),
+    edges AS (SELECT s1 AS src, s2 AS dst FROM co
+              UNION ALL SELECT s2, s1 FROM co),
+    l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    v{i} AS (
+      SELECT node, label, COUNT(*) AS c FROM (
+        SELECT e.dst AS node, l.label
+        FROM edges e JOIN l{i-1} l ON l.node = e.src
+        UNION ALL SELECT node, label FROM l{i-1}
+      ) GROUP BY 1, 2),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1)"""
+        )
+    return ",".join(parts) + f"""
+    SELECT node, label FROM l{iters}
+    """
+
+
+@query("graph_lpa_communities", _lpa_oracle(3))
+def graph_lpa_communities_q(spark, sf_dir):
+    """Community detection (r9 — the graph family's missing member:
+    pagerank RANKS, triangles MEASURE density, LPA NAMES the cohorts a
+    curation pipeline caps or rebalances): synchronous label propagation
+    over the same co-purchase graph as the triangle rows. Ties break to
+    the smallest label via a plain max(struct(votes, -label)) aggregate —
+    no randomness, no window in the Spark plan — and one self-vote per
+    round damps the bipartite flip-flop, so a FIXED 3 rounds replays
+    exactly as unrolled SQL. Per round: ONE node-sized join against the
+    persisted edges + two hash aggregates, everything keyed by node —
+    edge-linear, no wedge blowup, survives hub skew unmodified."""
+    from sparsity_spark.operators.graph import label_propagation, symmetrize_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+    edges = symmetrize_edges(pairs, "s1", "s2", as_string=False)
+    return label_propagation(edges, iterations=3)
+
+
 @query(
     "text_c4_clean",
     """

@@ -419,3 +419,56 @@ def test_k_core_peels_to_fixpoint(spark):
         for r in k_core(edges, k=2, peels=1, until_converged=True).collect()
     }
     assert conv == got2
+
+
+def _py_lpa(edge_list, iterations):
+    """Reference replay: neighbor votes + one self-vote, ties to the
+    smallest label — plain dicts."""
+    from collections import defaultdict
+
+    nodes = {s for s, _ in edge_list}
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        votes = defaultdict(lambda: defaultdict(int))
+        for s, d in edge_list:
+            votes[d][labels[s]] += 1
+        for n in nodes:
+            votes[n][labels[n]] += 1  # self-vote
+        labels = {
+            n: max(v.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            for n, v in votes.items()
+        }
+    return labels
+
+
+def test_label_propagation_two_cliques_and_tiebreak(spark):
+    from sparsity_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge: LPA must name each
+    # clique by its minimum node id and the bridge must not merge them
+    c1 = list(combinations([1, 2, 3, 4], 2))
+    c2 = list(combinations([10, 11, 12, 13], 2))
+    pairs = c1 + c2 + [(4, 10)]
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    assert got == _py_lpa(sym, 3)
+    assert all(got[n] == 1 for n in (1, 2, 3, 4))
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+
+    # duplicate edges in the input must not double votes (multiset rule)
+    doubled = edges.unionByName(edges)
+    got_dup = {
+        r["node"]: r["label"] for r in label_propagation(doubled, iterations=3).collect()
+    }
+    assert got_dup == got
+
+    # pure tie on a 2-chain: 1-2, isolated pair — each node sees one
+    # neighbor vote and one self-vote; the tie breaks to the SMALLER label
+    pair = symmetrize_edges(
+        spark.createDataFrame([(7, 8)], "a long, b long"), "a", "b", as_string=False
+    )
+    tie = {r["node"]: r["label"] for r in label_propagation(pair, iterations=1).collect()}
+    assert tie == {7: 7, 8: 7}
