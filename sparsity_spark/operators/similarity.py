@@ -1479,3 +1479,135 @@ def kmeans_parallel_init(
     out = assigned.groupBy(id_col).agg(F.count("*").cast("long").alias("weight"))
     vecs.unpersist()
     return out
+
+
+def pca_gram_int(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[list[int]]:
+    """Integer-exact (uncentered) Gram matrix Σ x·xᵀ of a quantized
+    embedding column — the distributed half of the PCA power iteration.
+
+    Each component is quantized ``floor(double(x) · scale)`` (the
+    emb_quantize_int8 discipline: float32→float64 is exact, the multiply
+    is one IEEE op both engines share, and floor has no tie to break),
+    then ONE Arrow ``mapInPandas`` pass accumulates the d×d partial
+    XᵀX per partition in int64 — the kmeans-partials shape: corpus-sized
+    input, (partitions · d²)-sized output, ONE hash aggregate to combine,
+    a d²-row collect. Nothing corpus-sized ever moves.
+
+    Overflow is guarded, not assumed: each partition checks
+    rows_so_far · max|x_q|² < 2⁶³ and raises with the safe ``scale``
+    hint instead of letting numpy int64 silently wrap (the
+    audio_spectral_bands rule). With |x| ≤ 1 and scale 10⁶ the bound
+    allows ~9·10⁶ rows per partition; shrink ``scale`` 10× to buy 100×.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        G = None
+        rows = 0
+        mx = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Xq = np.floor(X * scale)
+            bmx = int(np.abs(Xq).max()) if Xq.size else 0
+            rows += len(Xq)
+            mx = max(mx, bmx)
+            if mx and rows >= (1 << 63) // (mx * mx):
+                raise ValueError(
+                    f"pca_gram_int: int64 overflow risk at {rows} rows with "
+                    f"max|x_q|={mx}; shrink scale (currently {scale})"
+                )
+            Xq = Xq.astype(np.int64)
+            P = Xq.T @ Xq
+            G = P if G is None else G + P
+        if G is None:
+            return
+        d = G.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "val": G.ravel()}
+        )
+
+    part_df = embeddings.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, val long"
+    )
+    rows = part_df.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
+    if not rows:
+        raise ValueError("pca_gram_int: empty embedding table")
+    d = max(r["i"] for r in rows) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["val"])
+    return G
+
+
+def pca_power_component(gram: list[list[int]], iterations: int = 3, unit: int = 1_000_000) -> list[int]:
+    """Top principal direction of an integer Gram matrix by power
+    iteration with integer max-renormalization (the HITS rescale
+    discipline): v₀ = unit everywhere; each round w = G·v in unbounded
+    Python ints, then vᵢ ← sign(wᵢ) · (|wᵢ|·unit) div max|w| — a
+    truncating rescale both Python and SQL express identically on
+    non-negative operands, so every iterate is engine-exact and the
+    whole run replays as unrolled HUGEINT CTEs. Driver-side only: the
+    Gram is d² integers (metadata-sized); the corpus never moves."""
+    if iterations < 1:
+        raise ValueError("pca_power_component: iterations must be >= 1")
+    d = len(gram)
+    v = [unit] * d
+    for _ in range(iterations):
+        w = [sum(gram[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("pca_power_component: zero Gram matrix")
+        v = [(-((-x * unit) // m) if x < 0 else (x * unit) // m) for x in w]
+    return v
+
+
+def pca_project_int(
+    embeddings: DataFrame,
+    component: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Project every embedding onto an integer principal direction:
+    score = Σ x_q[i] · v[i], all BIGINT, evaluated as a zip_with fold
+    inside whole-stage codegen (component is a broadcast array literal —
+    metadata-sized). Map-only: projection at 100 TB runs at scan speed.
+    Returns (id_col, score_micro)."""
+    qexpr = F.expr(
+        f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    vlit = F.array(*[F.lit(int(c)).cast("long") for c in component])
+    score = F.aggregate(
+        F.zip_with(qexpr, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(F.col(id_col), score.alias("score_micro"))
+
+
+def pca_top_component_project(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """The full pipeline: distributed integer Gram → driver power
+    iteration → map-only projection. The whitening/ordering primitive an
+    embedding pipeline needs (curriculum by principal score, OPQ-style
+    rotation seeds, outlier axes) with every step engine-exact."""
+    G = pca_gram_int(embeddings, id_col=id_col, vec_col=vec_col, scale=scale)
+    v = pca_power_component(G, iterations=iterations, unit=unit)
+    return pca_project_int(
+        embeddings, v, id_col=id_col, vec_col=vec_col, scale=scale
+    )

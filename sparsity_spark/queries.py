@@ -2857,6 +2857,66 @@ def emb_quantize_int8(spark, sf_dir):
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def _pca_oracle(iters: int = 3, scale: int = 1_000_000, unit: int = 1_000_000) -> str:
+    """Integer power-iteration PCA unrolled as HUGEINT CTEs: the same
+    floor-quantization as emb_quantize (one shared IEEE multiply), the
+    Gram as an exploded self-join (the oracle-side stand-in for the
+    engine's one-pass XᵀX kernel), and each rescale as the sign-split
+    truncating division both engines evaluate identically on
+    non-negative operands."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS x
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    g AS (
+      SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS HUGEINT) AS val
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT gi AS i, CAST({unit} AS HUGEINT) AS val FROM g)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+    w{k} AS (
+      SELECT g.gi AS i, SUM(g.val * v.val) AS w
+      FROM g JOIN v{k-1} v ON v.i = g.gj GROUP BY 1),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT i, CASE WHEN w < 0 THEN -((-w * {unit}) // m)
+                     ELSE (w * {unit}) // m END AS val
+      FROM w{k}, m{k})"""
+        )
+    return ",".join(parts) + f"""
+    SELECT e.vec_id, CAST(SUM(e.x * CAST(v.val AS BIGINT)) AS BIGINT) AS score_micro
+    FROM e JOIN v{iters} v ON v.i = e.i
+    GROUP BY 1
+    """
+
+
+@query("emb_pca_project", _pca_oracle(3))
+def emb_pca_project_q(spark, sf_dir):
+    """Distributed PCA (r9 — the embedding family's missing whitening /
+    ordering primitive): every vector's projection onto the corpus's top
+    principal direction, computed as integer Gram (ONE Arrow mapInPandas
+    pass, d²-sized partials, the kmeans-partials shape) → driver power
+    iteration in unbounded Python ints with HITS-style integer
+    max-rescale → map-only zip_with projection at scan speed. Every step
+    is exact integer arithmetic, so the oracle replays the entire
+    pipeline — quantization, Gram, three iterations, rescales,
+    projection — and any drift anywhere flips the hash. The score orders
+    vectors along the corpus's dominant axis: curriculum sorting,
+    OPQ-style rotation seeding, principal-axis outlier cuts."""
+    from sparsity_spark.operators.similarity import pca_top_component_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component_project(emb, iterations=3)
+
+
 @query(
     "pipe_merge_upsert",
     """

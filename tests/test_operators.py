@@ -2820,3 +2820,53 @@ def test_bpe_merge_store_roundtrip_exact(spark):
     shorter = bpe_train_local(docs, num_merges=3)
     write_merge_store(spark, shorter, "bpe_store_test")
     assert read_merge_store(spark, "bpe_store_test") == shorter  # no stale tail
+
+
+def test_pca_power_component_aligns_with_numpy_eigvec(spark):
+    """Integer power iteration must land on the true dominant direction:
+    a synthetic cloud stretched 10:1 along a known axis, |cos| vs the
+    float eigenvector > 0.99, and the projection must be exactly the
+    integer dot product (replayed in python)."""
+    rng = np.random.RandomState(7)
+    d = 8
+    axis = np.array([3.0, 1.0, 0.0, 0.0, 2.0, 0.0, 0.0, 1.0])
+    axis /= np.linalg.norm(axis)
+    X = rng.randn(200, 1) * 0.9 * axis[None, :] + rng.randn(200, d) * 0.05
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    G = similarity.pca_gram_int(df)
+    v = similarity.pca_power_component(G, iterations=5)
+    vf = np.asarray(v, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(np.asarray(G, dtype=np.float64))
+    top = evecs[:, np.argmax(evals)]
+    cos = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+
+    # projection is the exact integer dot product of quantized inputs
+    got = {
+        r["vec_id"]: r["score_micro"]
+        for r in similarity.pca_project_int(df, v).collect()
+    }
+    import math
+
+    for i, row in enumerate(X):
+        xq = [math.floor(float(x) * 1_000_000) for x in row]
+        assert got[i] == sum(a * b for a, b in zip(xq, v))
+
+    # gram partials are partitioning-invariant (pure integer sums)
+    G2 = similarity.pca_gram_int(df.repartition(13))
+    assert G2 == G
+
+
+def test_pca_gram_overflow_guard_raises(spark):
+    big = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(4), "embedding": [[4e9, 1.0]] * 4}
+        )
+    )
+    # the executor-side ValueError surfaces wrapped in PythonException
+    with pytest.raises(Exception, match="overflow"):
+        similarity.pca_gram_int(big)  # max|x_q| ~ 4e15 -> first row trips
