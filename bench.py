@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "graph_node2vec_walks",
     "s5_events_coo_scaled",
     "j1_join_level",
+    "graph_lpa_communities",
+    "emb_pca_project",
 ]
 
 
@@ -231,6 +233,11 @@ SCALE_QUERIES = [
     "graph_node2vec_walks",
     "s5_events_coo_scaled",
     "graph_kcore",
+    # r9 late additions: LPA (edge-linear per round, same shape as
+    # pagerank) and the one-pass integer Gram + map-only PCA projection
+    # (both corpus-scan bound — expected near-linear at worst)
+    "graph_lpa_communities",
+    "emb_pca_project",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -50,6 +50,7 @@ __all__ = [
     "triangle_count",
     "triangle_count_capped",
     "label_propagation",
+    "bfs_levels",
     "k_core",
     "merge_edge_store",
 ]
@@ -405,6 +406,58 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first levels: every node within ``max_depth``
+    hops of any seed, labeled with its exact hop distance (the minimum
+    over seeds) — unweighted shortest paths, the reachability primitive
+    the iterative family lacked. What PPR weighs softly, BFS answers
+    crisply: "is this doc within 2 links of a known-spam domain",
+    "which entities sit one interaction from the seed cohort".
+
+    Frontier algorithm: level d's NEW nodes are the frontier's
+    neighbors anti-joined against everything already leveled, so each
+    hop is ONE frontier-sized join against the persisted edges + ONE
+    anti-join against the node-sized visited set — communication
+    proportional to the frontier, never the graph (random_walks'
+    discipline). Levels are set-valued (DISTINCT per hop), so results
+    are partitioning- and order-independent — engine-exact with no
+    arithmetic at all; the oracle unrolls hops as NOT-IN CTEs. An empty
+    frontier short-circuits the remaining hops (one metadata count per
+    hop); each frontier is localCheckpointed so depth never accumulates
+    lineage. Input must be symmetric for undirected semantics; directed
+    edges give directed reachability. Returns (node, lvl)."""
+    if max_depth < 0:
+        raise ValueError("bfs_levels: max_depth must be >= 0")
+    edges = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    edges.count()  # eager: the upstream pair build runs exactly once
+    frontier = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels = frontier.withColumn("lvl", F.lit(0).cast("int"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(levels, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt.withColumn("lvl", F.lit(d).cast("int")))
+        frontier = nxt
+    levels = levels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return levels
 
 
 def label_propagation(

@@ -472,3 +472,31 @@ def test_label_propagation_two_cliques_and_tiebreak(spark):
     )
     tie = {r["node"]: r["label"] for r in label_propagation(pair, iterations=1).collect()}
     assert tie == {7: 7, 8: 7}
+
+
+def test_bfs_levels_chain_min_distance_and_early_stop(spark):
+    from sparsity_spark.operators.graph import bfs_levels
+
+    # chain 1-2-3-4-5 plus a branch 3-30: two seeds (1, 30); levels must
+    # be the MINIMUM hop distance over seeds
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 30)]
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    seeds = spark.createDataFrame([(1,), (30,)], "node long")
+    got = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_depth=4).collect()}
+    assert got == {1: 0, 30: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    # depth cap: max_depth=1 stops at the first ring
+    got1 = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_depth=1).collect()}
+    assert got1 == {1: 0, 30: 0, 2: 1, 3: 1}
+
+    # exhausted frontier short-circuits: the component has radius 3, so
+    # max_depth=10 returns the same set as max_depth=4
+    got10 = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_depth=10).collect()}
+    assert got10 == got
+
+    # a seed with no edges still appears at level 0
+    lonely = spark.createDataFrame([(99,)], "node long")
+    got_l = {r["node"]: r["lvl"] for r in bfs_levels(edges, lonely, max_depth=2).collect()}
+    assert got_l[99] == 0
