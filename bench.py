@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "j1_join_level",
     "graph_lpa_communities",
     "emb_pca_project",
+    "graph_bfs_levels",
+    "multimodal_phash_clusters",
 ]
 
 
@@ -238,6 +240,10 @@ SCALE_QUERIES = [
     # (both corpus-scan bound — expected near-linear at worst)
     "graph_lpa_communities",
     "emb_pca_project",
+    # BFS moves only frontier-sized state per hop; phash clusters are
+    # collision-bounded pairs + node-sized label propagation
+    "graph_bfs_levels",
+    "multimodal_phash_clusters",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

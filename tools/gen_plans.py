@@ -117,6 +117,18 @@ PICKS = {
         "partition-count-sized offset broadcast; the only SinglePartition "
         "exchange is the lexicon-sized dictionary's."
     ),
+    "emb_pca_project": (
+        "PCA projection (r9): after the one-pass Gram + driver power "
+        "iteration, the projection is a bare Scan → Project — the "
+        "component rides as a literal array inside a zip_with fold, zero "
+        "exchanges, whole-stage codegen; 100 TB projects at scan speed."
+    ),
+    "graph_lpa_communities": (
+        "LPA (r9): the edge build shuffles once into the persisted "
+        "adjacency; each round is one node-sized join + two hash "
+        "aggregates keyed by node — no window operator, no wedge "
+        "blowup, edge-linear at any skew."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
