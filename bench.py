@@ -276,6 +276,14 @@ def run_scale(factor: int) -> None:
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_dir = replicate_sf(src, f"/tmp/sparsity_scale_x{factor}", factor)
+    # the tier's replica carries fixture-density artifacts (the
+    # co-purchase graph grows ~100x on 10x data because parts don't
+    # replicate), and the whole 32-thread "cluster" shares ONE 8 g
+    # driver heap in local mode — an artifact of the harness, not the
+    # plans (a real cluster's executors each have their own heap).
+    # Give the tier JVM the memory a handful of real executors would
+    # have; explicit SPARK_DRIVER_MEMORY still wins.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("sparsity_spark_bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     from sparsity_spark.queries import QUERIES
