@@ -77,6 +77,25 @@ def symmetrize_edges(
     return raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _pagerank_round(
+    adj: DataFrame, ranks: DataFrame, base: int, damping_pct: int
+) -> DataFrame:
+    """One PageRank iteration (see pagerank) — equi-join on src + ONE
+    hash aggregate on dst; split out so the per-iteration plan shape is
+    directly assertable in tests (the public function localCheckpoints
+    its result, which collapses the returned plan to a Scan
+    ExistingRDD)."""
+    contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src").select(
+        F.col("dst").alias("node"),
+        F.expr("rank_micro div deg").alias("c"),
+    )
+    return contrib.groupBy("node").agg(
+        F.expr(f"cast({base} + ({damping_pct} * sum(c)) div 100 as bigint)").alias(
+            "rank_micro"
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -115,15 +134,7 @@ def pagerank(
         F.col("src").alias("node"), F.lit(unit).cast("long").alias("rank_micro")
     )
     for i in range(iterations):
-        contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src").select(
-            F.col("dst").alias("node"),
-            F.expr("rank_micro div deg").alias("c"),
-        )
-        ranks = contrib.groupBy("node").agg(
-            F.expr(f"cast({base} + ({damping_pct} * sum(c)) div 100 as bigint)").alias(
-                "rank_micro"
-            )
-        )
+        ranks = _pagerank_round(adj, ranks, base, damping_pct)
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     # materialize the node-sized result, then release the loop-invariant
@@ -408,6 +419,19 @@ def random_walks(
     return out
 
 
+def _bfs_hop(edges: DataFrame, frontier: DataFrame, levels: DataFrame) -> DataFrame:
+    """One BFS hop (see bfs_levels) — frontier-sized equi-join + distinct
+    + anti-join against the visited set; split out so the hop's plan
+    shape is directly assertable (the public loop localCheckpoints each
+    hop, collapsing its plan)."""
+    return (
+        edges.join(frontier.select(F.col("node").alias("src")), "src")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(levels, "node", "left_anti")
+    )
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,
@@ -444,13 +468,7 @@ def bfs_levels(
     )
     levels = frontier.withColumn("lvl", F.lit(0).cast("int"))
     for d in range(1, max_depth + 1):
-        nxt = (
-            edges.join(frontier.select(F.col("node").alias("src")), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(levels, "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        nxt = _bfs_hop(edges, frontier, levels).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         levels = levels.unionByName(nxt.withColumn("lvl", F.lit(d).cast("int")))
@@ -458,6 +476,23 @@ def bfs_levels(
     levels = levels.localCheckpoint(eager=True)
     edges.unpersist()
     return levels
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round (see label_propagation) — split out so
+    the per-round plan shape (equi-join + two hash aggregates, no
+    window) is directly assertable in tests/test_plans.py: the public
+    function localCheckpoints its result, which collapses the returned
+    plan to a Scan ExistingRDD and would make any shape assertion on it
+    vacuous."""
+    nbr_votes = edges.join(
+        labels.select(F.col("node").alias("src"), "label"), "src"
+    ).select(F.col("dst").alias("node"), "label")
+    votes = nbr_votes.unionByName(labels)  # one self-vote damps flip-flop
+    counts = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
+    return counts.groupBy("node").agg(
+        F.max(F.struct(F.col("c"), (-F.col("label")).alias("negl"))).alias("m")
+    ).select("node", (-F.col("m.negl")).alias("label"))
 
 
 def label_propagation(
@@ -504,14 +539,7 @@ def label_propagation(
         .withColumn("label", F.col("node").cast("long"))
     )
     for i in range(iterations):
-        nbr_votes = edges.join(
-            labels.select(F.col("node").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        votes = nbr_votes.unionByName(labels)  # one self-vote damps flip-flop
-        counts = votes.groupBy("node", "label").agg(F.count("*").alias("c"))
-        labels = counts.groupBy("node").agg(
-            F.max(F.struct(F.col("c"), (-F.col("label")).alias("negl"))).alias("m")
-        ).select("node", (-F.col("m.negl")).alias("label"))
+        labels = _lpa_round(edges, labels)
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=False)
     labels = labels.localCheckpoint(eager=True)

@@ -539,17 +539,25 @@ def test_video_shot_mad_no_shuffle(spark):
 
 
 def test_pagerank_iteration_shape(spark):
-    """r8: one PageRank iteration = equi-joins on src + ONE final hash
-    aggregate on dst — no cartesian, no nested-loop join, no window."""
-    from sparsity_spark.operators.graph import pagerank, symmetrize_edges
+    """r8 (tightened r9: assert the ROUND plan, not the localCheckpointed
+    result whose plan collapses to Scan ExistingRDD): one PageRank
+    iteration = an equi-join on src + ONE final hash aggregate on dst —
+    no cartesian, no nested-loop join, no window."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.graph import _pagerank_round, symmetrize_edges
 
     edges = symmetrize_edges(
         spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long"), "a", "b"
     )
-    plan = formatted_plan(pagerank(edges, iterations=1))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank_micro"))
+    plan = formatted_plan(_pagerank_round(adj, ranks, 150000, 85))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_triangle_count_never_cartesian(spark):
@@ -602,3 +610,61 @@ def test_edge_store_screen_store_side_shuffle_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Bucketed: true" in plan, "store scan must use its bucketing"
+
+
+def test_label_propagation_round_shape(spark):
+    """r9: one LPA round = an equi-join on src + two hash aggregates —
+    no window operator anywhere (the argmax is max(struct)), no
+    cartesian; results survive hub skew without a quadratic term."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.graph import _lpa_round, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node").cast("long")
+    )
+    plan = formatted_plan(_lpa_round(edges, labels))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # vote count + argmax
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    """r9: after the driver-side power iteration, the per-vector scoring
+    must be a bare scan + projection — zero exchanges, no Python: 100 TB
+    projects at scan speed."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import pca_project_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project_int(emb, [1000000] * 64)
+    plan = formatted_plan(proj)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_bfs_hop_is_frontier_join_plus_anti_join(spark):
+    """r9: a BFS hop must be equi-join + anti-join shapes only — no
+    cartesian, no window; the visited set check is a join, not a
+    collected driver set."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.graph import _bfs_hop, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    frontier = spark.createDataFrame([(1,)], "node long")
+    levels = frontier.withColumn("lvl", F.lit(0).cast("int"))
+    plan = formatted_plan(_bfs_hop(edges, frontier, levels))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
