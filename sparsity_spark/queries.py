@@ -8341,15 +8341,20 @@ def _node2vec_skipgram_oracle(
     )
 
 
-@query("graph_node2vec_skipgram", _node2vec_skipgram_oracle())
+@query("graph_node2vec_skipgram", _node2vec_skipgram_oracle(ret_w=4000, out_w=250))
 def graph_node2vec_skipgram_q(spark, sf_dir):
     """The complete biased DeepWalk data pipeline in one row (r9):
-    node2vec walks (return 250 / in-out 4000 milli-weights) over the
-    customer↔supplier graph, then window-2 skip-gram co-occurrence
-    counts — exactly the sparse training input a graph-embedding trainer
-    consumes, every hop and every pair count oracle-replayed. Pair
-    volume stays Σ len·window per walk (the walk-id-keyed self-join),
-    never corpus²."""
+    node2vec walks over the customer↔supplier graph, then window-2
+    skip-gram co-occurrence counts — exactly the sparse training input
+    a graph-embedding trainer consumes, every hop and every pair count
+    oracle-replayed. Pair volume stays Σ len·window per walk (the
+    walk-id-keyed self-join), never corpus². Weights are RETURN-heavy
+    (4000/250 milli — the BFS-ish regime, opposite of the walks row's
+    250/4000): oscillating walks revisit nodes, so the same
+    (center, context) pair recurs within a walk and n_pairs genuinely
+    varies — the audit's degeneracy check flagged the DFS-regime twin
+    (every count 1, a gate that could never fire on the count
+    column)."""
     from sparsity_spark.operators.graph import (
         node2vec_walks,
         symmetrize_edges,
@@ -8366,7 +8371,7 @@ def graph_node2vec_skipgram_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    walks = node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000)
+    walks = node2vec_walks(edges, starts, steps=3, ret_w=4000, out_w=250)
     return walk_skipgram_pairs(walks, window=2)
 
 
