@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "emb_pca_project",
     "graph_bfs_levels",
     "multimodal_phash_clusters",
+    "dedup_incremental_clusters",
 ]
 
 
@@ -244,6 +245,8 @@ SCALE_QUERIES = [
     # collision-bounded pairs + node-sized label propagation
     "graph_bfs_levels",
     "multimodal_phash_clusters",
+    # the fold moves pairs + a batch-sized components loop — corpus: zero
+    "dedup_incremental_clusters",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

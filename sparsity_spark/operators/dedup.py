@@ -1575,3 +1575,169 @@ def edit_distance_pairs(
     return cand.filter(F.levenshtein("__sa__", "__sb__") <= 1).select(
         "id_a", "id_b", F.levenshtein("__sa__", "__sb__").cast("int").alias("dist")
     )
+
+
+def write_cluster_store(
+    labels: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    num_buckets: int = 16,
+) -> None:
+    """Persist near-dup CLUSTER assignments (id → cluster_id, bucketed BY
+    the id) plus an initially-empty companion merge table
+    ``{table}__remap`` — the third store the incremental dedup loop
+    needs: the hash ledger answers "seen exactly", the band store
+    answers "who might match", and this one answers "which cluster does
+    each doc belong to" without recomputing the transitive closure over
+    the corpus. Cluster ids are component-minimum doc ids (what
+    duplicate_clusters emits), which is the invariant the fold below
+    exploits."""
+    from sparsity_spark.operators.skew import write_bucketed
+
+    write_bucketed(
+        labels.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(cluster_col).cast("long").alias(cluster_col),
+        ),
+        table,
+        [id_col],
+        num_buckets,
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    spark = labels.sparkSession
+    _drop_table_and_location(spark, f"{table}__remap")
+    spark.createDataFrame([], "old_id long, new_id long").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{table}__remap")
+
+
+def resolve_cluster_store(spark, table: str) -> DataFrame:
+    """Current (doc_id, cluster_id) view of the store: corpus rows are
+    never rewritten on merges — a broadcast join against the compacted
+    (cluster-count-sized) remap table applies them at read, the
+    merge-log pattern every mutable-at-scale store uses. The remap is
+    kept ONE hop deep by compaction in fold_cluster_store, so resolution
+    is a single join, not pointer chasing."""
+    store = spark.table(table)
+    remap = spark.table(f"{table}__remap").select(
+        F.col("old_id").alias("cluster_id"), F.col("new_id")
+    )
+    return store.join(F.broadcast(remap), "cluster_id", "left").select(
+        "doc_id", F.coalesce("new_id", "cluster_id").alias("cluster_id")
+    )
+
+
+def fold_cluster_store(
+    batch_ids: DataFrame,
+    pairs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Fold one increment of candidate pairs into the persisted cluster
+    store WITHOUT re-clustering the corpus — the capstone of the
+    incremental dedup loop (band-store screen emits the pairs; this
+    decides cluster membership).
+
+    The trick that keeps the fold batch-sized: stored cluster ids are
+    component-MINIMUM doc ids, so an entire existing cluster can stand
+    in as ONE pseudo-node. Every pair endpoint maps to
+    ``coalesce(current_cluster_id, doc_id)`` (one join against the
+    resolved store), then connected components run over the tiny graph
+    of {batch docs ∪ touched cluster ids}. The component minimum over
+    that graph IS the true global minimum — min(batch ids, cluster
+    ids) = min(batch ids, per-cluster corpus minima) — so the folded
+    store resolves bit-identically to a full recompute, including the
+    hard case where one batch doc BRIDGES two existing clusters (both
+    old ids land in the merge table). Communication: pairs-sized joins +
+    a components loop over a batch-sized graph; the corpus moves
+    nothing.
+
+    Replay-idempotent: a re-folded batch maps through its (now stored)
+    assignments to already-merged pseudo-nodes, components return
+    label == node everywhere, and the anti-join appends nothing — the
+    at-least-once property the hash/band/bloom stores share. New doc
+    ids must be fresh (not equal to any stored doc id) — the standard
+    append-only ingest contract.
+
+    Returns the resolved post-fold (doc_id, cluster_id) view."""
+    spark = batch_ids.sparkSession
+    a, b = pair_cols
+    resolved = resolve_cluster_store(spark, table)
+    bset = batch_ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    m = pairs.select(
+        F.col(a).cast("long").alias("ea"), F.col(b).cast("long").alias("eb")
+    )
+    for side in ("ea", "eb"):
+        m = m.join(
+            resolved.select(
+                F.col("doc_id").alias(side), F.col("cluster_id").alias(f"{side}_c")
+            ),
+            side,
+            "left",
+        )
+    mapped = m.select(
+        F.coalesce("ea_c", "ea").alias("pa"),
+        F.coalesce("eb_c", "eb").alias("pb"),
+        F.col("ea_c").alias("ca"),
+        F.col("eb_c").alias("cb"),
+    ).localCheckpoint(eager=True)  # freeze BEFORE the store tables mutate
+    pseudo = (
+        mapped.select(F.col("ca").alias("node"))
+        .unionByName(mapped.select(F.col("cb").alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+    )
+    ids = (
+        bset.select(F.col(id_col).alias("node"))
+        .unionByName(pseudo)
+        .distinct()
+        .select(F.col("node").alias(id_col))
+    )
+    comp = duplicate_clusters(
+        mapped.where(F.col("pa") != F.col("pb")).select(
+            F.col("pa").alias("id_a"), F.col("pb").alias("id_b")
+        ),
+        ids,
+        id_col=id_col,
+    ).localCheckpoint(eager=True)
+    # 1) batch assignments — anti-join keeps replays no-ops
+    store_ids = spark.table(table).select(F.col("doc_id").alias(id_col))
+    new_assign = (
+        comp.join(bset, id_col, "leftsemi")
+        .join(store_ids, id_col, "left_anti")
+        .select(F.col(id_col).alias("doc_id"), "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    num_buckets = _table_bucket_count(spark, table)
+    (
+        new_assign.write.mode("append")
+        .bucketBy(num_buckets, "doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    # 2) merges — pseudo-nodes whose component minimum moved
+    merges = (
+        comp.join(pseudo.select(F.col("node").alias(id_col)), id_col, "leftsemi")
+        .where(F.col(id_col) != F.col("cluster_id"))
+        .select(F.col(id_col).alias("old_id"), F.col("cluster_id").alias("new_id"))
+        .localCheckpoint(eager=True)
+    )
+    # 3) compact the remap to stay one hop deep: re-target existing rows
+    #    through the new merges, add the new merges themselves
+    old_remap = spark.table(f"{table}__remap")
+    composed = old_remap.join(
+        merges.select(F.col("old_id").alias("cur"), F.col("new_id").alias("nxt")),
+        old_remap["new_id"] == F.col("cur"),
+        "left",
+    ).select("old_id", F.coalesce("nxt", old_remap["new_id"]).alias("new_id"))
+    all_remap = composed.unionByName(
+        merges.join(old_remap.select("old_id"), "old_id", "left_anti")
+    ).localCheckpoint(eager=True)
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    _drop_table_and_location(spark, f"{table}__remap")
+    all_remap.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__remap")
+    return resolve_cluster_store(spark, table)

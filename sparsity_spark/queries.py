@@ -2614,6 +2614,73 @@ def dedup_clusters_q(spark, sf_dir):
     return duplicate_clusters(lsh_candidate_pairs(docs), docs)
 
 
+@query(
+    "dedup_incremental_clusters",
+    # the oracle is the FULL-corpus transitive closure — the fold must be
+    # indistinguishable from recomputing clusters from scratch
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_incremental_clusters_q(spark, sf_dir):
+    """Incremental cluster maintenance (r9 — the missing capstone of the
+    incremental dedup loop: the band store finds each batch's candidate
+    PAIRS without rescanning the corpus, but cluster MEMBERSHIP was
+    still a full recompute): the 90% corpus is clustered once and
+    persisted (doc→cluster bucketed store + empty merge table); the 10%
+    batch's pairs then FOLD in — every pair endpoint maps to its current
+    cluster id, components run over the batch-sized pseudo-graph of
+    {batch docs ∪ touched cluster ids}, new assignments append through
+    the bucket spec, and cluster merges (a batch doc bridging two
+    existing clusters) land in a compacted remap table applied at read.
+    Because stored ids are component minima, the folded store must equal
+    the from-scratch closure BIT FOR BIT — which is exactly what this
+    oracle (the full-corpus recursive closure) checks. Corpus motion:
+    zero rows."""
+    from sparsity_spark.operators.dedup import (
+        duplicate_clusters,
+        fold_cluster_store,
+        lsh_candidate_pairs,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_labels = duplicate_clusters(lsh_candidate_pairs(corpus), corpus)
+    write_cluster_store(corpus_labels, "cluster_store_oracle_q")
+    # the batch's pair increment: every candidate pair touching a batch
+    # doc (what an append_band_store screen of this batch emits)
+    batch_pairs = lsh_candidate_pairs(docs).where(
+        (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    )
+    fold_cluster_store(
+        batch.select("doc_id"), batch_pairs, "cluster_store_oracle_q"
+    )
+    return resolve_cluster_store(spark, "cluster_store_oracle_q")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)

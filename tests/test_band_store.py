@@ -512,3 +512,66 @@ def test_write_hash_store_dedups_natural_corpus_twins(spark):
     assert len(out) == 2  # no fanout against the twin hash
     keep = out.set_index("doc_id")["keep"]
     assert not keep[100] and keep[101]
+
+
+def test_fold_cluster_store_bridges_merges_and_replays(spark):
+    """r9 cluster store: the fold must equal a from-scratch closure in
+    the hard cases — a batch doc BRIDGING two stored clusters, chained
+    merges across two folds (remap compaction), and an exact replay
+    folding to a no-op."""
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import (
+        duplicate_clusters,
+        fold_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    # corpus: clusters {5,6,7} (min 5) and {8,9} (min 8), singleton 12
+    corpus = spark.createDataFrame(pd.DataFrame({"doc_id": [5, 6, 7, 8, 9, 12]}))
+    corpus_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [5, 5, 8], "id_b": [6, 7, 9]})
+    )
+    labels = duplicate_clusters(corpus_pairs, corpus)
+    write_cluster_store(labels, "cluster_store_test")
+
+    # batch 1: doc 20 bridges both clusters; doc 21 is a singleton
+    b1 = spark.createDataFrame(pd.DataFrame({"doc_id": [20, 21]}))
+    p1 = spark.createDataFrame(pd.DataFrame({"id_a": [20, 20], "id_b": [6, 9]}))
+    resolved = fold_cluster_store(b1, p1, "cluster_store_test")
+    got = {r["doc_id"]: r["cluster_id"] for r in resolved.collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 9: 5, 12: 12, 20: 5, 21: 21}
+
+    # batch 2: doc 1 (new global minimum) joins the merged cluster via 9,
+    # exercising the remap chain 8->5 composed with 5->1
+    b2 = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    p2 = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [9]}))
+    resolved2 = fold_cluster_store(b2, p2, "cluster_store_test")
+    got2 = {r["doc_id"]: r["cluster_id"] for r in resolved2.collect()}
+    assert got2 == {1: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1, 12: 12, 20: 1, 21: 21}
+    # remap stays one hop deep (compacted): every old id points at 1 directly
+    remap = {
+        r["old_id"]: r["new_id"]
+        for r in spark.table("cluster_store_test__remap").collect()
+    }
+    assert remap == {5: 1, 8: 1}
+
+    # replay of batch 2 is a no-op (at-least-once safety)
+    resolved3 = fold_cluster_store(b2, p2, "cluster_store_test")
+    got3 = {r["doc_id"]: r["cluster_id"] for r in resolved3.collect()}
+    assert got3 == got2
+    assert spark.table("cluster_store_test").count() == 9  # no duplicate rows
+
+    # and the whole thing equals a from-scratch closure on the union
+    every = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6, 7, 8, 9, 12, 20, 21, 1]})
+    )
+    all_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [5, 5, 8, 20, 20, 1], "id_b": [6, 7, 9, 6, 9, 9]})
+    )
+    scratch = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(all_pairs, every).collect()
+    }
+    assert got3 == scratch
