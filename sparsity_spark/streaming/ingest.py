@@ -726,3 +726,82 @@ def streaming_edge_maintain(
             sink(top, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_cluster_maintain(
+    stream_df: DataFrame,
+    band_table: str,
+    cluster_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    sink=None,
+):
+    """Streaming near-dup CLUSTER maintenance (r9 — the store-family loop
+    applied to the cluster store): each micro-batch of documents is
+    shingled ONCE into band keys, paired against the bucketed band store
+    (corpus side shuffle-free) and against itself (band self-join), and
+    the pair increment FOLDS into the persisted doc→cluster store via
+    :func:`operators.dedup.fold_cluster_store` — the pseudo-node
+    components trick, so after N micro-batches the resolved store is
+    BIT-EQUAL to clustering everything ever seen from scratch (pinned in
+    test_streaming). The batch's band rows then append through the
+    store's bucket spec so the NEXT batch pairs against them.
+
+    Replay-safe end to end: a re-delivered batch's docs map through
+    their (now stored) cluster assignments to already-merged
+    pseudo-nodes, the fold appends nothing, and the band append
+    anti-joins to empty — at-least-once delivery cannot corrupt either
+    store. `foreachBatch` because both store updates are batch table
+    writes. ``sink(resolved_df, batch_id)`` observes the post-fold
+    resolved (doc_id, cluster_id) view. Returns the started-ready
+    DataStreamWriter."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.dedup import (
+        _table_bucket_count,
+        band_keys,
+        band_store,
+        fold_cluster_store,
+    )
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        nb = band_keys(batch_df, id_col, text_col, k, num_hashes, bands).localCheckpoint(
+            eager=True
+        )
+        store = band_store(spark, band_table)
+        cross = (
+            nb.join(
+                store.select(F.col(id_col).alias("__cid__"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .select(F.col(id_col).alias("id_a"), F.col("__cid__").alias("id_b"))
+            .distinct()
+        )
+        left = nb.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        right = nb.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        intra = (
+            left.join(right, ["band", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        resolved = fold_cluster_store(
+            batch_df.select(id_col), cross.unionByName(intra), cluster_table
+        )
+        new_bands = nb.join(
+            spark.table(band_table).select(id_col).distinct(), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        (
+            new_bands.write.mode("append")
+            .bucketBy(_table_bucket_count(spark, band_table), "band", "band_key")
+            .format("parquet")
+            .saveAsTable(band_table)
+        )
+        if sink is not None:
+            sink(resolved, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -907,3 +907,85 @@ def test_streaming_edge_maintain_batch_parity_and_replay(spark, tmp_path):
     assert {
         (r["src"], r["dst"]) for r in spark.table("edge_stream_store").collect()
     } == want_edges
+
+
+def test_streaming_cluster_maintain_equals_batch_closure(spark, tmp_path):
+    """r9 cluster-store loop: after two micro-batches folded through the
+    band-store screen, the resolved doc→cluster store must equal a
+    from-scratch duplicate_clusters over EVERYTHING ever seen — the
+    bit-equality contract fold_cluster_store carries, proven through the
+    streaming path (and its per-batch band appends)."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        resolve_cluster_store,
+        write_band_store,
+        write_cluster_store,
+    )
+    from sparsity_spark.streaming.ingest import streaming_cluster_maintain
+
+    # texts engineered so near-dups exist within AND across batches:
+    # docs 0/1 (corpus) share a long shingle run with 100/101 (batch 1)
+    # and 200 (batch 2); distinct tails keep other docs apart
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    def doc(i, tail):
+        return base * 3 + tail
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 10, 11],
+            "text": [
+                doc(0, "alpha beta gamma"),
+                doc(1, "alpha beta gamma"),
+                "completely different words entirely " * 5 + "one",
+                "another unrelated body of text here " * 5 + "two",
+            ],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": [doc(100, "alpha beta gamma"), "fresh standalone content " * 8],
+        }
+    )
+    b2 = pd.DataFrame({"doc_id": [200], "text": [doc(200, "alpha beta gamma")]})
+    schema = "doc_id long, text string"
+
+    cdf = spark.createDataFrame(corpus, schema)
+    write_band_store(cdf, "cluster_stream_bands", num_buckets=4)
+    write_cluster_store(
+        duplicate_clusters(lsh_candidate_pairs(cdf), cdf), "cluster_stream_store"
+    )
+
+    src = str(tmp_path / "cluster_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_cluster_maintain(stream, "cluster_stream_bands", "cluster_stream_store")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cluster_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    everything = spark.createDataFrame(pd.concat([corpus, b1, b2]), schema)
+    scratch = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            lsh_candidate_pairs(everything), everything
+        ).collect()
+    }
+    maintained = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_cluster_store(spark, "cluster_stream_store").collect()
+    }
+    assert maintained == scratch
+    # the engineered dups actually clustered (the test is discriminative)
+    assert maintained[100] == maintained[0] == maintained[200] == 0
