@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "graph_bfs_levels",
     "multimodal_phash_clusters",
     "dedup_incremental_clusters",
+    "emb_corr_matrix",
 ]
 
 
@@ -247,6 +248,8 @@ SCALE_QUERIES = [
     "multimodal_phash_clusters",
     # the fold moves pairs + a batch-sized components loop — corpus: zero
     "dedup_incremental_clusters",
+    # one corpus scan for the moments; the d^2 matrix is metadata
+    "emb_corr_matrix",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -1611,3 +1611,109 @@ def pca_top_component_project(
     return pca_project_int(
         embeddings, v, id_col=id_col, vec_col=vec_col, scale=scale
     )
+
+
+def moments_int(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[list[list[int]], list[int], int]:
+    """Integer second moments of a quantized embedding column in ONE
+    Arrow pass: the d×d Gram Σ x·xᵀ, the per-dimension sums Σ x, and the
+    row count — everything a covariance/correlation matrix needs, all
+    exact BIGINT partials (pca_gram_int's kernel extended with the sum
+    row and count; same per-partition overflow guard). Output is
+    partitions·(d²+d+1) rows; the corpus never moves."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        G = None
+        S = None
+        rows = 0
+        mx = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Xq = np.floor(X * scale)
+            bmx = int(np.abs(Xq).max()) if Xq.size else 0
+            rows += len(Xq)
+            mx = max(mx, bmx)
+            if mx and rows >= (1 << 63) // (mx * mx):
+                raise ValueError(
+                    f"moments_int: int64 overflow risk at {rows} rows with "
+                    f"max|x_q|={mx}; shrink scale (currently {scale})"
+                )
+            Xq = Xq.astype(np.int64)
+            P = Xq.T @ Xq
+            s = Xq.sum(axis=0)
+            if G is None:
+                G, S = P, s
+            else:
+                G, S = G + P, S + s
+        if G is None:
+            return
+        d = G.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        out_i = np.concatenate([ii.ravel(), np.arange(d), np.array([-1])])
+        out_j = np.concatenate([jj.ravel(), np.full(d, -1), np.array([-1])])
+        out_v = np.concatenate([G.ravel(), S, np.array([rows])])
+        yield pd.DataFrame({"i": out_i, "j": out_j, "val": out_v})
+
+    part_df = embeddings.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, val long"
+    )
+    rows = part_df.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
+    if not rows:
+        raise ValueError("moments_int: empty embedding table")
+    d = max(r["i"] for r in rows) + 1
+    G = [[0] * d for _ in range(d)]
+    S = [0] * d
+    n = 0
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["val"])
+        elif r["j"] == -1:
+            S[r["i"]] = int(r["val"])
+        else:
+            G[r["i"]][r["j"]] = int(r["val"])
+    return G, S, n
+
+
+def corr_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson correlation between every pair of embedding dimensions —
+    the feature-redundancy screen (near-duplicate dimensions are dead
+    weight in every downstream distance): corr_ij = (n·G_ij − S_i·S_j) /
+    √((n·G_ii − S_i²)(n·G_jj − S_j²)), with the numerator and both
+    variance terms computed EXACTLY in unbounded Python ints from the
+    one-pass integer moments, and only the final division + √ in
+    float64 (both IEEE-correctly-rounded, so engines agree bit for
+    bit), rounded half-away-from-zero to 6 dp — the kmeans float
+    discipline. Emits the strict upper triangle (i < j); zero-variance
+    dimensions are skipped on both engine sides. The d²-sized result is
+    metadata: the corpus-sized work all happened inside the moments
+    pass."""
+    import math
+
+    G, S, n = moments_int(embeddings, vec_col=vec_col, scale=scale)
+    d = len(G)
+    var = [n * G[i][i] - S[i] * S[i] for i in range(d)]
+    out = []
+    for i in range(d):
+        if var[i] <= 0:
+            continue
+        for j in range(i + 1, d):
+            if var[j] <= 0:
+                continue
+            num = n * G[i][j] - S[i] * S[j]
+            den = math.sqrt(float(var[i]) * float(var[j]))
+            c = float(num) / den
+            c6 = math.floor(abs(c) * 1e6 + 0.5) * (1 if c >= 0 else -1) / 1e6
+            out.append((i, j, c6))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(out, "i int, j int, corr6 double")

@@ -3038,6 +3038,49 @@ def emb_pca_project_q(spark, sf_dir):
 
 
 @query(
+    "emb_corr_matrix",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    mom AS (
+      SELECT i, CAST(SUM(x) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM e GROUP BY i
+    ),
+    g AS (
+      SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS HUGEINT) AS gv
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT g.gi AS i, m.n * g.gv - m.s * m.s AS var, m.s, m.n
+      FROM g JOIN mom m ON m.i = g.gi WHERE g.gi = g.gj
+    )
+    SELECT a.i, b.i AS j,
+           ROUND(CAST(a.n * g.gv - a.s * b.s AS DOUBLE)
+                 / sqrt(CAST(a.var AS DOUBLE) * CAST(b.var AS DOUBLE)), 6) AS corr6
+    FROM g JOIN v a ON a.i = g.gi JOIN v b ON b.i = g.gj
+    WHERE g.gi < g.gj AND a.var > 0 AND b.var > 0
+    """,
+)
+def emb_corr_matrix_q(spark, sf_dir):
+    """Dimension-correlation matrix (r9): Pearson corr between every
+    embedding-dimension pair from ONE Arrow moments pass (integer Gram +
+    sums + count — the pca kernel extended), the d²-sized matrix
+    assembled driver-side with exact integer numerators and a single
+    IEEE divide+sqrt rounded half-away-from-zero to 6 dp. The redundancy
+    screen a feature pipeline runs before distance-heavy work; at 100 TB
+    the corpus cost is exactly one scan. The oracle replays quantization,
+    moments, and the float finish — drift anywhere flips the hash."""
+    from sparsity_spark.operators.similarity import corr_matrix
+
+    return corr_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "pipe_merge_upsert",
     """
     WITH updates AS (

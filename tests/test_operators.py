@@ -2870,3 +2870,31 @@ def test_pca_gram_overflow_guard_raises(spark):
     # the executor-side ValueError surfaces wrapped in PythonException
     with pytest.raises(Exception, match="overflow"):
         similarity.pca_gram_int(big)  # max|x_q| ~ 4e15 -> first row trips
+
+
+def test_corr_matrix_matches_numpy_on_quantized_values(spark):
+    """The integer-moments correlation must equal numpy's corrcoef on the
+    SAME quantized values (tolerance only from the 6-dp rounding), and
+    perfectly correlated / anti-correlated engineered dims must land at
+    exactly ±1."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(120)
+    X = np.stack(
+        [base, 2.0 * base + 0.001, -base, rng.randn(120)], axis=1
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {(r["i"], r["j"]): r["corr6"] for r in similarity.corr_matrix(df).collect()}
+
+    Xq = np.floor(X * 1_000_000)
+    C = np.corrcoef(Xq.T)
+    for (i, j), v in got.items():
+        assert abs(v - C[i][j]) < 2e-6, (i, j, v, C[i][j])
+    assert got[(0, 2)] == -1.0
+    assert got[(0, 1)] > 0.999999
+
+    # partitioning invariance: moments are integer sums
+    got2 = {(r["i"], r["j"]): r["corr6"] for r in similarity.corr_matrix(df.repartition(7)).collect()}
+    assert got2 == got

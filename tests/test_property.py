@@ -689,3 +689,85 @@ def test_gif_lzw_roundtrip_property(mcs, seed, length):
     idxs = rng.randint(0, 1 << mcs, length).tolist()
     data = _gif_lzw_encode(idxs, mcs)
     assert _gif_lzw_decode(data, mcs, length) == idxs
+
+
+def _py_components(ids, pairs):
+    """Union-find ground truth: component-minimum label per id."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+@given(data=st.data())
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_fold_cluster_store_random_graphs_equal_scratch(spark, data):
+    """r9 cluster store, property form: ANY random pair graph, split into
+    a stored corpus and two sequential batch folds, must resolve to the
+    same component minima as a from-scratch union-find — including
+    whatever bridges, chains, and singleton shapes hypothesis draws."""
+    from sparsity_spark.operators.dedup import (
+        duplicate_clusters,
+        fold_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    n = data.draw(st.integers(6, 14), label="n_ids")
+    ids = list(range(n))
+    n_pairs = data.draw(st.integers(0, 12), label="n_pairs")
+    pairs = [
+        tuple(sorted(data.draw(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda t: t[0] != t[1]
+            ),
+            label=f"pair{i}",
+        )))
+        for i in range(n_pairs)
+    ]
+    cut1 = data.draw(st.integers(2, n - 2), label="corpus_cut")
+    cut2 = data.draw(st.integers(cut1 + 1, n - 1), label="batch_cut")
+    corpus_ids = ids[:cut1]
+    b1_ids, b2_ids = ids[cut1:cut2], ids[cut2:]
+
+    def pdf(rows, cols):
+        schema = ", ".join(f"{c} long" for c in cols)
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+    in_corpus = set(corpus_ids)
+    corpus_pairs = [p for p in pairs if p[0] in in_corpus and p[1] in in_corpus]
+    labels = duplicate_clusters(
+        pdf(corpus_pairs, ["id_a", "id_b"]), pdf([(i,) for i in corpus_ids], ["doc_id"])
+    )
+    write_cluster_store(labels, "cluster_store_prop")
+
+    seen = set(corpus_ids)
+    for batch in (b1_ids, b2_ids):
+        bset = set(batch)
+        inc = [
+            p for p in pairs
+            if (p[0] in bset or p[1] in bset)
+            and p[0] in (seen | bset) and p[1] in (seen | bset)
+        ]
+        resolved = fold_cluster_store(
+            pdf([(i,) for i in batch], ["doc_id"]),
+            pdf(inc, ["id_a", "id_b"]),
+            "cluster_store_prop",
+        )
+        seen |= bset
+
+    got = {r["doc_id"]: r["cluster_id"] for r in resolved.collect()}
+    want = _py_components(ids, pairs)
+    assert got == want
