@@ -1489,62 +1489,13 @@ def pca_gram_int(
 ) -> list[list[int]]:
     """Integer-exact (uncentered) Gram matrix Σ x·xᵀ of a quantized
     embedding column — the distributed half of the PCA power iteration.
-
-    Each component is quantized ``floor(double(x) · scale)`` (the
-    emb_quantize_int8 discipline: float32→float64 is exact, the multiply
-    is one IEEE op both engines share, and floor has no tie to break),
-    then ONE Arrow ``mapInPandas`` pass accumulates the d×d partial
-    XᵀX per partition in int64 — the kmeans-partials shape: corpus-sized
-    input, (partitions · d²)-sized output, ONE hash aggregate to combine,
-    a d²-row collect. Nothing corpus-sized ever moves.
-
-    Overflow is guarded, not assumed: each partition checks
-    rows_so_far · max|x_q|² < 2⁶³ and raises with the safe ``scale``
-    hint instead of letting numpy int64 silently wrap (the
-    audio_spectral_bands rule). With |x| ≤ 1 and scale 10⁶ the bound
-    allows ~9·10⁶ rows per partition; shrink ``scale`` 10× to buy 100×.
-    """
-    import numpy as np
-    import pandas as pd
-
-    def partials(batches):
-        G = None
-        rows = 0
-        mx = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            Xq = np.floor(X * scale)
-            bmx = int(np.abs(Xq).max()) if Xq.size else 0
-            rows += len(Xq)
-            mx = max(mx, bmx)
-            if mx and rows >= (1 << 63) // (mx * mx):
-                raise ValueError(
-                    f"pca_gram_int: int64 overflow risk at {rows} rows with "
-                    f"max|x_q|={mx}; shrink scale (currently {scale})"
-                )
-            Xq = Xq.astype(np.int64)
-            P = Xq.T @ Xq
-            G = P if G is None else G + P
-        if G is None:
-            return
-        d = G.shape[0]
-        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        yield pd.DataFrame(
-            {"i": ii.ravel(), "j": jj.ravel(), "val": G.ravel()}
-        )
-
-    part_df = embeddings.select(vec_col).mapInPandas(
-        partials, schema="i int, j int, val long"
-    )
-    rows = part_df.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
-    if not rows:
-        raise ValueError("pca_gram_int: empty embedding table")
-    d = max(r["i"] for r in rows) + 1
-    G = [[0] * d for _ in range(d)]
-    for r in rows:
-        G[r["i"]][r["j"]] = int(r["val"])
+    One Arrow pass via :func:`moments_int` (same quantization — float32→
+    float64 exact, one shared IEEE multiply, tie-free floor — same
+    kmeans-partials shape, same per-partition int64 overflow guard with
+    the safe-``scale`` hint); the sums/count the moments kernel also
+    carries cost d+1 extra metadata rows. Nothing corpus-sized ever
+    moves."""
+    G, _, _ = moments_int(embeddings, vec_col=vec_col, scale=scale)
     return G
 
 

@@ -8913,6 +8913,8 @@ _FIRST_50 = [
     "emb_pca_project",            # integer distributed PCA (r9 late)
     "graph_bfs_levels",           # multi-source BFS levels (r9 late)
     "multimodal_phash_clusters",  # perceptual pairs-to-canonical clusters (r9 late)
+    "dedup_incremental_clusters", # cluster-store fold == from-scratch closure (r9 late)
+    "emb_corr_matrix",            # one-pass integer-moments correlation (r9 late)
     "s5_events_coo_scaled",       # S5 scale path (r8 #6) — bucketed numbering
     "j1_join_level",              # join(level=) parity (r8 #5)
     "text_bpe_encode_deep",       # 64-merge kernel encode (r8 #1)
@@ -8926,9 +8928,8 @@ _FIRST_50 = [
     # never-driver-checked rotation, family by family
     "s11_head", "s1_melt_numeric", "a4_std_dense_denominator",
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
-    "a7_cube_revenue", "a8_session_window",
+    "a8_session_window",
     "q2_min_cost_supplier", "q8_market_share",
-    "q20_volume_suppliers",
     "multimodal_binary_dedup", "multimodal_gif_features",
     "multimodal_frames", "dedup_exact_normalized", "dedup_incremental_lsh",
     "dedup_semdedup", "dedup_semantic_screen",
