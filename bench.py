@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "multimodal_phash_clusters",
     "dedup_incremental_clusters",
     "emb_corr_matrix",
+    "emb_grouped_pca_project",
 ]
 
 
@@ -250,6 +251,7 @@ SCALE_QUERIES = [
     "dedup_incremental_clusters",
     # one corpus scan for the moments; the d^2 matrix is metadata
     "emb_corr_matrix",
+    "emb_grouped_pca_project",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -1668,3 +1668,127 @@ def corr_matrix(
             out.append((i, j, c6))
     spark = embeddings.sparkSession
     return spark.createDataFrame(out, "i int, j int, corr6 double")
+
+
+def grouped_moments_int(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> dict:
+    """Per-GROUP integer second moments in ONE Arrow pass — the moments
+    kernel keyed by a small-cardinality group column (domain, language,
+    source): each partition accumulates one (Gram, sums, count) triple
+    per group it sees, emitting partitions·groups·(d²+d+1) rows. The
+    per-partition overflow guard applies per group (each group's Gram is
+    its own int64 accumulation). Returns {group: (G, S, n)}."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        acc = {}
+        mx = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Xq = np.floor(X * scale)
+            bmx = int(np.abs(Xq).max()) if Xq.size else 0
+            mx = max(mx, bmx)
+            Xq = Xq.astype(np.int64)
+            gvals = pdf["__g__"].to_numpy()
+            for g in np.unique(gvals):
+                sel = Xq[gvals == g]
+                G, S, n = acc.get(int(g), (None, None, 0))
+                n += len(sel)
+                if mx and n >= (1 << 63) // (mx * mx):
+                    raise ValueError(
+                        f"grouped_moments_int: int64 overflow risk in group "
+                        f"{int(g)} at {n} rows with max|x_q|={mx}; shrink "
+                        f"scale (currently {scale})"
+                    )
+                P = sel.T @ sel
+                s = sel.sum(axis=0)
+                acc[int(g)] = (
+                    (P, s, n) if G is None else (G + P, S + s, n)
+                )
+        if not acc:
+            return
+        frames = []
+        for g, (G, S, n) in acc.items():
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": g,
+                        "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                        "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                        "val": np.concatenate([G.ravel(), S, [n]]),
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    part_df = embeddings.select(
+        F.col(group_col).cast("long").alias("__g__"), vec_col
+    ).mapInPandas(partials, schema="g long, i int, j int, val long")
+    rows = part_df.groupBy("g", "i", "j").agg(F.sum("val").alias("val")).collect()
+    if not rows:
+        raise ValueError("grouped_moments_int: empty embedding table")
+    out = {}
+    d = max(r["i"] for r in rows) + 1
+    for r in rows:
+        g = int(r["g"])
+        if g not in out:
+            out[g] = ([[0] * d for _ in range(d)], [0] * d, 0)
+        G, S, _ = out[g]
+        if r["i"] == -1:
+            out[g] = (G, S, int(r["val"]))
+        elif r["j"] == -1:
+            S[r["i"]] = int(r["val"])
+        else:
+            G[r["i"]][r["j"]] = int(r["val"])
+    return out
+
+
+def grouped_pca_project(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-group principal-direction projection: one grouped moments
+    pass, one driver power iteration per group (groups·d² integers —
+    metadata), then each vector projects onto ITS group's component via
+    one BROADCAST join of the (group, component) table + the zip_with
+    fold — scan-speed scoring with per-domain axes, the shape per-source
+    curriculum/whitening needs. Returns (id_col, group_col,
+    score_micro)."""
+    moments = grouped_moments_int(
+        embeddings, group_col=group_col, vec_col=vec_col, scale=scale
+    )
+    comps = [
+        (g, pca_power_component(G, iterations=iterations, unit=unit))
+        for g, (G, _, _) in sorted(moments.items())
+    ]
+    spark = embeddings.sparkSession
+    comp_df = spark.createDataFrame(
+        comps, f"{group_col} long, __comp__ array<long>"
+    )
+    qexpr = F.expr(
+        f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    score = F.aggregate(
+        F.zip_with(qexpr, F.col("__comp__"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embeddings.withColumn(group_col, F.col(group_col).cast("long"))
+        .join(F.broadcast(comp_df), group_col)
+        .select(F.col(id_col), F.col(group_col), score.alias("score_micro"))
+    )

@@ -3037,6 +3037,61 @@ def emb_pca_project_q(spark, sf_dir):
     return pca_top_component_project(emb, iterations=3)
 
 
+def _grouped_pca_oracle(iters: int = 3, scale: int = 1_000_000, unit: int = 1_000_000) -> str:
+    """Per-label power-iteration PCA: the single-component oracle with
+    every CTE keyed by label — per-label Gram, per-label max-rescale,
+    per-label projection join."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS g, CAST(i - 1 AS INTEGER) AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS x
+      FROM (SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    gr AS (
+      SELECT a.g, a.i AS gi, b.i AS gj, CAST(SUM(a.x * b.x) AS HUGEINT) AS val
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2, 3
+    ),
+    v0 AS (SELECT DISTINCT g, gi AS i, CAST({unit} AS HUGEINT) AS val FROM gr)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+    w{k} AS (
+      SELECT gr.g, gr.gi AS i, SUM(gr.val * v.val) AS w
+      FROM gr JOIN v{k-1} v ON v.g = gr.g AND v.i = gr.gj GROUP BY 1, 2),
+    m{k} AS (SELECT g, MAX(ABS(w)) AS m FROM w{k} GROUP BY 1),
+    v{k} AS (
+      SELECT w.g, w.i, CASE WHEN w < 0 THEN -((-w * {unit}) // m)
+                            ELSE (w * {unit}) // m END AS val
+      FROM w{k} w JOIN m{k} USING (g))"""
+        )
+    return ",".join(parts) + f"""
+    SELECT e.vec_id, e.g AS label,
+           CAST(SUM(e.x * CAST(v.val AS BIGINT)) AS BIGINT) AS score_micro
+    FROM e JOIN v{iters} v ON v.g = e.g AND v.i = e.i
+    GROUP BY 1, 2
+    """
+
+
+@query("emb_grouped_pca_project", _grouped_pca_oracle(3))
+def emb_grouped_pca_project_q(spark, sf_dir):
+    """Per-group PCA (r9): each label's OWN principal direction from one
+    grouped integer-moments pass (groups·d² partial rows — metadata),
+    per-group driver power iterations, then every vector projects onto
+    its group's axis via ONE broadcast join + the zip_with fold — the
+    per-domain whitening/curriculum primitive (a shared global axis
+    washes out when sources have different dominant directions). Every
+    group's quantization, Gram, rescales, and projection replay as
+    label-keyed CTEs."""
+    from sparsity_spark.operators.similarity import grouped_pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return grouped_pca_project(emb, group_col="label", iterations=3)
+
+
 @query(
     "emb_corr_matrix",
     """

@@ -2898,3 +2898,42 @@ def test_corr_matrix_matches_numpy_on_quantized_values(spark):
     # partitioning invariance: moments are integer sums
     got2 = {(r["i"], r["j"]): r["corr6"] for r in similarity.corr_matrix(df.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_grouped_pca_matches_per_group_single_pca(spark):
+    """Per-group PCA must equal running the single-group pipeline on each
+    group's slice independently — same moments, same iteration, same
+    projection — and differ BETWEEN groups engineered with different
+    dominant axes."""
+    rng = np.random.RandomState(11)
+    d = 6
+    ax0 = np.array([1.0, 0, 0, 0, 0, 0])
+    ax1 = np.array([0, 0, 0, 1.0, 0, 0])
+    X0 = rng.randn(80, 1) * ax0[None, :] + rng.randn(80, d) * 0.03
+    X1 = rng.randn(80, 1) * ax1[None, :] + rng.randn(80, d) * 0.03
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(160),
+            "label": [0] * 80 + [1] * 80,
+            "embedding": [list(map(float, r)) for r in np.vstack([X0, X1])],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["vec_id"]: (r["label"], r["score_micro"])
+        for r in similarity.grouped_pca_project(df, iterations=4).collect()
+    }
+    for g in (0, 1):
+        sub = df.where(F.col("label") == g)
+        single = {
+            r["vec_id"]: r["score_micro"]
+            for r in similarity.pca_top_component_project(sub, iterations=4).collect()
+        }
+        for vid, s in single.items():
+            assert got[vid] == (g, s)
+
+    # the two groups' components point along different axes
+    moms = similarity.grouped_moments_int(df)
+    v0 = similarity.pca_power_component(moms[0][0], iterations=4)
+    v1 = similarity.pca_power_component(moms[1][0], iterations=4)
+    assert abs(v0[0]) > 10 * abs(v0[3]) and abs(v1[3]) > 10 * abs(v1[0])
