@@ -582,7 +582,9 @@ class SparseFrame:
             if axis != 1 or level is not None:
                 raise ValueError("dup_labels='cross' applies to plain axis=1 joins")
             return self._join_cross(other, how)
-        if level is not None and axis == 1:
+        if level is not None:
+            if axis != 1:
+                raise ValueError("join(level=) applies to axis=1 joins only")
             return self._join_on_level(other, how, level)
         if axis == 0:
             return self._vstack_aligned(other)

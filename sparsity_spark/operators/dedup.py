@@ -1592,16 +1592,19 @@ def write_cluster_store(
     each doc belong to" without recomputing the transitive closure over
     the corpus. Cluster ids are component-minimum doc ids (what
     duplicate_clusters emits), which is the invariant the fold below
-    exploits."""
+    exploits. ``id_col``/``cluster_col`` name the INPUT's columns; the
+    persisted store always carries the canonical (doc_id, cluster_id)
+    schema, which resolve_cluster_store and fold_cluster_store read
+    back — input naming never produces an unreadable store."""
     from sparsity_spark.operators.skew import write_bucketed
 
     write_bucketed(
         labels.select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.col(cluster_col).cast("long").alias(cluster_col),
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(cluster_col).cast("long").alias("cluster_id"),
         ),
         table,
-        [id_col],
+        ["doc_id"],
         num_buckets,
     )
     from sparsity_spark.operators.skew import _drop_table_and_location

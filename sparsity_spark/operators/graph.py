@@ -160,6 +160,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     triangle enumeration (sample or sketch above it when an estimate
     suffices)."""
     und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    return _count_triangles_deduped(und)
+
+
+def _count_triangles_deduped(und: DataFrame) -> DataFrame:
+    """Oriented wedge-join body of :func:`triangle_count` over an edge
+    set ALREADY self-loop-free and distinct — split out so
+    :func:`triangle_count_capped` (whose capped set inherits both
+    properties from its own dedup) skips a redundant full
+    distinct shuffle over the edge table."""
     orient = und.where(F.col("src") < F.col("dst"))
     e1 = orient.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = orient.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -198,7 +207,9 @@ def triangle_count_capped(edges: DataFrame, max_degree: int = 64) -> DataFrame:
         und.join(keep, "src", "leftsemi")
         .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
     )
-    return triangle_count(capped)
+    # capped is self-loop-free and distinct by construction (semi-joins
+    # of the deduped und) — skip triangle_count's redundant re-dedup
+    return _count_triangles_deduped(capped)
 
 
 def personalized_pagerank(
@@ -561,7 +572,10 @@ def k_core(
     boilerplate mirror farms live in dense cores; tendrils and one-off
     links peel away. Input is an undirected (symmetric, distinct) edge
     table; returns (node, deg) — each survivor with its WITHIN-CORE
-    degree.
+    degree. ``checkpoint_every`` must be ≥ 1: each round references the
+    previous round's edge set three times (degree agg + two semi-joins),
+    so the logical plan grows ~3× per un-checkpointed round — bounded at
+    3^checkpoint_every between localCheckpoints, unbounded without them.
 
     Determinism/oracle seam: a FIXED ``peels`` count replays exactly in
     SQL (each peel is one degree aggregate + two semi-joins — the
@@ -573,6 +587,11 @@ def k_core(
     localCheckpoints and per-round work is edge-linear."""
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError(
+            "k_core: checkpoint_every must be >= 1 (plan size grows ~3x "
+            "per un-checkpointed peel round)"
+        )
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     prev_nodes = None
     rounds = 0
@@ -621,7 +640,13 @@ def merge_edge_store(
     hot per-batch path. Only table-absent creates the store fresh; transient
     read errors propagate (merge_bloom_store's r9 rule). The increment
     is frozen (localCheckpoint) before the append so the write never
-    races its own read. Returns the maintained edge table."""
+    races its own read. ``num_buckets`` applies only when the store is
+    CREATED; appends restate the existing table's own bucket spec (read
+    from the catalog — a caller-supplied mismatch would make Spark
+    reject the append mid-pipeline, the rule every other store follows).
+    Returns the maintained edge table."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+
     spark = batch_df.sparkSession
     inc = batch_df.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -631,7 +656,9 @@ def merge_edge_store(
             inc.join(spark.table(table), on=["src", "dst"], how="left_anti")
             .localCheckpoint(eager=True)
         )
-        new.write.mode("append").bucketBy(num_buckets, "src", "dst").saveAsTable(table)
+        new.write.mode("append").bucketBy(
+            _table_bucket_count(spark, table), "src", "dst"
+        ).saveAsTable(table)
     else:
         from sparsity_spark.operators.skew import write_bucketed
 
@@ -671,6 +698,11 @@ def node2vec_walks(
 
     if ret_w <= 0 or out_w <= 0:
         raise ValueError("node2vec_walks: weights must be positive integers")
+    if steps < 1:
+        # the uniform step-1 hop is built unconditionally below, so a
+        # steps=0 call would silently return one hop the caller excluded
+        # (random_walks(steps=0) correctly returns only step 0)
+        raise ValueError("node2vec_walks: steps must be >= 1")
     edges = edges.select("src", "dst").distinct().persist()
     nbr = edges.withColumn(
         "rank",

@@ -1573,12 +1573,24 @@ def moments_int(
     Arrow pass: the d×d Gram Σ x·xᵀ, the per-dimension sums Σ x, and the
     row count — everything a covariance/correlation matrix needs, all
     exact BIGINT partials (pca_gram_int's kernel extended with the sum
-    row and count; same per-partition overflow guard). Output is
-    partitions·(d²+d+1) rows; the corpus never moves."""
+    row and count). Output is partitions·(d²+d+2) rows; the corpus never
+    moves.
+
+    Overflow is guarded at BOTH levels: each partition fail-fasts when
+    its local accumulation could wrap int64, AND — because the
+    cross-partition combine is a plain Spark long sum that would wrap
+    silently — every partition also emits its max|x_q| so the driver can
+    verify the GLOBAL invariant n_total·max|x_q|² < 2⁶³ (|Σ x_i·x_j| is
+    bounded by it, so no partial sum in any combine order can have
+    wrapped) and raise with the safe-``scale`` hint instead of returning
+    corrupted moments. The per-partition check alone weakens as
+    parallelism grows; the global check does not."""
     import numpy as np
     import pandas as pd
 
     def partials(batches):
+        from pyspark import TaskContext
+
         G = None
         S = None
         rows = 0
@@ -1606,10 +1618,14 @@ def moments_int(
         if G is None:
             return
         d = G.shape[0]
+        pid = TaskContext.get().partitionId()
         ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        out_i = np.concatenate([ii.ravel(), np.arange(d), np.array([-1])])
-        out_j = np.concatenate([jj.ravel(), np.full(d, -1), np.array([-1])])
-        out_v = np.concatenate([G.ravel(), S, np.array([rows])])
+        # i=-2 rows carry this partition's max|x_q| under a per-partition
+        # key, so the groupBy SUM leaves each one intact for the driver's
+        # global max
+        out_i = np.concatenate([ii.ravel(), np.arange(d), np.array([-1, -2])])
+        out_j = np.concatenate([jj.ravel(), np.full(d, -1), np.array([-1, pid])])
+        out_v = np.concatenate([G.ravel(), S, np.array([rows, mx])])
         yield pd.DataFrame({"i": out_i, "j": out_j, "val": out_v})
 
     part_df = embeddings.select(vec_col).mapInPandas(
@@ -1622,13 +1638,21 @@ def moments_int(
     G = [[0] * d for _ in range(d)]
     S = [0] * d
     n = 0
+    mx = 0
     for r in rows:
-        if r["i"] == -1:
+        if r["i"] == -2:
+            mx = max(mx, int(r["val"]))
+        elif r["i"] == -1:
             n = int(r["val"])
         elif r["j"] == -1:
             S[r["i"]] = int(r["val"])
         else:
             G[r["i"]][r["j"]] = int(r["val"])
+    if mx and n * mx * mx >= 1 << 63:
+        raise ValueError(
+            f"moments_int: int64 overflow risk across partitions at {n} "
+            f"total rows with max|x_q|={mx}; shrink scale (currently {scale})"
+        )
     return G, S, n
 
 
@@ -1679,18 +1703,28 @@ def grouped_moments_int(
     """Per-GROUP integer second moments in ONE Arrow pass — the moments
     kernel keyed by a small-cardinality group column (domain, language,
     source): each partition accumulates one (Gram, sums, count) triple
-    per group it sees, emitting partitions·groups·(d²+d+1) rows. The
-    per-partition overflow guard applies per group (each group's Gram is
-    its own int64 accumulation). Returns {group: (G, S, n)}."""
+    per group it sees, emitting partitions·groups·(d²+d+2) rows. The
+    overflow guard is two-level like :func:`moments_int`: per-partition
+    fail-fast per group, plus a global per-group n·max|x_q|² < 2⁶³ check
+    on the driver (the cross-partition combine is a plain long sum).
+    NULL group values raise loudly — silently dropping unlabeled rows
+    would misreport every group's moments. Returns {group: (G, S, n)}."""
     import numpy as np
     import pandas as pd
 
     def partials(batches):
+        from pyspark import TaskContext
+
         acc = {}
         mx = 0
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf["__g__"].isna().any():
+                raise ValueError(
+                    f"grouped_moments_int: NULL values in group column "
+                    f"{group_col!r} — filter or impute them first"
+                )
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Xq = np.floor(X * scale)
             bmx = int(np.abs(Xq).max()) if Xq.size else 0
@@ -1714,6 +1748,7 @@ def grouped_moments_int(
                 )
         if not acc:
             return
+        pid = TaskContext.get().partitionId()
         frames = []
         for g, (G, S, n) in acc.items():
             d = G.shape[0]
@@ -1722,9 +1757,11 @@ def grouped_moments_int(
                 pd.DataFrame(
                     {
                         "g": g,
-                        "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
-                        "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
-                        "val": np.concatenate([G.ravel(), S, [n]]),
+                        # i=-2 carries this partition's max|x_q| (keyed by
+                        # partition id so the SUM combine leaves it intact)
+                        "i": np.concatenate([ii.ravel(), np.arange(d), [-1, -2]]),
+                        "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1, pid]]),
+                        "val": np.concatenate([G.ravel(), S, [n, mx]]),
                     }
                 )
             )
@@ -1737,8 +1774,12 @@ def grouped_moments_int(
     if not rows:
         raise ValueError("grouped_moments_int: empty embedding table")
     out = {}
+    mx = 0
     d = max(r["i"] for r in rows) + 1
     for r in rows:
+        if r["i"] == -2:
+            mx = max(mx, int(r["val"]))
+            continue
         g = int(r["g"])
         if g not in out:
             out[g] = ([[0] * d for _ in range(d)], [0] * d, 0)
@@ -1749,6 +1790,14 @@ def grouped_moments_int(
             S[r["i"]] = int(r["val"])
         else:
             G[r["i"]][r["j"]] = int(r["val"])
+    if mx:
+        for g, (_, _, n) in out.items():
+            if n * mx * mx >= 1 << 63:
+                raise ValueError(
+                    f"grouped_moments_int: int64 overflow risk across "
+                    f"partitions in group {g} at {n} rows with "
+                    f"max|x_q|={mx}; shrink scale (currently {scale})"
+                )
     return out
 
 

@@ -404,3 +404,92 @@ def test_money_math_hash_stable_across_partitioning(spark, sf_dir):
             assert snap == baseline, f"hash flip at shuffle.partitions={parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_r9_review_node2vec_steps_and_kcore_checkpoint_validate(spark):
+    """r9 review: node2vec_walks(steps=0) would silently emit the step-1
+    hop; k_core(checkpoint_every=0) would grow the plan ~3x per peel
+    unbounded — both must raise instead."""
+    import pytest
+
+    from sparsity_spark.operators.graph import k_core, node2vec_walks, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2)], "a long, b long"), "a", "b", as_string=False
+    )
+    starts = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="steps"):
+        node2vec_walks(edges, starts, steps=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        k_core(edges, k=1, checkpoint_every=0)
+
+
+def test_r9_review_join_level_axis0_raises(spark):
+    """r9 review: join(level=, axis=0) silently fell through to vstack."""
+    import pandas as pd
+    import pytest
+
+    from sparsity_spark import from_pandas
+
+    f = from_pandas(spark, pd.DataFrame({"x": [1.0]}, index=[1]))
+    with pytest.raises(ValueError, match="axis=1"):
+        f.join(f.rename(lambda c: c + "_b"), axis=0, level=0)
+
+
+def test_r9_review_cluster_store_custom_columns_roundtrip(spark):
+    """r9 review: write_cluster_store(id_col=, cluster_col=) persisted the
+    input names, which resolve/fold could never read back — the store
+    must always carry the canonical (doc_id, cluster_id) schema."""
+    import pandas as pd
+
+    from sparsity_spark.operators.dedup import (
+        fold_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    labels = spark.createDataFrame(
+        pd.DataFrame({"img_id": [5, 6], "cid": [5, 5]})
+    )
+    write_cluster_store(labels, "cluster_store_named", id_col="img_id", cluster_col="cid")
+    got = {r["doc_id"]: r["cluster_id"] for r in resolve_cluster_store(spark, "cluster_store_named").collect()}
+    assert got == {5: 5, 6: 5}
+    batch = spark.createDataFrame(pd.DataFrame({"doc_id": [9]}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [9], "id_b": [6]}))
+    resolved = fold_cluster_store(batch, pairs, "cluster_store_named")
+    assert {r["doc_id"]: r["cluster_id"] for r in resolved.collect()} == {5: 5, 6: 5, 9: 5}
+
+
+def test_r9_review_moments_global_overflow_and_null_group_raise(spark):
+    """r9 review: the per-partition overflow guard alone weakens with
+    parallelism — per-partition-passing partials whose GLOBAL sum could
+    wrap must raise; and a NULL group label must raise loudly instead of
+    crashing inside numpy."""
+    import pandas as pd
+    import pytest
+
+    from sparsity_spark.operators import similarity
+
+    # |x_q| = 2.2e9 at scale 1e6: one row per partition passes the local
+    # check (limit ~1.9 rows), two rows across partitions trip the global
+    # n*mx^2 >= 2^63 invariant
+    # |x_q| = 2e9 at scale 1e6: the local limit is floor(2^63/4e18) = 2
+    # rows, so one row per partition passes every LOCAL check and the
+    # cross-partition combine is where the wrap would happen. On this
+    # engine config Spark's ANSI sum raises ARITHMETIC_OVERFLOW at that
+    # combine; with ansi.enabled=false the driver's global
+    # n*mx^2 >= 2^63 invariant ("across partitions") fires instead —
+    # either way the corruption is caught loudly, never returned
+    big = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": [[2000.0, 0.0]] * 3})
+    ).repartitionByRange(3, "vec_id")
+    with pytest.raises(Exception, match="across partitions|ARITHMETIC_OVERFLOW"):
+        similarity.moments_int(big)
+
+    nulled = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [0, 1], "label": [0, None], "embedding": [[0.1, 0.2]] * 2}
+        )
+    )
+    with pytest.raises(Exception, match="NULL values in group column"):
+        similarity.grouped_moments_int(nulled)
