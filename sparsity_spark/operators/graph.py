@@ -49,6 +49,7 @@ __all__ = [
     "walk_skipgram_pairs",
     "triangle_count",
     "triangle_count_capped",
+    "link_prediction",
     "label_propagation",
     "bfs_levels",
     "k_core",
@@ -800,4 +801,79 @@ def walk_skipgram_pairs(
     )
     return pairs.groupBy("center", "context").agg(
         F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected graph
+    (r9 — the recommender/record-linkage primitive: score NON-adjacent
+    node pairs by shared neighborhood; the top of the list is "people who
+    bought what you bought" / "probably the same entity").
+
+    Candidate pairs are exactly the open wedges of the degree-capped
+    subgraph: nodes with undirected degree > ``max_degree`` are dropped
+    with all their edges BEFORE enumeration (the triangle_count_capped
+    skew bound — wedge volume ≤ n·cap², linear in nodes at fixed cap; a
+    celebrity hub would otherwise connect everything to everything and
+    dominate both cost and output volume with uninformative pairs).
+    Already-adjacent pairs leave via one anti-join against the oriented
+    capped edges; pairs sharing fewer than ``min_common`` neighbors are
+    cut (common == 1 is noise in any real graph and the bulk of the
+    wedge output).
+
+    Determinism: counts and degrees are exact integers; the Jaccard
+    coefficient ``common / (deg_u + deg_v - common)`` is ONE IEEE divide
+    of exact integers rounded half-away to 6 — bit-identical across
+    engines (the corr_matrix float-finish discipline). Degrees are those
+    of the CAPPED subgraph so the score is replayable from the same edge
+    set the wedges came from.
+
+    Plan shape: one distinct + one degree agg + two semi-joins (the cap),
+    one self-equi-join on the shared neighbor (the wedges), one hash
+    aggregate (common counts), one anti-join (drop existing edges), two
+    node-sized degree joins. Everything shuffles on node/pair keys; no
+    cartesian anywhere. Returns (u, v, common_neighbors, deg_u, deg_v,
+    jaccard) with u < v."""
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    keep = deg.where(F.col("deg") <= max_degree).select("src")
+    capped = (
+        und.join(keep, "src", "leftsemi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+    )
+    # wedges: u—v—w with u < w; capped holds both directions, so joining
+    # on the shared neighbor v enumerates each unordered (u, w) once per
+    # common neighbor
+    e1 = capped.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = capped.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v").where(F.col("u") < F.col("w"))
+    cn = wedges.groupBy("u", "w").agg(F.count("*").cast("long").alias("common"))
+    orient = capped.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    cand = cn.join(orient, ["u", "w"], "left_anti").where(
+        F.col("common") >= min_common
+    )
+    degc = capped.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    du = degc.select(F.col("src").alias("u"), F.col("d").alias("deg_u"))
+    dv = degc.select(F.col("src").alias("w"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "w")
+        .select(
+            F.col("u"),
+            F.col("w").alias("v"),
+            F.col("common").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
     )

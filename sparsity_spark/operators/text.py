@@ -1067,3 +1067,105 @@ def c4_clean(
         (F.size(lines) - F.size(kept_lines)).cast("long").alias("n_lines_dropped"),
         doc_ok.alias("kept"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining (r9 — phrase discovery): score every
+    adjacent word bigram by its pointwise-mutual-information ratio
+    ``n · c(xy) / (c(x) · c(y))`` — how much more often the pair co-occurs
+    than independence predicts. The top of the list is the corpus's
+    multi-word units ("new york", "machine learning"); a training
+    pipeline uses it to freeze phrases before tokenizer training and to
+    spot templated boilerplate (near-deterministic follower words).
+
+    Determinism: the three counts and the token total are exact BIGINTs;
+    the ratio is two IEEE multiplies and one divide on
+    exactly-representable integers (all counts < 2^53), rounded half-away
+    to 6 — bit-identical across engines, no logarithm (libm log is the
+    one transcendental different builds disagree on; PMI's log is
+    monotone in this ratio, so ranking is unchanged).
+
+    Plan shape: one map-only projection to token arrays; unigram counts
+    and bigram counts are each ONE partial+final hash aggregate over the
+    exploded stream; the token total is a scalar aggregate; the two
+    count-attach joins key on single words (vocabulary-sized right side;
+    AQE splits the "the"-key skew). Work is linear in corpus tokens —
+    nothing is ever quadratic and nothing collects beyond one scalar.
+
+    Returns (w1, w2, pair_count, w1_count, w2_count, pmi_ratio) for
+    bigrams with ``pair_count >= min_count``."""
+    toks = docs.select(F.split(F.col(text_col), " ").alias("w"))
+    words = toks.select(F.explode("w").alias("tok")).where(F.col("tok") != "")
+    uni = words.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    n_tokens = int(words.count())
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    pc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("w1_count"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("w2_count"))
+    return (
+        pc.join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            F.round(
+                (F.lit(n_tokens).cast("double") * F.col("pair_count"))
+                / (F.col("w1_count").cast("double") * F.col("w2_count")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via a positional inverted index (r9 — the
+    retrieval primitive BM25 can't express: bag-of-words ranking finds
+    documents CONTAINING the words; this finds the words ADJACENT and in
+    order). The same plan is how a decontamination pass checks benchmark
+    strings against a corpus at token granularity.
+
+    Plan shape: ONE map-only posexplode builds (doc, position, token)
+    postings; each phrase word keeps only its own posting list (the
+    filter pushes into the projection — posting volume is the words'
+    corpus frequency, not corpus size); k-word phrases equi-join k
+    posting lists on (doc, aligned position) — communication is
+    posting-list-sized, the classic search-engine intersection. One hash
+    aggregate counts matches per document. Returns (doc_id, n_matches)
+    for documents with at least one occurrence."""
+    words = [w for w in phrase.split(" ") if w != ""]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    out = None
+    for i, w in enumerate(words):
+        p = postings.where(F.col("tok") == w).select(
+            id_col, (F.col("pos") - i).alias("base")
+        )
+        out = p if out is None else out.join(p, [id_col, "base"])
+    return out.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))

@@ -8738,6 +8738,135 @@ def graph_triangles_capped_q(spark, sf_dir):
     )
 
 
+@query(
+    "text_pmi_bigrams",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    words2 AS (
+      SELECT tok FROM (SELECT unnest(w) AS tok FROM toks) WHERE tok <> ''
+    ),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM words2 GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM words2),
+    big2 AS (
+      SELECT w1, w2 FROM (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+      ) WHERE w1 <> '' AND w2 <> ''
+    ),
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+           FROM big2 GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT p.w1, p.w2, p.pair_count, u1.c AS w1_count, u2.c AS w2_count,
+           ROUND((CAST(n.nt AS DOUBLE) * p.pair_count)
+                 / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS pmi_ratio
+    FROM pc p CROSS JOIN n
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    """,
+)
+def text_pmi_bigrams_q(spark, sf_dir):
+    """Corpus collocation mining (r9): every adjacent bigram scored by the
+    PMI ratio n·c(xy)/(c(x)·c(y)) — phrase discovery before tokenizer
+    training, boilerplate spotting. No logarithm (libm-build drift; the
+    ratio ranks identically): exact BIGINT counts, two IEEE multiplies +
+    one divide, round-6. Two hash aggregates over the exploded token
+    stream + vocabulary-sized count joins. 900 bigrams / 833 distinct
+    ratios at sf0.01."""
+    from sparsity_spark.operators.text import collocations
+
+    return collocations(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "text_phrase_search",
+    """
+    WITH post AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS t(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM (
+      SELECT p0.doc_id FROM post p0 JOIN post p1
+        ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      WHERE p0.tok = 'table' AND p1.tok = 'hash'
+    ) GROUP BY 1
+    """,
+)
+def text_phrase_search_q(spark, sf_dir):
+    """Exact phrase search "table hash" via a positional inverted index
+    (r9) — adjacency-and-order retrieval that bag-of-words BM25 cannot
+    express; the same plan is token-granular benchmark decontamination.
+    One posexplode builds postings, each phrase word keeps only its own
+    posting list, one equi-join per extra word on (doc, aligned
+    position): communication is posting-list-sized, never corpus-sized.
+    46 matching docs at sf0.01 with multi-hit docs present."""
+    from sparsity_spark.operators.text import phrase_search
+
+    return phrase_search(load_table(spark, sf_dir, "documents"), "table hash")
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH buy AS (
+      SELECT DISTINCT l.l_partkey AS pk,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(o.o_custkey AS BIGINT) AS cust
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT DISTINCT a.cust AS s1, b.cust AS s2
+      FROM buy a JOIN buy b ON a.pk = b.pk AND a.q = b.q
+      WHERE a.cust <> b.cust
+    ),
+    deg AS (SELECT s1 AS node, COUNT(*) AS d FROM co GROUP BY 1),
+    keep AS (SELECT node FROM deg WHERE d <= 30),
+    cap AS (
+      SELECT e.s1, e.s2 FROM co e
+      JOIN keep k1 ON k1.node = e.s1
+      JOIN keep k2 ON k2.node = e.s2
+    ),
+    degc AS (SELECT s1 AS node, CAST(COUNT(*) AS BIGINT) AS d FROM cap GROUP BY 1),
+    wedge AS (
+      SELECT e1.s2 AS u, e2.s2 AS w
+      FROM cap e1 JOIN cap e2 ON e2.s1 = e1.s1 AND e1.s2 < e2.s2
+    ),
+    cn AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common FROM wedge GROUP BY 1, 2),
+    cand AS (
+      SELECT cn.u, cn.w, cn.common FROM cn
+      WHERE common >= 2
+        AND NOT EXISTS (SELECT 1 FROM cap e WHERE e.s1 = cn.u AND e.s2 = cn.w)
+    )
+    SELECT c.u AS u, c.w AS v, c.common AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           ROUND(c.common / (du.d + dv.d - c.common), 6) AS jaccard
+    FROM cand c JOIN degc du ON du.node = c.u JOIN degc dv ON dv.node = c.w
+    """,
+)
+def graph_link_prediction_q(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction (r9) over the customer
+    co-purchase graph — score NON-adjacent customer pairs by shared
+    capped-subgraph neighborhood (the "customers like you" recommender
+    primitive). Candidates are exactly the open wedges of the
+    degree-capped (<=30) subgraph, existing edges anti-joined away,
+    common >= 2; the Jaccard finish is one IEEE divide of exact integers
+    rounded to 6 (the corr_matrix float discipline). 6,600 scored pairs
+    with 63 distinct scores at sf0.01 — every column discriminative."""
+    from sparsity_spark.operators.graph import link_prediction, symmetrize_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+    edges = symmetrize_edges(pairs, "s1", "s2", as_string=False)
+    return link_prediction(edges, max_degree=30, min_common=2)
+
+
 def _bfs_oracle(depth: int = 3, nation: int = 0) -> str:
     """Multi-source BFS unrolled as CTEs: the same symmetrized
     customer↔supplier edges as the pagerank oracle, nation-{nation}

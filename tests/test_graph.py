@@ -500,3 +500,67 @@ def test_bfs_levels_chain_min_distance_and_early_stop(spark):
     lonely = spark.createDataFrame([(99,)], "node long")
     got_l = {r["node"]: r["lvl"] for r in bfs_levels(edges, lonely, max_depth=2).collect()}
     assert got_l[99] == 0
+
+
+# --------------------------------------------------------------------------
+# link_prediction (r9)
+# --------------------------------------------------------------------------
+
+
+def _lp(spark, pairs, **kw):
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    from sparsity_spark.operators.graph import link_prediction
+
+    return {
+        (r["u"], r["v"]): (
+            r["common_neighbors"], r["deg_u"], r["deg_v"], r["jaccard"]
+        )
+        for r in link_prediction(edges, **kw).collect()
+    }
+
+
+def test_link_prediction_hand_checked_square(spark):
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each share BOTH their
+    # neighbors; adjacent pairs are excluded by the anti-join.
+    got = _lp(spark, [(1, 2), (2, 3), (3, 4), (4, 1)], min_common=2)
+    assert set(got) == {(1, 3), (2, 4)}
+    cn, du, dv, j = got[(1, 3)]
+    assert (cn, du, dv) == (2, 2, 2)
+    assert j == round(2 / (2 + 2 - 2), 6) == 1.0
+
+
+def test_link_prediction_min_common_cuts_single_wedges(spark):
+    # path 1-2-3: (1,3) share only node 2 — below min_common=2, kept at 1
+    assert _lp(spark, [(1, 2), (2, 3)], min_common=2) == {}
+    got = _lp(spark, [(1, 2), (2, 3)], min_common=1)
+    assert set(got) == {(1, 3)}
+    assert got[(1, 3)] == (1, 1, 1, 1.0)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle 1-2-3 plus pendant 4 on node 1: every adjacent pair shares a
+    # neighbor but must NOT be scored; only (2,4) and (3,4) wedge through 1
+    got = _lp(spark, [(1, 2), (2, 3), (3, 1), (1, 4)], min_common=1)
+    assert set(got) == {(2, 4), (3, 4)}
+    cn, du, dv, j = got[(2, 4)]
+    assert (cn, du, dv) == (1, 2, 1)
+    assert j == round(1 / (2 + 1 - 1), 6) == 0.5
+
+
+def test_link_prediction_degree_cap_drops_hub_wedges(spark):
+    # hub 0 connected to 1..5 (deg 5) — with cap 3 the hub and all its
+    # edges vanish, so no pairs survive; the 4-cycle beside it still scores
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 13), (13, 10)]
+    got = _lp(spark, pairs, max_degree=3, min_common=2)
+    assert set(got) == {(10, 12), (11, 13)}
+
+
+def test_link_prediction_jaccard_uses_capped_degrees(spark):
+    # K4 on 1-2-3-4 minus edge (1,3): u=1,v=3 share {2,4}, degrees 2 and 2
+    # in the capped (= full) graph → jaccard 2/(2+2-2)=1.0; add a pendant 5
+    # on node 1 to shift deg_u to 3 → jaccard 2/(3+2-2)=0.666667
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (1, 5)]
+    got = _lp(spark, pairs, min_common=2)
+    assert got[(1, 3)] == (2, 3, 2, round(2 / 3, 6))

@@ -2937,3 +2937,83 @@ def test_grouped_pca_matches_per_group_single_pca(spark):
     v0 = similarity.pca_power_component(moms[0][0], iterations=4)
     v1 = similarity.pca_power_component(moms[1][0], iterations=4)
     assert abs(v0[0]) > 10 * abs(v0[3]) and abs(v1[3]) > 10 * abs(v1[0])
+
+
+# --------------------------------------------------------------------------
+# collocations / phrase_search (r9)
+# --------------------------------------------------------------------------
+
+
+def test_collocations_hand_checked_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "new york new york city"), (1, "york new york state")],
+        "doc_id long, text string",
+    )
+    from sparsity_spark.operators.text import collocations
+
+    got = {
+        (r["w1"], r["w2"]): (
+            r["pair_count"], r["w1_count"], r["w2_count"], r["pmi_ratio"]
+        )
+        for r in collocations(docs, min_count=2).collect()
+    }
+    # tokens: 9 total; new=3 york=4 city=1 state=1
+    # bigrams: new york x3, york new x2, york city, york state
+    assert set(got) == {("new", "york"), ("york", "new")}
+    pc, c1, c2, ratio = got[("new", "york")]
+    assert (pc, c1, c2) == (3, 3, 4)
+    assert ratio == round((9.0 * 3) / (3.0 * 4), 6)
+    assert got[("york", "new")][0] == 2
+
+
+def test_collocations_empty_tokens_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "a  b a  b"), (1, "a b")], "doc_id long, text string"
+    )
+    from sparsity_spark.operators.text import collocations
+
+    rows = collocations(docs, min_count=1).collect()
+    # split on single space yields empty tokens at the double spaces; they
+    # must count neither as unigrams nor as bigram members
+    assert all(r["w1"] != "" and r["w2"] != "" for r in rows)
+    got = {(r["w1"], r["w2"]): r["pair_count"] for r in rows}
+    # adjacency ACROSS a dropped empty token is not a bigram: doc 0
+    # contributes no (a,b) pairs, doc 1 contributes one
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_phrase_search_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the cat sat"),
+            (1, "cat the sat"),
+            (2, "the cat"),
+            (3, "sat cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    from sparsity_spark.operators.text import phrase_search
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "the cat sat").collect()
+    }
+    # doc 0 has two occurrences; docs 1/3 have the words but not the order;
+    # doc 2 is a prefix only
+    assert got == {0: 2}
+    got2 = {
+        r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "the cat").collect()
+    }
+    assert got2 == {0: 2, 2: 1}
+
+
+def test_phrase_search_single_word_and_empty(spark):
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    from sparsity_spark.operators.text import phrase_search
+
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "a").collect()}
+    assert got == {0: 2}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        phrase_search(docs, " ")
