@@ -1841,3 +1841,62 @@ def grouped_pca_project(
         .join(F.broadcast(comp_df), group_col)
         .select(F.col(id_col), F.col(group_col), score.alias("score_micro"))
     )
+
+
+def _sq8_codes(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
+    """Per-vector int8 code arrays — quantize_embeddings' exact math
+    (floor(x·127/max|x| + ½): floor, never round, so both engines emit
+    identical codes) kept in array form for scan-speed scoring."""
+    x = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    codes = F.transform(x, lambda v: F.floor(v * 127.0 / scale + 0.5).cast("long"))
+    return df.select(F.col(id_col).alias(id_alias), codes.alias(f"{id_alias}_c"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar-quantized top-k (r9 — the SQ scan path every
+    vector store ships alongside PQ: 4 bytes/dim → 1, and the score
+    becomes an INTEGER dot product of code arrays). Both sides quantize
+    with the same per-vector floor(x·127/max|x| + ½); the score is an
+    exact BIGINT (|score| ≤ 127²·d — overflow-free for any real d), so
+    ranking needs no rounding discipline at all: integer compares cannot
+    drift between engines, the one float hazard scalar quantization
+    usually carries.
+
+    Plan shape: the code transform is map-only on both sides; the (small)
+    query code set broadcasts against the partition-parallel corpus —
+    ONE corpus pass, per-partition top-k pushed by the rank window.
+    Returns (query_id, neighbor_id, score_i8), self-matches excluded.
+    Approximation note: code dot ≈ 127²·⟨x,y⟩/(sx·sy) — the per-vector
+    scales make this a cosine-family surrogate; re-rank the shortlist
+    with exact float cosine when the last ulp of recall matters (the
+    ivf_pq_refine composition)."""
+    corpus = _sq8_codes(embeddings, "neighbor_id", id_col, vec_col)
+    q = _sq8_codes(queries, "query_id", id_col, vec_col)
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("query_id_c"), F.col("neighbor_id_c"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("score_i8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_i8").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score_i8")
+    )

@@ -506,3 +506,64 @@ def quantile_sample_estimate(
     return agg.select(
         F.expr(f"stack({len(qs)}, {stacked}) AS (q, value_estimate)")
     )
+
+
+def merge_count_store(
+    batch_df: DataFrame,
+    table: str,
+    key_col: str,
+    batch_id: int,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Fold one counted increment into a persisted frequency store (r9 —
+    the store-family loop for exact heavy hitters, where the CMS gives
+    only an estimate). The store holds (batch_id, key, c) APPEND-ONLY
+    rows bucketed by key: each micro-batch pre-aggregates to one row per
+    key, skips entirely if its batch_id is already stored (one
+    column-pruned scan of the batch_id column — at-least-once delivery
+    appends nothing on replay), and appends through the table's own
+    bucket spec. Counts are the one store whose merge is NOT a set union
+    (sums are not idempotent), so exactly-once is restored at two
+    layers: the write-side batch_id screen, and the read side
+    (:func:`count_store_topk`) collapsing any raced duplicate
+    (batch_id, key) rows with MAX before summing — identical rows by
+    construction, so MAX is exact. The store is (batches · keys)-sized,
+    never corpus-sized; nothing rewrites. Returns the maintained table."""
+    spark = batch_df.sparkSession
+    inc = (
+        batch_df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.lit(int(batch_id)).cast("long").alias("batch_id"), "key", "c")
+    )
+    if spark.catalog.tableExists(table):
+        from sparsity_spark.operators.dedup import _table_bucket_count
+
+        seen = (
+            spark.table(table)
+            .where(F.col("batch_id") == int(batch_id))
+            .limit(1)
+            .count()
+        )
+        if seen == 0:
+            inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
+                _table_bucket_count(spark, table), "key"
+            ).saveAsTable(table)
+    else:
+        from sparsity_spark.operators.skew import write_bucketed
+
+        write_bucketed(inc.localCheckpoint(eager=True), table, ["key"], num_buckets)
+    return spark.table(table)
+
+
+def count_store_topk(spark, table: str, k: int = 10) -> DataFrame:
+    """Exact top-k over the maintained frequency store: collapse raced
+    duplicate (batch_id, key) rows with MAX (identical by construction —
+    see merge_count_store), sum per key on the bucketed layout, rank with
+    a deterministic key tie-break. Returns (key, total)."""
+    per_batch = (
+        spark.table(table)
+        .groupBy("batch_id", "key")
+        .agg(F.max("c").alias("c"))
+    )
+    totals = per_batch.groupBy("key").agg(F.sum("c").cast("long").alias("total"))
+    return totals.orderBy(F.desc("total"), "key").limit(k)

@@ -8739,6 +8739,77 @@ def graph_triangles_capped_q(spark, sf_dir):
 
 
 @query(
+    "stats_count_store_topk",
+    """
+    SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY 1
+    ORDER BY total DESC, key
+    LIMIT 10
+    """,
+)
+def stats_count_store_topk_q(spark, sf_dir):
+    """Exact streaming-style heavy hitters through the persisted count
+    store (r9): the event stream split into three micro-batch increments
+    folded via merge_count_store — batch 1 folded TWICE so the replay
+    screen fires in the serving path (a double-count would flip the
+    ranking) — then the exact top-10 users from count_store_topk. The
+    oracle is a plain count over everything ever delivered: the
+    at-least-once loop must equal exactly-once arithmetic."""
+    from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id"),
+    )
+    table = "count_store_oracle_q"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for b in range(3):
+        merge_count_store(
+            events.where(F.col("event_id") % 3 == b), table, "user_id", batch_id=b
+        )
+    # replay of batch 1 — must append nothing
+    merge_count_store(
+        events.where(F.col("event_id") % 3 == 1), table, "user_id", batch_id=1
+    )
+    return count_store_topk(spark, table, k=10)
+
+
+@query(
+    "ann_sq8_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS s FROM e)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q, n.q) AS BIGINT) AS score_i8
+      FROM c q, c n WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, score_i8 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_i8 DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_sq8_topk_q(spark, sf_dir):
+    """Symmetric int8 scalar-quantized top-5 (r9): both sides floor-coded
+    to int8, the score an exact BIGINT dot of code arrays — integer
+    compares, so the ranking has NO float surface to drift; the scan path
+    every vector store ships beside PQ (1 byte/dim, corpus stays
+    partition-parallel, queries broadcast)."""
+    from sparsity_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "text_pmi_bigrams",
     """
     WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -805,3 +805,36 @@ def streaming_cluster_maintain(
             sink(resolved, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_topk_maintain(
+    stream_df: DataFrame,
+    table: str,
+    key_col: str = "event_type",
+    k: int = 10,
+    sink=None,
+):
+    """Streaming exact heavy hitters (r9 — the count-store loop): each
+    micro-batch pre-aggregates to one (key, count) row per key and folds
+    into the persisted frequency store via
+    :func:`operators.sketches.merge_count_store` — counts are the one
+    store merge that is NOT idempotent as a set union, so replay safety
+    comes from the store's batch_id screen (a re-delivered micro-batch
+    appends nothing) plus the read side's MAX-collapse of raced
+    duplicates. After N micro-batches :func:`count_store_topk` equals an
+    exact groupBy-count over every row ever delivered (batch parity
+    pinned in test_streaming), which the CMS loop can only approximate.
+
+    `foreachBatch` because the store update is a batch table write;
+    Structured Streaming's batch ids are exactly the replay-stable
+    sequence the store screen needs. ``sink(topk_df, batch_id)``
+    observes each post-fold top-k. Returns the started-ready writer."""
+    from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
+
+    def _process(batch_df, batch_id):
+        merge_count_store(batch_df, table, key_col, batch_id)
+        top = count_store_topk(batch_df.sparkSession, table, k=k)
+        if sink is not None:
+            sink(top, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -3017,3 +3017,49 @@ def test_phrase_search_single_word_and_empty(spark):
 
     with _p.raises(ValueError):
         phrase_search(docs, " ")
+
+
+def test_sq8_topk_exact_integer_scores(spark):
+    import numpy as np
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.5, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from sparsity_spark.operators.similarity import sq8_topk
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score_i8"]
+        for r in sq8_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    }
+
+    def code(v):
+        s = max(abs(x) for x in v)
+        return [int(np.floor(x * 127.0 / s + 0.5)) for x in v]
+
+    q = code([1.0, 0.0, 0.0])
+    for nid, v in [(1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]),
+                   (3, [-1.0, 0.0, 0.0]), (4, [0.5, 1.0, 0.0])]:
+        expect = sum(a * b for a, b in zip(q, code(v)))
+        assert got[(0, nid)] == expect
+    # ranking: 1 (aligned) above 4 (diagonal) above 2 (orthogonal) above 3
+    assert got[(0, 1)] > got[(0, 4)] > got[(0, 2)] > got[(0, 3)]
+
+
+def test_sq8_topk_excludes_self_and_caps_k(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    from sparsity_spark.operators.similarity import sq8_topk
+
+    rows = sq8_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(per_q) == {0, 1} and all(len(v) == 3 for v in per_q.values())

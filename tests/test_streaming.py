@@ -989,3 +989,69 @@ def test_streaming_cluster_maintain_equals_batch_closure(spark, tmp_path):
     assert maintained == scratch
     # the engineered dups actually clustered (the test is discriminative)
     assert maintained[100] == maintained[0] == maintained[200] == 0
+
+
+def test_count_store_batch_parity_and_replay(spark):
+    """r9 count-store fold: three increments + a replayed one must sum to
+    the exact per-key counts of everything delivered ONCE; the replay
+    appends nothing (batch_id screen) and raced duplicates collapse at
+    read (MAX over identical rows)."""
+    from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
+
+    rows = [(i, i % 4) for i in range(40)]  # keys 0..3, 10 each
+    df = spark.createDataFrame(rows, "event_id long, k long")
+    spark.sql("DROP TABLE IF EXISTS count_store_t")
+    for b in range(3):
+        merge_count_store(df.where(F.col("event_id") % 3 == b), "count_store_t", "k", b)
+    before = spark.table("count_store_t").count()
+    merge_count_store(df.where(F.col("event_id") % 3 == 1), "count_store_t", "k", 1)
+    assert spark.table("count_store_t").count() == before  # replay appended nothing
+    got = {r["key"]: r["total"] for r in count_store_topk(spark, "count_store_t", k=10).collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_streaming_topk_maintain_equals_exact_counts(spark, tmp_path):
+    """r9 streaming heavy hitters: after the availableNow drain, the
+    maintained store's top-k equals an exact groupBy count over every
+    row delivered — the CMS loop's estimate bar, met exactly."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.sketches import count_store_topk
+    from sparsity_spark.streaming.ingest import streaming_topk_maintain
+
+    schema = "event_id long, event_type string"
+    b1 = pd.DataFrame([(i, "abcd"[i % 4] * (1 + i % 2)) for i in range(30)],
+                      columns=["event_id", "event_type"])
+    b2 = pd.DataFrame([(100 + i, "ab"[i % 2]) for i in range(20)],
+                      columns=["event_id", "event_type"])
+    src_dir = str(tmp_path / "cnt_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    spark.sql("DROP TABLE IF EXISTS cnt_stream_store")
+    seen = {}
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        streaming_topk_maintain(
+            stream, "cnt_stream_store", key_col="event_type", k=10,
+            sink=lambda df, bid: seen.__setitem__(bid, df.collect()),
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cnt_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    both = pd.concat([b1, b2])
+    expect = both.groupby("event_type").size().to_dict()
+    got = {
+        r["key"]: r["total"]
+        for r in count_store_topk(spark, "cnt_stream_store", k=10).collect()
+    }
+    assert got == expect
+    assert len(seen) >= 1  # sink observed per-batch top-k
