@@ -154,6 +154,12 @@ BENCH_QUERIES = [
     "dedup_incremental_clusters",
     "emb_corr_matrix",
     "emb_grouped_pca_project",
+    # r9 second-session additions
+    "graph_link_prediction",
+    "text_pmi_bigrams",
+    "text_phrase_search",
+    "ann_sq8_topk",
+    "stats_count_store_topk",
 ]
 
 
@@ -252,6 +258,15 @@ SCALE_QUERIES = [
     # one corpus scan for the moments; the d^2 matrix is metadata
     "emb_corr_matrix",
     "emb_grouped_pca_project",
+    # r9 second session: wedge volume n*cap^2 (same bound as the capped
+    # triangles), token-linear PMI counting, posting-list-sized phrase
+    # intersection, one int8 scan per query batch, and the
+    # (batches x keys)-sized count store — each expected sublinear
+    "graph_link_prediction",
+    "text_pmi_bigrams",
+    "text_phrase_search",
+    "ann_sq8_topk",
+    "stats_count_store_topk",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

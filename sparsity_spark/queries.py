@@ -9157,7 +9157,11 @@ _FIRST_50 = [
     # tri-scale tools/check_oracles.py runs. Late-r9 swap: the four
     # newest operators (LPA / PCA / BFS / phash clusters) replaced
     # multimodal_resize, q6_forecast_revenue, stats_percentiles, and
-    # evt_funnel — the swapped-out rows stay sweep-covered every round.)
+    # evt_funnel; the second-session swap put the five newest rows
+    # (link prediction / PMI / phrase search / sq8 / count store) in
+    # place of s11_head, fn_json_extract, stream_sliding_counts,
+    # stats_kmv_sketch, and text_redact_pii — swapped-out rows stay
+    # sweep-covered every round.)
     # Keepers: the flagship, plus text_bpe_encode ("green as today" is the
     # r8 #1 done-condition alongside the new deep row). Rotated OUT (all
     # driver-green in r8, still swept every round): the r8 window's other
@@ -9181,7 +9185,7 @@ _FIRST_50 = [
     "skew_bloom_store_semijoin",  # merge_bloom_store tableExists fix
     "graph_random_walks", "graph_skipgram_pairs",  # graph.py unpersist fix
     # never-driver-checked rotation, family by family
-    "s11_head", "s1_melt_numeric", "a4_std_dense_denominator",
+    "graph_link_prediction", "s1_melt_numeric", "a4_std_dense_denominator",
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
     "a8_session_window",
     "q2_min_cost_supplier", "q8_market_share",
@@ -9191,10 +9195,10 @@ _FIRST_50 = [
     "ann_hard_negatives", "emb_quantize_int8",
     "src_orc_events", "src_json_events", "sink_partitioned_day",
     "skew_salted_join", "skew_distinct_count",
-    "stream_enriched_counts", "stream_sliding_counts",
-    "stats_kmv_sketch",
+    "stream_enriched_counts", "ann_sq8_topk",
+    "stats_count_store_topk",
     "pipe_split_counts", "pipe_pack_bins", "pipe_stratified_sample",
-    "fn_json_extract", "text_redact_pii", "web_domain_cap",
+    "text_pmi_bigrams", "text_phrase_search", "web_domain_cap",
     ]
 
 def _apply_registry_order() -> None:

@@ -668,3 +668,59 @@ def test_bfs_hop_is_frontier_join_plus_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_link_prediction_never_cartesian(spark):
+    """r9: candidate pairs must come from the shared-neighbor equi-join
+    (wedge volume <= n*cap^2) — no cartesian anywhere, existing edges
+    leave via an equi-anti-join."""
+    from sparsity_spark.operators.graph import link_prediction, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    plan = formatted_plan(link_prediction(edges, max_degree=8, min_common=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_posting_joins_no_cartesian(spark, sf_dir):
+    """r9: each phrase word keeps only its own posting list and the
+    intersection is (doc, position)-keyed equi-joins — posting-list-sized
+    communication, no cartesian, no Python."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(phrase_search(docs, "table hash"))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_collocations_two_hash_aggregates_no_python(spark, sf_dir):
+    """r9: PMI counting is hash aggregates over the exploded token stream
+    plus vocabulary-keyed count joins — JVM-side end to end, partial
+    aggregation present (map-side combine on the token stream)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(collocations(docs, min_count=5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sq8_topk_broadcasts_queries_corpus_parallel(spark, sf_dir):
+    """r9: the int8 scan must broadcast the query codes against the
+    partition-parallel corpus (one corpus pass) and stay JVM-side."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Broadcast" in plan
