@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "text_phrase_search",
     "ann_sq8_topk",
     "stats_count_store_topk",
+    "graph_pagerank_weighted",
+    "dedup_containment_pairs",
 ]
 
 
@@ -267,6 +269,10 @@ SCALE_QUERIES = [
     "text_phrase_search",
     "ann_sq8_topk",
     "stats_count_store_topk",
+    # weighted pagerank: same edge-linear iteration as the unweighted
+    # row; containment: collision-bounded shared-shingle join
+    "graph_pagerank_weighted",
+    "dedup_containment_pairs",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -1744,3 +1744,67 @@ def fold_cluster_store(
     _drop_table_and_location(spark, f"{table}__remap")
     all_remap.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__remap")
     return resolve_cluster_store(spark, table)
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment join (r9): emit (src, dst) when
+    ``C(src→dst) = |src ∩ dst| / |src| >= threshold`` over distinct
+    word-k-gram shingle sets — the near-SUPERSET detector Jaccard
+    structurally misses (a 200-word doc pasted inside a 10,000-word doc
+    has J ≈ 0.02 but C ≈ 1.0; quote farms, scraped aggregators, and
+    prompt-in-completion leaks all look exactly like this).
+
+    Same collision-bounded shape as the LSH/band family: one shared-
+    shingle equi-join builds the pair table (work ∝ posting-list
+    collisions — the k-gram vocabulary is combinatorial, so the Zipf
+    head that makes a word-level join explode doesn't exist; the
+    measured argument in jaccard_prefix_join's docstring), one hash
+    aggregate counts the exact overlap, two node-sized size joins, and
+    the DIRECTIONAL emit applies each side's own denominator — both
+    directions of an asymmetric relation from ONE symmetric pair table.
+    The containment is one IEEE divide of exact integers, round-6.
+    Returns (src_id, dst_id, overlap, src_size, containment)."""
+    t = float(threshold)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
+    )
+    sizes = grams.select("id", F.size("g").cast("long").alias("sz"))
+    e = grams.select("id", F.explode("g").alias("gram"))
+    a = e.select(F.col("id").alias("ia"), "gram")
+    b = e.select(F.col("id").alias("ib"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sized = (
+        pairs.join(sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sza")), "ia")
+        .join(sizes.select(F.col("id").alias("ib"), F.col("sz").alias("szb")), "ib")
+    )
+    # threshold via the SAME single-divide compare both engines evaluate
+    # (ceil(t*sz) is the trap: 0.6*35 = 21.000000000000004 in IEEE, whose
+    # ceil is 22 — one spurious double rounding and the two engines
+    # disagree at exact-boundary pairs)
+    fwd = sized.where(F.col("c") / F.col("sza") >= t).select(
+        F.col("ia").alias("src_id"),
+        F.col("ib").alias("dst_id"),
+        F.col("c").alias("overlap"),
+        F.col("sza").alias("src_size"),
+    )
+    rev = sized.where(F.col("c") / F.col("szb") >= t).select(
+        F.col("ib").alias("src_id"),
+        F.col("ia").alias("dst_id"),
+        F.col("c").alias("overlap"),
+        F.col("szb").alias("src_size"),
+    )
+    return fwd.unionByName(rev).withColumn(
+        "containment", F.round(F.col("overlap") / F.col("src_size"), 6)
+    )

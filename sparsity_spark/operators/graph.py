@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "symmetrize_edges",
     "pagerank",
+    "pagerank_weighted",
     "personalized_pagerank",
     "hits",
     "random_walks",
@@ -877,3 +878,63 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    weight_col: str = "w",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Weighted integer PageRank (r9): real interaction graphs are
+    weighted (how MANY orders link a customer to a supplier, not whether
+    any does), and ranking on the unweighted skeleton lets one stray
+    lineitem count as much as a thousand. Contribution along an edge is
+    ``(rank · w) div strength(src)`` with ``strength = Σ w`` — the exact
+    integer analog of the standard weighted-PageRank transition, same
+    associative/commutative BIGINT discipline as :func:`pagerank`
+    (identical floors both engines, order-independent sums).
+
+    Overflow bound: the per-edge product needs ``max_rank · max_w <
+    2^63``; with unit=10^6 and total mass ≤ 10^12 micro (a million
+    nodes) that allows weights up to ~10^6 — shrink ``unit`` for heavier
+    graphs (the module-docstring rule, one multiply stronger).
+
+    Same plan shape and cache discipline as the unweighted form: the
+    weighted adjacency (edge + strength) persists once; per iteration
+    ONE node-sized join + ONE aggregate; lineage bounded via
+    ``checkpoint_every``; loop-invariant caches released before return.
+    Returns (node, rank_micro)."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("pagerank_weighted: damping_pct must be in (0, 100)")
+    base = (unit * (100 - damping_pct)) // 100
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w")
+    ).persist()
+    strength = (
+        e.groupBy("src").agg(F.sum("w").cast("long").alias("strength")).persist()
+    )
+    adj = e.join(strength, "src").persist()
+    adj.count()
+    e.unpersist()
+    ranks = strength.select(
+        F.col("src").alias("node"), F.lit(unit).cast("long").alias("rank_micro")
+    )
+    for i in range(iterations):
+        contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("(rank_micro * w) div strength").alias("c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.expr(
+                f"cast({base} + ({damping_pct} * sum(c)) div 100 as bigint)"
+            ).alias("rank_micro")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    strength.unpersist()
+    return ranks

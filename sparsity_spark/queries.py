@@ -8152,6 +8152,71 @@ def graph_pagerank_q(spark, sf_dir):
     )
 
 
+def _pagerank_weighted_oracle(iters: int = 3) -> str:
+    """Weighted integer PageRank unrolled as CTEs: per-pair lineitem
+    multiplicities as edge weights, contribution (r·w) // strength —
+    identical BIGINT floors both engines."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+             CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM raw
+              UNION ALL SELECT dst, src, w FROM raw),
+    s AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM s)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM((r.r * e.w) // s.strength)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN s ON s.src = e.src JOIN r{i-1} r ON r.node = e.src
+      GROUP BY 1)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT (node - 1) // 2 AS suppkey, r AS rank_micro
+    FROM r{iters} WHERE node % 2 = 1
+    """
+    )
+
+
+@query("graph_pagerank_weighted", _pagerank_weighted_oracle())
+def graph_pagerank_weighted_q(spark, sf_dir):
+    """Weighted PageRank (r9): suppliers ranked over the customer↔supplier
+    graph with lineitem multiplicity as interaction strength —
+    contribution (rank·w) div strength, exact BIGINT floors unrolled by
+    the oracle iteration by iteration. Same one-join-one-agg iteration
+    and persisted-adjacency discipline as the unweighted row; the weight
+    changes the transition, not the communication."""
+    from sparsity_spark.operators.graph import pagerank_weighted
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = pagerank_weighted(edges, iterations=3)
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("suppkey"), "rank_micro"
+    )
+
+
 def _ppr_oracle(iters: int = 3, nation: int = 0) -> str:
     """Personalized PageRank unrolled as CTEs: same symmetrized edges and
     degrees as the global oracle, teleport mass concentrated on the
@@ -8739,6 +8804,54 @@ def graph_triangles_capped_q(spark, sf_dir):
 
 
 @query(
+    "dedup_containment_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT p.ia, p.ib, p.c,
+             CAST(len(sa.grams) AS BIGINT) AS sza,
+             CAST(len(sb.grams) AS BIGINT) AS szb
+      FROM pair p JOIN g sa ON p.ia = sa.doc_id JOIN g sb ON p.ib = sb.doc_id
+    )
+    SELECT src_id, dst_id, overlap, src_size,
+           ROUND(overlap * 1.0 / src_size, 6) AS containment
+    FROM (
+      SELECT ia AS src_id, ib AS dst_id, c AS overlap, sza AS src_size
+      FROM sized WHERE c * 1.0 / sza >= 0.6
+      UNION ALL
+      SELECT ib, ia, c, szb FROM sized WHERE c * 1.0 / szb >= 0.6
+    )
+    """,
+)
+def dedup_containment_pairs_q(spark, sf_dir):
+    """Asymmetric containment dedup (r9): |src ∩ dst| / |src| >= 0.6 over
+    3-gram shingle sets — the near-SUPERSET detector Jaccard misses
+    (a short doc pasted inside a long one has J ≈ 0, C ≈ 1; quote farms
+    and prompt-in-completion leaks). One collision-bounded shared-shingle
+    join + one overlap count; both directions of the asymmetric relation
+    emitted from ONE symmetric pair table with each side's own
+    denominator. The threshold compare is the SAME single divide on both
+    engines (never ceil(t·n): IEEE's 0.6·35 = 21.000000000000004)."""
+    from sparsity_spark.operators.dedup import containment_join
+
+    return containment_join(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, k=3
+    )
+
+
+@query(
     "stats_count_store_topk",
     """
     SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS total
@@ -9189,7 +9302,7 @@ _FIRST_50 = [
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
     "a8_session_window",
     "q2_min_cost_supplier", "q8_market_share",
-    "multimodal_binary_dedup", "multimodal_gif_features",
+    "multimodal_binary_dedup", "graph_pagerank_weighted",
     "multimodal_frames", "dedup_exact_normalized", "dedup_incremental_lsh",
     "dedup_semdedup", "dedup_semantic_screen",
     "ann_hard_negatives", "emb_quantize_int8",
@@ -9197,7 +9310,7 @@ _FIRST_50 = [
     "skew_salted_join", "skew_distinct_count",
     "stream_enriched_counts", "ann_sq8_topk",
     "stats_count_store_topk",
-    "pipe_split_counts", "pipe_pack_bins", "pipe_stratified_sample",
+    "pipe_split_counts", "pipe_pack_bins", "dedup_containment_pairs",
     "text_pmi_bigrams", "text_phrase_search", "web_domain_cap",
     ]
 

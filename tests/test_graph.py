@@ -564,3 +564,61 @@ def test_link_prediction_jaccard_uses_capped_degrees(spark):
     pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (1, 5)]
     got = _lp(spark, pairs, min_common=2)
     assert got[(1, 3)] == (2, 3, 2, round(2 / 3, 6))
+
+
+def _py_pagerank_weighted(wedges, iterations=3, unit=1_000_000, damping_pct=85):
+    """Reference replay with weights: contribution (r·w)//strength."""
+    from collections import defaultdict
+
+    strength = defaultdict(int)
+    for s, _, w in wedges:
+        strength[s] += w
+    ranks = {n: unit for n in strength}
+    base = (unit * (100 - damping_pct)) // 100
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for s, d, w in wedges:
+            acc[d] += (ranks[s] * w) // strength[s]
+        ranks = {n: base + (damping_pct * c) // 100 for n, c in acc.items()}
+    return ranks
+
+
+def test_pagerank_weighted_matches_integer_replay(spark):
+    from sparsity_spark.operators.graph import pagerank_weighted
+
+    # weighted star + chain: heavy edge (0,1) w=10 vs light leaves w=1
+    raw = [(0, 1, 10), (0, 2, 1), (0, 3, 1), (3, 4, 2)]
+    wedges = raw + [(d, s, w) for s, d, w in raw]
+    edges = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_weighted(edges, iterations=3).collect()
+    }
+    assert got == _py_pagerank_weighted(wedges)
+    # the heavy neighbor must outrank the light leaf 2 (same topology,
+    # 10x the edge weight)
+    assert got[1] > got[2]
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    from sparsity_spark.operators.graph import pagerank, pagerank_weighted, symmetrize_edges
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    wedges = edges.withColumn("w", F.lit(1).cast("long"))
+    a = {r["node"]: r["rank_micro"] for r in pagerank(edges, iterations=3).collect()}
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_weighted(wedges, iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_weighted_validates_damping(spark):
+    from sparsity_spark.operators.graph import pagerank_weighted
+
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        pagerank_weighted(edges, damping_pct=0)

@@ -3063,3 +3063,47 @@ def test_sq8_topk_excludes_self_and_caps_k(spark):
         assert r["neighbor_id"] != r["query_id"]
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert set(per_q) == {0, 1} and all(len(v) == 3 for v in per_q.values())
+
+
+def test_containment_join_superset_detected_jaccard_blind(spark):
+    """A short doc fully inside a long doc: containment src->dst = 1.0
+    while Jaccard is tiny — the asymmetric case the operator exists for."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    from sparsity_spark.operators.dedup import containment_join
+
+    rows = {
+        (r["src_id"], r["dst_id"]): (r["overlap"], r["src_size"], r["containment"])
+        for r in containment_join(docs, threshold=0.9, k=3).collect()
+    }
+    # short's 3 shingles all appear in long; long's 63 shingles mostly not
+    assert set(rows) == {(1, 2)}
+    ov, sz, c = rows[(1, 2)]
+    assert (ov, sz, c) == (3, 3, 1.0)
+
+
+def test_containment_join_directional_thresholds(spark):
+    # doc 1 = 6 words (4 shingles), doc 2 = first 5 words (3 shingles):
+    # overlap 3 -> C(2->1) = 1.0 passes, C(1->2) = 0.75 fails at t=0.9
+    w = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(1, w), (2, "a b c d e")], "doc_id long, text string"
+    )
+    from sparsity_spark.operators.dedup import containment_join
+
+    got = {(r["src_id"], r["dst_id"]) for r in containment_join(docs, threshold=0.9).collect()}
+    assert got == {(2, 1)}
+    got2 = {(r["src_id"], r["dst_id"]) for r in containment_join(docs, threshold=0.7).collect()}
+    assert got2 == {(1, 2), (2, 1)}
+
+
+def test_containment_join_no_pairs_below_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z q r"), (2, "m n o p s")], "doc_id long, text string"
+    )
+    from sparsity_spark.operators.dedup import containment_join
+
+    assert containment_join(docs, threshold=0.5).count() == 0
