@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "stats_count_store_topk",
     "graph_pagerank_weighted",
     "dedup_containment_pairs",
+    "text_top_keywords",
+    "ann_mmr_diversified",
 ]
 
 
@@ -273,6 +275,10 @@ SCALE_QUERIES = [
     # row; containment: collision-bounded shared-shingle join
     "graph_pagerank_weighted",
     "dedup_containment_pairs",
+    # top keywords ride the tfidf aggregates + one per-doc rank window;
+    # MMR is k map-only corpus passes with literal selected codes
+    "text_top_keywords",
+    "ann_mmr_diversified",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

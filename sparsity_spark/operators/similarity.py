@@ -1900,3 +1900,95 @@ def sq8_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score_i8")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lambda_pct: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (r9 — Carbonell &
+    Goldstein '98: retrieval that penalizes redundancy, the selection
+    rule behind diversified RAG contexts and dedup-aware eval sets).
+    Greedy: step j picks ``argmax (100−λ)·rel(d) − λ·max_{s∈S} sim(d,s)``
+    over unselected docs (max-sim over the EMPTY set is 0, so step 1 is
+    pure relevance).
+
+    Determinism: rel and sim are the int8 code dots of :func:`sq8_topk` —
+    exact BIGINTs — and λ is an integer percent, so every objective is an
+    exact integer and the argmax (ties to the smaller id via one
+    max(struct)) cannot drift between engines; the oracle replays all k
+    selection steps.
+
+    Scale shape: the corpus codes persist once; each of the k steps is
+    ONE map-only corpus pass (the ≤k selected code arrays ride as
+    LITERALS — metadata-sized, the kmeans centroid discipline) plus one
+    all-reduce argmax. k corpus scans for a k-item answer is the honest
+    cost of greedy MMR; k is single-digits in practice. One query per
+    call (the selection state is per-query by definition); loop callers
+    batch queries outside. Returns (step, neighbor_id, rel_i8, obj_i8)
+    with step 1..k in selection order."""
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError("mmr_topk: lambda_pct must be in [0, 100]")
+    qrow = queries.limit(2).collect()
+    if len(qrow) != 1:
+        raise ValueError("mmr_topk: queries must hold exactly one vector")
+    qid = qrow[0][id_col]
+    corpus = _sq8_codes(
+        embeddings.where(F.col(id_col) != qid), "neighbor_id", id_col, vec_col
+    ).withColumnRenamed("neighbor_id_c", "code")
+    qcodes = _sq8_codes(queries, "q", id_col, vec_col).collect()[0]["q_c"]
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(int(x)).cast("long") for x in xs])
+
+    rel = F.aggregate(
+        F.zip_with(F.col("code"), lit_arr(qcodes), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    corpus = corpus.select("neighbor_id", "code", rel.alias("rel")).persist()
+    corpus.count()
+    picked = []  # (step, id, rel, obj, code)
+    for step in range(1, k + 1):
+        cand = corpus.where(
+            ~F.col("neighbor_id").isin([p[1] for p in picked])
+            if picked
+            else F.lit(True)
+        )
+        if picked:
+            sims = [
+                F.aggregate(
+                    F.zip_with(F.col("code"), lit_arr(code), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for _, _, _, _, code in picked
+            ]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            max_sim = F.lit(0).cast("long")
+        obj = (
+            F.lit(100 - lambda_pct).cast("long") * F.col("rel")
+            - F.lit(lambda_pct).cast("long") * max_sim
+        )
+        best = (
+            cand.select("neighbor_id", "rel", "code", obj.alias("obj"))
+            .select(
+                F.max(
+                    F.struct(F.col("obj"), (-F.col("neighbor_id")).alias("nid"),
+                             "rel", "neighbor_id", "code")
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        picked.append((step, best["neighbor_id"], best["rel"], best["obj"], best["code"]))
+    corpus.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(s, i, r, o) for s, i, r, o, _ in picked],
+        "step int, neighbor_id long, rel_i8 long, obj_i8 long",
+    )

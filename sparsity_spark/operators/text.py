@@ -7,7 +7,7 @@ expressions — the ideal 100 TB shape: map-only, codegen, pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparsity_spark.operators.dedup import words_expr
@@ -1169,3 +1169,33 @@ def phrase_search(
         )
         out = p if out is None else out.join(p, [id_col, "base"])
     return out.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
+
+
+def top_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction (r9): each document's top-k terms
+    by TF-IDF — the summary/tagging primitive every corpus browser and
+    weak labeler needs. Rides :func:`tfidf_frame`'s cells (the scores are
+    ALREADY round-6, so the rank compares the identical doubles both
+    engines computed; ties break on the term, deterministically); the
+    per-doc top-k is one rank window partitioned by document — partial
+    top-k pushes map-side, nothing global sorts. Returns
+    (doc_id, keyword, tfidf, rank)."""
+    from sparsity_spark.frame import COL, VAL
+
+    cells = tfidf_frame(docs, id_col, text_col).data
+    w = Window.partitionBy(id_col).orderBy(F.desc(VAL), F.col(COL))
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col(COL).alias("keyword"),
+            F.col(VAL).alias("tfidf"),
+            F.col("rank").cast("integer").alias("rank"),
+        )
+    )

@@ -8803,6 +8803,98 @@ def graph_triangles_capped_q(spark, sf_dir):
     )
 
 
+def _mmr_oracle(k: int = 5, lam: int = 50, qid: int = 0) -> str:
+    """Greedy MMR unrolled as one CTE per selection step: the same int8
+    codes, exact BIGINT rel/sim dots, integer-λ objective, and
+    smaller-id tie-break — a drift in any step's argmax cascades into
+    every later step's exclusion set and flips the hash."""
+    rel_w, sim_w = 100 - lam, lam
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS s FROM e)
+    ),
+    qv AS (SELECT q FROM c0 WHERE vec_id = {qid}),
+    c AS (
+      SELECT c0.vec_id AS id, c0.q,
+             CAST(list_dot_product(c0.q, qv.q) AS BIGINT) AS rel
+      FROM c0 CROSS JOIN qv WHERE c0.vec_id <> {qid}
+    ),
+    s1 AS (SELECT id, q, rel, CAST({rel_w} * rel AS BIGINT) AS obj
+           FROM c ORDER BY {rel_w} * rel DESC, id LIMIT 1)"""
+    ]
+    for j in range(2, k + 1):
+        prev = [f"s{i}" for i in range(1, j)]
+        sims = ", ".join(
+            f"CAST(list_dot_product(c.q, {s}.q) AS BIGINT)" for s in prev
+        )
+        max_sim = f"GREATEST({sims})" if len(prev) > 1 else sims
+        crosses = " ".join(f"CROSS JOIN {s}" for s in prev)
+        excl = " AND ".join(f"c.id <> {s}.id" for s in prev)
+        parts.append(
+            f"""
+    o{j} AS (
+      SELECT c.id, c.q, c.rel,
+             CAST({rel_w} * c.rel - {sim_w} * {max_sim} AS BIGINT) AS obj
+      FROM c {crosses} WHERE {excl}
+    ),
+    s{j} AS (SELECT id, q, rel, obj FROM o{j} ORDER BY obj DESC, id LIMIT 1)"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS step, id AS neighbor_id, "
+        f"rel AS rel_i8, obj AS obj_i8 FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    return ",".join(parts) + "\n    " + selects
+
+
+@query("ann_mmr_diversified", _mmr_oracle())
+def ann_mmr_diversified_q(spark, sf_dir):
+    """Diversified retrieval via greedy MMR (r9 — Carbonell & Goldstein):
+    5 picks for query vec 0 at λ=50, relevance and redundancy both exact
+    int8 code dots so every step's argmax is an integer compare. Each
+    step is one map-only corpus pass with the ≤k selected codes riding
+    as literals; the oracle replays all five selections."""
+    from sparsity_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, emb.where(F.col("vec_id") == 0), k=5, lambda_pct=50)
+
+
+@query(
+    "text_top_keywords",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS col FROM documents),
+    tf AS (SELECT doc_id, col, COUNT(*) AS tf FROM toks GROUP BY doc_id, col),
+    dfc AS (SELECT col, COUNT(*) AS df FROM tf GROUP BY col),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.col,
+             ROUND(tf.tf * (ln((n.n + 1.0) / (dfc.df + 1)) + 1), 6) AS value
+      FROM tf JOIN dfc ON tf.col = dfc.col CROSS JOIN n
+    )
+    SELECT doc_id, col AS keyword, value AS tfidf, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY value DESC, col) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_top_keywords_q(spark, sf_dir):
+    """Per-document top-3 keywords by TF-IDF (r9) — the tagging/summary
+    primitive, ranked on the already-round-6 scores (identical doubles
+    both engines) with a term tie-break; one rank window per doc, partial
+    top-k map-side."""
+    from sparsity_spark.operators.text import top_keywords
+
+    return top_keywords(load_table(spark, sf_dir, "documents"), k=3)
+
+
 @query(
     "dedup_containment_pairs",
     """
@@ -9303,9 +9395,9 @@ _FIRST_50 = [
     "a8_session_window",
     "q2_min_cost_supplier", "q8_market_share",
     "multimodal_binary_dedup", "graph_pagerank_weighted",
-    "multimodal_frames", "dedup_exact_normalized", "dedup_incremental_lsh",
+    "text_top_keywords", "dedup_exact_normalized", "dedup_incremental_lsh",
     "dedup_semdedup", "dedup_semantic_screen",
-    "ann_hard_negatives", "emb_quantize_int8",
+    "ann_mmr_diversified", "emb_quantize_int8",
     "src_orc_events", "src_json_events", "sink_partitioned_day",
     "skew_salted_join", "skew_distinct_count",
     "stream_enriched_counts", "ann_sq8_topk",

@@ -3107,3 +3107,65 @@ def test_containment_join_no_pairs_below_threshold(spark):
     from sparsity_spark.operators.dedup import containment_join
 
     assert containment_join(docs, threshold=0.5).count() == 0
+
+
+def test_mmr_skips_redundant_twin(spark):
+    """Two near-identical high-relevance vectors: pure relevance ranks
+    them 1-2; MMR at λ=50 must pick one, then prefer the diverse doc."""
+    # per-vector max-scaling means relevance alone ties all three (each
+    # has a full-scale first code); redundancy lives in the SECOND
+    # dimension, which only the MMR penalty sees: v2 nearly duplicates
+    # v1 there, v3 is orthogonal to both
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # query
+            (1, [1.0, 1.0, 0.0]),   # first pick (id tie-break on rel)
+            (2, [1.0, 0.9, 0.0]),   # near-twin of 1 off the query axis
+            (3, [1.0, 0.0, 0.9]),   # diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    from sparsity_spark.operators.similarity import mmr_topk, sq8_topk
+
+    rel_order = [
+        r["neighbor_id"]
+        for r in sq8_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ]
+    assert rel_order[:2] == [1, 2]
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_topk(emb, emb.where(F.col("vec_id") == 0), k=3,
+                          lambda_pct=50).orderBy("step").collect()
+    ]
+    assert mmr[0] == 1 and mmr[1] == 3 and set(mmr) == {1, 2, 3}
+
+
+def test_mmr_lambda_zero_is_pure_relevance(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(10 - i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    from sparsity_spark.operators.similarity import mmr_topk, sq8_topk
+
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_topk(emb, emb.where(F.col("vec_id") == 0), k=3,
+                          lambda_pct=0).orderBy("step").collect()
+    ]
+    rel = [
+        r["neighbor_id"]
+        for r in sq8_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ]
+    assert mmr == rel
+
+
+def test_mmr_validates_inputs(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.5])], "vec_id long, embedding array<double>"
+    )
+    from sparsity_spark.operators.similarity import mmr_topk
+
+    with pytest.raises(ValueError):
+        mmr_topk(emb, emb, k=1)  # two query rows
+    with pytest.raises(ValueError):
+        mmr_topk(emb, emb.where(F.col("vec_id") == 0), lambda_pct=101)
