@@ -1846,11 +1846,35 @@ def grouped_pca_project(
 def _sq8_codes(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
     """Per-vector int8 code arrays — quantize_embeddings' exact math
     (floor(x·127/max|x| + ½): floor, never round, so both engines emit
-    identical codes) kept in array form for scan-speed scoring."""
+    identical codes) kept in array form for scan-speed scoring. An
+    all-zero vector codes to all-zero (r9 review fix: x/0 is NaN, whose
+    floor-cast is NULL in Spark but a conversion ERROR in DuckDB — the
+    one degenerate input where the engines would diverge; zero codes
+    give the zero vector zero similarity to everything, the right
+    answer)."""
     x = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    codes = F.transform(x, lambda v: F.floor(v * 127.0 / scale + 0.5).cast("long"))
+    codes = F.transform(
+        x,
+        lambda v: F.when(scale == 0.0, F.lit(0).cast("long")).otherwise(
+            F.floor(v * 127.0 / scale + 0.5).cast("long")
+        ),
+    )
     return df.select(F.col(id_col).alias(id_alias), codes.alias(f"{id_alias}_c"))
+
+
+def _code_dot(a, b):
+    """Exact BIGINT dot of two int8 code arrays (Column exprs or names) —
+    the ONE scoring expression sq8_topk's relevance, mmr_topk's relevance,
+    and mmr_topk's redundancy penalty all share (a fix applied here cannot
+    silently diverge them)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def sq8_topk(
@@ -1885,11 +1909,7 @@ def sq8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with(F.col("query_id_c"), F.col("neighbor_id_c"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("score_i8"),
+            _code_dot("query_id_c", "neighbor_id_c").alias("score_i8"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1945,48 +1965,47 @@ def mmr_topk(
     def lit_arr(xs):
         return F.array(*[F.lit(int(x)).cast("long") for x in xs])
 
-    rel = F.aggregate(
-        F.zip_with(F.col("code"), lit_arr(qcodes), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    corpus = corpus.select("neighbor_id", "code", rel.alias("rel")).persist()
-    corpus.count()
+    corpus = corpus.select(
+        "neighbor_id", "code", _code_dot("code", lit_arr(qcodes)).alias("rel")
+    ).persist()
     picked = []  # (step, id, rel, obj, code)
-    for step in range(1, k + 1):
-        cand = corpus.where(
-            ~F.col("neighbor_id").isin([p[1] for p in picked])
-            if picked
-            else F.lit(True)
-        )
-        if picked:
-            sims = [
-                F.aggregate(
-                    F.zip_with(F.col("code"), lit_arr(code), lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                for _, _, _, _, code in picked
-            ]
-            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        else:
-            max_sim = F.lit(0).cast("long")
-        obj = (
-            F.lit(100 - lambda_pct).cast("long") * F.col("rel")
-            - F.lit(lambda_pct).cast("long") * max_sim
-        )
-        best = (
-            cand.select("neighbor_id", "rel", "code", obj.alias("obj"))
-            .select(
-                F.max(
-                    F.struct(F.col("obj"), (-F.col("neighbor_id")).alias("nid"),
-                             "rel", "neighbor_id", "code")
-                ).alias("m")
+    try:
+        corpus.count()
+        for step in range(1, k + 1):
+            cand = corpus.where(
+                ~F.col("neighbor_id").isin([p[1] for p in picked])
+                if picked
+                else F.lit(True)
             )
-            .collect()[0]["m"]
-        )
-        picked.append((step, best["neighbor_id"], best["rel"], best["obj"], best["code"]))
-    corpus.unpersist()
+            if picked:
+                sims = [
+                    _code_dot("code", lit_arr(code))
+                    for _, _, _, _, code in picked
+                ]
+                max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            else:
+                max_sim = F.lit(0).cast("long")
+            obj = (
+                F.lit(100 - lambda_pct).cast("long") * F.col("rel")
+                - F.lit(lambda_pct).cast("long") * max_sim
+            )
+            best = (
+                cand.select("neighbor_id", "rel", "code", obj.alias("obj"))
+                .select(
+                    F.max(
+                        F.struct(F.col("obj"), (-F.col("neighbor_id")).alias("nid"),
+                                 "rel", "neighbor_id", "code")
+                    ).alias("m")
+                )
+                .collect()[0]["m"]
+            )
+            if best is None:  # corpus exhausted before k picks (r9 review fix)
+                break
+            picked.append(
+                (step, best["neighbor_id"], best["rel"], best["obj"], best["code"])
+            )
+    finally:
+        corpus.unpersist()
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         [(s, i, r, o) for s, i, r, o, _ in picked],

@@ -528,7 +528,17 @@ def merge_count_store(
     (:func:`count_store_topk`) collapsing any raced duplicate
     (batch_id, key) rows with MAX before summing — identical rows by
     construction, so MAX is exact. The store is (batches · keys)-sized,
-    never corpus-sized; nothing rewrites. Returns the maintained table."""
+    never corpus-sized; nothing rewrites.
+
+    SINGLE-WRITER CONTRACT (r9 review): the batch_id screen assumes one
+    monotone id sequence per table — exactly what one Structured
+    Streaming query with a stable checkpoint provides. Pointing a SECOND
+    writer (or the same query after its checkpoint directory is wiped,
+    which restarts ids at 0) at the table makes the screen treat the new
+    batches as replays and silently drop them. Drop the table together
+    with its checkpoint, and give concurrent pipelines their own tables
+    — the set-union stores tolerate shared writers; a count store by
+    its nature cannot. Returns the maintained table."""
     spark = batch_df.sparkSession
     inc = (
         batch_df.groupBy(F.col(key_col).alias("key"))

@@ -96,6 +96,38 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def _tfidf_cells(docs: DataFrame, id_col: str, text_col: str, min_df: int):
+    """The shared TF-IDF cell builder (r9 refactor): long (doc, term,
+    tf·idf) cells WITHOUT the column-dictionary collect that only the
+    SparseFrame facade needs. Returns (cells, tf, df_counts) — tf and
+    df_counts come back PERSISTED (tf feeds both the df table and the
+    cells; df_counts feeds idf and, in tfidf_frame, the vocabulary
+    collect); callers that materialize the cells should unpersist both
+    (top_keywords does; tfidf_frame's handles live as long as its frame)."""
+    from sparsity_spark.frame import COL, VAL
+
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias(COL)
+    )
+    tf = toks.groupBy(id_col, COL).agg(F.count("*").alias("tf")).persist()
+    n_docs = docs.count()
+    df_counts = (
+        tf.groupBy(COL).agg(F.count("*").alias("df")).filter(F.col("df") >= min_df).persist()
+    )
+    idf = df_counts.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    )
+    cells = (
+        tf.join(F.broadcast(idf.select(COL, "idf")), on=COL)
+        .select(
+            F.col(id_col),
+            F.col(COL),
+            F.round(F.col("tf") * F.col("idf"), 6).alias(VAL),
+        )
+    )
+    return cells, tf, df_counts
+
+
 def tfidf_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -122,28 +154,7 @@ def tfidf_frame(
     from sparsity_spark.util import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    toks = docs.select(
-        F.col(id_col), F.explode(words_expr(text_col)).alias(COL)
-    )
-    # tf feeds the cells AND the document-frequency table, and df_counts
-    # feeds idf AND the vocabulary collect — persist both so the tokenize +
-    # aggregate pass runs once, not three times
-    tf = toks.groupBy(id_col, COL).agg(F.count("*").alias("tf")).persist()
-    n_docs = docs.count()
-    df_counts = (
-        tf.groupBy(COL).agg(F.count("*").alias("df")).filter(F.col("df") >= min_df).persist()
-    )
-    idf = df_counts.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    )
-    cells = (
-        tf.join(F.broadcast(idf.select(COL, "idf")), on=COL)
-        .select(
-            F.col(id_col),
-            F.col(COL),
-            F.round(F.col("tf") * F.col("idf"), 6).alias(VAL),
-        )
-    )
+    cells, tf, df_counts = _tfidf_cells(docs, id_col, text_col, min_df)
     vrows = df_counts.select(COL).orderBy(COL).limit(max_vocab + 1).collect()
     if len(vrows) > max_vocab:
         raise ValueError(
@@ -1100,8 +1111,13 @@ def collocations(
     bigrams with ``pair_count >= min_count``."""
     toks = docs.select(F.split(F.col(text_col), " ").alias("w"))
     words = toks.select(F.explode("w").alias("tok")).where(F.col("tok") != "")
-    uni = words.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    n_tokens = int(words.count())
+    # ONE tokenize+aggregate pass feeds the token total, BOTH count-attach
+    # join sides, and nothing recomputes: persist the vocabulary-sized
+    # unigram table and derive n from it (r9 review fix — the eager
+    # full-corpus count() was a second corpus scan, and the unpersisted
+    # aggregate re-tokenized the corpus once per join side)
+    uni = words.groupBy("tok").agg(F.count("*").cast("long").alias("c")).persist()
+    n_tokens = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
     bigrams = toks.select(
         F.explode(
             F.expr(
@@ -1117,7 +1133,7 @@ def collocations(
     )
     c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("w1_count"))
     c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("w2_count"))
-    return (
+    out = (
         pc.join(c1, "w1")
         .join(c2, "w2")
         .select(
@@ -1133,6 +1149,12 @@ def collocations(
             ).alias("pmi_ratio"),
         )
     )
+    # materialize the vocabulary-bigram-sized result, then release the
+    # unigram cache (the pagerank cache-release discipline — a bench loop
+    # must not accumulate block-manager entries)
+    out = out.localCheckpoint(eager=True)
+    uni.unpersist()
+    return out
 
 
 def phrase_search(
@@ -1147,28 +1169,40 @@ def phrase_search(
     order). The same plan is how a decontamination pass checks benchmark
     strings against a corpus at token granularity.
 
-    Plan shape: ONE map-only posexplode builds (doc, position, token)
-    postings; each phrase word keeps only its own posting list (the
-    filter pushes into the projection — posting volume is the words'
-    corpus frequency, not corpus size); k-word phrases equi-join k
-    posting lists on (doc, aligned position) — communication is
-    posting-list-sized, the classic search-engine intersection. One hash
-    aggregate counts matches per document. Returns (doc_id, n_matches)
+    Plan shape: ONE tokenize pass builds (doc, position, token) postings
+    for the phrase's words only (filtered BEFORE the join fan-out and
+    PERSISTED, so the corpus is scanned once, not once per phrase word —
+    r9 review fix; posting volume is the words' corpus frequency, not
+    corpus size); k-word phrases equi-join the k posting slices on
+    (doc, aligned position) — communication is posting-list-sized, the
+    classic search-engine intersection. One hash aggregate counts
+    matches per document; the doc-sized result is materialized and the
+    posting cache released before return. Returns (doc_id, n_matches)
     for documents with at least one occurrence."""
     words = [w for w in phrase.split(" ") if w != ""]
     if not words:
         raise ValueError("phrase must contain at least one token")
-    postings = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    )
-    out = None
-    for i, w in enumerate(words):
-        p = postings.where(F.col("tok") == w).select(
-            id_col, (F.col("pos") - i).alias("base")
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
         )
-        out = p if out is None else out.join(p, [id_col, "base"])
-    return out.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
+        .where(F.col("tok").isin(words))
+        .persist()
+    )
+    try:
+        out = None
+        for i, w in enumerate(words):
+            p = postings.where(F.col("tok") == w).select(
+                id_col, (F.col("pos") - i).alias("base")
+            )
+            out = p if out is None else out.join(p, [id_col, "base"])
+        res = out.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_matches")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        postings.unpersist()
 
 
 def top_keywords(
@@ -1186,16 +1220,26 @@ def top_keywords(
     top-k pushes map-side, nothing global sorts. Returns
     (doc_id, keyword, tfidf, rank)."""
     from sparsity_spark.frame import COL, VAL
+    from sparsity_spark.util import ensure_parallelism
 
-    cells = tfidf_frame(docs, id_col, text_col).data
-    w = Window.partitionBy(id_col).orderBy(F.desc(VAL), F.col(COL))
-    return (
-        cells.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            id_col,
-            F.col(COL).alias("keyword"),
-            F.col(VAL).alias("tfidf"),
-            F.col("rank").cast("integer").alias("rank"),
+    # the cells path only — skipping tfidf_frame's vocabulary collect and
+    # SparseFrame dictionary, which this doc-sized ranking never needs
+    # (r9 review fix); the k-per-doc result is materialized so the two
+    # aggregate caches can be released before return
+    cells, tf, df_counts = _tfidf_cells(ensure_parallelism(docs), id_col, text_col, 1)
+    try:
+        w = Window.partitionBy(id_col).orderBy(F.desc(VAL), F.col(COL))
+        out = (
+            cells.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                id_col,
+                F.col(COL).alias("keyword"),
+                F.col(VAL).alias("tfidf"),
+                F.col("rank").cast("integer").alias("rank"),
+            )
         )
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+        df_counts.unpersist()

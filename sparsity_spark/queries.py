@@ -8814,7 +8814,8 @@ def _mmr_oracle(k: int = 5, lam: int = 50, qid: int = 0) -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (
       SELECT vec_id,
-             list_transform(v, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS q
+             list_transform(v, x -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT) END) AS q
       FROM (SELECT vec_id, v,
                    list_max(list_transform(v, x -> abs(x))) AS s FROM e)
     ),
@@ -8986,7 +8987,8 @@ def stats_count_store_topk_q(spark, sf_dir):
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (
       SELECT vec_id,
-             list_transform(v, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS q
+             list_transform(v, x -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT) END) AS q
       FROM (SELECT vec_id, v,
                    list_max(list_transform(v, x -> abs(x))) AS s FROM e)
     ),
@@ -9362,11 +9364,13 @@ _FIRST_50 = [
     # tri-scale tools/check_oracles.py runs. Late-r9 swap: the four
     # newest operators (LPA / PCA / BFS / phash clusters) replaced
     # multimodal_resize, q6_forecast_revenue, stats_percentiles, and
-    # evt_funnel; the second-session swap put the five newest rows
-    # (link prediction / PMI / phrase search / sq8 / count store) in
-    # place of s11_head, fn_json_extract, stream_sliding_counts,
-    # stats_kmv_sketch, and text_redact_pii — swapped-out rows stay
-    # sweep-covered every round.)
+    # evt_funnel; the second-session swap put the NINE newest rows
+    # (link prediction / PMI / phrase search / sq8 / count store /
+    # weighted pagerank / containment / MMR / top keywords) in place of
+    # s11_head, fn_json_extract, stream_sliding_counts, stats_kmv_sketch,
+    # text_redact_pii, multimodal_gif_features, multimodal_frames,
+    # ann_hard_negatives, and pipe_stratified_sample — swapped-out rows
+    # stay sweep-covered every round.)
     # Keepers: the flagship, plus text_bpe_encode ("green as today" is the
     # r8 #1 done-condition alongside the new deep row). Rotated OUT (all
     # driver-green in r8, still swept every round): the r8 window's other

@@ -827,7 +827,11 @@ def streaming_topk_maintain(
 
     `foreachBatch` because the store update is a batch table write;
     Structured Streaming's batch ids are exactly the replay-stable
-    sequence the store screen needs. ``sink(topk_df, batch_id)``
+    sequence the store screen needs — which also means the store table
+    is married to THIS query's checkpoint: wiping the checkpoint restarts
+    ids at 0 and the screen would silently drop the fresh batches, so
+    drop table and checkpoint together (merge_count_store's single-writer
+    contract). ``sink(topk_df, batch_id)``
     observes each post-fold top-k. Returns the started-ready writer."""
     from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
 
