@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "dedup_containment_pairs",
     "text_top_keywords",
     "ann_mmr_diversified",
+    "t6_ohlc_resample",
+    "stats_ab_conversion_z",
 ]
 
 
@@ -279,6 +281,9 @@ SCALE_QUERIES = [
     # MMR is k map-only corpus passes with literal selected codes
     "text_top_keywords",
     "ann_mmr_diversified",
+    # OHLC is one partial+final agg; A/B is two aggs + a day-sized join
+    "t6_ohlc_resample",
+    "stats_ab_conversion_z",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -674,3 +674,59 @@ def percentile_gate(
         .withColumn(keep_col, F.col(value_col) >= F.col("__cut__"))
         .drop("__cut__")
     )
+
+
+def ab_conversion_z(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    convert_value: str = "purchase",
+) -> DataFrame:
+    """Daily A/B conversion z-scores (r9 — the experimentation readout):
+    cohort = user id parity (the deterministic stand-in for an
+    assignment column), conversion = the user fired ``convert_value``
+    that day. Per day: nA/nB distinct active users, xA/xB converted,
+    two-proportion z = (pA − pB) / sqrt(p̂(1−p̂)(1/nA + 1/nB)) with p̂
+    pooled.
+
+    Determinism: the counts are exact BIGINTs; the finish is a fixed
+    tree of IEEE divides/multiplies and ONE sqrt (correctly rounded by
+    IEEE-754, unlike the transcendentals) evaluated in the identical
+    order by both engines, then round-6 — the corr_matrix float-finish
+    discipline. Plan: two partial+final hash aggregates (per-user-day
+    dedup, then per-day-cohort counts) + one day-keyed self-join of the
+    day-sized aggregate — corpus touched once. Returns
+    (day, n_a, n_b, conv_a, conv_b, p_a, p_b, z)."""
+    base = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"),
+        (F.col(user_col) % 2 == 0).alias("is_a"),
+        (F.col(event_col) == convert_value).cast("int").alias("conv"),
+    )
+    per_user = base.groupBy("day", "u", "is_a").agg(F.max("conv").alias("converted"))
+    per_cohort = per_user.groupBy("day", "is_a").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    a = per_cohort.where("is_a").select(
+        "day", F.col("n").alias("n_a"), F.col("x").alias("conv_a")
+    )
+    b = per_cohort.where(~F.col("is_a")).select(
+        "day", F.col("n").alias("n_b"), F.col("x").alias("conv_b")
+    )
+    j = a.join(b, "day")
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+    )

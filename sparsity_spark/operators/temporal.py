@@ -563,3 +563,34 @@ def incremental_rollup_merge(
         )
     )
     return merged
+
+
+def ohlc_resample(
+    events: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    unit: str = "hour",
+) -> DataFrame:
+    """OHLC bucket resampling (r9 — the time-series downsampling every
+    monitoring/finance pipeline runs): per (key, time bucket) emit the
+    opening value, high, low, closing value, and row count. Open/close
+    are defined by the UNIQUE ``order_col`` (min_by/max_by), not by the
+    timestamp — two events sharing one timestamp would make a ts-ordered
+    first/last nondeterministic across partitionings; the sequence
+    column makes both engines pick identical rows. High/low/count are
+    order-free aggregates.
+
+    ONE partial+final hash aggregate over date_trunc buckets — min_by /
+    max_by combine map-side like any other agg, so the shape is the
+    same single shuffle as a plain groupBy count at any scale. Returns
+    (key, bucket, open, high, low, close, n_events)."""
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    return events.groupBy(F.col(by).alias("key"), b).agg(
+        F.min_by(F.col(value_col), F.col(order_col)).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), F.col(order_col)).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+    )

@@ -4064,6 +4064,73 @@ def t3_time_rollup(spark, sf_dir):
 
 
 @query(
+    "stats_ab_conversion_z",
+    """
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, user_id AS u,
+             user_id % 2 = 0 AS is_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    per_user AS (
+      SELECT day, u, is_a, MAX(conv) AS converted FROM base GROUP BY 1, 2, 3
+    ),
+    per_cohort AS (
+      SELECT day, is_a, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS x
+      FROM per_user GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.day, a.n AS n_a, b.n AS n_b, a.x AS conv_a, b.x AS conv_b
+      FROM per_cohort a JOIN per_cohort b ON a.day = b.day
+      WHERE a.is_a AND NOT b.is_a
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / n_a, 6) AS p_a,
+           ROUND(conv_b / n_b, 6) AS p_b,
+           ROUND((conv_a / n_a - conv_b / n_b)
+                 / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM j
+    """,
+)
+def stats_ab_conversion_z_q(spark, sf_dir):
+    """Daily two-proportion A/B z-scores (r9): parity cohorts, purchase
+    conversion, exact BIGINT counts with a fixed IEEE finish (divides,
+    multiplies, ONE correctly-rounded sqrt — no transcendental), round-6.
+    Two hash aggregates + one day-keyed join of day-sized aggregates."""
+    from sparsity_spark.operators.pipeline import ab_conversion_z
+
+    return ab_conversion_z(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "t6_ohlc_resample",
+    """
+    SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t6_ohlc_resample_q(spark, sf_dir):
+    """OHLC hourly resampling (r9): open/close picked by the UNIQUE
+    event_id (a ts-ordered first/last is nondeterministic when events
+    share a timestamp — the sequence column makes both engines pick
+    identical rows); high/low/count order-free. ONE partial+final hash
+    aggregate — min_by/max_by combine map-side, so the plan is a plain
+    single-shuffle groupBy at any scale."""
+    from sparsity_spark.operators.temporal import ohlc_resample
+
+    return ohlc_resample(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "u3_intersect_except",
     """
     WITH counts AS (
@@ -9369,8 +9436,9 @@ _FIRST_50 = [
     # weighted pagerank / containment / MMR / top keywords) in place of
     # s11_head, fn_json_extract, stream_sliding_counts, stats_kmv_sketch,
     # text_redact_pii, multimodal_gif_features, multimodal_frames,
-    # ann_hard_negatives, and pipe_stratified_sample — swapped-out rows
-    # stay sweep-covered every round.)
+    # ann_hard_negatives, pipe_stratified_sample, a8_session_window, and
+    # skew_distinct_count (the last two for the OHLC resample and A/B
+    # z-score rows) — swapped-out rows stay sweep-covered every round.)
     # Keepers: the flagship, plus text_bpe_encode ("green as today" is the
     # r8 #1 done-condition alongside the new deep row). Rotated OUT (all
     # driver-green in r8, still swept every round): the r8 window's other
@@ -9396,14 +9464,14 @@ _FIRST_50 = [
     # never-driver-checked rotation, family by family
     "graph_link_prediction", "s1_melt_numeric", "a4_std_dense_denominator",
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
-    "a8_session_window",
+    "t6_ohlc_resample",
     "q2_min_cost_supplier", "q8_market_share",
     "multimodal_binary_dedup", "graph_pagerank_weighted",
     "text_top_keywords", "dedup_exact_normalized", "dedup_incremental_lsh",
     "dedup_semdedup", "dedup_semantic_screen",
     "ann_mmr_diversified", "emb_quantize_int8",
     "src_orc_events", "src_json_events", "sink_partitioned_day",
-    "skew_salted_join", "skew_distinct_count",
+    "skew_salted_join", "stats_ab_conversion_z",
     "stream_enriched_counts", "ann_sq8_topk",
     "stats_count_store_topk",
     "pipe_split_counts", "pipe_pack_bins", "dedup_containment_pairs",

@@ -455,3 +455,28 @@ def test_percentile_gate_approx_path_agrees_on_fixture(spark, sf_dir):
             assert qual == cuts[lang], (doc, qual, cuts[lang])
     assert n_flip <= len(e) * 0.02  # the gap is rare, not systematic
     assert len(e) > 0
+
+
+def test_ab_conversion_z_hand_checked(spark):
+    """Two days, engineered counts: z replayed with python floats in the
+    identical operation order."""
+    import datetime as dt
+    import math
+
+    from sparsity_spark.operators.pipeline import ab_conversion_z
+
+    rows = []
+    day1 = dt.datetime(2024, 1, 1, 9, 0)
+    # day 1: cohort A users 0,2,4 (0 converts), cohort B users 1,3 (both convert)
+    rows += [(day1, 0, "purchase"), (day1, 2, "view"), (day1, 4, "view"),
+             (day1, 1, "purchase"), (day1, 3, "purchase")]
+    # duplicate purchase same user/day must not double-count conversion
+    rows += [(day1, 1, "purchase")]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    r = ab_conversion_z(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (3, 2, 1, 2)
+    p_a, p_b = 1 / 3, 2 / 2
+    pooled = (1 + 2) / (3 + 2)
+    z = (p_a - p_b) / math.sqrt(pooled * (1.0 - pooled) * (1.0 / 3 + 1.0 / 2))
+    assert r["p_a"] == round(p_a, 6) and r["p_b"] == round(p_b, 6)
+    assert r["z"] == round(z, 6)

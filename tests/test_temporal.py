@@ -368,3 +368,48 @@ def test_incremental_rollup_merge_equals_scratch(spark, sf_dir):
     s = scratch.toPandas().set_index(keys).sort_index()
     assert (m["n_events"] == s["n_events"]).all()
     assert (m["total"] - s["total"]).abs().max() < 1e-9
+
+
+def test_ohlc_resample_hand_checked(spark):
+    """Open/close picked by the unique order column; high/low order-free."""
+    import datetime as dt
+
+    from sparsity_spark.operators.temporal import ohlc_resample
+
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        (1, t0, "a", 5.0),
+        (2, t0.replace(minute=20), "a", 9.0),
+        (3, t0.replace(minute=40), "a", 2.0),
+        (4, t0.replace(minute=50), "a", 7.0),
+        (5, t0.replace(hour=11), "a", 3.0),
+        (6, t0, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["key"], r["bucket"].hour): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_resample(df).collect()
+    }
+    assert got[("a", 10)] == (5.0, 9.0, 2.0, 7.0, 4)
+    assert got[("a", 11)] == (3.0, 3.0, 3.0, 3.0, 1)
+    assert got[("b", 10)] == (1.0, 1.0, 1.0, 1.0, 1)
+
+
+def test_ohlc_resample_shared_timestamp_deterministic(spark):
+    """Two events on the SAME timestamp: the order column, not ts,
+    decides open/close — partitioning cannot flip them."""
+    import datetime as dt
+
+    from sparsity_spark.operators.temporal import ohlc_resample
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [(10, t, "a", 4.0), (2, t, "a", 8.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).repartition(8)
+    r = ohlc_resample(df).collect()[0]
+    assert (r["open"], r["close"]) == (8.0, 4.0)  # event_id 2 first, 10 last

@@ -129,6 +129,24 @@ PICKS = {
         "aggregates keyed by node — no window operator, no wedge "
         "blowup, edge-linear at any skew."
     ),
+    "graph_link_prediction": (
+        "Link prediction (r9): wedges come from ONE shared-neighbor "
+        "equi-join over the degree-capped edge set (volume <= n*cap^2), "
+        "existing edges leave via an equi-anti-join, degrees attach as "
+        "node-sized joins — no cartesian, no window."
+    ),
+    "text_pmi_bigrams": (
+        "PMI collocations (r9): two partial+final HashAggregates over the "
+        "exploded token stream (map-side combine visible), then "
+        "vocabulary-keyed count joins; the persisted unigram table feeds "
+        "both join sides, one tokenize pass total."
+    ),
+    "ann_sq8_topk": (
+        "Int8 SQ scan (r9): query codes BROADCAST against the "
+        "partition-parallel corpus, the integer code dot inlines into "
+        "whole-stage codegen (no Python anywhere), per-query rank window "
+        "pushes partial top-k map-side."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
