@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "ann_mmr_diversified",
     "t6_ohlc_resample",
     "stats_ab_conversion_z",
+    "pipe_pack_tokenized",
 ]
 
 
@@ -284,6 +285,9 @@ SCALE_QUERIES = [
     # OHLC is one partial+final agg; A/B is two aggs + a day-sized join
     "t6_ohlc_resample",
     "stats_ab_conversion_z",
+    # tokenized pack: train is vocab-sized, encode one broadcast join,
+    # pack one window — corpus scanned twice total
+    "pipe_pack_tokenized",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -7677,6 +7677,56 @@ def _bpe_encode_oracle(num_merges: int = 3) -> str:
     )
 
 
+def _pack_tokenized_oracle(num_merges: int = 3, budget: int = 128) -> str:
+    """Tokenizer-aware packing replay: the full BPE train→encode CTEs,
+    then the cumsum bin assignment on the REAL token counts — the
+    pipeline a trainer actually runs (whitespace counts over-pack by
+    whatever the tokenizer's fertility is)."""
+    base = _bpe_encode_oracle(num_merges)
+    marker = "\n    SELECT d.doc_id"
+    cut = base.rfind(marker)
+    assert cut != -1, "encode-oracle final SELECT not found"
+    cte = base[:cut]
+    sel = base[cut:].strip()
+    # the encode oracle's final SELECT becomes a CTE
+    return (
+        cte
+        + """,
+    toks AS (""" + sel + """),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks
+    )
+    SELECT CAST(CAST(FLOOR((c - n_tokens) / """ + str(budget) + """) AS BIGINT) AS VARCHAR) AS bin_id,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cum GROUP BY 1
+    """
+    )
+
+
+@query("pipe_pack_tokenized", _pack_tokenized_oracle(3, 128))
+def pipe_pack_tokenized_q(spark, sf_dir):
+    """Tokenizer-aware sequence packing (r9 composition): train the BPE
+    merges, encode the corpus with them, and pack on the REAL token
+    counts — whitespace packing over-fills bins by the tokenizer's
+    fertility ratio, the bug this composition exists to prevent. The
+    oracle replays train → greedy fold encode → cumsum binning end to
+    end; one drifted token anywhere re-bins every later document."""
+    from sparsity_spark.operators.pipeline import pack_sequences
+    from sparsity_spark.operators.text import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=3)
+    counts = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    packed = pack_sequences(counts, budget=128)
+    return packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 @query("text_bpe_encode", _bpe_encode_oracle(3))
 def text_bpe_encode_q(spark, sf_dir):
     """Tokenizer APPLICATION (r8, closing the train→encode loop): the
@@ -9474,7 +9524,7 @@ _FIRST_50 = [
     "skew_salted_join", "stats_ab_conversion_z",
     "stream_enriched_counts", "ann_sq8_topk",
     "stats_count_store_topk",
-    "pipe_split_counts", "pipe_pack_bins", "dedup_containment_pairs",
+    "pipe_pack_tokenized", "pipe_pack_bins", "dedup_containment_pairs",
     "text_pmi_bigrams", "text_phrase_search", "web_domain_cap",
     ]
 

@@ -480,3 +480,28 @@ def test_ab_conversion_z_hand_checked(spark):
     z = (p_a - p_b) / math.sqrt(pooled * (1.0 - pooled) * (1.0 / 3 + 1.0 / 2))
     assert r["p_a"] == round(p_a, 6) and r["p_b"] == round(p_b, 6)
     assert r["z"] == round(z, 6)
+
+
+def test_pack_tokenized_uses_bpe_counts_not_whitespace(spark):
+    """The composition's point: token counts come from the trained
+    tokenizer, so a merge-heavy doc packs DENSER than its whitespace
+    word count suggests."""
+    from sparsity_spark.operators.pipeline import pack_sequences
+    from sparsity_spark.operators.text import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "aa ab aa ab aa ab") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, num_merges=1)
+    counts = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    rows = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+    # char-level BPE with the </w> marker: "aa ab"x3 = 18 marked symbols
+    # per doc, ONE merge (here (a,</w>)) fuses one pair per "aa" -> 15
+    # tokens — the REAL count packing must use, not the 6 whitespace words
+    assert set(rows.values()) == {15}
+    per_doc = 15
+    packed = pack_sequences(counts, budget=per_doc)
+    assert packed.select("bin_id").distinct().count() == 4  # one doc per bin
+    packed_all = pack_sequences(counts, budget=4 * per_doc)
+    assert packed_all.select("bin_id").distinct().count() == 1
