@@ -1109,6 +1109,20 @@ def collocations(
 
     Returns (w1, w2, pair_count, w1_count, w2_count, pmi_ratio) for
     bigrams with ``pair_count >= min_count``."""
+    out, uni = _collocations_plan(docs, min_count, text_col)
+    # materialize the vocabulary-bigram-sized result, then release the
+    # unigram cache (the pagerank cache-release discipline — a bench loop
+    # must not accumulate block-manager entries)
+    out = out.localCheckpoint(eager=True)
+    uni.unpersist()
+    return out
+
+
+def _collocations_plan(docs: DataFrame, min_count: int, text_col: str):
+    """Lazy body of :func:`collocations`, split out (the pagerank-helper
+    pattern) so plan-shape tests see the real aggregate/join tree instead
+    of the checkpoint-collapsed Scan ExistingRDD. Returns (plan, the
+    persisted unigram handle the caller must release)."""
     toks = docs.select(F.split(F.col(text_col), " ").alias("w"))
     words = toks.select(F.explode("w").alias("tok")).where(F.col("tok") != "")
     # ONE tokenize+aggregate pass feeds the token total, BOTH count-attach
@@ -1149,12 +1163,7 @@ def collocations(
             ).alias("pmi_ratio"),
         )
     )
-    # materialize the vocabulary-bigram-sized result, then release the
-    # unigram cache (the pagerank cache-release discipline — a bench loop
-    # must not accumulate block-manager entries)
-    out = out.localCheckpoint(eager=True)
-    uni.unpersist()
-    return out
+    return out, uni
 
 
 def phrase_search(
@@ -1179,6 +1188,19 @@ def phrase_search(
     matches per document; the doc-sized result is materialized and the
     posting cache released before return. Returns (doc_id, n_matches)
     for documents with at least one occurrence."""
+    res, postings = _phrase_search_plan(docs, phrase, id_col, text_col)
+    try:
+        return res.localCheckpoint(eager=True)
+    finally:
+        postings.unpersist()
+
+
+def _phrase_search_plan(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Lazy body of :func:`phrase_search` (the pagerank-helper pattern —
+    plan-shape tests need the real join tree, not the checkpoint-collapsed
+    scan). Returns (plan, the persisted postings handle to release)."""
     words = [w for w in phrase.split(" ") if w != ""]
     if not words:
         raise ValueError("phrase must contain at least one token")
@@ -1190,19 +1212,14 @@ def phrase_search(
         .where(F.col("tok").isin(words))
         .persist()
     )
-    try:
-        out = None
-        for i, w in enumerate(words):
-            p = postings.where(F.col("tok") == w).select(
-                id_col, (F.col("pos") - i).alias("base")
-            )
-            out = p if out is None else out.join(p, [id_col, "base"])
-        res = out.groupBy(id_col).agg(
-            F.count("*").cast("long").alias("n_matches")
+    out = None
+    for i, w in enumerate(words):
+        p = postings.where(F.col("tok") == w).select(
+            id_col, (F.col("pos") - i).alias("base")
         )
-        return res.localCheckpoint(eager=True)
-    finally:
-        postings.unpersist()
+        out = p if out is None else out.join(p, [id_col, "base"])
+    res = out.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
+    return res, postings
 
 
 def top_keywords(

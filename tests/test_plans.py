@@ -690,10 +690,12 @@ def test_phrase_search_posting_joins_no_cartesian(spark, sf_dir):
     intersection is (doc, position)-keyed equi-joins — posting-list-sized
     communication, no cartesian, no Python."""
     from sparsity_spark.data import load_table
-    from sparsity_spark.operators.text import phrase_search
+    from sparsity_spark.operators.text import _phrase_search_plan
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = formatted_plan(phrase_search(docs, "table hash"))
+    lazy, postings = _phrase_search_plan(docs, "table hash")
+    plan = formatted_plan(lazy)
+    postings.unpersist()
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
@@ -703,10 +705,12 @@ def test_collocations_two_hash_aggregates_no_python(spark, sf_dir):
     plus vocabulary-keyed count joins — JVM-side end to end, partial
     aggregation present (map-side combine on the token stream)."""
     from sparsity_spark.data import load_table
-    from sparsity_spark.operators.text import collocations
+    from sparsity_spark.operators.text import _collocations_plan
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = formatted_plan(collocations(docs, min_count=5))
+    lazy, uni = _collocations_plan(docs, 5, "text")
+    plan = formatted_plan(lazy)
+    uni.unpersist()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
