@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "t6_ohlc_resample",
     "stats_ab_conversion_z",
     "pipe_pack_tokenized",
+    "t7_mad_outlier_days",
+    "pipe_rfm_segments",
 ]
 
 
@@ -288,6 +290,10 @@ SCALE_QUERIES = [
     # tokenized pack: train is vocab-sized, encode one broadcast join,
     # pack one window — corpus scanned twice total
     "pipe_pack_tokenized",
+    # MAD outliers: one corpus agg then day-table-sized percentiles;
+    # RFM: one corpus agg then user-sized ntile windows (guarded)
+    "t7_mad_outlier_days",
+    "pipe_rfm_segments",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

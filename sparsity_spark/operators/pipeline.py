@@ -730,3 +730,73 @@ def ab_conversion_z(
         F.round(p_b, 6).alias("p_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    buckets: int = 4,
+    max_unsharded_rows: int = 10_000_000,
+) -> DataFrame:
+    """RFM segmentation (r9 — the classic entity scorecard, equally the
+    shape of per-source corpus triage: how fresh, how active, how heavy).
+    Per user: recency = days between their last event and the corpus's
+    last day (exact integer datediff), frequency = event count, monetary
+    = round-4 value sum; each metric quartiled with ntile over a TOTAL
+    order (metric, then user id — the unique tie-break that makes ntile's
+    row numbering, and therefore every bucket edge, engine-exact).
+    Recency ranks ascending (fresher = bucket 1 = better), frequency and
+    monetary descending (heavier = bucket 1).
+
+    Shape: ONE hash aggregate over raw events; the three ntile windows
+    run over the user-sized aggregate, not the event log; the corpus max
+    day is a scalar aggregate. A global ntile is still ONE sort task, so
+    the pack_sequences loud-failure guard applies: above
+    ``max_unsharded_rows`` users this raises — switch to approximate
+    percentile cutoffs + a map-side bucket lookup at that scale (exact
+    rank windows stop being the right tool long before 10⁸ entities).
+    Returns
+    (user_id, recency_days, frequency, monetary, r_q, f_q, m_q, segment)
+    with segment the "RFM" digit string."""
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.col(value_col).alias("v"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("v"), 4).alias("monetary"),
+    )
+    probe = per_user.limit(max_unsharded_rows + 1).count()
+    if probe > max_unsharded_rows:
+        raise ValueError(
+            f"rfm_segments: more than {max_unsharded_rows} entities — the "
+            "global ntile windows would sort in ONE task. Use approximate "
+            "percentile cutoffs with a broadcast bucket lookup at this "
+            "scale, or raise max_unsharded_rows explicitly."
+        )
+    max_day = base.agg(F.max("d")).collect()[0][0]
+    per_user = per_user.withColumn(
+        "recency_days", F.datediff(F.lit(max_day), F.col("last_d")).cast("long")
+    )
+    w_r = Window.orderBy(F.col("recency_days"), F.col("user_id"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    out = (
+        per_user.withColumn("r_q", F.ntile(buckets).over(w_r))
+        .withColumn("f_q", F.ntile(buckets).over(w_f))
+        .withColumn("m_q", F.ntile(buckets).over(w_m))
+    )
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+    )

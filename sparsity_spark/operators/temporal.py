@@ -594,3 +594,56 @@ def ohlc_resample(
         F.max_by(F.col(value_col), F.col(order_col)).alias("close"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+def mad_outlier_days(
+    events: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust daily volume outliers via median/MAD (r9 — the
+    mean/stddev z-score of :func:`daily_anomalies` is itself dragged by
+    the outliers it hunts; median absolute deviation is the standard
+    robust scale). Per key: daily counts, their median, the MAD
+    (median of |x − median|), and the robust score |x − med| / MAD for
+    every day, rounded to 6 BEFORE thresholding (one IEEE divide —
+    counts and interpolated medians are exactly representable, so the
+    score is bit-identical across engines; the daily_anomalies
+    round-then-threshold discipline).
+
+    Shape: one hash aggregate over raw events (the only corpus pass),
+    then two exact-percentile aggregates and the scoring join over
+    |keys|·|days| rows — day-table-sized work after the first pass.
+    Zero-MAD keys (constant series — no robust scale) are excluded like
+    daily_anomalies' zero-variance keys. Returns
+    (key, day, n, med, mad, score, is_outlier)."""
+    t = float(threshold)
+    daily = (
+        events.groupBy(
+            F.col(by).alias("key"),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    med = daily.groupBy("key").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = daily.join(med, "key").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("key").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = (
+        dev.join(mad, "key")
+        .where(F.col("mad") > 0)
+        .withColumn("score", F.round(F.col("adev") / F.col("mad"), 6))
+    )
+    return scored.select(
+        "key",
+        "day",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "score",
+        (F.col("score") >= t).alias("is_outlier"),
+    )

@@ -4106,6 +4106,79 @@ def stats_ab_conversion_z_q(spark, sf_dir):
 
 
 @query(
+    "t7_mad_outlier_days",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT key, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+    dev AS (
+      SELECT d.key, d.day, d.n, m.med, ABS(d.n - m.med) AS adev
+      FROM daily d JOIN med m ON m.key = d.key
+    ),
+    mad AS (SELECT key, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT v.key, v.day, v.n,
+           ROUND(v.med, 6) AS med, ROUND(a.mad, 6) AS mad,
+           ROUND(v.adev / a.mad, 6) AS score,
+           ROUND(v.adev / a.mad, 6) >= 3.0 AS is_outlier
+    FROM dev v JOIN mad a ON a.key = v.key
+    WHERE a.mad > 0
+    """,
+)
+def t7_mad_outlier_days_q(spark, sf_dir):
+    """Robust daily volume outliers (r9): median/MAD per event_type — the
+    mean/stddev z-score is dragged by the outliers it hunts; MAD is the
+    robust scale. Exact interpolated percentiles (the percentile-gate
+    parity), one IEEE divide rounded to 6 BEFORE thresholding, zero-MAD
+    constant series excluded. One corpus pass; everything after is
+    day-table-sized."""
+    from sparsity_spark.operators.temporal import mad_outlier_days
+
+    return mad_outlier_days(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipe_rfm_segments",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value AS v FROM events
+    ),
+    per_user AS (
+      SELECT user_id, MAX(d) AS last_d, CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(v), 4) AS monetary
+      FROM base GROUP BY 1
+    ),
+    mx AS (SELECT MAX(d) AS max_d FROM base),
+    r AS (
+      SELECT user_id, CAST(date_diff('day', last_d, mx.max_d) AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM per_user CROSS JOIN mx
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_q,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR) AS segment
+    FROM r
+    """,
+)
+def pipe_rfm_segments_q(spark, sf_dir):
+    """RFM quartile segmentation (r9): exact integer recency/frequency and
+    round-4 monetary, each ntile'd over a TOTAL order (metric, then
+    user_id — the unique tie-break that makes every bucket edge
+    engine-exact). One corpus aggregate; windows run over the user-sized
+    table, with the pack_sequences loud-failure guard above 10^7
+    entities."""
+    from sparsity_spark.operators.pipeline import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "t6_ohlc_resample",
     """
     SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
@@ -9520,12 +9593,12 @@ _FIRST_50 = [
     "text_top_keywords", "dedup_exact_normalized", "dedup_incremental_lsh",
     "dedup_semdedup", "dedup_semantic_screen",
     "ann_mmr_diversified", "emb_quantize_int8",
-    "src_orc_events", "src_json_events", "sink_partitioned_day",
+    "src_orc_events", "t7_mad_outlier_days", "sink_partitioned_day",
     "skew_salted_join", "stats_ab_conversion_z",
     "stream_enriched_counts", "ann_sq8_topk",
     "stats_count_store_topk",
     "pipe_pack_tokenized", "pipe_pack_bins", "dedup_containment_pairs",
-    "text_pmi_bigrams", "text_phrase_search", "web_domain_cap",
+    "text_pmi_bigrams", "text_phrase_search", "pipe_rfm_segments",
     ]
 
 def _apply_registry_order() -> None:

@@ -505,3 +505,37 @@ def test_pack_tokenized_uses_bpe_counts_not_whitespace(spark):
     assert packed.select("bin_id").distinct().count() == 4  # one doc per bin
     packed_all = pack_sequences(counts, budget=4 * per_doc)
     assert packed_all.select("bin_id").distinct().count() == 1
+
+
+def test_rfm_segments_hand_checked(spark):
+    import datetime as dt
+
+    from sparsity_spark.operators.pipeline import rfm_segments
+
+    rows = []
+    # 4 users: user 0 fresh+heavy, user 3 stale+light
+    for u, (day, n, v) in enumerate(
+        [(10, 8, 100.0), (8, 6, 50.0), (5, 4, 20.0), (1, 2, 5.0)]
+    ):
+        for i in range(n):
+            rows.append((dt.datetime(2024, 1, day, 9 + i % 8), u, v / n))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    got = {r["user_id"]: r for r in rfm_segments(df).collect()}
+    assert got[0]["recency_days"] == 0 and got[3]["recency_days"] == 9
+    assert got[0]["segment"] == "111" and got[3]["segment"] == "444"
+    assert got[1]["segment"] == "222" and got[2]["segment"] == "333"
+
+
+def test_rfm_segments_guard_raises(spark):
+    import datetime as dt
+
+    from sparsity_spark.operators.pipeline import rfm_segments
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), i, 1.0) for i in range(5)],
+        "ts timestamp, user_id long, value double",
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rfm_segments(df, max_unsharded_rows=3)

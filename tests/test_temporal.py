@@ -413,3 +413,33 @@ def test_ohlc_resample_shared_timestamp_deterministic(spark):
     ).repartition(8)
     r = ohlc_resample(df).collect()[0]
     assert (r["open"], r["close"]) == (8.0, 4.0)  # event_id 2 first, 10 last
+
+
+def test_mad_outlier_days_hand_checked(spark):
+    """Counts 1,1,1,1,9 per day: median 1, MAD 0-ish? deviations
+    0,0,0,0,8 -> MAD = 0 excludes the key; add spread so MAD > 0."""
+    import datetime as dt
+
+    from sparsity_spark.operators.temporal import mad_outlier_days
+
+    rows = []
+    # key 'a': daily counts 1,2,3,4,50 -> med 3, adev 2,1,0,1,47, MAD 1
+    counts = {1: 1, 2: 2, 3: 3, 4: 4, 5: 50}
+    eid = 0
+    for day, n in counts.items():
+        for _ in range(n):
+            rows.append((dt.datetime(2024, 1, day, 12, 0), "a"))
+            eid += 1
+    # key 'b': constant 2/day -> MAD 0 -> excluded entirely
+    for day in range(1, 6):
+        rows += [(dt.datetime(2024, 1, day, 12, 0), "b")] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        (r["key"], r["day"]): (r["n"], r["med"], r["mad"], r["score"], r["is_outlier"])
+        for r in mad_outlier_days(df).collect()
+    }
+    assert all(k[0] == "a" for k in got)  # constant key excluded
+    n, med, mad, score, out = got[("a", "2024-01-05")]
+    assert (n, med, mad) == (50, 3.0, 1.0)
+    assert score == 47.0 and out
+    assert not got[("a", "2024-01-01")][4]  # adev 2 / mad 1 = 2 < 3
