@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "pipe_pack_tokenized",
     "t7_mad_outlier_days",
     "pipe_rfm_segments",
+    "graph_lpa_modularity",
 ]
 
 
@@ -294,6 +295,8 @@ SCALE_QUERIES = [
     # RFM: one corpus agg then user-sized ntile windows (guarded)
     "t7_mad_outlier_days",
     "pipe_rfm_segments",
+    # modularity rides the LPA labels + two label joins over the edges
+    "graph_lpa_modularity",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -51,6 +51,7 @@ __all__ = [
     "triangle_count",
     "triangle_count_capped",
     "link_prediction",
+    "modularity",
     "label_propagation",
     "bfs_levels",
     "k_core",
@@ -938,3 +939,59 @@ def pagerank_weighted(
     adj.unpersist()
     strength.unpersist()
     return ranks
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions (r9 — the number
+    that says whether a community assignment MEANS anything before a
+    pipeline caps or rebalances on it): for community c,
+    ``q_c = e2_c/m2 − (d_c/m2)²`` where m2 = the symmetric edge-row
+    count (= 2m), e2_c = symmetric edge rows internal to c (= 2e_c) and
+    d_c = the community's degree sum; Q = Σ q_c.
+
+    Exactness: e2_c, d_c, m2 are exact BIGINTs; the finish is two IEEE
+    divides, one multiply, one subtract in a fixed tree, round-6 — the
+    corr_matrix float discipline, no transcendental anywhere.
+
+    Plan: ONE distinct over edges, one degree aggregate, two node-sized
+    label joins (the edge table joins the label table on each endpoint),
+    three hash aggregates — everything keyed on node or label; the only
+    scalar is m2 (a count). Communities with no internal edge contribute
+    e2_c = 0 via the left join. Returns
+    (label, n_nodes, internal_edge_ends, degree_sum, q_c)."""
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    m2 = und.count()
+    if m2 == 0:
+        raise ValueError("modularity: empty edge set")
+    lab = labels.select(F.col("node"), F.col("label"))
+    la = lab.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    internal = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("e2"))
+    )
+    dsum = (
+        deg.join(la.withColumnRenamed("la", "label"), "src")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    out = dsum.join(internal, "label", "left").select(
+        "label",
+        "n_nodes",
+        F.coalesce(F.col("e2"), F.lit(0).cast("long")).alias("internal_edge_ends"),
+        "degree_sum",
+        F.round(
+            F.coalesce(F.col("e2"), F.lit(0).cast("long")) / F.lit(int(m2))
+            - (F.col("degree_sum") / F.lit(int(m2)))
+            * (F.col("degree_sum") / F.lit(int(m2))),
+            6,
+        ).alias("q_c"),
+    )
+    return out

@@ -9443,6 +9443,76 @@ def _lpa_oracle(iters: int = 3) -> str:
     """
 
 
+def _lpa_modularity_oracle(iters: int = 3) -> str:
+    """LPA CTEs verbatim, then the per-community modularity accounting:
+    symmetric-row counts m2/e2_c and degree sums as exact BIGINTs, the
+    q_c finish the same fixed divide/multiply/subtract tree Spark
+    evaluates — label drift in any LPA round re-partitions communities
+    and flips every downstream number."""
+    base = _lpa_oracle(iters)
+    marker = f"\n    SELECT node, label FROM l{iters}"
+    cut = base.rfind(marker)
+    assert cut != -1
+    cte = base[:cut]
+    return (
+        cte
+        + f""",
+    lab AS (SELECT node, label FROM l{iters}),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+    internal AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e2
+      FROM edges e
+      JOIN lab la ON la.node = e.src
+      JOIN lab lb ON lb.node = e.dst
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    dsum AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(g.d) AS BIGINT) AS degree_sum
+      FROM deg g JOIN lab la ON la.node = g.src GROUP BY 1
+    )
+    SELECT s.label, s.n_nodes,
+           COALESCE(i.e2, CAST(0 AS BIGINT)) AS internal_edge_ends,
+           s.degree_sum,
+           ROUND(COALESCE(i.e2, CAST(0 AS BIGINT)) / m2t.m2
+                 - (s.degree_sum / m2t.m2) * (s.degree_sum / m2t.m2), 6) AS q_c
+    FROM dsum s LEFT JOIN internal i ON i.label = s.label CROSS JOIN m2t
+    """
+    )
+
+
+@query("graph_lpa_modularity", _lpa_modularity_oracle(3))
+def graph_lpa_modularity_q(spark, sf_dir):
+    """Community QUALITY (r9 — LPA names the cohorts; modularity says
+    whether the naming means anything): per-community Newman
+    contributions q_c = e2_c/m2 − (d_c/m2)² over the same co-purchase
+    graph and the same 3 LPA rounds, all counts exact BIGINTs and the
+    finish one fixed IEEE tree rounded to 6. The oracle replays LPA AND
+    the accounting — a label drift anywhere re-partitions communities
+    and flips every q_c."""
+    from sparsity_spark.operators.graph import (
+        label_propagation,
+        modularity,
+        symmetrize_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+    edges = symmetrize_edges(pairs, "s1", "s2", as_string=False)
+    labels = label_propagation(edges, iterations=3)
+    return modularity(edges, labels)
+
+
 @query("graph_lpa_communities", _lpa_oracle(3))
 def graph_lpa_communities_q(spark, sf_dir):
     """Community detection (r9 — the graph family's missing member:
@@ -9594,7 +9664,7 @@ _FIRST_50 = [
     "dedup_semdedup", "dedup_semantic_screen",
     "ann_mmr_diversified", "emb_quantize_int8",
     "src_orc_events", "t7_mad_outlier_days", "sink_partitioned_day",
-    "skew_salted_join", "stats_ab_conversion_z",
+    "graph_lpa_modularity", "stats_ab_conversion_z",
     "stream_enriched_counts", "ann_sq8_topk",
     "stats_count_store_topk",
     "pipe_pack_tokenized", "pipe_pack_bins", "dedup_containment_pairs",

@@ -622,3 +622,60 @@ def test_pagerank_weighted_validates_damping(spark):
     edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
     with pytest.raises(ValueError):
         pagerank_weighted(edges, damping_pct=0)
+
+
+def test_modularity_two_cliques_bridge(spark):
+    """Two 3-cliques joined by one bridge, perfect labels: Q must be
+    high and match the hand computation exactly."""
+    from sparsity_spark.operators.graph import modularity, symmetrize_edges
+
+    cl1 = [(1, 2), (2, 3), (3, 1)]
+    cl2 = [(4, 5), (5, 6), (6, 4)]
+    pairs = cl1 + cl2 + [(3, 4)]
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)], "node long, label long"
+    )
+    got = {r["label"]: r for r in modularity(edges, labels).collect()}
+    # m2 = 14 edge-rows (7 undirected edges); community 1: e2=6, d=7
+    m2 = 14.0
+    for lbl, d in [(1, 7), (2, 7)]:
+        r = got[lbl]
+        assert r["n_nodes"] == 3
+        assert r["internal_edge_ends"] == 6
+        assert r["degree_sum"] == d
+        assert r["q_c"] == round(6 / m2 - (d / m2) * (d / m2), 6)
+    # total Q positive for a good split
+    assert sum(r["q_c"] for r in got.values()) > 0.3
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: e2 = m2 and d = m2, so
+    Q = 1 - 1 = 0 exactly."""
+    from sparsity_spark.operators.graph import modularity, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    labels = spark.createDataFrame([(n, 9) for n in (1, 2, 3)], "node long, label long")
+    rows = modularity(edges, labels).collect()
+    assert len(rows) == 1 and rows[0]["q_c"] == 0.0
+
+
+def test_modularity_isolated_label_no_internal_edges(spark):
+    """A community whose nodes never connect internally: e2 = 0 via the
+    left join, q_c strictly negative."""
+    from sparsity_spark.operators.graph import modularity, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (3, 4)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 8), (3, 7), (4, 8)], "node long, label long"
+    )
+    got = {r["label"]: r for r in modularity(edges, labels).collect()}
+    assert got[7]["internal_edge_ends"] == 0 and got[7]["q_c"] < 0
