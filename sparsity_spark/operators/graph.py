@@ -953,16 +953,28 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     divides, one multiply, one subtract in a fixed tree, round-6 — the
     corr_matrix float discipline, no transcendental anywhere.
 
-    Plan: ONE distinct over edges, one degree aggregate, two node-sized
-    label joins (the edge table joins the label table on each endpoint),
-    three hash aggregates — everything keyed on node or label; the only
-    scalar is m2 (a count). Communities with no internal edge contribute
-    e2_c = 0 via the left join. Returns
+    Input contract: ``edges`` must be SYMMETRIC (both directions
+    present — symmetrize_edges' output; the label_propagation contract).
+    On directed input the degree, m2, and internal counts each lose a
+    different factor of two and Q comes out silently wrong.
+
+    Plan: ONE distinct over edges (persisted — it feeds the m2 count job
+    AND the result plan, the LPA cache discipline), one degree aggregate,
+    two node-sized label joins, three hash aggregates — everything keyed
+    on node or label; the only scalar is m2 (a count). Communities with
+    no internal edge contribute e2_c = 0 via the left join. The
+    label-table-sized result is materialized and the edge cache released
+    before return. Returns
     (label, n_nodes, internal_edge_ends, degree_sum, q_c)."""
-    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
     deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     m2 = und.count()
     if m2 == 0:
+        und.unpersist()
         raise ValueError("modularity: empty edge set")
     lab = labels.select(F.col("node"), F.col("label"))
     la = lab.select(F.col("node").alias("src"), F.col("label").alias("la"))
@@ -994,4 +1006,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             6,
         ).alias("q_c"),
     )
-    return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()

@@ -716,6 +716,13 @@ def ab_conversion_z(
         "day", F.col("n").alias("n_b"), F.col("x").alias("conv_b")
     )
     j = a.join(b, "day")
+    # degenerate days (pooled rate exactly 0 or 1) have a ZERO z
+    # denominator: ANSI Spark throws on the divide while DuckDB returns
+    # NULL — drop them on BOTH sides (r9 review; no z is defined there)
+    j = j.where(
+        ((F.col("conv_a") + F.col("conv_b")) > 0)
+        & ((F.col("conv_a") + F.col("conv_b")) < (F.col("n_a") + F.col("n_b")))
+    )
     p_a = F.col("conv_a") / F.col("n_a")
     p_b = F.col("conv_b") / F.col("n_b")
     pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
@@ -765,38 +772,46 @@ def rfm_segments(
         F.to_date(F.col(ts_col)).alias("d"),
         F.col(value_col).alias("v"),
     )
+    # ONE corpus pass: persist the user-sized aggregate so the guard
+    # probe, the corpus max day (= max of last_d), and the window input
+    # all read the cache instead of re-aggregating raw events (r9 review
+    # — the probe and a separate base.agg were two extra corpus scans)
     per_user = base.groupBy("user_id").agg(
         F.max("d").alias("last_d"),
         F.count("*").cast("long").alias("frequency"),
         F.round(F.sum("v"), 4).alias("monetary"),
-    )
-    probe = per_user.limit(max_unsharded_rows + 1).count()
-    if probe > max_unsharded_rows:
-        raise ValueError(
-            f"rfm_segments: more than {max_unsharded_rows} entities — the "
-            "global ntile windows would sort in ONE task. Use approximate "
-            "percentile cutoffs with a broadcast bucket lookup at this "
-            "scale, or raise max_unsharded_rows explicitly."
+    ).persist()
+    try:
+        probe = per_user.limit(max_unsharded_rows + 1).count()
+        if probe > max_unsharded_rows:
+            raise ValueError(
+                f"rfm_segments: more than {max_unsharded_rows} entities — the "
+                "global ntile windows would sort in ONE task. Use approximate "
+                "percentile cutoffs with a broadcast bucket lookup at this "
+                "scale, or raise max_unsharded_rows explicitly."
+            )
+        max_day = per_user.agg(F.max("last_d")).collect()[0][0]
+        per_user = per_user.withColumn(
+            "recency_days", F.datediff(F.lit(max_day), F.col("last_d")).cast("long")
         )
-    max_day = base.agg(F.max("d")).collect()[0][0]
-    per_user = per_user.withColumn(
-        "recency_days", F.datediff(F.lit(max_day), F.col("last_d")).cast("long")
-    )
-    w_r = Window.orderBy(F.col("recency_days"), F.col("user_id"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-    out = (
-        per_user.withColumn("r_q", F.ntile(buckets).over(w_r))
-        .withColumn("f_q", F.ntile(buckets).over(w_f))
-        .withColumn("m_q", F.ntile(buckets).over(w_m))
-    )
-    return out.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        "r_q",
-        "f_q",
-        "m_q",
-        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
-    )
+        w_r = Window.orderBy(F.col("recency_days"), F.col("user_id"))
+        w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+        w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+        out = (
+            per_user.withColumn("r_q", F.ntile(buckets).over(w_r))
+            .withColumn("f_q", F.ntile(buckets).over(w_f))
+            .withColumn("m_q", F.ntile(buckets).over(w_m))
+        )
+        res = out.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_q",
+            "f_q",
+            "m_q",
+            F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        per_user.unpersist()

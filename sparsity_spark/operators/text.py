@@ -1112,10 +1112,12 @@ def collocations(
     out, uni = _collocations_plan(docs, min_count, text_col)
     # materialize the vocabulary-bigram-sized result, then release the
     # unigram cache (the pagerank cache-release discipline — a bench loop
-    # must not accumulate block-manager entries)
-    out = out.localCheckpoint(eager=True)
-    uni.unpersist()
-    return out
+    # must not accumulate block-manager entries); finally so a failed
+    # checkpoint job cannot leak the cache (the phrase_search shape)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
 
 
 def _collocations_plan(docs: DataFrame, min_count: int, text_col: str):

@@ -4084,6 +4084,7 @@ def t3_time_rollup(spark, sf_dir):
       SELECT a.day, a.n AS n_a, b.n AS n_b, a.x AS conv_a, b.x AS conv_b
       FROM per_cohort a JOIN per_cohort b ON a.day = b.day
       WHERE a.is_a AND NOT b.is_a
+        AND a.x + b.x > 0 AND a.x + b.x < a.n + b.n
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b, conv_a, conv_b,
            ROUND(conv_a / n_a, 6) AS p_a,
@@ -9629,9 +9630,11 @@ _FIRST_50 = [
     # weighted pagerank / containment / MMR / top keywords) in place of
     # s11_head, fn_json_extract, stream_sliding_counts, stats_kmv_sketch,
     # text_redact_pii, multimodal_gif_features, multimodal_frames,
-    # ann_hard_negatives, pipe_stratified_sample, a8_session_window, and
-    # skew_distinct_count (the last two for the OHLC resample and A/B
-    # z-score rows) — swapped-out rows stay sweep-covered every round.)
+    # ann_hard_negatives, pipe_stratified_sample, a8_session_window,
+    # skew_distinct_count, src_json_events, skew_salted_join,
+    # pipe_split_counts, and web_domain_cap (the later swaps brought in
+    # OHLC, A/B z, MAD outliers, LPA modularity, tokenized packing, and
+    # RFM) — swapped-out rows stay sweep-covered every round.)
     # Keepers: the flagship, plus text_bpe_encode ("green as today" is the
     # r8 #1 done-condition alongside the new deep row). Rotated OUT (all
     # driver-green in r8, still swept every round): the r8 window's other

@@ -564,3 +564,56 @@ def test_top_keywords_matches_tfidf_frame_cells(spark):
     }
     for r in top_keywords(docs, k=2).collect():
         assert cells[(r["doc_id"], r["keyword"])] == r["tfidf"]
+
+
+def test_ab_conversion_z_degenerate_days_dropped(spark):
+    """Review: a day where nobody (or everybody) converts has a zero z
+    denominator — ANSI Spark would throw on the divide; such days must
+    be absent, not crash."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.pipeline import ab_conversion_z
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1, 9)   # nobody converts
+    d1 = dt.datetime(2024, 1, 2, 9)   # everybody converts
+    d2 = dt.datetime(2024, 1, 3, 9)   # mixed — must survive
+    for u in range(4):
+        rows.append((d0, u, "view"))
+        rows.append((d1, u, "purchase"))
+        rows.append((d2, u, "purchase" if u == 0 else "view"))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    got = {r["day"]: r["z"] for r in ab_conversion_z(df).collect()}
+    assert set(got) == {"2024-01-03"}
+
+
+def test_rfm_segments_single_aggregate_results_unchanged(spark):
+    """Review: the persist/one-pass refactor must not change any value."""
+    import datetime as dt
+
+    from sparsity_spark.operators.pipeline import rfm_segments
+
+    rows = []
+    for u, (day, n, v) in enumerate(
+        [(10, 8, 100.0), (8, 6, 50.0), (5, 4, 20.0), (1, 2, 5.0)]
+    ):
+        for i in range(n):
+            rows.append((dt.datetime(2024, 1, day, 9 + i % 8), u, v / n))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    got = {r["user_id"]: r["segment"] for r in rfm_segments(df).collect()}
+    assert got == {0: "111", 1: "222", 2: "333", 3: "444"}
+
+
+def test_modularity_rejects_empty_and_releases_cache(spark):
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.graph import modularity
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1)], "node long, label long")
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        modularity(empty, labels)
