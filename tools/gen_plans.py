@@ -147,6 +147,22 @@ PICKS = {
         "whole-stage codegen (no Python anywhere), per-query rank window "
         "pushes partial top-k map-side."
     ),
+    "dedup_containment_pairs": (
+        "Asymmetric containment (r9): ONE shared-shingle equi-join "
+        "bounded by posting-list collisions, one overlap aggregate, two "
+        "node-sized size joins — both directions of the relation from "
+        "one symmetric pair table, no cartesian."
+    ),
+    "stats_count_store_topk": (
+        "Count store (r9): the increments land as bucketed appends; the "
+        "top-k read is two hash aggregates over the (batches x keys)-"
+        "sized store — the corpus is never rescanned."
+    ),
+    "t6_ohlc_resample": (
+        "OHLC (r9): ONE partial+final HashAggregate over date_trunc "
+        "buckets — min_by/max_by combine map-side like any agg, so the "
+        "plan is a plain single-shuffle groupBy at any scale."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
