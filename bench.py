@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "t7_mad_outlier_days",
     "pipe_rfm_segments",
     "graph_lpa_modularity",
+    "graph_adamic_adar",
 ]
 
 
@@ -297,6 +298,8 @@ SCALE_QUERIES = [
     "pipe_rfm_segments",
     # modularity rides the LPA labels + two label joins over the edges
     "graph_lpa_modularity",
+    # adamic-adar shares link_prediction's capped-wedge bound
+    "graph_adamic_adar",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

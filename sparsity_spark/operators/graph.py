@@ -52,6 +52,7 @@ __all__ = [
     "triangle_count_capped",
     "link_prediction",
     "modularity",
+    "adamic_adar",
     "label_propagation",
     "bfs_levels",
     "k_core",
@@ -1010,3 +1011,61 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         und.unpersist()
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 2,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Adamic-Adar link prediction (r9 — the other standard
+    neighborhood scorer: a shared RARE neighbor is stronger evidence
+    than a shared hub, so each common neighbor v contributes
+    ``1/ln(deg v)`` instead of 1). Same degree-capped wedge machinery
+    as :func:`link_prediction` (wedge volume ≤ n·cap², anti-join drops
+    existing edges).
+
+    Determinism: a raw double Σ 1/ln(d) is ORDER-DEPENDENT — partitioned
+    partial sums can drift a ulp between engines, the failure the
+    engine-wide integer discipline exists to prevent. Each term is
+    therefore floored to integer micro-units FIRST
+    (``floor(unit/ln(d) + ½)`` — one ln, one divide, one floor on the
+    identical double both engines hold; cap ≥ 2 ⇒ ln ≥ ln 2 > 0), and
+    only exact BIGINTs are summed — associative, partition-independent,
+    oracle-exact. Returns (u, v, common_neighbors, aa_micro) for
+    non-adjacent pairs with ≥ min_common shared neighbors."""
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    keep = deg.where(F.col("deg") <= max_degree).select("src")
+    capped = (
+        und.join(keep, "src", "leftsemi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+    )
+    # capped-subgraph degree of the SHARED neighbor drives the weight
+    degc = capped.groupBy("src").agg(F.count("*").cast("long").alias("dv"))
+    term = F.floor(F.lit(float(unit)) / F.log(F.col("dv")) + 0.5).cast("long")
+    e1 = capped.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = capped.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        e1.join(e2, "v")
+        .where(F.col("u") < F.col("w"))
+        .join(degc.withColumnRenamed("src", "v"), "v")
+    )
+    scored = wedges.groupBy("u", "w").agg(
+        F.count("*").cast("long").alias("common"),
+        F.sum(term).cast("long").alias("aa_micro"),
+    )
+    orient = capped.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    return (
+        scored.join(orient, ["u", "w"], "left_anti")
+        .where(F.col("common") >= min_common)
+        .select(
+            "u",
+            F.col("w").alias("v"),
+            F.col("common").alias("common_neighbors"),
+            "aa_micro",
+        )
+    )

@@ -9274,6 +9274,69 @@ def text_phrase_search_q(spark, sf_dir):
 
 
 @query(
+    "graph_adamic_adar",
+    """
+    WITH buy AS (
+      SELECT DISTINCT l.l_partkey AS pk,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(o.o_custkey AS BIGINT) AS cust
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT DISTINCT a.cust AS s1, b.cust AS s2
+      FROM buy a JOIN buy b ON a.pk = b.pk AND a.q = b.q
+      WHERE a.cust <> b.cust
+    ),
+    deg AS (SELECT s1 AS node, COUNT(*) AS d FROM co GROUP BY 1),
+    keep AS (SELECT node FROM deg WHERE d <= 30),
+    cap AS (
+      SELECT e.s1, e.s2 FROM co e
+      JOIN keep k1 ON k1.node = e.s1
+      JOIN keep k2 ON k2.node = e.s2
+    ),
+    degc AS (SELECT s1 AS node, CAST(COUNT(*) AS BIGINT) AS dv FROM cap GROUP BY 1),
+    wedge AS (
+      SELECT e1.s2 AS u, e2.s2 AS w,
+             CAST(FLOOR(1000000.0 / ln(g.dv) + 0.5) AS BIGINT) AS term
+      FROM cap e1
+      JOIN cap e2 ON e2.s1 = e1.s1 AND e1.s2 < e2.s2
+      JOIN degc g ON g.node = e1.s1
+    ),
+    cn AS (
+      SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(term) AS BIGINT) AS aa_micro
+      FROM wedge GROUP BY 1, 2
+    )
+    SELECT cn.u, cn.w AS v, cn.common AS common_neighbors, cn.aa_micro
+    FROM cn
+    WHERE common >= 2
+      AND NOT EXISTS (SELECT 1 FROM cap e WHERE e.s1 = cn.u AND e.s2 = cn.w)
+    """,
+)
+def graph_adamic_adar_q(spark, sf_dir):
+    """Adamic-Adar link prediction (r9): shared RARE neighbors weigh more
+    — each common neighbor contributes 1/ln(deg), floored to integer
+    micro-units BEFORE summation (a raw double sum is order-dependent
+    across partitionings; exact BIGINTs are not). Same capped-wedge /
+    anti-join machinery as the Jaccard row, over the same co-purchase
+    graph."""
+    from sparsity_spark.operators.graph import adamic_adar, symmetrize_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    buy = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("long").alias("q"),
+        F.col("o_custkey").alias("cust"),
+    ).distinct()
+    a = buy.select("pk", "q", F.col("cust").alias("s1"))
+    b = buy.select("pk", "q", F.col("cust").alias("s2"))
+    pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+    edges = symmetrize_edges(pairs, "s1", "s2", as_string=False)
+    return adamic_adar(edges, max_degree=30, min_common=2)
+
+
+@query(
     "graph_link_prediction",
     """
     WITH buy AS (
@@ -9658,7 +9721,7 @@ _FIRST_50 = [
     "skew_bloom_store_semijoin",  # merge_bloom_store tableExists fix
     "graph_random_walks", "graph_skipgram_pairs",  # graph.py unpersist fix
     # never-driver-checked rotation, family by family
-    "graph_link_prediction", "s1_melt_numeric", "a4_std_dense_denominator",
+    "graph_link_prediction", "graph_adamic_adar", "a4_std_dense_denominator",
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
     "t6_ohlc_resample",
     "q2_min_cost_supplier", "q8_market_share",

@@ -679,3 +679,49 @@ def test_modularity_isolated_label_no_internal_edges(spark):
     )
     got = {r["label"]: r for r in modularity(edges, labels).collect()}
     assert got[7]["internal_edge_ends"] == 0 and got[7]["q_c"] < 0
+
+
+def test_adamic_adar_weights_rare_neighbors_higher(spark):
+    """Two candidate pairs with one common neighbor each: the pair whose
+    shared neighbor is RARER must score higher; term = floor(1e6/ln d + .5)
+    replayed in python."""
+    import math
+
+    from sparsity_spark.operators.graph import adamic_adar, symmetrize_edges
+
+    # v=100 has degree 2 (neighbors 1,2); v=200 has degree 4 (3,4,5,6):
+    # pair (1,2) shares the rare v; pair (3,4) shares the hubby v
+    pairs = [(1, 100), (2, 100), (3, 200), (4, 200), (5, 200), (6, 200)]
+    edges = symmetrize_edges(
+        spark.createDataFrame(pairs, "a long, b long"), "a", "b", as_string=False
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa_micro"])
+        for r in adamic_adar(edges, min_common=1).collect()
+    }
+
+    def term(d):
+        return math.floor(1_000_000.0 / math.log(d) + 0.5)
+
+    assert got[(1, 2)] == (1, term(2))
+    assert got[(3, 4)] == (1, term(4))
+    assert got[(1, 2)][1] > got[(3, 4)][1]
+
+
+def test_adamic_adar_sums_terms_and_skips_edges(spark):
+    """4-cycle diagonals: two common neighbors each, both degree 2;
+    adjacent pairs never scored."""
+    import math
+
+    from sparsity_spark.operators.graph import adamic_adar, symmetrize_edges
+
+    edges = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "a long, b long"),
+        "a", "b", as_string=False,
+    )
+    got = {
+        (r["u"], r["v"]): r["aa_micro"]
+        for r in adamic_adar(edges, min_common=2).collect()
+    }
+    t = math.floor(1_000_000.0 / math.log(2) + 0.5)
+    assert got == {(1, 3): 2 * t, (2, 4): 2 * t}
