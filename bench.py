@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "pipe_rfm_segments",
     "graph_lpa_modularity",
     "graph_adamic_adar",
+    "t6_ohlc_store",
 ]
 
 
@@ -300,6 +301,8 @@ SCALE_QUERIES = [
     "graph_lpa_modularity",
     # adamic-adar shares link_prediction's capped-wedge bound
     "graph_adamic_adar",
+    # the OHLC fold moves batch-sized partials; the read is store-sized
+    "t6_ohlc_store",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -647,3 +647,100 @@ def mad_outlier_days(
         "score",
         (F.col("score") >= t).alias("is_outlier"),
     )
+
+
+def merge_ohlc_store(
+    batch_df: DataFrame,
+    table: str,
+    batch_id: int,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    unit: str = "hour",
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Fold one micro-batch into a persisted OHLC store (r9 — the
+    time-series rollup kept ALWAYS-CURRENT without rescanning raw
+    events). OHLC state is mergeable exactly: open/close ride with
+    their ``order_col`` ids (min/max by id), high/low/count combine with
+    least/greatest/sum — so the store holds one row per (key, bucket)
+    worth of partial state and a batch folds in with one bucket-keyed
+    join over store rows whose buckets the batch touches.
+
+    Counts make the merge non-idempotent, so the count-store discipline
+    applies verbatim: an append-only (batch_id, key, bucket, …partial…)
+    layout bucketed by (key, bucket), a write-side batch_id replay
+    screen, and read-side MAX-collapse of raced duplicate rows before
+    the final merge (identical by construction). Same single-writer
+    contract as merge_count_store: the table is married to one
+    streaming query's checkpoint. :func:`read_ohlc_store` serves the
+    merged view. Returns the maintained table."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+
+    spark = batch_df.sparkSession
+    inc = (
+        batch_df.groupBy(
+            F.col(by).alias("key"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min(order_col).cast("long").alias("open_oid"),
+            F.min_by(F.col(value_col), F.col(order_col)).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(order_col).cast("long").alias("close_oid"),
+            F.max_by(F.col(value_col), F.col(order_col)).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(F.lit(int(batch_id)).cast("long").alias("batch_id"), "*")
+    )
+    if spark.catalog.tableExists(table):
+        seen = (
+            spark.table(table)
+            .where(F.col("batch_id") == int(batch_id))
+            .limit(1)
+            .count()
+        )
+        if seen == 0:
+            inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
+                _table_bucket_count(spark, table), "key", "bucket"
+            ).saveAsTable(table)
+    else:
+        from sparsity_spark.operators.skew import write_bucketed
+
+        write_bucketed(
+            inc.localCheckpoint(eager=True), table, ["key", "bucket"], num_buckets
+        )
+    return spark.table(table)
+
+
+def read_ohlc_store(spark, table: str) -> DataFrame:
+    """Merged OHLC view over the maintained store: collapse raced
+    duplicate (batch_id, key, bucket) rows with MAX (identical by
+    construction), then merge partials — open from the globally smallest
+    order id (min_by over partial opens), close from the largest,
+    high/low/count by greatest/least/sum. One aggregate over the
+    (batches · keys · buckets)-sized store; raw events never rescanned.
+    Returns (key, bucket, open, high, low, close, n_events) — the exact
+    schema of :func:`ohlc_resample` over the union of every batch."""
+    per_batch = (
+        spark.table(table)
+        .groupBy("batch_id", "key", "bucket")
+        .agg(
+            F.max("open_oid").alias("open_oid"),
+            F.max("open").alias("open"),
+            F.max("high").alias("high"),
+            F.max("low").alias("low"),
+            F.max("close_oid").alias("close_oid"),
+            F.max("close").alias("close"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+    return per_batch.groupBy("key", "bucket").agg(
+        F.min_by(F.col("open"), F.col("open_oid")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), F.col("close_oid")).alias("close"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

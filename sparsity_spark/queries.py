@@ -4180,6 +4180,41 @@ def pipe_rfm_segments_q(spark, sf_dir):
 
 
 @query(
+    "t6_ohlc_store",
+    """
+    SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t6_ohlc_store_q(spark, sf_dir):
+    """Maintained OHLC store (r9): the event stream split into three
+    micro-batch increments folded via merge_ohlc_store — batch 1 folded
+    TWICE so the replay screen fires in the serving path — then the
+    merged view read back. The oracle is the ONE-SHOT OHLC over all
+    events: mergeable partial state (order-id-anchored open/close,
+    least/greatest/sum) must reproduce it exactly."""
+    from sparsity_spark.operators.temporal import merge_ohlc_store, read_ohlc_store
+
+    events = load_table(spark, sf_dir, "events")
+    table = "ohlc_store_oracle_q"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for b in range(3):
+        merge_ohlc_store(
+            events.where(F.col("event_id") % 3 == b), table, batch_id=b
+        )
+    merge_ohlc_store(  # replay — must fold nothing
+        events.where(F.col("event_id") % 3 == 1), table, batch_id=1
+    )
+    return read_ohlc_store(spark, table)
+
+
+@query(
     "t6_ohlc_resample",
     """
     SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
@@ -9721,7 +9756,7 @@ _FIRST_50 = [
     "skew_bloom_store_semijoin",  # merge_bloom_store tableExists fix
     "graph_random_walks", "graph_skipgram_pairs",  # graph.py unpersist fix
     # never-driver-checked rotation, family by family
-    "graph_link_prediction", "graph_adamic_adar", "a4_std_dense_denominator",
+    "graph_link_prediction", "graph_adamic_adar", "t6_ohlc_store",
     "j7_multiply", "r4_pivot_event_counts", "r5_feature_hash",
     "t6_ohlc_resample",
     "q2_min_cost_supplier", "q8_market_share",

@@ -842,3 +842,31 @@ def streaming_topk_maintain(
             sink(top, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_ohlc_maintain(
+    stream_df: DataFrame,
+    table: str,
+    by: str = "event_type",
+    sink=None,
+):
+    """Streaming OHLC maintenance (r9): each micro-batch folds its
+    per-(key, bucket) OHLC partials into the persisted store
+    (:func:`operators.temporal.merge_ohlc_store` — mergeable state:
+    open/close ride with their order ids, high/low/count combine
+    exactly), and the merged view equals a batch
+    :func:`operators.temporal.ohlc_resample` over every row ever
+    delivered (parity pinned in test_streaming). Counts make the merge
+    non-idempotent, so replay safety is the count-store discipline: the
+    write-side batch_id screen plus read-side duplicate collapse.
+    ``sink(merged_df, batch_id)`` observes the post-fold view. Returns
+    the started-ready writer."""
+    from sparsity_spark.operators.temporal import merge_ohlc_store, read_ohlc_store
+
+    def _process(batch_df, batch_id):
+        merge_ohlc_store(batch_df, table, batch_id, by=by)
+        merged = read_ohlc_store(batch_df.sparkSession, table)
+        if sink is not None:
+            sink(merged, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

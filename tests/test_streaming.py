@@ -1055,3 +1055,60 @@ def test_streaming_topk_maintain_equals_exact_counts(spark, tmp_path):
     }
     assert got == expect
     assert len(seen) >= 1  # sink observed per-batch top-k
+
+
+def test_streaming_ohlc_maintain_equals_batch_resample(spark, tmp_path):
+    """r9 OHLC store loop: after the availableNow drain the merged view
+    equals a one-shot ohlc_resample over every row delivered; a
+    cross-batch bucket must take its open from batch 1 and close from
+    batch 2."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.temporal import ohlc_resample, read_ohlc_store
+    from sparsity_spark.streaming.ingest import streaming_ohlc_maintain
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    b1 = pd.DataFrame(
+        [(1, t, "a", 5.0), (2, t.replace(minute=10), "a", 9.0)],
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    b2 = pd.DataFrame(
+        [(3, t.replace(minute=20), "a", 2.0), (4, t.replace(hour=11), "a", 7.0),
+         (5, t, "b", 1.0)],
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src_dir = str(tmp_path / "ohlc_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    spark.sql("DROP TABLE IF EXISTS ohlc_stream_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        streaming_ohlc_maintain(stream, "ohlc_stream_store")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ohlc_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    both = spark.createDataFrame(pd.concat([b1, b2]), schema)
+    want = {
+        (r["key"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_resample(both).collect()
+    }
+    got = {
+        (r["key"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in read_ohlc_store(spark, "ohlc_stream_store").collect()
+    }
+    assert got == want
+    # the cross-batch ("a", 10:00) bucket: open 5.0 from batch 1 (event 1),
+    # close 2.0 from batch 2 (event 3), n spans both batches
+    key = ("a", dt.datetime(2024, 1, 1, 10, 0))
+    assert got[key] == (5.0, 9.0, 2.0, 2.0, 3)
