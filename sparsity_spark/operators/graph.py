@@ -950,9 +950,24 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     count (= 2m), e2_c = symmetric edge rows internal to c (= 2e_c) and
     d_c = the community's degree sum; Q = Σ q_c.
 
-    Exactness: e2_c, d_c, m2 are exact BIGINTs; the finish is two IEEE
-    divides, one multiply, one subtract in a fixed tree, round-6 — the
-    corr_matrix float discipline, no transcendental anywhere.
+    Exactness (r10 — closes the round-9 driver red): e2_c, d_c, m2 are
+    exact BIGINTs and the finish is PURE integer arithmetic in micro
+    units — no doubles at all, so no ``ROUND(double)`` signed-zero split
+    (Spark's BigDecimal HALF_UP emits ``0.0`` where IEEE preserves
+    ``-0.0`` for tiny-negative q_c; 17/58 communities at sf0.01 differed
+    as raw strings under the old round-6 finish). The documented
+    flooring rule, replayed verbatim by the oracle::
+
+        term1     = (e2_c * unit)  div m2     # <= unit
+        t         = (d_c * unit)   div m2     # <= unit
+        term2     = (d_c * t)      div m2
+        q_c_micro = term1 - term2
+
+    All intermediates are non-negative BIGINTs; the two-stage second
+    term keeps every product <= m2*unit, so the math is overflow-safe
+    for m2 < 2^63/unit ~ 9.2e12 symmetric edge rows (~4.6e12 undirected
+    edges — ample at 100 TB). term2 underestimates d_c²·unit/m2² by
+    < 2 micro, identically in both engines.
 
     Input contract: ``edges`` must be SYMMETRIC (both directions
     present — symmetrize_edges' output; the label_propagation contract).
@@ -966,7 +981,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     no internal edge contribute e2_c = 0 via the left join. The
     label-table-sized result is materialized and the edge cache released
     before return. Returns
-    (label, n_nodes, internal_edge_ends, degree_sum, q_c)."""
+    (label, n_nodes, internal_edge_ends, degree_sum, q_c_micro)."""
     und = (
         edges.select("src", "dst").where(F.col("src") != F.col("dst"))
         .distinct()
@@ -995,22 +1010,40 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.sum("d").cast("long").alias("degree_sum"),
         )
     )
+    unit = 1_000_000
     out = dsum.join(internal, "label", "left").select(
         "label",
         "n_nodes",
         F.coalesce(F.col("e2"), F.lit(0).cast("long")).alias("internal_edge_ends"),
         "degree_sum",
-        F.round(
-            F.coalesce(F.col("e2"), F.lit(0).cast("long")) / F.lit(int(m2))
-            - (F.col("degree_sum") / F.lit(int(m2)))
-            * (F.col("degree_sum") / F.lit(int(m2))),
-            6,
-        ).alias("q_c"),
+        F.expr(
+            f"(coalesce(e2, cast(0 as bigint)) * {unit}) div {int(m2)}"
+            f" - (degree_sum * ((degree_sum * {unit}) div {int(m2)}))"
+            f" div {int(m2)}"
+        ).cast("long").alias("q_c_micro"),
     )
     try:
         return out.localCheckpoint(eager=True)
     finally:
         und.unpersist()
+
+
+def aa_degree_terms(max_degree: int, unit: int = 1_000_000) -> dict:
+    """Per-degree Adamic-Adar micro-unit weights, computed ONCE
+    driver-side: ``{d: floor(unit/ln(d) + ½) for d in 2..max_degree}``.
+
+    Why a table and not ``F.log`` in the plan (r10, advisor finding):
+    Spark's ``F.log`` is java.lang.Math.log (not guaranteed correctly
+    rounded) while DuckDB's ``ln`` is the platform libm — a 1-ulp
+    disagreement flips the floored term whenever unit/ln(d)+½ lands
+    within ~1e-9 of an integer. Degrees are bounded by the wedge cap, so
+    both the Spark plan (a literal map lookup) and the oracle (a literal
+    CASE) carry the SAME integer constants from the same Python libm
+    call — no transcendental evaluated by either engine."""
+    import math
+
+    return {d: int(math.floor(unit / math.log(d) + 0.5))
+            for d in range(2, max_degree + 1)}
 
 
 def adamic_adar(
@@ -1028,13 +1061,15 @@ def adamic_adar(
 
     Determinism: a raw double Σ 1/ln(d) is ORDER-DEPENDENT — partitioned
     partial sums can drift a ulp between engines, the failure the
-    engine-wide integer discipline exists to prevent. Each term is
-    therefore floored to integer micro-units FIRST
-    (``floor(unit/ln(d) + ½)`` — one ln, one divide, one floor on the
-    identical double both engines hold; cap ≥ 2 ⇒ ln ≥ ln 2 > 0), and
-    only exact BIGINTs are summed — associative, partition-independent,
-    oracle-exact. Returns (u, v, common_neighbors, aa_micro) for
-    non-adjacent pairs with ≥ min_common shared neighbors."""
+    engine-wide integer discipline exists to prevent. Each term is an
+    integer micro-unit weight looked up from :func:`aa_degree_terms`
+    (driver-side table — neither engine evaluates ``ln``; see that
+    docstring for the 1-ulp cross-libm hazard this closes), and only
+    exact BIGINTs are summed — associative, partition-independent,
+    oracle-exact. A wedge's shared neighbor has ≥ 2 capped-subgraph
+    neighbors by construction, so dv ∈ [2, max_degree] and the lookup is
+    total. Returns (u, v, common_neighbors, aa_micro) for non-adjacent
+    pairs with ≥ min_common shared neighbors."""
     und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     keep = deg.where(F.col("deg") <= max_degree).select("src")
@@ -1042,9 +1077,15 @@ def adamic_adar(
         und.join(keep, "src", "leftsemi")
         .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
     )
-    # capped-subgraph degree of the SHARED neighbor drives the weight
+    # capped-subgraph degree of the SHARED neighbor drives the weight;
+    # the weight itself is a literal-map lookup (aa_degree_terms) — no
+    # transcendental in the plan
     degc = capped.groupBy("src").agg(F.count("*").cast("long").alias("dv"))
-    term = F.floor(F.lit(float(unit)) / F.log(F.col("dv")) + 0.5).cast("long")
+    terms = aa_degree_terms(max_degree, unit)
+    lookup = F.create_map(
+        *[F.lit(x) for kv in terms.items() for x in kv]
+    )
+    term = F.element_at(lookup, F.col("dv").cast("int")).cast("long")
     e1 = capped.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     e2 = capped.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = (

@@ -9308,9 +9308,23 @@ def text_phrase_search_q(spark, sf_dir):
     return phrase_search(load_table(spark, sf_dir, "documents"), "table hash")
 
 
+def _aa_term_case_sql(max_degree: int, unit: int = 1_000_000) -> str:
+    """CASE expression carrying the SAME driver-computed integer weights
+    the Spark plan looks up (graph.aa_degree_terms) — neither engine
+    evaluates ``ln``, closing the Spark-Math.log-vs-DuckDB-libm 1-ulp
+    flooring hazard (r10 advisor finding)."""
+    from sparsity_spark.operators.graph import aa_degree_terms
+
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({t} AS BIGINT)"
+        for d, t in aa_degree_terms(max_degree, unit).items()
+    )
+    return f"CASE g.dv {whens} END"
+
+
 @query(
     "graph_adamic_adar",
-    """
+    f"""
     WITH buy AS (
       SELECT DISTINCT l.l_partkey AS pk,
              CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
@@ -9332,7 +9346,7 @@ def text_phrase_search_q(spark, sf_dir):
     degc AS (SELECT s1 AS node, CAST(COUNT(*) AS BIGINT) AS dv FROM cap GROUP BY 1),
     wedge AS (
       SELECT e1.s2 AS u, e2.s2 AS w,
-             CAST(FLOOR(1000000.0 / ln(g.dv) + 0.5) AS BIGINT) AS term
+             {_aa_term_case_sql(30)} AS term
       FROM cap e1
       JOIN cap e2 ON e2.s1 = e1.s1 AND e1.s2 < e2.s2
       JOIN degc g ON g.node = e1.s1
@@ -9545,9 +9559,10 @@ def _lpa_oracle(iters: int = 3) -> str:
 def _lpa_modularity_oracle(iters: int = 3) -> str:
     """LPA CTEs verbatim, then the per-community modularity accounting:
     symmetric-row counts m2/e2_c and degree sums as exact BIGINTs, the
-    q_c finish the same fixed divide/multiply/subtract tree Spark
-    evaluates — label drift in any LPA round re-partitions communities
-    and flips every downstream number."""
+    q_c_micro finish the same two-stage integer flooring rule Spark
+    evaluates (r10 — pure BIGINT div, no ROUND(double) signed-zero
+    split) — label drift in any LPA round re-partitions communities and
+    flips every downstream number."""
     base = _lpa_oracle(iters)
     marker = f"\n    SELECT node, label FROM l{iters}"
     cut = base.rfind(marker)
@@ -9575,8 +9590,9 @@ def _lpa_modularity_oracle(iters: int = 3) -> str:
     SELECT s.label, s.n_nodes,
            COALESCE(i.e2, CAST(0 AS BIGINT)) AS internal_edge_ends,
            s.degree_sum,
-           ROUND(COALESCE(i.e2, CAST(0 AS BIGINT)) / m2t.m2
-                 - (s.degree_sum / m2t.m2) * (s.degree_sum / m2t.m2), 6) AS q_c
+           CAST((COALESCE(i.e2, CAST(0 AS BIGINT)) * 1000000) // m2t.m2
+                - (s.degree_sum * ((s.degree_sum * 1000000) // m2t.m2))
+                  // m2t.m2 AS BIGINT) AS q_c_micro
     FROM dsum s LEFT JOIN internal i ON i.label = s.label CROSS JOIN m2t
     """
     )
@@ -9588,9 +9604,11 @@ def graph_lpa_modularity_q(spark, sf_dir):
     whether the naming means anything): per-community Newman
     contributions q_c = e2_c/m2 − (d_c/m2)² over the same co-purchase
     graph and the same 3 LPA rounds, all counts exact BIGINTs and the
-    finish one fixed IEEE tree rounded to 6. The oracle replays LPA AND
-    the accounting — a label drift anywhere re-partitions communities
-    and flips every q_c."""
+    finish PURE integer micro-unit arithmetic (two-stage flooring rule
+    documented in graph.modularity — the r10 fix for the ROUND(double)
+    signed-zero driver red). The oracle replays LPA AND the accounting —
+    a label drift anywhere re-partitions communities and flips every
+    q_c_micro."""
     from sparsity_spark.operators.graph import (
         label_propagation,
         modularity,

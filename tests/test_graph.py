@@ -639,16 +639,18 @@ def test_modularity_two_cliques_bridge(spark):
         [(n, 1 if n <= 3 else 2) for n in range(1, 7)], "node long, label long"
     )
     got = {r["label"]: r for r in modularity(edges, labels).collect()}
-    # m2 = 14 edge-rows (7 undirected edges); community 1: e2=6, d=7
-    m2 = 14.0
+    # m2 = 14 edge-rows (7 undirected edges); community 1: e2=6, d=7;
+    # the two-stage integer flooring rule by hand:
+    # term1 = 6_000_000 div 14 = 428571; t = 7_000_000 div 14 = 500000;
+    # term2 = (7 * 500000) div 14 = 250000 -> q_c_micro = 178571
     for lbl, d in [(1, 7), (2, 7)]:
         r = got[lbl]
         assert r["n_nodes"] == 3
         assert r["internal_edge_ends"] == 6
         assert r["degree_sum"] == d
-        assert r["q_c"] == round(6 / m2 - (d / m2) * (d / m2), 6)
+        assert r["q_c_micro"] == 178571
     # total Q positive for a good split
-    assert sum(r["q_c"] for r in got.values()) > 0.3
+    assert sum(r["q_c_micro"] for r in got.values()) > 300_000
 
 
 def test_modularity_single_community_is_zero(spark):
@@ -662,7 +664,7 @@ def test_modularity_single_community_is_zero(spark):
     )
     labels = spark.createDataFrame([(n, 9) for n in (1, 2, 3)], "node long, label long")
     rows = modularity(edges, labels).collect()
-    assert len(rows) == 1 and rows[0]["q_c"] == 0.0
+    assert len(rows) == 1 and rows[0]["q_c_micro"] == 0
 
 
 def test_modularity_isolated_label_no_internal_edges(spark):
@@ -678,7 +680,7 @@ def test_modularity_isolated_label_no_internal_edges(spark):
         [(1, 7), (2, 8), (3, 7), (4, 8)], "node long, label long"
     )
     got = {r["label"]: r for r in modularity(edges, labels).collect()}
-    assert got[7]["internal_edge_ends"] == 0 and got[7]["q_c"] < 0
+    assert got[7]["internal_edge_ends"] == 0 and got[7]["q_c_micro"] < 0
 
 
 def test_adamic_adar_weights_rare_neighbors_higher(spark):

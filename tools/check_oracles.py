@@ -5,7 +5,17 @@ over the same sf directory, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified). Run before every commit that touches queries.
 
-Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--strict] [sf_dir] [query_name ...]
+
+``--strict`` (r10 — VERDICT r9 #2): the default float handling rounds to
+6 digits and compares with atol=1e-6, which is strictly WEAKER than the
+driver's stringified-value hash — that gap is exactly how the r9
+``graph_lpa_modularity`` ``-0.0`` vs ``0.0`` red shipped green locally.
+Strict mode drops the round and the tolerance: every cell is stringified
+(`str()` on the raw value — signed zeros, last-ulp drift, and int-vs-
+float kind all surface as raw string differences) and the frames must be
+string-identical. Run the full registry under --strict at sf0.01 AND
+sf0.1 before each session close.
 """
 
 from __future__ import annotations
@@ -24,7 +34,7 @@ from sparsity_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+def normalize(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     pdf = pdf.copy()
     pdf.columns = [str(c) for c in pdf.columns]
     pdf = pdf[sorted(pdf.columns)]
@@ -32,9 +42,16 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(pdf[c]):
-            pdf[c] = pdf[c].round(6)
+            if strict:
+                # the driver hashes stringified raw values: no rounding,
+                # no tolerance — `str()` preserves -0.0 and every ulp
+                pdf[c] = pdf[c].map(lambda v: str(v))
+            else:
+                pdf[c] = pdf[c].round(6)
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
+    if strict:
+        pdf = pdf.astype(str)
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
@@ -57,8 +74,10 @@ def dtype_kinds(pdf: pd.DataFrame) -> dict:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check_oracles")  # env-var/cpu logic lives in get_spark
 
     con = duckdb.connect()
@@ -76,7 +95,8 @@ def main():
     rows_only = 0
     for name, fn in qs.items():
         try:
-            got = normalize(fn(spark, sf_dir).toPandas())
+            raw_got = fn(spark, sf_dir).toPandas()
+            got = normalize(raw_got, strict=strict)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
@@ -86,7 +106,8 @@ def main():
             print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle)")
             continue
         try:
-            want = normalize(con.execute(oracles[name]).fetchdf())
+            raw_want = con.execute(oracles[name]).fetchdf()
+            want = normalize(raw_want, strict=strict)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
@@ -97,19 +118,33 @@ def main():
         if list(got.columns) != list(want.columns):
             status.append(f"cols {list(got.columns)} != {list(want.columns)}")
         if not status:
-            gk, wk = dtype_kinds(got), dtype_kinds(want)
+            gk, wk = dtype_kinds(raw_got), dtype_kinds(raw_want)
             drift = [
                 f"{c}: spark={gk[c]} oracle={wk[c]}"
-                for c in got.columns
+                for c in raw_got.columns
                 if {gk[c], wk[c]} == {"int", "float"}
             ]
             if drift:
                 status.append("dtype drift (driver hashes strings!): " + "; ".join(drift))
         if not status:
-            try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-6)
-            except AssertionError as e:
-                status.append("values differ: " + str(e).split("\n")[-2][:160])
+            if strict:
+                if not got.equals(want):
+                    neq = (got != want).any()
+                    bad_cols = [c for c in got.columns if neq.get(c, False)]
+                    n_bad = int((got != want).any(axis=1).sum())
+                    sample = ""
+                    for c in bad_cols[:1]:
+                        m = got[c] != want[c]
+                        i = m.idxmax()
+                        sample = f"; e.g. {c}[{i}]: {got[c][i]!r} != {want[c][i]!r}"
+                    status.append(
+                        f"strict raw-string diff: {n_bad} rows, cols {bad_cols}{sample}"
+                    )
+            else:
+                try:
+                    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-6)
+                except AssertionError as e:
+                    status.append("values differ: " + str(e).split("\n")[-2][:160])
         if status:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)}")
