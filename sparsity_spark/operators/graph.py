@@ -904,6 +904,14 @@ def pagerank_weighted(
     nodes) that allows weights up to ~10^6 — shrink ``unit`` for heavier
     graphs (the module-docstring rule, one multiply stronger).
 
+    Weight contract (r10, advisor finding): weights must be POSITIVE
+    integers. A ``w <= 0`` row can zero (or negate) ``strength(src)``,
+    and ``div 0`` THROWS under ANSI Spark while DuckDB yields NULL — a
+    silent engine divergence — and ``cast('long')`` would silently
+    truncate fractional weights. Both are rejected eagerly here (one
+    scalar aggregate over the edge pass that builds the cache, no extra
+    job).
+
     Same plan shape and cache discipline as the unweighted form: the
     weighted adjacency (edge + strength) persists once; per iteration
     ONE node-sized join + ONE aggregate; lineage bounded via
@@ -912,13 +920,35 @@ def pagerank_weighted(
     if not 0 < damping_pct < 100:
         raise ValueError("pagerank_weighted: damping_pct must be in (0, 100)")
     base = (unit * (100 - damping_pct)) // 100
+    wc = F.col(weight_col)
     e = edges.select(
-        "src", "dst", F.col(weight_col).cast("long").alias("w")
+        "src",
+        "dst",
+        wc.cast("long").alias("w"),
+        # non-positive and fractional weights flagged at source so ONE
+        # scalar aggregate (piggybacked on the cache-building pass)
+        # rejects the whole input — no per-engine div-by-zero divergence
+        F.when(
+            wc.isNull()
+            | (wc.cast("double") <= 0)
+            | (wc.cast("long").cast("double") != wc.cast("double")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__bad__"),
     ).persist()
+    nbad = e.agg(F.sum("__bad__")).collect()[0][0]
+    if nbad:
+        e.unpersist()
+        raise ValueError(
+            f"pagerank_weighted: {nbad} edge(s) with non-positive or "
+            f"fractional weight in '{weight_col}' — weights must be "
+            "positive integers (see docstring contract)"
+        )
     strength = (
         e.groupBy("src").agg(F.sum("w").cast("long").alias("strength")).persist()
     )
-    adj = e.join(strength, "src").persist()
+    adj = e.select("src", "dst", "w").join(strength, "src").persist()
     adj.count()
     e.unpersist()
     ranks = strength.select(

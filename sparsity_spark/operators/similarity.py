@@ -1863,6 +1863,13 @@ def _sq8_codes(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
     return df.select(F.col(id_col).alias(id_alias), codes.alias(f"{id_alias}_c"))
 
 
+# mmr_topk: max total literals (selected-codes × dim) allowed to inline
+# into the plan before switching to a broadcast-joined selected-set
+# DataFrame — literal expression trees are plan-sized, and k·d at
+# realistic embedding dims (512-1024) hits codegen/plan limits
+_MMR_LITERAL_BUDGET = 4096
+
+
 def _code_dot(a, b):
     """Exact BIGINT dot of two int8 code arrays (Column exprs or names) —
     the ONE scoring expression sq8_topk's relevance, mmr_topk's relevance,
@@ -1944,30 +1951,47 @@ def mmr_topk(
     selection steps.
 
     Scale shape: the corpus codes persist once; each of the k steps is
-    ONE map-only corpus pass (the ≤k selected code arrays ride as
-    LITERALS — metadata-sized, the kmeans centroid discipline) plus one
-    all-reduce argmax. k corpus scans for a k-item answer is the honest
-    cost of greedy MMR; k is single-digits in practice. One query per
-    call (the selection state is per-query by definition); loop callers
-    batch queries outside. Returns (step, neighbor_id, rel_i8, obj_i8)
-    with step 1..k in selection order."""
+    ONE map-only corpus pass plus one all-reduce argmax. The ≤k selected
+    code arrays ride as LITERALS while k·d stays small (metadata-sized,
+    the kmeans centroid discipline), but literal expression trees are
+    O(k·d) PLAN-sized — at realistic embedding dims (512-1024) that hits
+    codegen/plan-size limits and slows every planning round (r10 advisor
+    finding) — so past ``_MMR_LITERAL_BUDGET`` total literals the
+    selected set ships as a broadcast-joined k-row DataFrame instead
+    (one broadcast cross join + a per-candidate max aggregate; same
+    exact integer dots, bitwise-identical picks). k corpus scans for a
+    k-item answer is the honest cost of greedy MMR; k is single-digits
+    in practice. One query per call (the selection state is per-query by
+    definition); loop callers batch queries outside. Returns
+    (step, neighbor_id, rel_i8, obj_i8) with step 1..k in selection
+    order."""
     if not 0 <= lambda_pct <= 100:
         raise ValueError("mmr_topk: lambda_pct must be in [0, 100]")
     qrow = queries.limit(2).collect()
     if len(qrow) != 1:
         raise ValueError("mmr_topk: queries must hold exactly one vector")
     qid = qrow[0][id_col]
+    spark = embeddings.sparkSession
     corpus = _sq8_codes(
         embeddings.where(F.col(id_col) != qid), "neighbor_id", id_col, vec_col
     ).withColumnRenamed("neighbor_id_c", "code")
     qcodes = _sq8_codes(queries, "q", id_col, vec_col).collect()[0]["q_c"]
+    dim = len(qcodes)
 
     def lit_arr(xs):
         return F.array(*[F.lit(int(x)).cast("long") for x in xs])
 
-    corpus = corpus.select(
-        "neighbor_id", "code", _code_dot("code", lit_arr(qcodes)).alias("rel")
-    ).persist()
+    if dim <= _MMR_LITERAL_BUDGET:
+        rel_scored = corpus.select(
+            "neighbor_id", "code", _code_dot("code", lit_arr(qcodes)).alias("rel")
+        )
+    else:
+        qdf = spark.createDataFrame([([int(x) for x in qcodes],)], "qc array<long>")
+        rel_scored = (
+            corpus.crossJoin(F.broadcast(qdf))
+            .select("neighbor_id", "code", _code_dot("code", "qc").alias("rel"))
+        )
+    corpus = rel_scored.persist()
     picked = []  # (step, id, rel, obj, code)
     try:
         corpus.count()
@@ -1977,17 +2001,36 @@ def mmr_topk(
                 if picked
                 else F.lit(True)
             )
-            if picked:
+            if picked and len(picked) * dim <= _MMR_LITERAL_BUDGET:
                 sims = [
                     _code_dot("code", lit_arr(code))
                     for _, _, _, _, code in picked
                 ]
                 max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+                cand = cand.select("neighbor_id", "rel", "code",
+                                   max_sim.alias("__ms__"))
+            elif picked:
+                sel = spark.createDataFrame(
+                    [([int(x) for x in code],) for _, _, _, _, code in picked],
+                    "sel_code array<long>",
+                )
+                cand = (
+                    cand.crossJoin(F.broadcast(sel))
+                    .groupBy("neighbor_id")
+                    .agg(
+                        F.first("rel").alias("rel"),
+                        F.first("code").alias("code"),
+                        F.max(_code_dot("code", "sel_code")).alias("__ms__"),
+                    )
+                )
             else:
-                max_sim = F.lit(0).cast("long")
+                cand = cand.select(
+                    "neighbor_id", "rel", "code",
+                    F.lit(0).cast("long").alias("__ms__"),
+                )
             obj = (
                 F.lit(100 - lambda_pct).cast("long") * F.col("rel")
-                - F.lit(lambda_pct).cast("long") * max_sim
+                - F.lit(lambda_pct).cast("long") * F.col("__ms__")
             )
             best = (
                 cand.select("neighbor_id", "rel", "code", obj.alias("obj"))

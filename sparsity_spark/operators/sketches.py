@@ -508,6 +508,53 @@ def quantile_sample_estimate(
     )
 
 
+def _meta_table(table: str) -> str:
+    return table + "__maxbatch"
+
+
+def _batch_already_folded(spark, table: str, batch_id: int) -> bool:
+    """O(1) replay screen for the non-idempotent stores (r10, advisor
+    finding: the old screen re-scanned the store's entire batch_id
+    column every micro-batch, so screen cost grew linearly with batches
+    ever folded). Under the stores' single-writer monotone-batch-id
+    contract, "already folded" ≡ ``batch_id <= max folded id``, and the
+    max lives in a one-row side table — the probe never touches the
+    store. Legacy stores without the side table fall back to the old
+    column scan once; :func:`_record_max_batch` creates the side table
+    on the next successful fold."""
+    meta = _meta_table(table)
+    if spark.catalog.tableExists(meta):
+        mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+        if mx is not None:
+            return int(batch_id) <= int(mx)
+    return (
+        spark.table(table)
+        .where(F.col("batch_id") == int(batch_id))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def _record_max_batch(spark, table: str, batch_id: int) -> None:
+    """Overwrite the one-row max-batch-id side table AFTER the store
+    append commits. Ordering makes a crash between the two writes safe:
+    a stale side table only re-admits the same batch on replay, whose
+    duplicate rows the read side collapses with MAX (identical by
+    construction); the reverse order would record a batch whose data
+    never landed and silently drop it forever."""
+    meta = _meta_table(table)
+    if not spark.catalog.tableExists(meta):
+        # a stale managed LOCATION without a catalog entry (dropped
+        # table, persistent warehouse dir) fails saveAsTable — clear it
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, meta)
+    spark.createDataFrame(
+        [(int(batch_id),)], "max_batch_id long"
+    ).write.mode("overwrite").saveAsTable(meta)
+
+
 def merge_count_store(
     batch_df: DataFrame,
     table: str,
@@ -519,10 +566,11 @@ def merge_count_store(
     the store-family loop for exact heavy hitters, where the CMS gives
     only an estimate). The store holds (batch_id, key, c) APPEND-ONLY
     rows bucketed by key: each micro-batch pre-aggregates to one row per
-    key, skips entirely if its batch_id is already stored (one
-    column-pruned scan of the batch_id column — at-least-once delivery
-    appends nothing on replay), and appends through the table's own
-    bucket spec. Counts are the one store whose merge is NOT a set union
+    key, skips entirely if its batch_id was already folded (O(1) probe
+    of a one-row max-batch-id side table — :func:`_batch_already_folded`
+    — so at-least-once delivery appends nothing on replay and the screen
+    cost no longer grows with store age), and appends through the
+    table's own bucket spec. Counts are the one store whose merge is NOT a set union
     (sums are not idempotent), so exactly-once is restored at two
     layers: the write-side batch_id screen, and the read side
     (:func:`count_store_topk`) collapsing any raced duplicate
@@ -548,20 +596,16 @@ def merge_count_store(
     if spark.catalog.tableExists(table):
         from sparsity_spark.operators.dedup import _table_bucket_count
 
-        seen = (
-            spark.table(table)
-            .where(F.col("batch_id") == int(batch_id))
-            .limit(1)
-            .count()
-        )
-        if seen == 0:
+        if not _batch_already_folded(spark, table, batch_id):
             inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
                 _table_bucket_count(spark, table), "key"
             ).saveAsTable(table)
+            _record_max_batch(spark, table, batch_id)
     else:
         from sparsity_spark.operators.skew import write_bucketed
 
         write_bucketed(inc.localCheckpoint(eager=True), table, ["key"], num_buckets)
+        _record_max_batch(spark, table, batch_id)
     return spark.table(table)
 
 

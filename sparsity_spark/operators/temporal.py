@@ -670,8 +670,10 @@ def merge_ohlc_store(
 
     Counts make the merge non-idempotent, so the count-store discipline
     applies verbatim: an append-only (batch_id, key, bucket, …partial…)
-    layout bucketed by (key, bucket), a write-side batch_id replay
-    screen, and read-side MAX-collapse of raced duplicate rows before
+    layout bucketed by (key, bucket), a write-side O(1) batch_id replay
+    screen (one-row max-batch-id side table — sketches'
+    ``_batch_already_folded``), and read-side MAX-collapse of raced
+    duplicate rows before
     the final merge (identical by construction). Same single-writer
     contract as merge_count_store: the table is married to one
     streaming query's checkpoint. :func:`read_ohlc_store` serves the
@@ -695,23 +697,24 @@ def merge_ohlc_store(
         )
         .select(F.lit(int(batch_id)).cast("long").alias("batch_id"), "*")
     )
+    from sparsity_spark.operators.sketches import (
+        _batch_already_folded,
+        _record_max_batch,
+    )
+
     if spark.catalog.tableExists(table):
-        seen = (
-            spark.table(table)
-            .where(F.col("batch_id") == int(batch_id))
-            .limit(1)
-            .count()
-        )
-        if seen == 0:
+        if not _batch_already_folded(spark, table, batch_id):
             inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
                 _table_bucket_count(spark, table), "key", "bucket"
             ).saveAsTable(table)
+            _record_max_batch(spark, table, batch_id)
     else:
         from sparsity_spark.operators.skew import write_bucketed
 
         write_bucketed(
             inc.localCheckpoint(eager=True), table, ["key", "bucket"], num_buckets
         )
+        _record_max_batch(spark, table, batch_id)
     return spark.table(table)
 
 

@@ -1133,7 +1133,14 @@ def _collocations_plan(docs: DataFrame, min_count: int, text_col: str):
     # full-corpus count() was a second corpus scan, and the unpersisted
     # aggregate re-tokenized the corpus once per join side)
     uni = words.groupBy("tok").agg(F.count("*").cast("long").alias("c")).persist()
-    n_tokens = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    try:
+        n_tokens = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    except Exception:
+        # the collect is the first job touching the fresh persist; if it
+        # fails, nothing else will release the handle (r10 advisor
+        # finding — the caller's try/finally only exists once we return)
+        uni.unpersist()
+        raise
     bigrams = toks.select(
         F.explode(
             F.expr(

@@ -616,6 +616,26 @@ def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
     assert a == b
 
 
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    """Positive-integer weight contract (r10 advisor finding): w <= 0
+    can zero strength(src) and make `div` THROW under ANSI Spark while
+    DuckDB NULLs — reject eagerly instead; fractional weights would be
+    silently truncated by cast('long') — reject those too."""
+    import pytest
+    from sparsity_spark.operators.graph import pagerank_weighted
+
+    zero_w = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 0)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="non-positive or fractional"):
+        pagerank_weighted(zero_w, iterations=1)
+    frac_w = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="non-positive or fractional"):
+        pagerank_weighted(frac_w, iterations=1)
+
+
 def test_pagerank_weighted_validates_damping(spark):
     from sparsity_spark.operators.graph import pagerank_weighted
 

@@ -3109,6 +3109,56 @@ def test_containment_join_no_pairs_below_threshold(spark):
     assert containment_join(docs, threshold=0.5).count() == 0
 
 
+def test_containment_boilerplate_gram_no_quadratic_pairs(spark):
+    """The r9 scale-killer fixture (VERDICT r9 #3): every doc shares one
+    boilerplate header, so the raw shared-gram join materialized ~n²/2
+    collision rows for that gram alone. The prefix filter must produce
+    ZERO candidates here — the header grams are max-df, sort last in
+    every doc's rarest-first order, and never enter a prefix — while the
+    end result stays exact (no qualifying pair exists: tails unique)."""
+    import pyspark.sql.functions as F
+    from sparsity_spark.operators.dedup import (
+        _containment_candidates,
+        containment_join,
+        shingles_expr,
+        words_expr,
+    )
+
+    n = 200
+    header = "all rights reserved contact the webmaster"
+    docs = spark.createDataFrame(
+        [(i, f"{header} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(n)],
+        "doc_id long, text string",
+    )
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles_expr(words_expr("text"), 3)).alias("g"),
+    )
+    # candidate VOLUME is the claim: zero pairs despite a df=n gram
+    assert _containment_candidates(grams, 0.6).count() == 0
+    assert containment_join(docs, threshold=0.6, k=3).count() == 0
+
+
+def test_containment_boilerplate_does_not_prune_true_superset(spark):
+    """Losslessness under boilerplate: a genuine containment pair must
+    still surface when every doc ALSO shares the high-df header — the
+    contained doc's rare tail grams carry it through the prefix join."""
+    header = "all rights reserved contact the webmaster"
+    short = f"{header} alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    rows = [(1, short), (2, long_)] + [
+        (i, f"{header} u{i}a u{i}b u{i}c u{i}d") for i in range(3, 60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparsity_spark.operators.dedup import containment_join
+
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in containment_join(docs, threshold=0.9, k=3).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
 def test_mmr_skips_redundant_twin(spark):
     """Two near-identical high-relevance vectors: pure relevance ranks
     them 1-2; MMR at λ=50 must pick one, then prefer the diverse doc."""
@@ -3169,3 +3219,20 @@ def test_mmr_validates_inputs(spark):
         mmr_topk(emb, emb, k=1)  # two query rows
     with pytest.raises(ValueError):
         mmr_topk(emb, emb.where(F.col("vec_id") == 0), lambda_pct=101)
+
+
+def test_mmr_broadcast_path_matches_literal_path(spark, monkeypatch):
+    """r10 advisor fix: above the literal budget the selected codes ship
+    via broadcast join instead of O(k·d) literal trees. Both paths must
+    make bitwise-identical picks — same exact integer dots, same argmax
+    tie-break — so the budget is purely a planning-cost knob."""
+    import sparsity_spark.operators.similarity as sim
+
+    rng = [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(24)])
+           for i in range(30)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    lit = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
+    monkeypatch.setattr(sim, "_MMR_LITERAL_BUDGET", 0)  # force broadcast path
+    bc = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
+    assert lit == bc and len(lit) == 4

@@ -1010,6 +1010,43 @@ def test_count_store_batch_parity_and_replay(spark):
     assert got == {0: 10, 1: 10, 2: 10, 3: 10}
 
 
+def test_count_store_replay_screen_is_o1_side_table(spark):
+    """r10 advisor fix: the replay screen reads a one-row max-batch-id
+    side table instead of rescanning the store's batch_id column, so its
+    cost no longer grows with the number of batches ever folded. Pins:
+    the side table tracks the max folded id; any id <= max is screened
+    out (the single-writer monotone contract); a legacy store whose side
+    table is missing falls back to the column scan and heals itself on
+    the next fold."""
+    from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(20)], "event_id long, k long")
+    t = "count_store_meta_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__maxbatch")
+    for b in range(3):
+        merge_count_store(df.where(F.col("event_id") % 3 == b), t, "k", b)
+    meta = spark.table(f"{t}__maxbatch").collect()
+    assert len(meta) == 1 and meta[0]["max_batch_id"] == 2
+    before = spark.table(t).count()
+    # replays of EVERY already-folded id are screened without touching data
+    for b in range(3):
+        merge_count_store(df.where(F.col("event_id") % 3 == b), t, "k", b)
+    assert spark.table(t).count() == before
+    # legacy store: no side table -> column-scan fallback still screens,
+    # and the next genuinely-new fold recreates the side table
+    spark.sql(f"DROP TABLE IF EXISTS {t}__maxbatch")
+    merge_count_store(df.where(F.col("event_id") % 3 == 1), t, "k", 1)
+    assert spark.table(t).count() == before
+    merge_count_store(df.limit(5), t, "k", 7)
+    assert spark.table(f"{t}__maxbatch").collect()[0]["max_batch_id"] == 7
+    # totals stay exactly-once throughout
+    got = {r["key"]: r["total"] for r in count_store_topk(spark, t, k=10).collect()}
+    assert sum(got.values()) == 25  # 20 delivered once + 5 from batch 7
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__maxbatch")
+
+
 def test_streaming_topk_maintain_equals_exact_counts(spark, tmp_path):
     """r9 streaming heavy hitters: after the availableNow drain, the
     maintained store's top-k equals an exact groupBy count over every
