@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "graph_bfs_levels",
     "multimodal_phash_clusters",
     "dedup_incremental_clusters",
+    # r10 (VERDICT r9 #5): the fold ALONE, with the one-time corpus
+    # clustering + store write memoized out of the timed invocation
+    "dedup_cluster_fold_only",
     "emb_corr_matrix",
     "emb_grouped_pca_project",
     # r9 second-session additions
