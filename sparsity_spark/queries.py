@@ -9,7 +9,18 @@ order-insensitive value-hash comparison honest:
   order differs between engines; 60k-row sums agree far beyond 1e-4);
 * timestamps are emitted as formatted strings (testdata parquet is
   TIMESTAMP(NANOS): Spark reads micros via data.load_table, DuckDB reads
-  nanos natively — raw values would hash-differ).
+  nanos natively — raw values would hash-differ);
+* every SIGN-CROSSING rounded double output (z-scores, correlations,
+  pct-changes, cosines) carries ``+ 0.0`` after the oracle's ROUND
+  (r10 audit, VERDICT r9 #2): DuckDB ROUND preserves IEEE ``-0.0`` while
+  Spark's BigDecimal HALF_UP round has no signed zero, so a tiny
+  negative that rounds to zero stringifies as ``-0.0`` vs ``0.0`` and
+  reds the driver hash (the r9 graph_lpa_modularity failure class —
+  that row is now pure integer micros). ``-0.0 + 0.0 = +0.0`` and every
+  other value is unchanged, so the normalization is exact. Strictly
+  non-negative outputs (revenues, ratios with positive thresholds,
+  entropies) don't need it; internal CTE rounds don't either (-0.0 is
+  arithmetic-transparent and only stringification diverges).
 """
 
 from __future__ import annotations
@@ -2896,7 +2907,7 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
     """,
@@ -2915,7 +2926,7 @@ def dedup_embedding_cosine_q(spark, sf_dir):
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, cosine FROM (
@@ -2941,7 +2952,7 @@ def ann_bruteforce_topk_q(spark, sf_dir):
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, cosine FROM (
@@ -2979,7 +2990,7 @@ def ann_hard_negatives_q(spark, sf_dir):
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.cid AS centroid_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM asg q JOIN asg c ON q.cid = c.cid AND c.vec_id != q.vec_id
       WHERE q.vec_id < 10
     )
@@ -3241,7 +3252,7 @@ def emb_grouped_pca_project_q(spark, sf_dir):
     )
     SELECT a.i, b.i AS j,
            ROUND(CAST(a.n * g.gv - a.s * b.s AS DOUBLE)
-                 / sqrt(CAST(a.var AS DOUBLE) * CAST(b.var AS DOUBLE)), 6) AS corr6
+                 / sqrt(CAST(a.var AS DOUBLE) * CAST(b.var AS DOUBLE)), 6) + 0.0 AS corr6
     FROM g JOIN v a ON a.i = g.gi JOIN v b ON b.i = g.gj
     WHERE g.gi < g.gj AND a.var > 0 AND b.var > 0
     """,
@@ -4217,7 +4228,7 @@ def t3_time_rollup(spark, sf_dir):
            ROUND((conv_a / n_a - conv_b / n_b)
                  / sqrt(((conv_a + conv_b) / (n_a + n_b))
                         * (1.0 - (conv_a + conv_b) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+                        * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS z
     FROM j
     """,
 )
@@ -5047,8 +5058,8 @@ def pipe_contamination_fraction_q(spark, sf_dir):
     "stats_grouped_corr",
     """
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qty_price,
            ROUND(stddev_samp(l_quantity), 4) AS std_qty
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -6016,7 +6027,7 @@ def _ivfpq_refine_oracle(
     ),
     ref AS (
       SELECT s.query_id, s.neighbor_id,
-             ROUND(list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm), 6) AS cosine
+             ROUND(list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm), 6) + 0.0 AS cosine
       FROM short s
       JOIN n qn ON qn.vec_id = s.query_id
       JOIN n nn ON nn.vec_id = s.neighbor_id
@@ -6092,7 +6103,7 @@ def emb_pq_codes(spark, sf_dir):
     qa AS (SELECT vec_id, cid, v, nrm FROM r WHERE rn <= 2 AND vec_id < 10),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM qa q JOIN asg c ON q.cid = c.cid AND c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, cosine FROM (
@@ -6786,7 +6797,7 @@ def evt_anomaly_zscore(spark, sf_dir):
     )
     SELECT month, revenue,
            ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
-                 / lag(revenue) OVER (ORDER BY month), 4) AS pct_change
+                 / lag(revenue) OVER (ORDER BY month), 4) + 0.0 AS pct_change
     FROM m
     """,
 )
@@ -7281,7 +7292,7 @@ def text_bm25_rank_q(spark, sf_dir):
     sem AS (
       SELECT neighbor_id AS doc_id, cosine AS score FROM (
         SELECT c.vec_id AS neighbor_id,
-               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS cosine,
                ROW_NUMBER() OVER (
                  ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC,
                           c.vec_id) AS rn
@@ -8312,7 +8323,7 @@ def _emb_outliers_oracle(k: int = 8, iters: int = 2, z_threshold: float = 2.0) -
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT d.vec_id, d.cid, d.dist,
-       ROUND(CASE WHEN st.sd > 0 THEN (d.dist - st.mu) / st.sd ELSE 0 END, 6) AS z,
+       ROUND(CASE WHEN st.sd > 0 THEN (d.dist - st.mu) / st.sd ELSE 0 END, 6) + 0.0 AS z,
        (ROUND(CASE WHEN st.sd > 0 THEN (d.dist - st.mu) / st.sd ELSE 0 END, 6)
           >= {z_threshold}) AS is_outlier
 FROM d JOIN st ON d.cid = st.cid
