@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     # r10 (VERDICT r9 #5): the fold ALONE, with the one-time corpus
     # clustering + store write memoized out of the timed invocation
     "dedup_cluster_fold_only",
+    # r10: incremental containment screen (store build memoized out)
+    "dedup_containment_screen",
     "emb_corr_matrix",
     "emb_grouped_pca_project",
     # r9 second-session additions

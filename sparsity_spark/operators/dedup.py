@@ -1870,3 +1870,160 @@ def containment_join(
     return fwd.unionByName(rev).withColumn(
         "containment", F.round(F.col("overlap") / F.col("src_size"), 6)
     )
+
+
+def write_containment_store(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus side of the INCREMENTAL containment screen
+    (r10 — the asymmetric complement of the band store: the LSH store
+    answers "is this batch doc a near-TWIN of something in the lake";
+    this one answers "is this batch doc mostly CONTAINED in something in
+    the lake" — the prompt-in-completion / quote-farm leak detector,
+    kept incremental so the corpus is never rescanned). Three tables:
+
+    * ``{table}__grams``  (id, g: array<string>)  bucketed by id — the
+      verification side; per-candidate ``array_intersect`` joins reach
+      it shuffle-free on the corpus side.
+    * ``{table}__post``   (gram, id)              bucketed by gram — the
+      probe side; the batch's prefix grams equi-join it shuffle-free.
+    * ``{table}__df``     (gram, df)              append-only document
+      frequencies (read-side SUM), driving the rarest-first prefix
+      order that keeps boilerplate grams out of every probe.
+
+    All three append through their bucket/partition spec
+    (:func:`append_containment_store`); nothing rewrites."""
+    from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
+
+    spark = docs.sparkSession
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
+    )
+    write_bucketed(grams, f"{table}__grams", ["id"], num_buckets)
+    e = spark.table(f"{table}__grams").select(
+        "id", F.explode("g").alias("gram")
+    )
+    write_bucketed(e.select("gram", "id"), f"{table}__post", ["gram"], num_buckets)
+    _drop_table_and_location(spark, f"{table}__df")
+    e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.format(
+        "parquet"
+    ).saveAsTable(f"{table}__df")
+
+
+def append_containment_store(
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """Fold one batch into the containment store: gram arrays and
+    postings append through the tables' own bucket specs, and the df
+    table appends per-gram increments (read side SUMs — the count-store
+    discipline, exact because df rows are never rewritten). After the
+    append the NEXT batch screens against these docs too."""
+    spark = new_docs.sparkSession
+    grams = new_docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
+    ).localCheckpoint(eager=True)
+    nb = _table_bucket_count(spark, f"{table}__grams")
+    grams.write.mode("append").bucketBy(nb, "id").format("parquet").saveAsTable(
+        f"{table}__grams"
+    )
+    e = grams.select("id", F.explode("g").alias("gram"))
+    pb = _table_bucket_count(spark, f"{table}__post")
+    e.select("gram", "id").write.mode("append").bucketBy(pb, "gram").format(
+        "parquet"
+    ).saveAsTable(f"{table}__post")
+    e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table}__df")
+
+
+def containment_screen(
+    batch: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """Batch→corpus containment screen against a persisted store: emit
+    (batch_id, corpus_id, overlap, batch_size, containment) where
+    ``C(batch→corpus) = |b ∩ c| / |b| >= threshold`` — "this new doc is
+    mostly contained in something already in the lake".
+
+    Lossless prefix pruning with the BATCH doc's own denominator (the
+    containment_join argument, one-sided): under any fixed order of b's
+    grams, if the first ``|b| − floor(t·|b|) + 1`` all miss c then
+    ``overlap <= ceil(t·|b|) − 1 < t·|b|`` and (b,c) is provably below
+    threshold. The order used is rarest-first by STORE document
+    frequency (grams the corpus has never seen get df 0 — maximally
+    selective), so boilerplate grams stay out of every probe and the
+    probe's collision volume is Σ_g prefix_count(g)·df(g) with prefix
+    mass on the df tail.
+
+    Scale shape: the probe equi-join reads the gram-bucketed posting
+    table shuffle-free on the corpus side; verification joins candidate
+    pairs against the id-bucketed gram arrays (per-candidate work
+    ∝ |b|+|c|); the df lookup is one vocabulary-sized aggregate. Corpus
+    motion: the posting lists of the batch's prefix grams — never the
+    corpus. Batch ids must be disjoint from stored ids (the append_*
+    contract). The final compare is the engine-shared single divide;
+    containment >= t > 0, so no signed-zero exposure."""
+    spark = batch.sparkSession
+    t = float(threshold)
+    bg = batch.select(
+        F.col(id_col).cast("long").alias("bid"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
+    )
+    dfreq = (
+        spark.table(f"{table}__df")
+        .groupBy("gram")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    toks = bg.select("bid", F.explode("g").alias("gram"))
+    doc_sorted = (
+        toks.join(dfreq, "gram", "left")
+        .select("bid", "gram", F.coalesce("df", F.lit(0).cast("long")).alias("df"))
+        .groupBy("bid")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("__srt__"))
+        .withColumn("sz", F.size("__srt__").cast("long"))
+    )
+    plen = (
+        F.col("sz") - F.floor(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = doc_sorted.select(
+        "bid",
+        F.explode(F.slice(F.col("__srt__"), 1, plen)).alias("__s__"),
+    ).select("bid", F.col("__s__.gram").alias("gram"))
+    post = spark.table(f"{table}__post")
+    cand = (
+        prefix.join(post, "gram")
+        .select("bid", F.col("id").alias("cid"))
+        .distinct()
+    )
+    corpus_grams = spark.table(f"{table}__grams").select(
+        F.col("id").alias("cid"), F.col("g").alias("g_c")
+    )
+    ver = (
+        cand.join(bg.select(F.col("bid"), F.col("g").alias("g_b")), "bid")
+        .join(corpus_grams, "cid")
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("cid").alias("corpus_id"),
+            F.size(F.array_intersect("g_b", "g_c")).cast("long").alias("overlap"),
+            F.size("g_b").cast("long").alias("batch_size"),
+        )
+        .where(F.col("overlap") / F.col("batch_size") >= t)
+    )
+    return ver.withColumn(
+        "containment", F.round(F.col("overlap") / F.col("batch_size"), 6)
+    )

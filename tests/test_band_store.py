@@ -575,3 +575,81 @@ def test_fold_cluster_store_bridges_merges_and_replays(spark):
         for r in duplicate_clusters(all_pairs, every).collect()
     }
     assert got3 == scratch
+
+
+def test_containment_store_screen_finds_planted_leak(spark):
+    """r10 containment store: a batch doc mostly contained in a corpus
+    doc must surface with the exact overlap/denominator; an unrelated
+    batch doc must not. Then append maintenance: after folding the batch
+    in, the NEXT batch screens against the first batch's docs too."""
+    import pyspark.sql.functions as F
+    from sparsity_spark.operators.dedup import (
+        append_containment_store,
+        containment_screen,
+        write_containment_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    write_containment_store(corpus, "contain_store_t")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # 3 of 3 grams in doc 1
+            (11, "pure novel words only here now"),   # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"]): (r["overlap"], r["batch_size"], r["containment"])
+        for r in containment_screen(batch, "contain_store_t", threshold=0.9).collect()
+    }
+    assert got == {(10, 1): (3, 3, 1.0)}
+
+    # fold the batch in; a new doc contained in BATCH doc 11 now surfaces
+    append_containment_store(batch, "contain_store_t")
+    batch2 = spark.createDataFrame(
+        [(20, "pure novel words only")], "doc_id long, text string"
+    )
+    got2 = {
+        (r["batch_id"], r["corpus_id"])
+        for r in containment_screen(batch2, "contain_store_t", threshold=0.9).collect()
+    }
+    assert got2 == {(20, 11)}
+    # df table now carries both increments; the store tables stay bucketed
+    assert spark.table("contain_store_t__grams").count() == 4
+
+
+def test_containment_screen_boilerplate_prefix_discipline(spark):
+    """Probe discipline under boilerplate: max-df grams sort LAST in the
+    batch doc's rarest-first prefix order, so the probe exposes the rare
+    tail first and at most the prefix REMAINDER of boilerplate grams —
+    never the full gram set — while staying lossless: the planted
+    containment is found THROUGH the boilerplate (batch-side denominator
+    over mixed rare+common grams) and no sub-threshold pair leaks."""
+    from sparsity_spark.operators.dedup import (
+        containment_screen,
+        write_containment_store,
+    )
+
+    header = "all rights reserved contact the webmaster"
+    corpus = spark.createDataFrame(
+        [(i, f"{header} c{i}a c{i}b c{i}c c{i}d c{i}e") for i in range(1, 80)]
+        + [(99, f"{header} alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    write_containment_store(corpus, "contain_boiler_t")
+    batch = spark.createDataFrame(
+        [(200, f"{header} alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = containment_screen(batch, "contain_boiler_t", threshold=0.6).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in rows}
+    # doc 200's grams: 4 header-internal (df=80, sort last), boundary +
+    # alpha-beta-gamma-delta tail (df<=1 except those shared with 99) —
+    # only 99 passes the 0.6 batch-denominator bar
+    assert got == {(200, 99)}
