@@ -51,24 +51,49 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Quality scoring: length, alpha ratio, stopword ratio, and a composite
-    score — the C4/Gopher-style cheap filters, as one projection."""
+    score — the C4/Gopher-style cheap filters, as one projection.
+
+    Exactness (r10 — the sf0.1 strict sweep caught the old float finish):
+    the composite ``min(n/100,1)·(0.5+0.5·alpha)`` is a product of SHORT
+    decimals, so its exact value can land EXACTLY on a round-6 tie
+    (…×5·10⁻⁷), where Spark's BigDecimal HALF_UP and DuckDB's float
+    ROUND split (0.444062 vs 0.444063 at sf0.1). Every ratio is
+    therefore integer-exact half-up in micro units —
+    ``(2·num·10⁶ + den) div (2·den)`` — and the composite is
+    ``(min(n,100)·(10⁶+alpha_micro) + 100) div 200``: pure BIGINT
+    arithmetic, no engine ever rounds a double; the emitted doubles are
+    the identical quotient micro/10⁶ on both sides."""
     w = words_expr(text_col)
-    n = F.size(w)
+    n = F.size(w).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_cnt = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
-    total_chars = F.length(F.col(text_col))
-    stop_ratio = F.round(stop_cnt / n, 6)
-    alpha_ratio = F.round(alpha_chars / total_chars, 6)
-    return docs.select(
+    stop_cnt = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("long")
+    total_chars = F.length(F.col(text_col)).cast("long")
+    unit = 1_000_000
+    base = docs.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        total_chars.alias("n_chars"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        F.round(
-            F.least(n / F.lit(100.0), F.lit(1.0)) * (F.lit(0.5) + F.lit(0.5) * alpha_ratio),
-            6,
+        n.alias("__n__"),
+        stop_cnt.alias("__sc__"),
+        alpha_chars.alias("__ac__"),
+        total_chars.alias("__tc__"),
+    )
+    # integer half-up micro ratios; zero denominators yield NULL (the old
+    # float 0/0 behavior)
+    a_micro = f"(2 * __ac__ * {unit} + __tc__) div (2 * __tc__)"
+    return base.select(
+        F.col(id_col),
+        F.col("__n__").cast("int").alias("n_tokens"),
+        F.col("__tc__").cast("int").alias("n_chars"),
+        F.expr(
+            f"case when __n__ > 0 then cast((2 * __sc__ * {unit} + __n__)"
+            f" div (2 * __n__) as double) / {unit} end"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"case when __tc__ > 0 then cast({a_micro} as double) / {unit} end"
+        ).alias("alpha_ratio"),
+        F.expr(
+            f"case when __tc__ > 0 then cast((least(__n__, 100)"
+            f" * ({unit} + {a_micro}) + 100) div 200 as double) / {unit} end"
         ).alias("quality"),
     )
 

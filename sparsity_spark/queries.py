@@ -695,7 +695,10 @@ def q3_shipping_priority(spark, sf_dir):
 @query(
     "q5_regional_revenue",
     """
-    SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    SELECT r.r_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -706,7 +709,12 @@ def q3_shipping_priority(spark, sf_dir):
 )
 def q5_regional_revenue(spark, sf_dir):
     """TPC-H Q5 shape: star join — every dimension broadcast, fact table
-    never shuffled until the final 5-group aggregate."""
+    never shuffled until the final 5-group aggregate. r10: revenue sums
+    EXACT integer 10⁻⁴-dollar units (price cents × discount percent —
+    both columns are 2-dp money, recovered exactly by ROUND(x·100)) —
+    the sf0.1 strict sweep caught the old double SUM flipping its 4th
+    decimal with summation order once the total crossed 5·10⁹ (53-bit
+    mantissa edge); an associative BIGINT sum cannot."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -718,8 +726,10 @@ def q5_regional_revenue(spark, sf_dir):
         .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     return joined.groupBy("r_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        (F.sum(cents * pct).cast("double") / F.lit(10000)).alias("revenue")
     )
 
 
@@ -3035,7 +3045,7 @@ def text_heavy_hitters(spark, sf_dir):
 @query(
     "emb_grouped_centroids",
     """
-    SELECT label, CAST(i - 1 AS INTEGER) AS dim, ROUND(AVG(x), 4) AS mean_val
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim, ROUND(AVG(x), 4) + 0.0 AS mean_val
     FROM (
       SELECT label, embedding[i] AS x, i
       FROM (SELECT label, embedding,
@@ -3332,19 +3342,25 @@ def text_token_stats_q(spark, sf_dir):
       SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
     ), m AS (
       SELECT doc_id,
-             CAST(len(w) AS INTEGER) AS n_tokens,
-             CAST(length(text) AS INTEGER) AS n_chars,
-             ROUND(len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) * 1.0 / len(w), 6) AS stopword_ratio,
-             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio
+             CAST(len(w) AS BIGINT) AS n,
+             CAST(length(text) AS BIGINT) AS tc,
+             CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS sc,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS ac
       FROM base
     )
-    SELECT doc_id, n_tokens, n_chars, stopword_ratio, alpha_ratio,
-           ROUND(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * alpha_ratio), 6) AS quality
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(tc AS INTEGER) AS n_chars,
+           CASE WHEN n > 0 THEN CAST((2 * sc * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 END AS stopword_ratio,
+           CASE WHEN tc > 0 THEN CAST((2 * ac * 1000000 + tc) // (2 * tc) AS DOUBLE) / 1000000 END AS alpha_ratio,
+           CASE WHEN tc > 0 THEN CAST((least(n, 100) * (1000000 + (2 * ac * 1000000 + tc) // (2 * tc)) + 100) // 200 AS DOUBLE) / 1000000 END AS quality
     FROM m
     """,
 )
 def text_quality_q(spark, sf_dir):
-    """Quality scoring: C4/Gopher-style cheap filters as one projection."""
+    """Quality scoring: C4/Gopher-style cheap filters as one projection.
+    r10: every ratio and the composite are integer-exact half-up micros
+    (pure BIGINT div on both engines — the sf0.1 strict sweep caught the
+    old ROUND(double) finish landing on an exact …5·10⁻⁷ tie, where
+    Spark's BigDecimal HALF_UP and DuckDB's float ROUND split)."""
     from sparsity_spark.operators.text import quality_score
 
     return quality_score(load_table(spark, sf_dir, "documents"))
@@ -3354,13 +3370,15 @@ def text_quality_q(spark, sf_dir):
     "pipe_quality_percentile_gate",
     """
     WITH base AS (
-      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(length(text) AS BIGINT) AS tc,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS ac
+      FROM documents
     ), s AS (
       SELECT doc_id, lang,
-             ROUND(least(len(w) / 100.0, 1.0) *
-                   (0.5 + 0.5 * ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6)),
-                   6) AS quality
-      FROM base
+             CAST((least(n, 100) * (1000000 + (2 * ac * 1000000 + tc) // (2 * tc)) + 100) // 200 AS DOUBLE) / 1000000 AS quality
+      FROM base WHERE tc > 0
     ),
     c AS (SELECT lang, quantile_cont(quality, 0.5) AS cut FROM s GROUP BY 1)
     SELECT s.doc_id, s.lang, s.quality, s.quality >= c.cut AS kept
