@@ -1746,16 +1746,17 @@ def fold_cluster_store(
     return resolve_cluster_store(spark, table)
 
 
-def _containment_candidates(grams: DataFrame, t: float) -> DataFrame:
-    """Lossless candidate pairs for :func:`containment_join`:
-    smaller-side rarest-first prefix grams equi-joined against full
-    postings (overlap-constraint prefix principle — see the caller's
-    docstring for the losslessness argument and collision bound).
-    ``grams`` is (id, g: array<string> distinct). Returns distinct
-    (ia, ib) with ia < ib. Split out so tests can assert the candidate
-    VOLUME directly — the boilerplate-gram fixture pins that a gram
-    shared by every doc contributes zero collision rows."""
-    e = grams.select("id", F.explode("g").alias("gram"))
+def _containment_prefix_parts(grams: DataFrame, t: float):
+    """Shared plan pieces for the containment prefix filter:
+    returns (cand, doc_sorted) where ``cand`` is the distinct lossless
+    (ia < ib) candidate pairs and ``doc_sorted`` is the per-doc
+    rarest-first (df, gram) struct array the candidates were derived
+    from — the caller reuses it for verification arrays so the corpus is
+    aggregated ONCE (the exploded posting side carries its own doc size,
+    so no corpus-sized size join exists anywhere in the plan)."""
+    e = grams.select(
+        "id", F.size("g").cast("long").alias("szf"), F.explode("g").alias("gram")
+    )
     dfreq = e.groupBy("gram").agg(F.count("*").alias("df"))
     doc_sorted = (
         e.join(dfreq, "gram")
@@ -1771,11 +1772,9 @@ def _containment_candidates(grams: DataFrame, t: float) -> DataFrame:
         F.col("sz").alias("szp"),
         F.explode(F.slice(F.col("__srt__"), 1, plen)).alias("__s__"),
     ).select("ip", "szp", F.col("__s__.gram").alias("gram"))
-    full = e.join(
-        doc_sorted.select("id", F.col("sz").alias("szf")), "id"
-    ).select(F.col("id").alias("if_"), "szf", "gram")
+    full = e.select(F.col("id").alias("if_"), "szf", "gram")
     # min side drives: strictly-smaller doc's prefix, or id-order on ties
-    return (
+    cand = (
         prefix.join(full, "gram")
         .where(
             (F.col("szp") < F.col("szf"))
@@ -1787,6 +1786,19 @@ def _containment_candidates(grams: DataFrame, t: float) -> DataFrame:
         )
         .distinct()
     )
+    return cand, doc_sorted
+
+
+def _containment_candidates(grams: DataFrame, t: float) -> DataFrame:
+    """Lossless candidate pairs for :func:`containment_join`:
+    smaller-side rarest-first prefix grams equi-joined against full
+    postings (overlap-constraint prefix principle — see the caller's
+    docstring for the losslessness argument and collision bound).
+    ``grams`` is (id, g: array<string> distinct). Returns distinct
+    (ia, ib) with ia < ib. Split out so tests can assert the candidate
+    VOLUME directly — the boilerplate-gram fixture pins that a gram
+    shared by every doc contributes zero collision rows."""
+    return _containment_prefix_parts(grams, t)[0]
 
 
 def containment_join(
@@ -1836,9 +1848,17 @@ def containment_join(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     )
-    cand = _containment_candidates(grams, t)
-    ga = grams.select(F.col("id").alias("ia"), F.col("g").alias("g_a"))
-    gb = grams.select(F.col("id").alias("ib"), F.col("g").alias("g_b"))
+    cand, doc_sorted = _containment_prefix_parts(grams, t)
+    # verification arrays come from the SAME per-doc aggregate the
+    # prefixes did (order within the array is irrelevant to
+    # array_intersect), so the corpus is tokenized and doc-aggregated
+    # exactly once and the id-hash exchange is reusable across the three
+    # id-keyed joins
+    arrays = doc_sorted.select(
+        "id", F.transform("__srt__", lambda s: s["gram"]).alias("garr")
+    )
+    ga = arrays.select(F.col("id").alias("ia"), F.col("garr").alias("g_a"))
+    gb = arrays.select(F.col("id").alias("ib"), F.col("garr").alias("g_b"))
     sized = (
         cand.join(ga, "ia")
         .join(gb, "ib")

@@ -544,12 +544,16 @@ def _record_max_batch(spark, table: str, batch_id: int) -> None:
     construction); the reverse order would record a batch whose data
     never landed and silently drop it forever."""
     meta = _meta_table(table)
-    if not spark.catalog.tableExists(meta):
-        # a stale managed LOCATION without a catalog entry (dropped
-        # table, persistent warehouse dir) fails saveAsTable — clear it
-        from sparsity_spark.operators.skew import _drop_table_and_location
+    if spark.catalog.tableExists(meta):
+        # one-row data-only rewrite — INSERT OVERWRITE skips the
+        # drop/recreate catalog round-trip a saveAsTable overwrite pays
+        spark.sql(f"INSERT OVERWRITE {meta} VALUES (CAST({int(batch_id)} AS BIGINT))")
+        return
+    # a stale managed LOCATION without a catalog entry (dropped table,
+    # persistent warehouse dir) fails saveAsTable — clear it first
+    from sparsity_spark.operators.skew import _drop_table_and_location
 
-        _drop_table_and_location(spark, meta)
+    _drop_table_and_location(spark, meta)
     spark.createDataFrame(
         [(int(batch_id),)], "max_batch_id long"
     ).write.mode("overwrite").saveAsTable(meta)
