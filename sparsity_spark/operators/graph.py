@@ -937,18 +937,31 @@ def pagerank_weighted(
         .otherwise(0)
         .alias("__bad__"),
     ).persist()
-    nbad = e.agg(F.sum("__bad__")).collect()[0][0]
+    # the contract check rides the SAME aggregate that builds strength
+    # (one edge pass total); the violation count surfaces from the
+    # node-sized result, not a second edge scan (r10 tier watch item)
+    strength = (
+        e.groupBy("src")
+        .agg(
+            F.sum("w").cast("long").alias("strength"),
+            F.sum("__bad__").cast("long").alias("__nb__"),
+        )
+        .persist()
+    )
+    nbad = strength.agg(F.sum("__nb__")).collect()[0][0]
     if nbad:
         e.unpersist()
+        strength.unpersist()
         raise ValueError(
             f"pagerank_weighted: {nbad} edge(s) with non-positive or "
             f"fractional weight in '{weight_col}' — weights must be "
             "positive integers (see docstring contract)"
         )
-    strength = (
-        e.groupBy("src").agg(F.sum("w").cast("long").alias("strength")).persist()
+    adj = (
+        e.select("src", "dst", "w")
+        .join(strength.select("src", "strength"), "src")
+        .persist()
     )
-    adj = e.select("src", "dst", "w").join(strength, "src").persist()
     adj.count()
     e.unpersist()
     ranks = strength.select(

@@ -771,3 +771,93 @@ def test_fold_cluster_store_random_graphs_equal_scratch(spark, data):
     got = {r["doc_id"]: r["cluster_id"] for r in resolved.collect()}
     want = _py_components(ids, pairs)
     assert got == want
+
+
+def _gram_set(text, k=3):
+    w = text.split(" ")
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} if len(w) >= k else set()
+
+
+def _boilerplate_corpus(rng, n_docs, vocab_size=30, boiler_p=0.6):
+    """Random word-soup docs, a fraction carrying one shared boilerplate
+    header (the prefix filter's adversarial shape), plus occasional
+    planted near-supersets (a doc's text embedded in a longer doc)."""
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    header = "all rights reserved by the site owner"
+    docs = []
+    for i in range(n_docs):
+        toks = list(rng.choice(vocab, size=rng.randint(4, 16)))
+        body = " ".join(toks)
+        if rng.rand() < boiler_p:
+            body = header + " " + body
+        docs.append(body)
+        if rng.rand() < 0.4 and len(docs) >= 1:  # planted containment
+            host = docs[rng.randint(len(docs))]
+            docs.append(host + " " + " ".join(rng.choice(vocab, size=rng.randint(0, 8))))
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.mark.parametrize("seed,t", [(0, 0.6), (3, 0.8), (11, 0.5), (42, 0.9)])
+def test_containment_join_prefix_lossless_vs_bruteforce(spark, seed, t):
+    """Property (r10): the prefix-filtered containment join returns
+    EXACTLY the directional pairs a brute-force all-pairs scan finds —
+    lossless at any threshold, on corpora mixing boilerplate headers,
+    random bodies, and planted near-supersets (the shapes that stress
+    both the pruning and the min-side-denominator argument)."""
+    from sparsity_spark.operators.dedup import containment_join
+
+    rng = np.random.RandomState(seed)
+    pdf = _boilerplate_corpus(rng, n_docs=14)
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r.src_id, r.dst_id): (r.overlap, r.src_size)
+        for r in containment_join(docs, threshold=t, k=3).collect()
+    }
+    grams = {r.doc_id: _gram_set(r.text) for r in pdf.itertuples()}
+    want = {}
+    for a in grams:
+        for b in grams:
+            if a == b or not grams[a]:
+                continue
+            ov = len(grams[a] & grams[b])
+            # same single-divide compare the engine evaluates
+            if ov > 0 and ov / len(grams[a]) >= t:
+                want[(a, b)] = (ov, len(grams[a]))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,t", [(1, 0.6), (9, 0.85)])
+def test_containment_screen_lossless_vs_bruteforce(spark, seed, t):
+    """Property (r10): the store-backed incremental screen equals a
+    brute-force batch×corpus containment scan — the batch-side-denominator
+    prefix probe must be lossless under boilerplate df skew, including
+    batch docs whose grams the corpus has never seen (df 0)."""
+    from sparsity_spark.operators.dedup import (
+        containment_screen,
+        write_containment_store,
+    )
+
+    rng = np.random.RandomState(seed)
+    pdf = _boilerplate_corpus(rng, n_docs=12)
+    corpus_pdf = pdf[pdf.doc_id % 3 != 0]
+    batch_pdf = pdf[pdf.doc_id % 3 == 0]
+    write_containment_store(
+        spark.createDataFrame(corpus_pdf), "contain_prop_store"
+    )
+    got = {
+        (r.batch_id, r.corpus_id): (r.overlap, r.batch_size)
+        for r in containment_screen(
+            spark.createDataFrame(batch_pdf), "contain_prop_store", threshold=t
+        ).collect()
+    }
+    bg = {r.doc_id: _gram_set(r.text) for r in batch_pdf.itertuples()}
+    cg = {r.doc_id: _gram_set(r.text) for r in corpus_pdf.itertuples()}
+    want = {}
+    for b, gs in bg.items():
+        if not gs:
+            continue
+        for c, cs in cg.items():
+            ov = len(gs & cs)
+            if ov > 0 and ov / len(gs) >= t:
+                want[(b, c)] = (ov, len(gs))
+    assert got == want
