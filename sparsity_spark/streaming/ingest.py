@@ -870,3 +870,97 @@ def streaming_ohlc_maintain(
             sink(merged, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_containment_maintain(
+    stream_df: DataFrame,
+    table: str,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sink=None,
+):
+    """Streaming containment-screen maintenance (r10 — the asymmetric
+    complement of :func:`streaming_screen_and_maintain`): each
+    micro-batch is screened for lake-CONTAINMENT against the persisted
+    gram store (``operators.dedup.containment_screen`` — "is this new
+    doc mostly inside something we already hold"), then the SURVIVORS'
+    grams/postings/df rows append so the next batch screens against
+    them; contained docs never enter the store (the keep-first dedup
+    discipline). The first batch seeds the store and keeps everything —
+    intra-batch containment is deliberately out of scope here
+    (``containment_join`` is the all-pairs form; a screen's contract is
+    batch-vs-lake).
+
+    Replay safety: the gram append is NOT idempotent (duplicate gram
+    rows would duplicate screen output rows), so the count-store
+    discipline applies — a one-row max-batch-id side table written AFTER
+    the append screens re-delivered batches out; same single-writer /
+    checkpoint-married contract as merge_count_store.
+
+    ``sink(decisions_df, batch_id)`` observes
+    (doc_id, n_containments, keep) per batch. Returns the
+    started-ready writer."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.dedup import (
+        append_containment_store,
+        containment_screen,
+        write_containment_store,
+    )
+    from sparsity_spark.operators.sketches import _meta_table, _record_max_batch
+
+    grams_t = f"{table}__grams"
+
+    def _already_folded(spark, batch_id):
+        meta = _meta_table(grams_t)
+        if not spark.catalog.tableExists(meta):
+            return False
+        mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+        return mx is not None and int(batch_id) <= int(mx)
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        if _already_folded(spark, batch_id):
+            return
+        if not spark.catalog.tableExists(grams_t):
+            write_containment_store(batch_df, table, id_col, text_col)
+            decisions = batch_df.select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.lit(0).cast("long").alias("n_containments"),
+                F.lit(True).alias("keep"),
+            ).localCheckpoint(eager=True)
+        else:
+            hits = (
+                containment_screen(
+                    batch_df, table, id_col, text_col, threshold
+                )
+                .groupBy(F.col("batch_id").alias(id_col))
+                .agg(F.count("*").cast("long").alias("n_containments"))
+            )
+            decisions = (
+                batch_df.select(F.col(id_col).cast("long").alias(id_col))
+                .join(hits, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("n_containments", F.lit(0).cast("long")).alias(
+                        "n_containments"
+                    ),
+                    (F.coalesce("n_containments", F.lit(0)) == 0).alias("keep"),
+                )
+                # freeze BEFORE the store mutates (the append_band_store
+                # lineage lesson: a lazy plan re-reads the written table)
+                .localCheckpoint(eager=True)
+            )
+            keepers = batch_df.join(
+                decisions.filter(F.col("keep")).select(F.col(id_col).alias("__kid__")),
+                batch_df[id_col].cast("long") == F.col("__kid__"),
+                "leftsemi",
+            )
+            if keepers.limit(1).count() > 0:
+                append_containment_store(keepers, table, id_col, text_col)
+        _record_max_batch(spark, grams_t, batch_id)
+        if sink is not None:
+            sink(decisions, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -1149,3 +1149,75 @@ def test_streaming_ohlc_maintain_equals_batch_resample(spark, tmp_path):
     # close 2.0 from batch 2 (event 3), n spans both batches
     key = ("a", dt.datetime(2024, 1, 1, 10, 0))
     assert got[key] == (5.0, 9.0, 2.0, 2.0, 3)
+
+
+def test_streaming_containment_maintain_screens_and_appends(spark, tmp_path):
+    """r10 containment-store loop: batch 1 seeds the store (all keep);
+    batch 2's doc contained in a batch-1 keeper is flagged and NOT
+    appended; a novel batch-2 doc is kept and visible to batch 3's
+    screen. Final kept set equals a sequential batch replay of
+    screen-then-append-survivors."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.streaming.ingest import streaming_containment_maintain
+
+    schema = "doc_id long, text string"
+    b1 = pd.DataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    b2 = pd.DataFrame(
+        [
+            (10, "alpha beta gamma delta"),       # contained in doc 1
+            (11, "red green blue cyan magenta"),  # novel -> keep
+        ],
+        columns=["doc_id", "text"],
+    )
+    b3 = pd.DataFrame(
+        [(20, "red green blue cyan")],             # contained in KEPT doc 11
+        columns=["doc_id", "text"],
+    )
+    src = str(tmp_path / "contain_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+
+    for t in ("contain_ml_t__grams", "contain_ml_t__post", "contain_ml_t__df",
+              "contain_ml_t__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    decisions = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            decisions[r["doc_id"]] = (r["n_containments"], r["keep"])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_containment_maintain(
+            stream, "contain_ml_t", threshold=0.9, sink=sink
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "contain_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert decisions[1] == (0, True) and decisions[2] == (0, True)
+    assert decisions[10][0] >= 1 and decisions[10][1] is False
+    assert decisions[11] == (0, True)
+    assert decisions[20][0] >= 1 and decisions[20][1] is False
+    # store holds exactly the keepers
+    kept = {r["id"] for r in spark.table("contain_ml_t__grams").select("id").collect()}
+    assert kept == {1, 2, 11}
+    # replay screen: the side table pins the last folded batch id
+    mx = spark.table("contain_ml_t__grams__maxbatch").collect()[0]["max_batch_id"]
+    assert mx == 2
