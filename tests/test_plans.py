@@ -728,3 +728,71 @@ def test_sq8_topk_broadcasts_queries_corpus_parallel(spark, sf_dir):
     plan = formatted_plan(sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_containment_candidates_no_cartesian_and_pruned_prefix(spark, sf_dir):
+    """r10 containment prefix filter: the candidate plan must be pure
+    equi-joins (no cartesian/nested-loop anywhere) with the prefix slice
+    visible — the boilerplate bound comes from joining SLICED rarest-first
+    grams, not the full posting self-join the r9 plan used."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import (
+        _containment_candidates,
+        shingles_expr,
+        words_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles_expr(words_expr("text"), 3)).alias("g"),
+    )
+    plan = formatted_plan(_containment_candidates(grams, 0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "slice(" in plan, "prefix slice must reach the physical plan"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_containment_screen_corpus_side_bucketed(spark, sf_dir):
+    """r10 containment store: the screen's posting probe and the
+    verification join must read the store through its bucketed layout
+    (corpus side shuffle-free — the band-store discipline for the
+    asymmetric screen)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import (
+        containment_screen,
+        write_containment_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_containment_store(docs.filter(F.col("doc_id") % 10 != 0), "cs_plancheck")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = containment_screen(
+            docs.filter(F.col("doc_id") % 10 == 0), "cs_plancheck", threshold=0.6
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, "store scans must use their bucketing"
+    assert "CartesianProduct" not in plan
+
+
+def test_shared_edge_store_scan_is_bucketed(spark, sf_dir):
+    """r10 shared graph edge build (VERDICT r9 #7): after the first use,
+    graph rows read the session's bucketed-by-src edge table — the scan
+    must carry the bucket layout so per-iteration src-keyed joins start
+    co-located."""
+    from sparsity_spark.queries import _co_purchase_edges
+
+    edges = _co_purchase_edges(spark, sf_dir)
+    # a bare scan reports "Bucketed: false (disabled by query planner)" —
+    # bucketing only engages when a src-keyed operator can use it, so
+    # assert on the DEGREE aggregate every iteration starts from: the
+    # bucketed layout must replace the pre-aggregation Exchange
+    deg = edges.groupBy("src").count()
+    plan = formatted_plan(deg)
+    assert "Bucketed: true" in plan, "src-keyed aggregate must use the bucket layout"
+    assert "Exchange hashpartitioning(src" not in plan
