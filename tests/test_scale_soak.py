@@ -91,3 +91,31 @@ def test_ppjoin_linear(spark, scale_dirs):
 
     d1, d3 = scale_dirs
     _check(spark, lambda d: jaccard_prefix_join(d, threshold=0.6), d1, d3)
+
+
+@pytest.mark.slow
+def test_containment_adversarial_boilerplate_completes(spark):
+    """r10 soak: 20k docs ALL sharing a six-gram boilerplate header with
+    unique tails — the r9 raw shared-gram join materializes ~6·n²/2
+    collision rows here (1.2e9 at this size; unrunnable), the prefix
+    plan completes in seconds with the exact answer (zero pairs: every
+    tail is unique and the header alone is under every threshold)."""
+    import pyspark.sql.functions as F
+
+    from sparsity_spark.operators.dedup import containment_join
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved contact the webmaster "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("u"), (F.col("id") * 8 + i).cast("string"))
+                    for i in range(8)
+                ],
+            ),
+        ).alias("text"),
+    )
+    assert containment_join(docs, threshold=0.6, k=3).count() == 0
