@@ -148,10 +148,25 @@ PICKS = {
         "pushes partial top-k map-side."
     ),
     "dedup_containment_pairs": (
-        "Asymmetric containment (r9): ONE shared-shingle equi-join "
-        "bounded by posting-list collisions, one overlap aggregate, two "
-        "node-sized size joins — both directions of the relation from "
-        "one symmetric pair table, no cartesian."
+        "Asymmetric containment (r10 prefix rewrite): the candidate join "
+        "carries the rarest-first prefix SLICE on the smaller side — a "
+        "max-df boilerplate gram never becomes a join key, so its n\u00b2 "
+        "collision block vanishes; verification joins reuse the one "
+        "per-doc sorted aggregate (exchange reuse on id). Lossless, no "
+        "cartesian."
+    ),
+    "dedup_containment_screen": (
+        "Incremental containment screen (r10): the batch's prefix grams "
+        "probe the gram-BUCKETED posting store (corpus side shuffle-free "
+        "— Bucketed: true in the scan) and candidates verify against the "
+        "id-bucketed gram arrays; the corpus never rescans or reshuffles."
+    ),
+    "graph_lpa_modularity": (
+        "LPA + Newman modularity (r10): the community accounting reads "
+        "the session's bucketed shared edge table, runs two node-sized "
+        "label joins + three hash aggregates, and finishes in PURE BIGINT "
+        "micro arithmetic (q_c_micro) — no double anywhere, so no "
+        "engine-dependent rounding surface."
     ),
     "stats_count_store_topk": (
         "Count store (r9): the increments land as bucketed appends; the "
