@@ -2047,3 +2047,54 @@ def containment_screen(
     return ver.withColumn(
         "containment", F.round(F.col("overlap") / F.col("batch_size"), 6)
     )
+
+
+def containment_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """Containment-component collapse (r10 — the curation ACTION on top
+    of :func:`containment_join`): docs linked by >= threshold containment
+    in EITHER direction form components, and each component keeps its
+    largest doc — for containment the SUPERSET is the survivor (the
+    quote farm collapses into the page that carries the most context),
+    the opposite of the near-twin families' keep-first-id rule, where
+    members are interchangeable.
+
+    Composition, not new machinery: prefix-filtered containment pairs →
+    :func:`duplicate_clusters` pointer-jumping components (cluster id =
+    component min, the store-compatible invariant) → one per-cluster
+    max(struct(n_grams, -id)) argmax, ties to the SMALLER id. Singleton
+    docs (contained in nothing, containing nothing) keep themselves.
+    Returns (doc_id, cluster_id, n_grams, keep)."""
+    pairs = (
+        containment_join(docs, id_col, text_col, threshold, k)
+        .select(
+            F.least("src_id", "dst_id").alias("id_a"),
+            F.greatest("src_id", "dst_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    labels = duplicate_clusters(pairs, docs, id_col=id_col)
+    sizes = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(
+            F.array_distinct(shingles_expr(words_expr(text_col), k))
+        ).cast("long").alias("n_grams"),
+    )
+    sized = labels.join(sizes, id_col)
+    best = sized.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_grams"), (-F.col(id_col)).alias("__nid__"))).alias("__b__")
+    ).select(
+        "cluster_id",
+        (-F.col("__b__.__nid__")).cast("long").alias("__keep_id__"),
+    )
+    return sized.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "n_grams",
+        (F.col(id_col) == F.col("__keep_id__")).alias("keep"),
+    )

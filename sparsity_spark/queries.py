@@ -8588,7 +8588,7 @@ def graph_pagerank_weighted_q(spark, sf_dir):
     )
 
 
-def _ppr_oracle(iters: int = 3, nation: int = 0) -> str:
+def _ppr_oracle(iters: int = 3, nation: int = 3) -> str:
     """Personalized PageRank unrolled as CTEs: same symmetrized edges and
     degrees as the global oracle, teleport mass concentrated on the
     seed suppliers (nation {nation}), same integer floors throughout."""
@@ -8638,8 +8638,12 @@ def _ppr_oracle(iters: int = 3, nation: int = 0) -> str:
 
 @query("graph_ppr_seeded", _ppr_oracle())
 def graph_ppr_seeded_q(spark, sf_dir):
-    """Personalized PageRank from a curated seed set (r8): teleport mass
-    concentrated on nation-0 suppliers, diffused 3 hops through the
+    """Personalized PageRank from a curated seed set (r8; r10 moves the
+    seed cohort from nation 0 to nation 3 — nation 0 has NO suppliers at
+    sf0.001, so the loud no-seed guard fired and the row was vacuous at
+    the smallest fixture scale, the same population fact the BFS row
+    documented): teleport mass concentrated on nation-3 suppliers,
+    diffused 3 hops through the
     customer↔supplier interaction graph — the "rank the corpus by
     relatedness to this trusted set" curation primitive. Integer floors
     end to end; the oracle unrolls seeds, totals, and all three
@@ -8653,7 +8657,7 @@ def graph_ppr_seeded_q(spark, sf_dir):
 
     edges = _cust_supp_edges(spark, sf_dir)
     seeds = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_nationkey") == 0
+        F.col("s_nationkey") == 3
     ).select((F.col("s_suppkey") * 2 + 1).alias("node"))
     ranks = personalized_pagerank(edges, seeds, iterations=3)
     return ranks.filter(F.col("node") % 2 == 1).select(
@@ -9250,6 +9254,67 @@ def dedup_containment_pairs_q(spark, sf_dir):
     from sparsity_spark.operators.dedup import containment_join
 
     return containment_join(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, k=3
+    )
+
+
+@query(
+    "dedup_containment_clusters",
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT p.ia, p.ib, p.c,
+             CAST(len(sa.grams) AS BIGINT) AS sza,
+             CAST(len(sb.grams) AS BIGINT) AS szb
+      FROM pair p JOIN g sa ON p.ia = sa.doc_id JOIN g sb ON p.ib = sb.doc_id
+    ),
+    und AS (
+      SELECT ia AS a, ib AS b FROM sized
+      WHERE c * 1.0 / sza >= 0.6 OR c * 1.0 / szb >= 0.6
+    ),
+    edges AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT l.cluster_id, s.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY s.n_grams DESC, s.doc_id ASC) AS rn
+        FROM lab l JOIN sz s USING (doc_id)
+      ) WHERE rn = 1
+    )
+    SELECT l.doc_id, l.cluster_id, s.n_grams, l.doc_id = b.keep_id AS keep
+    FROM lab l JOIN sz s USING (doc_id) JOIN best b ON b.cluster_id = l.cluster_id
+    """,
+)
+def dedup_containment_clusters_q(spark, sf_dir):
+    """Containment-component collapse (r10): docs linked by >= 0.6
+    containment in EITHER direction form components (the same
+    prefix-filtered pairs as dedup_containment_pairs — the oracle uses
+    the brute pair form, so the filter's losslessness is load-bearing
+    here too), and each component keeps its LARGEST doc (superset
+    survives; ties to the smaller id) — the quote-farm collapse action.
+    The oracle replays pairs, the recursive closure, and the argmax."""
+    from sparsity_spark.operators.dedup import containment_clusters
+
+    return containment_clusters(
         load_table(spark, sf_dir, "documents"), threshold=0.6, k=3
     )
 

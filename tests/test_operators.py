@@ -3236,3 +3236,25 @@ def test_mmr_broadcast_path_matches_literal_path(spark, monkeypatch):
     monkeypatch.setattr(sim, "_MMR_LITERAL_BUDGET", 0)  # force broadcast path
     bc = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
     assert lit == bc and len(lit) == 4
+
+
+def test_containment_clusters_superset_survives(spark):
+    """r10 collapse rule: within a containment component the LARGEST doc
+    keeps (superset survives — the opposite of the near-twin keep-first
+    rule), ties to the smaller id; singletons keep themselves."""
+    from sparsity_spark.operators.dedup import containment_clusters
+
+    short = "alpha beta gamma delta epsilon"
+    mid = short + " zeta eta theta"
+    long_ = mid + " " + " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, mid), (3, long_), (9, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in containment_clusters(docs, threshold=0.6, k=3).collect()
+    }
+    # 1 ⊂ 2 ⊂ 3 chain -> one component rooted at min id 1; 3 (largest) keeps
+    assert got[1] == (1, False) and got[2] == (1, False) and got[3] == (1, True)
+    assert got[9] == (9, True)  # singleton keeps itself

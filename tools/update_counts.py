@@ -43,7 +43,10 @@ def main() -> None:
                 r"`entry` / `queries` \(\d+\) / `oracle_sql` \(\d+ — [^)]*\)",
                 f"`entry` / `queries` ({nq}) / `oracle_sql` ({no} — {suffix})",
             ),
-            (r"\d+/\d+ oracle parity", f"{no}/{no} oracle parity"),
+            (
+                r"\d+/\d+ driver-faithful raw-string parity",
+                f"{no}/{no} driver-faithful raw-string parity",
+            ),
         ],
     )
     patch(
