@@ -2030,8 +2030,15 @@ def containment_screen(
         .select("bid", F.col("id").alias("cid"))
         .distinct()
     )
-    corpus_grams = spark.table(f"{table}__grams").select(
-        F.col("id").alias("cid"), F.col("g").alias("g_c")
+    # dropDuplicates collapses replay-raced duplicate appends of the
+    # same doc (rows identical by construction — gram arrays are
+    # content-derived); the table is id-bucketed so the collapse needs
+    # no exchange, and in the duplicate-free steady state it's a
+    # pass-through hash agg over the bucketed scan
+    corpus_grams = (
+        spark.table(f"{table}__grams")
+        .dropDuplicates(["id"])
+        .select(F.col("id").alias("cid"), F.col("g").alias("g_c"))
     )
     ver = (
         cand.join(bg.select(F.col("bid"), F.col("g").alias("g_b")), "bid")

@@ -516,17 +516,22 @@ def _batch_already_folded(spark, table: str, batch_id: int) -> bool:
     """O(1) replay screen for the non-idempotent stores (r10, advisor
     finding: the old screen re-scanned the store's entire batch_id
     column every micro-batch, so screen cost grew linearly with batches
-    ever folded). Under the stores' single-writer monotone-batch-id
-    contract, "already folded" ≡ ``batch_id <= max folded id``, and the
-    max lives in a one-row side table — the probe never touches the
-    store. Legacy stores without the side table fall back to the old
-    column scan once; :func:`_record_max_batch` creates the side table
-    on the next successful fold."""
+    ever folded). In the steady state — Structured Streaming's strictly
+    increasing batch ids — a new batch satisfies ``batch_id > max folded
+    id`` and the probe never touches the store (one one-row side-table
+    read). ``batch_id <= max`` does NOT prove "already folded", though:
+    merge_count_store / merge_ohlc_store are also public batch APIs, and
+    a direct caller folding an out-of-order id (backfill) would be
+    silently dropped by a pure <=-screen (r11, advisor finding). So a
+    <=-max id falls back to the exact-presence column scan — cheap
+    because it only ever runs in the rare out-of-order case. Legacy
+    stores without the side table take the scan too;
+    :func:`_record_max_batch` creates the table on the next fold."""
     meta = _meta_table(table)
     if spark.catalog.tableExists(meta):
         mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
-        if mx is not None:
-            return int(batch_id) <= int(mx)
+        if mx is not None and int(batch_id) > int(mx):
+            return False
     return (
         spark.table(table)
         .where(F.col("batch_id") == int(batch_id))
@@ -542,12 +547,18 @@ def _record_max_batch(spark, table: str, batch_id: int) -> None:
     a stale side table only re-admits the same batch on replay, whose
     duplicate rows the read side collapses with MAX (identical by
     construction); the reverse order would record a batch whose data
-    never landed and silently drop it forever."""
+    never landed and silently drop it forever. The recorded value is
+    ``greatest(old, new)`` — an out-of-order backfill fold (see
+    :func:`_batch_already_folded`) must not LOWER the watermark, or every
+    batch between the backfill id and the true max would re-screen as
+    new and re-fold duplicate data."""
     meta = _meta_table(table)
     if spark.catalog.tableExists(meta):
+        old = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+        new = max(int(batch_id), int(old)) if old is not None else int(batch_id)
         # one-row data-only rewrite — INSERT OVERWRITE skips the
         # drop/recreate catalog round-trip a saveAsTable overwrite pays
-        spark.sql(f"INSERT OVERWRITE {meta} VALUES (CAST({int(batch_id)} AS BIGINT))")
+        spark.sql(f"INSERT OVERWRITE {meta} VALUES (CAST({new} AS BIGINT))")
         return
     # a stale managed LOCATION without a catalog entry (dropped table,
     # persistent warehouse dir) fails saveAsTable — clear it first

@@ -3398,8 +3398,15 @@ def pipe_quality_percentile_gate_q(spark, sf_dir):
     from sparsity_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = quality_score(docs).select("doc_id", "quality").join(
-        docs.select("doc_id", "lang"), "doc_id"
+    scored = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        # empty texts score NULL quality; the oracle's WHERE tc > 0
+        # drops them before the gate, so drop them here too (r11,
+        # advisor finding — a latent row-count mismatch on any fixture
+        # with an empty text, and a NULL would poison the median cut)
+        .where(F.col("quality").isNotNull())
+        .join(docs.select("doc_id", "lang"), "doc_id")
     )
     return percentile_gate(scored, "lang", "quality", q=0.5)
 

@@ -892,15 +892,48 @@ def streaming_containment_maintain(
     (``containment_join`` is the all-pairs form; a screen's contract is
     batch-vs-lake).
 
-    Replay safety: the gram append is NOT idempotent (duplicate gram
-    rows would duplicate screen output rows), so the count-store
-    discipline applies — a one-row max-batch-id side table written AFTER
-    the append screens re-delivered batches out; same single-writer /
-    checkpoint-married contract as merge_count_store.
+    Replay safety (r11, advisor finding): the max-batch side table is
+    written AFTER the append, so a crash between the two replays the
+    batch against its OWN just-appended grams — every originally-kept
+    doc would self-match at containment 1.0 and the sink would receive
+    keep=False for docs that ARE the store's keepers. Two guards close
+    the window: (a) the screen's corpus side anti-joins away the batch's
+    own doc ids (restoring the pre-append view, so a replay reproduces
+    its original decisions; a no-op in normal operation, where batch ids
+    are disjoint from stored ids per the append_* contract), and (b) the
+    replay's re-append of the same keepers lands duplicate gram rows,
+    which ``containment_screen`` collapses read-side
+    (dropDuplicates on the id-bucketed gram table — rows are identical
+    by construction, content-derived; the duplicated df increments only
+    perturb the rarest-first probe ORDER, never losslessness, since the
+    prefix length depends only on the batch doc's own gram count).
+    Same single-writer / checkpoint-married contract as
+    merge_count_store.
 
     ``sink(decisions_df, batch_id)`` observes
     (doc_id, n_containments, keep) per batch. Returns the
     started-ready writer."""
+
+    def _process(batch_df, batch_id):
+        _containment_process_batch(
+            batch_df,
+            batch_id,
+            table=table,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            sink=sink,
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _containment_process_batch(
+    batch_df, batch_id, *, table, threshold, id_col, text_col, sink
+):
+    """foreachBatch body of :func:`streaming_containment_maintain`,
+    module-level so tests can drive a crash replay directly — a replay
+    IS just a re-invocation with the same (batch_df, batch_id)."""
     from pyspark.sql import functions as F
 
     from sparsity_spark.operators.dedup import (
@@ -911,56 +944,54 @@ def streaming_containment_maintain(
     from sparsity_spark.operators.sketches import _meta_table, _record_max_batch
 
     grams_t = f"{table}__grams"
-
-    def _already_folded(spark, batch_id):
-        meta = _meta_table(grams_t)
-        if not spark.catalog.tableExists(meta):
-            return False
+    spark = batch_df.sparkSession
+    meta = _meta_table(grams_t)
+    if spark.catalog.tableExists(meta):
         mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
-        return mx is not None and int(batch_id) <= int(mx)
-
-    def _process(batch_df, batch_id):
-        spark = batch_df.sparkSession
-        if _already_folded(spark, batch_id):
+        if mx is not None and int(batch_id) <= int(mx):
             return
-        if not spark.catalog.tableExists(grams_t):
-            write_containment_store(batch_df, table, id_col, text_col)
-            decisions = batch_df.select(
-                F.col(id_col).cast("long").alias(id_col),
-                F.lit(0).cast("long").alias("n_containments"),
-                F.lit(True).alias("keep"),
-            ).localCheckpoint(eager=True)
-        else:
-            hits = (
-                containment_screen(
-                    batch_df, table, id_col, text_col, threshold
-                )
-                .groupBy(F.col("batch_id").alias(id_col))
-                .agg(F.count("*").cast("long").alias("n_containments"))
+    if not spark.catalog.tableExists(grams_t):
+        write_containment_store(batch_df, table, id_col, text_col)
+        decisions = batch_df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.lit(0).cast("long").alias("n_containments"),
+            F.lit(True).alias("keep"),
+        ).localCheckpoint(eager=True)
+    else:
+        hits = (
+            containment_screen(batch_df, table, id_col, text_col, threshold)
+            # replay guard (see docstring): exclude this batch's own
+            # ids from the corpus side so a crash-replayed batch
+            # never self-matches its own prior append
+            .join(
+                batch_df.select(F.col(id_col).cast("long").alias("corpus_id")),
+                "corpus_id",
+                "left_anti",
             )
-            decisions = (
-                batch_df.select(F.col(id_col).cast("long").alias(id_col))
-                .join(hits, id_col, "left")
-                .select(
-                    id_col,
-                    F.coalesce("n_containments", F.lit(0).cast("long")).alias(
-                        "n_containments"
-                    ),
-                    (F.coalesce("n_containments", F.lit(0)) == 0).alias("keep"),
-                )
-                # freeze BEFORE the store mutates (the append_band_store
-                # lineage lesson: a lazy plan re-reads the written table)
-                .localCheckpoint(eager=True)
+            .groupBy(F.col("batch_id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_containments"))
+        )
+        decisions = (
+            batch_df.select(F.col(id_col).cast("long").alias(id_col))
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_containments", F.lit(0).cast("long")).alias(
+                    "n_containments"
+                ),
+                (F.coalesce("n_containments", F.lit(0)) == 0).alias("keep"),
             )
-            keepers = batch_df.join(
-                decisions.filter(F.col("keep")).select(F.col(id_col).alias("__kid__")),
-                batch_df[id_col].cast("long") == F.col("__kid__"),
-                "leftsemi",
-            )
-            if keepers.limit(1).count() > 0:
-                append_containment_store(keepers, table, id_col, text_col)
-        _record_max_batch(spark, grams_t, batch_id)
-        if sink is not None:
-            sink(decisions, batch_id)
-
-    return stream_df.writeStream.foreachBatch(_process)
+            # freeze BEFORE the store mutates (the append_band_store
+            # lineage lesson: a lazy plan re-reads the written table)
+            .localCheckpoint(eager=True)
+        )
+        keepers = batch_df.join(
+            decisions.filter(F.col("keep")).select(F.col(id_col).alias("__kid__")),
+            batch_df[id_col].cast("long") == F.col("__kid__"),
+            "leftsemi",
+        )
+        if keepers.limit(1).count() > 0:
+            append_containment_store(keepers, table, id_col, text_col)
+    _record_max_batch(spark, grams_t, batch_id)
+    if sink is not None:
+        sink(decisions, batch_id)

@@ -539,3 +539,28 @@ def test_rfm_segments_guard_raises(spark):
 
     with _p.raises(ValueError):
         rfm_segments(df, max_unsharded_rows=3)
+
+
+def test_quality_gate_composition_drops_empty_texts(spark):
+    """r11 advisor fix: the percentile-gate composition must drop
+    NULL-quality (empty-text) docs before gating — the oracle's
+    WHERE tc > 0 convention — instead of carrying them into the
+    per-language median with NULL scores."""
+    from sparsity_spark.operators.pipeline import percentile_gate
+    from sparsity_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "en", "good solid text right here"),
+         (2, "en", ""),
+         (3, "en", "more plain text for the gate")],
+        "doc_id long, lang string, text string",
+    )
+    scored = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .where(F.col("quality").isNotNull())
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    out = percentile_gate(scored, "lang", "quality", q=0.5).collect()
+    assert {r["doc_id"] for r in out} == {1, 3}
+    assert all(r["quality"] is not None for r in out)

@@ -1221,3 +1221,100 @@ def test_streaming_containment_maintain_screens_and_appends(spark, tmp_path):
     # replay screen: the side table pins the last folded batch id
     mx = spark.table("contain_ml_t__grams__maxbatch").collect()[0]["max_batch_id"]
     assert mx == 2
+
+
+def test_count_store_out_of_order_backfill_folds(spark):
+    """r11 advisor fix: merge_count_store is also a public batch API; a
+    genuinely-new but smaller batch_id (backfill) must FOLD via the
+    exact-presence fallback, not be silently dropped by the <=-max
+    screen — and folding it must not LOWER the max-batch watermark (or
+    every batch between the backfill id and the true max would re-fold
+    as a duplicate)."""
+    from sparsity_spark.operators.sketches import count_store_topk, merge_count_store
+
+    t = "count_store_backfill_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__maxbatch")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "event_id long, k long"
+    )
+    merge_count_store(df.where(F.col("event_id") < 10), t, "k", 0)
+    merge_count_store(df.where(F.col("event_id") >= 15), t, "k", 5)
+    assert spark.table(f"{t}__maxbatch").collect()[0]["max_batch_id"] == 5
+    # out-of-order backfill: batch 2 arrives after batch 5 -> must fold
+    merge_count_store(
+        df.where((F.col("event_id") >= 10) & (F.col("event_id") < 15)), t, "k", 2
+    )
+    got = {r["key"]: r["total"] for r in count_store_topk(spark, t, k=10).collect()}
+    assert sum(got.values()) == 20  # every event counted exactly once
+    # the watermark was NOT lowered by the smaller backfill id
+    assert spark.table(f"{t}__maxbatch").collect()[0]["max_batch_id"] == 5
+    # replaying the backfill and an old in-range id both screen out
+    before = spark.table(t).count()
+    merge_count_store(
+        df.where((F.col("event_id") >= 10) & (F.col("event_id") < 15)), t, "k", 2
+    )
+    merge_count_store(df.where(F.col("event_id") < 10), t, "k", 0)
+    assert spark.table(t).count() == before
+    # a genuinely-new id above the max still folds through the O(1) path
+    merge_count_store(df.limit(3), t, "k", 9)
+    assert spark.table(f"{t}__maxbatch").collect()[0]["max_batch_id"] == 9
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__maxbatch")
+
+
+def test_containment_loop_crash_replay_reproduces_decisions(spark):
+    """r11 advisor fix: a crash between the keeper append and
+    _record_max_batch replays the batch against its OWN just-appended
+    grams — without the guard every originally-kept doc self-matches at
+    containment 1.0 and the sink sees keep=False for the store's actual
+    keepers. Pins: (a) the anti-join guard makes the replay reproduce
+    its original decisions; (b) the replay's duplicate re-append is
+    invisible to later screens (read-side collapse on the id-bucketed
+    gram table)."""
+    from sparsity_spark.streaming.ingest import _containment_process_batch
+
+    for t in ("contain_replay_t__grams", "contain_replay_t__post",
+              "contain_replay_t__df", "contain_replay_t__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    decisions = {}
+
+    def sink(df, bid):
+        decisions[bid] = {
+            r["doc_id"]: (r["n_containments"], r["keep"]) for r in df.collect()
+        }
+
+    kw = dict(table="contain_replay_t", threshold=0.9, id_col="doc_id",
+              text_col="text", sink=sink)
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")], schema)
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),        # contained in doc 1
+         (11, "red green blue cyan magenta")],  # novel -> keep
+        schema)
+    _containment_process_batch(b0, 0, **kw)
+    _containment_process_batch(b1, 1, **kw)
+    first = dict(decisions[1])
+    assert first[10][1] is False and first[11][1] is True
+    rows_before = spark.table("contain_replay_t__grams").count()
+
+    # simulate the crash window: the keeper append committed but the
+    # max-batch write did not -> roll the watermark back and re-deliver
+    spark.sql(
+        "INSERT OVERWRITE contain_replay_t__grams__maxbatch"
+        " VALUES (CAST(0 AS BIGINT))"
+    )
+    decisions.pop(1)
+    _containment_process_batch(b1, 1, **kw)
+    assert decisions[1] == first  # replay reproduces original decisions
+    # the replay re-appended keeper 11's rows (duplicates by design)...
+    assert spark.table("contain_replay_t__grams").count() > rows_before
+    # ...but a later doc contained in keeper 11 sees exactly ONE hit
+    b2 = spark.createDataFrame([(20, "red green blue cyan magenta")], schema)
+    _containment_process_batch(b2, 2, **kw)
+    assert decisions[2][20] == (1, False)
+    for t in ("contain_replay_t__grams", "contain_replay_t__post",
+              "contain_replay_t__df", "contain_replay_t__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
