@@ -3139,6 +3139,24 @@ def test_containment_boilerplate_gram_no_quadratic_pairs(spark):
     assert containment_join(docs, threshold=0.6, k=3).count() == 0
 
 
+def test_containment_min_match_filter_keeps_tiny_docs(spark):
+    """r11 minimum-match filter edge: a doc so small its WHOLE gram set
+    is the prefix (floor(t·|s| − ε) = 0) must survive on a single
+    matched gram — the m >= 2 requirement only applies when grams
+    outside the prefix exist to make up the difference."""
+    from sparsity_spark.operators.dedup import containment_join
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in containment_join(docs, threshold=0.9, k=3).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
 def test_containment_boilerplate_does_not_prune_true_superset(spark):
     """Losslessness under boilerplate: a genuine containment pair must
     still surface when every doc ALSO shares the high-df header — the
