@@ -512,6 +512,33 @@ def _meta_table(table: str) -> str:
     return table + "__maxbatch"
 
 
+def _compacted_table(table: str) -> str:
+    return table + "__compacted"
+
+
+def _write_compaction_watermark(spark, table: str, through: int) -> None:
+    """Record that every batch id <= ``through`` has been folded AND its
+    per-batch presence record destroyed by compaction. Written BEFORE the
+    compacting rewrite: a crash between the two leaves the store
+    uncompacted (reads unchanged — the read-side collapse is idempotent)
+    with ids <= through already screening as folded, which they are; the
+    reverse order would leave a compacted store whose old ids presence-
+    scan as absent and re-fold as duplicates. Monotone like
+    :func:`_record_max_batch`."""
+    ct = _compacted_table(table)
+    if spark.catalog.tableExists(ct):
+        old = spark.table(ct).agg(F.max("compacted_through")).collect()[0][0]
+        new = max(int(through), int(old)) if old is not None else int(through)
+        spark.sql(f"INSERT OVERWRITE {ct} VALUES (CAST({new} AS BIGINT))")
+        return
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    _drop_table_and_location(spark, ct)
+    spark.createDataFrame(
+        [(int(through),)], "compacted_through long"
+    ).write.mode("overwrite").saveAsTable(ct)
+
+
 def _batch_already_folded(spark, table: str, batch_id: int) -> bool:
     """O(1) replay screen for the non-idempotent stores (r10, advisor
     finding: the old screen re-scanned the store's entire batch_id
@@ -526,12 +553,24 @@ def _batch_already_folded(spark, table: str, batch_id: int) -> bool:
     <=-max id falls back to the exact-presence column scan — cheap
     because it only ever runs in the rare out-of-order case. Legacy
     stores without the side table take the scan too;
-    :func:`_record_max_batch` creates the table on the next fold."""
+    :func:`_record_max_batch` creates the table on the next fold.
+
+    Compaction interaction (r11): a compacted store no longer carries
+    per-batch presence rows, so ids at or below the compaction watermark
+    (``{table}__compacted``, written by the compact_* ops) screen as
+    folded unconditionally — compaction SEALS the store against backfill
+    below its watermark (the compact_* docstrings state the contract
+    loudly)."""
     meta = _meta_table(table)
     if spark.catalog.tableExists(meta):
         mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
         if mx is not None and int(batch_id) > int(mx):
             return False
+    ct = _compacted_table(table)
+    if spark.catalog.tableExists(ct):
+        through = spark.table(ct).agg(F.max("compacted_through")).collect()[0][0]
+        if through is not None and int(batch_id) <= int(through):
+            return True
     return (
         spark.table(table)
         .where(F.col("batch_id") == int(batch_id))
@@ -636,3 +675,51 @@ def count_store_topk(spark, table: str, k: int = 10) -> DataFrame:
     )
     totals = per_batch.groupBy("key").agg(F.sum("c").cast("long").alias("total"))
     return totals.orderBy(F.desc("total"), "key").limit(k)
+
+
+def compact_count_store(spark, table: str) -> None:
+    """Collapse the append-only count store to ONE row per key (r11 —
+    VERDICT r10 #4: the store grows ∝ batches × keys, so after thousands
+    of folds every read pays a batch-count-sized scan; compaction bounds
+    it back to key-sized). The rewrite goes through the SAME read-side
+    collapse the queries use (MAX over raced duplicates, SUM per key),
+    lands through the table's existing bucket spec, and stamps the
+    surviving rows with the max folded batch id — reads are
+    bit-identical before and after by construction.
+
+    Replay safety: the compaction watermark (one-row ``__compacted``
+    side table) is written BEFORE the rewrite, so ids at or below it
+    screen as folded even though their per-batch presence rows are gone
+    (crash between the two writes leaves the store uncompacted with the
+    watermark already correct — those ids ARE folded). LOUD CONTRACT:
+    compaction seals the store against out-of-order backfill at or below
+    the watermark — a genuinely-new smaller id folded via the public
+    batch API after compaction is screened out as a replay. Compact only
+    when no backfill below the current max is pending. Single-writer,
+    same as the folds themselves."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+
+    mx = None
+    meta = _meta_table(table)
+    if spark.catalog.tableExists(meta):
+        mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+    if mx is None:
+        mx = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
+    if mx is None:
+        return  # empty store — nothing to compact
+    collapsed = (
+        spark.table(table)
+        .groupBy("batch_id", "key")
+        .agg(F.max("c").alias("c"))
+        .groupBy("key")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .select(F.lit(int(mx)).cast("long").alias("batch_id"), "key", "c")
+        # eager materialization truncates lineage so the overwrite below
+        # never reads the table it replaces
+        .localCheckpoint(eager=True)
+    )
+    nb = _table_bucket_count(spark, table)
+    _write_compaction_watermark(spark, table, int(mx))
+    collapsed.write.mode("overwrite").bucketBy(nb, "key").format(
+        "parquet"
+    ).saveAsTable(table)

@@ -747,3 +747,72 @@ def read_ohlc_store(spark, table: str) -> DataFrame:
         F.max_by(F.col("close"), F.col("close_oid")).alias("close"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+def compact_ohlc_store(spark, table: str) -> None:
+    """Collapse the append-only OHLC store to ONE partial row per
+    (key, bucket) (r11, VERDICT r10 #4 — same growth bound as
+    compact_count_store). OHLC state is mergeable exactly, so the
+    compacted row is itself a valid partial: open rides the globally
+    smallest order id, close the largest, high/low/count by
+    greatest/least/sum — :func:`read_ohlc_store` over the compacted
+    table is bit-identical to the uncompacted read. Watermark-first
+    ordering and the sealed-against-backfill contract are exactly
+    compact_count_store's (see its docstring)."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+    from sparsity_spark.operators.sketches import (
+        _meta_table,
+        _write_compaction_watermark,
+    )
+
+    mx = None
+    meta = _meta_table(table)
+    if spark.catalog.tableExists(meta):
+        mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+    if mx is None:
+        mx = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
+    if mx is None:
+        return
+    per_batch = (
+        spark.table(table)
+        .groupBy("batch_id", "key", "bucket")
+        .agg(
+            F.max("open_oid").alias("open_oid"),
+            F.max("open").alias("open"),
+            F.max("high").alias("high"),
+            F.max("low").alias("low"),
+            F.max("close_oid").alias("close_oid"),
+            F.max("close").alias("close"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+    collapsed = (
+        per_batch.groupBy("key", "bucket")
+        .agg(
+            F.min("open_oid").cast("long").alias("open_oid"),
+            F.min_by(F.col("open"), F.col("open_oid")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("close_oid").cast("long").alias("close_oid"),
+            F.max_by(F.col("close"), F.col("close_oid")).alias("close"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            F.lit(int(mx)).cast("long").alias("batch_id"),
+            "key",
+            "bucket",
+            "open_oid",
+            "open",
+            "high",
+            "low",
+            "close_oid",
+            "close",
+            "n_events",
+        )
+        .localCheckpoint(eager=True)
+    )
+    nb = _table_bucket_count(spark, table)
+    _write_compaction_watermark(spark, table, int(mx))
+    collapsed.write.mode("overwrite").bucketBy(nb, "key", "bucket").format(
+        "parquet"
+    ).saveAsTable(table)

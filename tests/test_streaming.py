@@ -1318,3 +1318,141 @@ def test_containment_loop_crash_replay_reproduces_decisions(spark):
     for t in ("contain_replay_t__grams", "contain_replay_t__post",
               "contain_replay_t__df", "contain_replay_t__grams__maxbatch"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_count_store_reads_bit_identical_and_replay_safe(spark):
+    """r11 store compaction (VERDICT r10 #4): compact_count_store must
+    (a) shrink the table to one row per key, (b) leave count_store_topk
+    bit-identical, (c) screen replays of pre-compaction ids via the
+    watermark even though their presence rows are gone, (d) seal the
+    store against sub-watermark backfill (loud contract), and (e) keep
+    folding genuinely-new ids afterwards."""
+    from sparsity_spark.operators.sketches import (
+        compact_count_store,
+        count_store_topk,
+        merge_count_store,
+    )
+
+    t = "count_store_compact_t"
+    for s in (t, f"{t}__maxbatch", f"{t}__compacted"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "event_id long, k long"
+    )
+    for b in range(3):
+        merge_count_store(df.where(F.col("event_id") % 3 == b), t, "k", b)
+    before = [tuple(r) for r in count_store_topk(spark, t, k=10).collect()]
+    n_keys = spark.table(t).select("key").distinct().count()
+    compact_count_store(spark, t)
+    assert spark.table(t).count() == n_keys  # one row per key
+    after = [tuple(r) for r in count_store_topk(spark, t, k=10).collect()]
+    assert after == before  # reads bit-identical
+    # replay of a pre-compaction id appends nothing (watermark screen)
+    rows = spark.table(t).count()
+    merge_count_store(df.where(F.col("event_id") % 3 == 1), t, "k", 1)
+    assert spark.table(t).count() == rows
+    # sealed contract: a genuinely-new sub-watermark id is ALSO screened
+    merge_count_store(df.limit(4), t, "k", 0)
+    assert spark.table(t).count() == rows
+    # new ids above the watermark keep folding
+    merge_count_store(df.limit(6), t, "k", 7)
+    got = {r["key"]: r["total"] for r in count_store_topk(spark, t, k=10).collect()}
+    assert sum(got.values()) == 36  # 30 once + 6 from batch 7
+    for s in (t, f"{t}__maxbatch", f"{t}__compacted"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_compact_ohlc_store_reads_bit_identical(spark):
+    """r11: compact_ohlc_store collapses to one valid partial per
+    (key, bucket); read_ohlc_store before/after must match exactly,
+    including cross-batch buckets whose open comes from one batch and
+    close from another."""
+    import datetime as dt
+
+    from sparsity_spark.operators.temporal import (
+        compact_ohlc_store,
+        merge_ohlc_store,
+        read_ohlc_store,
+    )
+
+    t = "ohlc_compact_t"
+    for s in (t, f"{t}__maxbatch", f"{t}__compacted"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", base + dt.timedelta(minutes=7 * i), float(100 + ((i * 37) % 50)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    for b in range(3):
+        merge_ohlc_store(df.where(F.col("event_id") % 3 == b), t, b)
+    before = {
+        (r["key"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in read_ohlc_store(spark, t).collect()
+    }
+    n_kb = spark.table(t).select("key", "bucket").distinct().count()
+    compact_ohlc_store(spark, t)
+    assert spark.table(t).count() == n_kb
+    after = {
+        (r["key"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in read_ohlc_store(spark, t).collect()
+    }
+    assert after == before
+    # replay of a folded id still screens post-compaction
+    rows_n = spark.table(t).count()
+    merge_ohlc_store(df.where(F.col("event_id") % 3 == 0), t, 0)
+    assert spark.table(t).count() == rows_n
+    for s in (t, f"{t}__maxbatch", f"{t}__compacted"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_compact_containment_store_screen_unchanged(spark):
+    """r11: compact_containment_store collapses the __df side table to
+    one row per gram; the screen's df lookup (read-side SUM) and the
+    screen OUTPUT are identical before/after, and subsequent appends
+    keep folding increments on top of the compacted rows."""
+    from sparsity_spark.operators.dedup import (
+        append_containment_store,
+        compact_containment_store,
+        containment_screen,
+        write_containment_store,
+    )
+
+    t = "contain_compact_t"
+    for s in (f"{t}__grams", f"{t}__post", f"{t}__df", f"{t}__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")], schema)
+    write_containment_store(seed, t)
+    append_containment_store(
+        spark.createDataFrame(
+            [(3, "alpha beta gamma red green blue cyan")], schema
+        ),  # shares the "alpha beta gamma" gram with doc 1 -> duplicate df row
+        t,
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "nine ten eleven twelve")], schema
+    )
+    before = {
+        (r["batch_id"], r["corpus_id"]): (r["overlap"], r["containment"])
+        for r in containment_screen(batch, t, threshold=0.9).collect()
+    }
+    assert before  # discriminative: doc 10 must hit doc 1
+    df_rows_before = spark.table(f"{t}__df").count()
+    n_grams = spark.table(f"{t}__df").select("gram").distinct().count()
+    compact_containment_store(spark, t)
+    assert spark.table(f"{t}__df").count() == n_grams < df_rows_before
+    after = {
+        (r["batch_id"], r["corpus_id"]): (r["overlap"], r["containment"])
+        for r in containment_screen(batch, t, threshold=0.9).collect()
+    }
+    assert after == before
+    # appends still fold increments on top of compacted rows
+    append_containment_store(
+        spark.createDataFrame([(4, "alpha beta gamma omega psi chi")], schema), t
+    )
+    assert spark.table(f"{t}__df").count() > n_grams
+    for s in (f"{t}__grams", f"{t}__post", f"{t}__df", f"{t}__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
