@@ -580,6 +580,19 @@ def _batch_already_folded(spark, table: str, batch_id: int) -> bool:
     )
 
 
+def _reset_store_side_tables(spark, table: str) -> None:
+    """Drop the max-batch and compaction watermarks when a store is
+    created FRESH (r11): callers that rebuild a store drop the data
+    table but not its side tables, and a stale watermark from the dead
+    incarnation would force every fold through the presence-scan
+    fallback (max-batch) or silently screen out live batches
+    (compacted). A fresh store's watermarks start empty by definition."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    _drop_table_and_location(spark, _meta_table(table))
+    _drop_table_and_location(spark, _compacted_table(table))
+
+
 def _record_max_batch(spark, table: str, batch_id: int) -> None:
     """Overwrite the one-row max-batch-id side table AFTER the store
     append commits. Ordering makes a crash between the two writes safe:
@@ -658,6 +671,7 @@ def merge_count_store(
     else:
         from sparsity_spark.operators.skew import write_bucketed
 
+        _reset_store_side_tables(spark, table)
         write_bucketed(inc.localCheckpoint(eager=True), table, ["key"], num_buckets)
         _record_max_batch(spark, table, batch_id)
     return spark.table(table)

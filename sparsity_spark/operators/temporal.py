@@ -710,7 +710,9 @@ def merge_ohlc_store(
             _record_max_batch(spark, table, batch_id)
     else:
         from sparsity_spark.operators.skew import write_bucketed
+        from sparsity_spark.operators.sketches import _reset_store_side_tables
 
+        _reset_store_side_tables(spark, table)
         write_bucketed(
             inc.localCheckpoint(eager=True), table, ["key", "bucket"], num_buckets
         )

@@ -946,11 +946,17 @@ def _containment_process_batch(
     grams_t = f"{table}__grams"
     spark = batch_df.sparkSession
     meta = _meta_table(grams_t)
-    if spark.catalog.tableExists(meta):
+    # the replay screen is only meaningful while the store it guards
+    # exists — a stale side table from a dropped incarnation must not
+    # swallow the new store's seeding batch (r11)
+    if spark.catalog.tableExists(meta) and spark.catalog.tableExists(grams_t):
         mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
         if mx is not None and int(batch_id) <= int(mx):
             return
     if not spark.catalog.tableExists(grams_t):
+        from sparsity_spark.operators.sketches import _reset_store_side_tables
+
+        _reset_store_side_tables(spark, grams_t)
         write_containment_store(batch_df, table, id_col, text_col)
         decisions = batch_df.select(
             F.col(id_col).cast("long").alias(id_col),
