@@ -177,6 +177,10 @@ BENCH_QUERIES = [
     "graph_lpa_modularity",
     "graph_adamic_adar",
     "t6_ohlc_store",
+    # r11 additions: the containment-collapse curation composition
+    # (VERDICT r10 #6) — quality gate, exact dedup, superset-survives
+    # collapse, per-domain cap, end to end
+    "pipe_curate_containment",
 ]
 
 
@@ -308,6 +312,11 @@ SCALE_QUERIES = [
     "graph_adamic_adar",
     # the OHLC fold moves batch-sized partials; the read is store-sized
     "t6_ohlc_store",
+    # r11: the containment-collapse curation composition — rides the
+    # reworked prefix+min-match candidates, pointer-jumping CC on
+    # pair-sized edges, and one window cap; expected ~containment-pairs
+    # cost plus map-side stages
+    "pipe_curate_containment",
     # dedup_edit_distance_pairs is deliberately NOT in the tier: the
     # key-shifted replica copies customer names verbatim, so the ANSWER
     # itself grows 100x on 10x data (every base pair lifts to 10x10

@@ -9894,6 +9894,211 @@ def text_c4_clean_q(spark, sf_dir):
     return c4_clean(page)
 
 
+@query(
+    "pipe_curate_containment",
+    """
+    WITH RECURSIVE q AS (
+      SELECT doc_id, text, source,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               CAST((least(len(string_split(text, ' ')), 100)
+                     * (1000000 + (2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000
+                        + length(text)) // (2 * length(text))) + 100) // 200 AS DOUBLE) / 1000000
+             END AS quality
+      FROM documents
+    ),
+    kept AS (SELECT * FROM q WHERE quality >= 0.4),
+    survivors AS (
+      SELECT * FROM kept
+      WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM survivors)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT p.ia, p.ib, p.c,
+             CAST(len(sa.grams) AS BIGINT) AS sza,
+             CAST(len(sb.grams) AS BIGINT) AS szb
+      FROM pair p JOIN g sa ON p.ia = sa.doc_id JOIN g sb ON p.ib = sb.doc_id
+    ),
+    und AS (
+      SELECT ia AS a, ib AS b FROM sized
+      WHERE c * 1.0 / sza >= 0.6 OR c * 1.0 / szb >= 0.6
+    ),
+    edges AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM survivors
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT l.cluster_id, s2.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY s2.n_grams DESC, s2.doc_id ASC) AS rn
+        FROM lab l JOIN sz s2 USING (doc_id)
+      ) WHERE rn = 1
+    ),
+    collapsed AS (
+      SELECT sv.* FROM survivors sv JOIN best b ON sv.doc_id = b.keep_id
+    ),
+    urls AS (
+      SELECT *, 'https://www.' || source || (doc_id % 5) || '.org/p/' || doc_id AS url
+      FROM collapsed
+    ),
+    capped AS (
+      SELECT doc_id, n_tokens, quality,
+             regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain,
+             row_number() OVER (
+               PARTITION BY regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                                           '([^.]+\\.[^.]+)$', 1)
+               ORDER BY doc_id) AS r
+      FROM urls
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM capped WHERE r <= 100
+    GROUP BY domain
+    """,
+)
+def pipe_curate_containment_q(spark, sf_dir):
+    """Curation with the containment collapse in the loop (r11 — VERDICT
+    r10 #6, the quote-farm curation story end-to-end): quality gate
+    (integer-micro composite >= 0.4) → exact-dedup survivors (keep-first
+    per content hash) → **containment-component collapse** (docs linked
+    by >= 0.6 containment in either direction form components; the
+    SUPERSET survives — the aggregator page that carries the most
+    context, where exact dedup can only kill byte-twins) → per-domain
+    cap (100) → per-domain curation report. First composition exercising
+    ``containment_clusters`` under realistic mixed data; the oracle
+    replays the gate, the md5 dedup, the brute containment pairs, the
+    recursive closure, the superset argmax, and the capped rollup."""
+    from sparsity_spark.operators.dedup import containment_clusters, exact_dedup
+    from sparsity_spark.operators.pipeline import cap_per_domain
+    from sparsity_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.4)
+    keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id")
+    cc = containment_clusters(survivors, threshold=0.6, k=3)
+    collapsed = survivors.join(
+        cc.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    urls = collapsed.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), (F.col("doc_id") % 5),
+            F.lit(".org/p/"), F.col("doc_id"),
+        ),
+    )
+    capped = cap_per_domain(urls, "url", 100, "doc_id")
+    return capped.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@query(
+    "stream_containment_screen",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    eb AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 2 = 1),
+    ec AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 2 = 0),
+    pair AS (
+      SELECT b.doc_id AS bid, c.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS c
+      FROM eb b JOIN ec c ON b.gram = c.gram GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT p.bid, p.c, CAST(len(sb.grams) AS BIGINT) AS bsz
+      FROM pair p JOIN g sb ON p.bid = sb.doc_id
+    ),
+    hits AS (
+      SELECT bid, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sized WHERE c * 1.0 / bsz >= 0.6 GROUP BY bid
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0) AS n_containments,
+           COALESCE(h.n, 0) = 0 AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN hits h ON h.bid = d.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT) AS n_containments, TRUE AS keep
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def stream_containment_screen_q(spark, sf_dir):
+    """The streaming containment-maintenance LOOP itself under the
+    driver gate (r11 — VERDICT r10 #7; previously test-pinned only): an
+    availableNow two-batch run of ``streaming_containment_maintain`` —
+    batch 1 (even doc ids) seeds the store and keeps everything, batch 2
+    (odd ids) is screened for containment >= 0.6 against the seeded
+    store — with per-batch decisions appended to a sink table. The
+    oracle re-derives every decision with the batch SQL (the
+    stream_enriched_counts pattern): evens keep unconditionally, odds
+    keep iff contained in no even doc. File mod-times order the two
+    micro-batches (maxFilesPerTrigger=1, the tested ingest discipline)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from sparsity_spark.streaming.ingest import streaming_containment_maintain
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = uuid.uuid4().hex[:8]
+    src = tempfile.mkdtemp(prefix="sparsity_contain_stream_") + "/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _time.sleep(1.2)  # mod-time gap orders the two micro-batch files
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store, sink_t = f"contain_stream_{tag}", f"contain_decisions_{tag}"
+
+    def sink(decisions, batch_id):
+        decisions.write.mode("append").format("parquet").saveAsTable(sink_t)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_containment_maintain(stream, store, threshold=0.6, sink=sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sparsity_contain_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink_t).select("doc_id", "n_containments", "keep")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the
@@ -9901,50 +10106,40 @@ def text_c4_clean_q(spark, sf_dir):
 # else (TPC-H extensions, streaming, windows) follows in original order and
 # is still covered by tools/check_oracles.py + tests/test_robustness.py.
 _FIRST_50 = [
-    # r10 window (VERDICT r9 #4: rotate the never-driver-checked tail in
-    # — this window carries 40 rows that have NEVER appeared in any
-    # CORRECTNESS_r01-r09 artifact, judge-verified in the r9 full sweep
-    # and re-verified this round by the tri-scale --strict
-    # tools/check_oracles.py runs recorded in the round log).
-    # Keepers: the flagship + text_bpe_encode.
-    "a1_onehot_groupby_sum", "text_bpe_encode",
-    # r10-touched code paths — driver confirmation of this round's fixes
-    "graph_lpa_modularity",       # r9's ONE red: now integer-micro q_c (VERDICT #1)
-    "graph_adamic_adar",          # ln-free driver-side weight table (ADVICE)
-    "dedup_containment_pairs",    # lossless prefix-filtered candidates (VERDICT #3)
-    "stats_count_store_topk",     # O(1) max-batch-id replay screen (ADVICE)
-    "t6_ohlc_store",              # same store-screen change (ADVICE)
-    "ann_mmr_diversified",        # broadcast-selected-codes path seam (ADVICE)
-    "graph_pagerank_weighted",    # positive-weight contract guard (ADVICE)
-    "text_pmi_bigrams",           # collocations persist-leak guard (ADVICE)
-    "dedup_containment_screen",   # r10-built incremental containment store
-    # never-driver-checked rotation (39 rows + the new screen row above,
-    # also never checked; the remaining 16 of the
-    # judge's 55-row list — emb_pq_codes, s11_head, a4_std_dense_denominator,
-    # multimodal_gif_features/frames/resize, ann_hard_negatives,
-    # emb_grouped_pca_project, src_json_events, q6_forecast_revenue,
-    # s1_melt_numeric, stats_percentiles, evt_funnel, fn_json_extract,
-    # stream_sliding_counts, text_redact_pii — rotate in r11 and stay
-    # sweep-covered every round)
-    "skew_salted_join", "skew_distinct_count",
-    "pipe_split_counts", "pipe_chunks", "pipe_pack_texts",
-    "pipe_end_to_end", "pipe_contamination_fraction",
-    "pipe_stratified_sample", "pipe_curriculum_shards",
-    "pipe_incremental_newdocs", "pipe_weighted_sample",
-    "pipe_temperature_mix",
-    "t3_rollup_incremental", "a7_cube_revenue", "a8_session_window",
-    "evt_daily_engagement", "evt_daily_ewma", "evt_anomaly_zscore",
-    "w7_month_over_month", "sql_priority_revenue",
-    "q20_volume_suppliers", "web_domain_cap",
-    "text_length_histogram", "text_source_quality",
-    "text_quality_model", "text_bm25_rank", "text_bpe_encode_stored",
-    "dedup_remove_spans",
-    "ann_ivfpq_index_topk", "ann_pq_adc_topk",
-    "stats_user_entropy", "stats_len_quantiles",
-    "stats_kmv_sketch", "stats_kmv_estimate",
-    "stats_cms_store_merge", "stats_hll_estimate",
-    "stream_attribution_join",
-    "graph_kcore", "graph_node2vec_skipgram",
+    # r11 window (VERDICT r10 #1: the FINAL never-driver-checked rotation
+    # — after this round every registered query has appeared in a driver
+    # CORRECTNESS artifact at least once).
+    # Keeper: the flagship.
+    "a1_onehot_groupby_sum",
+    # the 18 rows never checked in CORRECTNESS_r01-r10 (the 16 deferred in
+    # the r10 rotation comment + the two born in r10)
+    "s11_head", "a4_std_dense_denominator", "multimodal_gif_features",
+    "dedup_cluster_fold_only", "ann_hard_negatives",
+    "emb_grouped_pca_project", "multimodal_frames", "multimodal_resize",
+    "src_json_events", "q6_forecast_revenue", "s1_melt_numeric",
+    "stats_percentiles", "evt_funnel", "emb_pq_codes", "fn_json_extract",
+    "stream_sliding_counts", "text_redact_pii", "dedup_containment_clusters",
+    # born this round (r11) — never checked by definition
+    "pipe_curate_containment",   # containment-collapse curation composition
+    "stream_containment_screen", # the streaming loop under the driver gate
+    # r11-touched code paths — driver confirmation of this round's changes
+    "dedup_containment_pairs",       # min-match filter + verify rework
+    "dedup_containment_screen",      # one-sided min-match + dedup'd gram read
+    "stats_count_store_topk",        # backfill fallback + monotone watermark
+    "t6_ohlc_store",                 # same store-screen changes
+    "pipe_quality_percentile_gate",  # NULL-quality gate fix (ADVICE)
+    "text_quality",                  # shared quality_score surface
+    # staleness backfill: rows whose last driver artifact is r2-r5 (the
+    # oldest driver evidence in the repo; all sweep-green every round)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q18_large_volume_orders", "q10_returned_item_revenue",
+    "q12_priority_by_linestatus", "q14_promo_revenue_share",
+    "q19_disjunctive_revenue", "q11_top_value_nations", "q15_top_supplier",
+    "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
+    "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
+    "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_bruteforce_topk", "ann_ivf_topk",
+    "dedup_jaccard_prefix_join",
     ]
 
 def _apply_registry_order() -> None:
