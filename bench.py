@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     # (VERDICT r10 #6) — quality gate, exact dedup, superset-survives
     # collapse, per-domain cap, end to end
     "pipe_curate_containment",
+    # r11: whole-document fuzzy decontamination (bipartite band join +
+    # exact Jaccard verify; benchmark side broadcast)
+    "pipe_decontaminate_fuzzy",
 ]
 
 

@@ -10099,6 +10099,73 @@ def stream_containment_screen_q(spark, sf_dir):
     return spark.table(sink_t).select("doc_id", "n_containments", "keep")
 
 
+@query(
+    "pipe_decontaminate_fuzzy",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    tb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
+    cand AS (
+      SELECT DISTINCT tb.doc_id AS tid, bb.doc_id AS bid
+      FROM tb JOIN bb ON tb.band = bb.band AND tb.band_key = bb.band_key
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    ov AS (
+      SELECT c.tid, c.bid, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cand c
+      JOIN e et ON et.doc_id = c.tid
+      JOIN e eb ON eb.doc_id = c.bid AND eb.gram = et.gram
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS s FROM g),
+    j AS (
+      SELECT ov.tid, ov.c, st.s AS sa, sb.s AS sb
+      FROM ov JOIN sz st ON st.doc_id = ov.tid JOIN sz sb ON sb.doc_id = ov.bid
+    )
+    SELECT tid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           MAX(CAST((2 * c * 1000000 + (sa + sb - c)) // (2 * (sa + sb - c)) AS DOUBLE) / 1000000)
+             AS max_jaccard
+    FROM j
+    WHERE c * 1.0 / (sa + sb - c) >= 0.5
+    GROUP BY tid
+    """,
+)
+def pipe_decontaminate_fuzzy_q(spark, sf_dir):
+    """Whole-document FUZZY decontamination (r11): training docs (19/20
+    split) that are near-duplicates (exact-verified Jaccard >= 0.5 on
+    word-3-gram sets) of a held-out benchmark doc — the "eval doc leaked
+    into training, lightly edited" detector sitting between
+    pipe_decontaminate's any-shared-gram rule (one common phrase is not
+    a leak) and exact dedup (one edited token defeats md5). Candidates
+    come from the bipartite MinHash band join (benchmark side broadcast
+    — the training corpus is never shuffled for candidate generation);
+    Jaccard is verified exactly, so precision is 1.0 and recall is the
+    4×4 banding's (~23% at the 0.5 gate, ~87% at 0.8 — the oracle
+    replays the identical md5 minhashes, banding, and verification, so
+    the check is exact despite the probabilistic screen)."""
+    from sparsity_spark.operators.pipeline import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        threshold=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the

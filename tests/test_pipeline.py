@@ -564,3 +564,26 @@ def test_quality_gate_composition_drops_empty_texts(spark):
     out = percentile_gate(scored, "lang", "quality", q=0.5).collect()
     assert {r["doc_id"] for r in out} == {1, 3}
     assert all(r["quality"] is not None for r in out)
+
+
+def test_fuzzy_decontaminate_flags_edited_leak_only(spark):
+    """r11: fuzzy decontamination must flag a lightly-edited copy of a
+    benchmark doc (exact dedup misses it), stay silent on a doc that
+    merely shares one phrase (pipe_decontaminate's any-gram rule fires
+    there), and report the TRUE verified Jaccard."""
+    from sparsity_spark.operators.pipeline import fuzzy_decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    leaked = " ".join(f"b{i}" for i in range(39)) + " edited"  # ~1 token edit
+    phrase_only = "b0 b1 b2 " + " ".join(f"u{i}" for i in range(37))
+    clean = " ".join(f"c{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, leaked), (2, phrase_only), (3, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fuzzy_decontaminate(train, bench, 0.5).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_bench_matches"] == 1
+    # grams: bench 38, leaked 38, shared 37 -> J = 37/39
+    assert abs(r["max_jaccard"] - 37 / 39) < 1e-6
