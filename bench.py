@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     # r11: whole-document fuzzy decontamination (bipartite band join +
     # exact Jaccard verify; benchmark side broadcast)
     "pipe_decontaminate_fuzzy",
+    # r11: deletion lifecycle — tombstone anti-join + compaction + query
+    "ann_ivfpq_delete_topk",
 ]
 
 

@@ -632,6 +632,68 @@ def append_ivfpq_index(
     )
 
 
+def delete_from_ivfpq_index(
+    ids: DataFrame, index_table: str, id_col: str = "vec_id"
+) -> None:
+    """Logical deletion from the persisted IVF-PQ index (r11 — the
+    right-to-be-forgotten path a 100 TB embedding store needs): append
+    the ids to a ``__tombstones`` side table; every query path
+    anti-joins it read-side (broadcast — the tombstone set is
+    deletion-sized, never corpus-sized), so deleted vectors stop
+    surfacing immediately with ZERO index rewrite. Idempotent: duplicate
+    tombstones are harmless to an anti-join. Physical removal is
+    :func:`compact_ivfpq_index`."""
+    spark = ids.sparkSession
+    tt = f"{index_table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        # clear a stale managed LOCATION left by a dead incarnation —
+        # append-create fails on it (the _record_max_batch lesson)
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    rows = ids.select(F.col(id_col)).distinct().localCheckpoint(eager=True)
+    rows.write.mode("append").format("parquet").saveAsTable(tt)
+
+
+def _live_codes(spark, index_table: str, id_col: str = "vec_id") -> DataFrame:
+    """The index's code rows minus tombstoned ids (broadcast anti-join;
+    a no-op scan when no tombstone table exists). The centroid_id bucket
+    prune still pushes through — the anti-join only touches surviving
+    rows of the probed buckets."""
+    codes = spark.table(index_table)
+    tt = f"{index_table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        codes = codes.join(
+            F.broadcast(spark.table(tt).select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    return codes
+
+
+def compact_ivfpq_index(spark, index_table: str, id_col: str = "vec_id") -> None:
+    """Physically remove tombstoned code rows (r11): rewrite the
+    surviving rows through the index's own bucket spec, THEN drop the
+    tombstone table — this order is the safe one (a crash between the
+    two leaves tombstones whose rows are already gone, and the read-side
+    anti-join of an absent id is a no-op; the reverse order would
+    resurrect deleted vectors). Queries before and after compaction are
+    bit-identical by construction — the compacted table IS the
+    anti-joined view, materialized."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    tt = f"{index_table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        return
+    live = _live_codes(spark, index_table, id_col).localCheckpoint(eager=True)
+    nb = _table_bucket_count(spark, index_table)
+    live.write.mode("overwrite").bucketBy(nb, "centroid_id").format(
+        "parquet"
+    ).saveAsTable(index_table)
+    _drop_table_and_location(spark, tt)
+
+
 def ivfpq_index_topk(
     queries: DataFrame,
     index_table: str,
@@ -652,7 +714,7 @@ def ivfpq_index_topk(
 
     Returns (query_id, neighbor_id, adc_d2)."""
     spark = queries.sparkSession
-    codes = spark.table(index_table)
+    codes = _live_codes(spark, index_table, id_col)
     cents = spark.table(f"{index_table}__centroids")
     book = _read_codebook(spark, index_table)
     mm = len(book)
@@ -736,12 +798,12 @@ def ivfpq_twin_screen(
     probe_ids = sorted(
         {r["centroid_id"] for r in batch_sig.select("centroid_id").distinct().collect()}
     )
+    live = _live_codes(spark, index_table, id_col)
     index_sig = _code_signature(
-        spark.table(index_table).filter(F.col("centroid_id").isin(probe_ids)),
+        live.filter(F.col("centroid_id").isin(probe_ids)),
         id_col,
     ).join(
-        spark.table(index_table)
-        .filter(F.col("centroid_id").isin(probe_ids))
+        live.filter(F.col("centroid_id").isin(probe_ids))
         .select(id_col, "centroid_id")
         .distinct(),
         on=id_col,

@@ -5586,12 +5586,20 @@ def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64, topk: int = 5) -> str
 
 
 def _ivf_pq_oracle(
-    m: int = 4, k: int = 16, dim: int = 64, topk: int = 5, nprobe: int = 1
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 1,
+    corpus_filter: str = "",
 ) -> str:
     """IVF routing (cosine assignment to the 8 lowest-id centroids, the
     ann_ivf oracle construction) composed with the PQ/ADC scoring CTEs —
     the scored join additionally requires the doc's bucket to be one of
-    the query's nprobe probe buckets."""
+    the query's nprobe probe buckets. ``corpus_filter`` (e.g.
+    ``"AND c.vec_id % 17 != 0"``) restricts the CORPUS side of the
+    scored join only — codebook sampling and routing still see the full
+    build-time corpus, matching the frozen-index deletion semantics."""
     sub = dim // m
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5639,7 +5647,7 @@ def _ivf_pq_oracle(
       JOIN asg a ON c.vec_id = a.vec_id
       JOIN qa ON qa.cid = a.cid
       JOIN lut l ON c.s = l.s AND c.code = l.code AND l.query_id = qa.query_id
-      WHERE c.vec_id != l.query_id
+      WHERE c.vec_id != l.query_id {corpus_filter}
       GROUP BY 1, 2
     )
     SELECT query_id, neighbor_id, adc_d2
@@ -10164,6 +10172,49 @@ def pipe_decontaminate_fuzzy_q(spark, sf_dir):
         docs.filter(F.col("doc_id") % 20 == 0),
         threshold=0.5,
     )
+
+
+@query(
+    "ann_ivfpq_delete_topk",
+    # the ann_ivfpq_topk replay with the CORPUS side of the scored join
+    # restricted to undeleted ids — codebook sampling and routing still
+    # see the full build-time corpus (frozen-index deletion semantics)
+    _ivf_pq_oracle(corpus_filter="AND c.vec_id % 17 != 0"),
+)
+def ann_ivfpq_delete_topk_q(spark, sf_dir):
+    """IVF-PQ search after DELETIONS (r11 — the right-to-be-forgotten
+    lifecycle step the store family was missing): build the persisted
+    index, tombstone the even multiples of 17
+    (``delete_from_ivfpq_index``), COMPACT (physical removal through the
+    bucket spec + tombstone table cleared), then tombstone the odd
+    multiples — so the final query exercises BOTH deletion mechanisms at
+    once: compacted-away rows and a live tombstone anti-join. The oracle
+    scores against exactly the undeleted corpus; a resurrected or
+    lingering vector flips a top-5 row."""
+    from sparsity_spark.operators.similarity import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    table = "ivfpq_index_delete_q"
+    _drop_table_and_location(spark, f"{table}__tombstones")
+    write_ivfpq_index(emb, cents, table, num_buckets=8)
+    delete_from_ivfpq_index(
+        emb.filter(F.col("vec_id") % 34 == 0).select("vec_id"), table
+    )
+    compact_ivfpq_index(spark, table)
+    delete_from_ivfpq_index(
+        emb.filter(F.col("vec_id") % 34 == 17).select("vec_id"), table
+    )
+    return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), table)
 
 
 # ---------------------------------------------------------------------------

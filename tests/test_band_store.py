@@ -653,3 +653,50 @@ def test_containment_screen_boilerplate_prefix_discipline(spark):
     # alpha-beta-gamma-delta tail (df<=1 except those shared with 99) —
     # only 99 passes the 0.6 batch-denominator bar
     assert got == {(200, 99)}
+
+
+def test_ivfpq_delete_and_compact_lifecycle(spark, sf_dir):
+    """r11 deletion lifecycle: a tombstoned vector stops surfacing
+    immediately (read-side anti-join); compaction physically removes its
+    code rows, clears the tombstone table, and leaves query results
+    bit-identical to the tombstone view; deleting after compaction keeps
+    working (both mechanisms compose)."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t = "ivfpq_del_t"
+    _drop_table_and_location(spark, f"{t}__tombstones")
+    write_ivfpq_index(emb, cents, t, num_buckets=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = ivfpq_index_topk(queries, t).collect()
+    # pick a surfacing neighbor and delete it
+    victim = base[0]["neighbor_id"]
+    delete_from_ivfpq_index(
+        spark.createDataFrame([(int(victim),)], "vec_id long"), t
+    )
+    after_del = ivfpq_index_topk(queries, t).collect()
+    assert victim not in {r["neighbor_id"] for r in after_del}
+    rows_before = spark.table(t).count()
+    compact_ivfpq_index(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(t).count() < rows_before  # physically removed
+    after_compact = ivfpq_index_topk(queries, t).collect()
+    assert sorted(map(tuple, after_compact)) == sorted(map(tuple, after_del))
+    # a second deletion on the compacted index still works
+    victim2 = after_compact[0]["neighbor_id"]
+    delete_from_ivfpq_index(
+        spark.createDataFrame([(int(victim2),)], "vec_id long"), t
+    )
+    final = ivfpq_index_topk(queries, t).collect()
+    assert victim2 not in {r["neighbor_id"] for r in final}
+    assert victim not in {r["neighbor_id"] for r in final}
