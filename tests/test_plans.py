@@ -796,3 +796,53 @@ def test_shared_edge_store_scan_is_bucketed(spark, sf_dir):
     plan = formatted_plan(deg)
     assert "Bucketed: true" in plan, "src-keyed aggregate must use the bucket layout"
     assert "Exchange hashpartitioning(src" not in plan
+
+
+def test_ivfpq_tombstoned_scan_still_bucket_prunes(spark, sf_dir):
+    """r11 deletion lifecycle plan shape: with a live tombstone table,
+    the read-side anti-join must NOT defeat bucket pruning — the probed
+    centroid-id filter still pushes below the anti-join to the scan
+    (SelectedBucketsCount under the bucket count), and the tombstone
+    side arrives broadcast."""
+    from sparsity_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t = "ivfpq_plandel"
+    _drop_table_and_location(spark, f"{t}__tombstones")
+    write_ivfpq_index(emb, cents, t, num_buckets=8)
+    delete_from_ivfpq_index(
+        emb.filter(F.col("vec_id") % 13 == 0).select("vec_id"), t
+    )
+    plan = ivfpq_index_topk(
+        emb.filter(F.col("vec_id") < 2), t
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "tombstoned index scan must stay bucket-pruned:\n" + plan
+    assert int(m.group(1)) < int(m.group(2))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """r11 fuzzy decontamination plan shape: both the band-bucket
+    candidate join and the gram-array verification join must broadcast
+    the benchmark side — the training corpus is never shuffled for
+    candidate generation (no SortMergeJoin anywhere in the plan)."""
+    from sparsity_spark.operators.pipeline import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(
+        fuzzy_decontaminate(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
