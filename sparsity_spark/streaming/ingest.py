@@ -1001,3 +1001,49 @@ def _containment_process_batch(
     _record_max_batch(spark, grams_t, batch_id)
     if sink is not None:
         sink(decisions, batch_id)
+
+
+def streaming_tombstone_maintain(
+    stream_df,
+    index_table: str,
+    id_col: str = "vec_id",
+    sink=None,
+):
+    """Streaming deletion-request ingestion for the persisted IVF-PQ
+    index (r11 — the lifecycle complement of ``streaming_index_and_
+    screen``): each micro-batch of ids folds into the index's
+    ``__tombstones`` side table via ``delete_from_ivfpq_index``, so the
+    next ANN query stops surfacing them with zero index rewrite;
+    physical removal stays a maintenance-schedule
+    ``compact_ivfpq_index`` call.
+
+    Replay safety comes FREE here, unlike every other store loop: a
+    tombstone append is naturally idempotent (the read side is an
+    anti-join — duplicate tombstone rows change nothing), so this loop
+    needs no max-batch screen, no watermark, and no read-side collapse.
+    At-least-once delivery IS exactly-once semantics for deletions.
+
+    ``sink(n_tombstones_df, batch_id)`` observes the one-row running
+    tombstone count per batch. Returns the started-ready writer."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.similarity import delete_from_ivfpq_index
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        if batch_df.limit(1).count() == 0:
+            return
+        delete_from_ivfpq_index(batch_df.select(id_col), index_table, id_col)
+        if sink is not None:
+            n = (
+                spark.table(f"{index_table}__tombstones")
+                .select(id_col)
+                .distinct()
+                .count()
+            )
+            sink(
+                spark.createDataFrame([(int(n),)], "n_tombstoned long"),
+                batch_id,
+            )
+
+    return stream_df.writeStream.foreachBatch(_process)

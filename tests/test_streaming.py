@@ -1456,3 +1456,66 @@ def test_compact_containment_store_screen_unchanged(spark):
     assert spark.table(f"{t}__df").count() > n_grams
     for s in (f"{t}__grams", f"{t}__post", f"{t}__df", f"{t}__grams__maxbatch"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_streaming_tombstone_maintain_deletes_and_replays_free(spark, tmp_path):
+    """r11 deletion-request loop: two micro-batches of ids fold into the
+    IVF-PQ tombstone table via the availableNow drain; the deleted
+    vectors stop surfacing, and re-delivering a batch (at-least-once)
+    changes nothing — tombstone appends are naturally idempotent, the
+    one store loop that needs no replay screen."""
+    import time as _time
+
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+    from sparsity_spark.operators.skew import _drop_table_and_location
+    from sparsity_spark.streaming.ingest import streaming_tombstone_maintain
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t = "ivfpq_stream_del_t"
+    _drop_table_and_location(spark, f"{t}__tombstones")
+    write_ivfpq_index(emb, cents, t, num_buckets=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = ivfpq_index_topk(queries, t).collect()
+    victims = sorted({r["neighbor_id"] for r in base})[:4]
+
+    src = str(tmp_path / "del_stream")
+    spark.createDataFrame([(int(v),) for v in victims[:2]], "vec_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame([(int(v),) for v in victims[2:]], "vec_id long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    counts = {}
+    q = (
+        streaming_tombstone_maintain(
+            spark.readStream.schema("vec_id long").option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src),
+            t,
+            sink=lambda df, bid: counts.__setitem__(bid, df.collect()[0][0]),
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "del_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    after = ivfpq_index_topk(queries, t).collect()
+    assert not set(victims) & {r["neighbor_id"] for r in after}
+    assert counts[max(counts)] == 4  # running distinct tombstone count
+    # at-least-once re-delivery: folding the same ids again changes nothing
+    delete_from_ivfpq_index(
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long"), t
+    )
+    replay = ivfpq_index_topk(queries, t).collect()
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, after))
