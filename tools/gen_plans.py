@@ -148,12 +148,40 @@ PICKS = {
         "pushes partial top-k map-side."
     ),
     "dedup_containment_pairs": (
-        "Asymmetric containment (r10 prefix rewrite): the candidate join "
-        "carries the rarest-first prefix SLICE on the smaller side — a "
-        "max-df boilerplate gram never becomes a join key, so its n\u00b2 "
-        "collision block vanishes; verification joins reuse the one "
-        "per-doc sorted aggregate (exchange reuse on id). Lossless, no "
-        "cartesian."
+        "Asymmetric containment (r10 prefix rewrite, r11 cost rework): "
+        "rarest-first smaller-side prefix probe + the lossless PPJoin "
+        "minimum-match filter (single-shared-prefix-gram pairs drop "
+        "before verify), gram projection persisted so the corpus is "
+        "shingled ONCE, pair-sized candidates eagerly checkpointed, "
+        "verify = array_intersect on the cached arrays. The plan below "
+        "is the checkpointed pair-sized RESULT (the operator "
+        "materializes eagerly by design); the candidate pipeline's lazy "
+        "shape — no cartesian, prefix slice present — is asserted in "
+        "tests/test_plans.py on the _containment_candidates seam."
+    ),
+    "pipe_curate_containment": (
+        "Curation with the containment collapse (r11): quality gate and "
+        "URL/domain derivation fuse map-side; exact dedup is one hash "
+        "agg; the containment components collapse via pointer-jumping "
+        "on pair-sized edges; the only windows are the per-domain cap "
+        "and final rollup. The containment stage materializes pair-sized "
+        "state eagerly (see dedup_containment_pairs)."
+    ),
+    "pipe_decontaminate_fuzzy": (
+        "Whole-document fuzzy decontamination (r11): BOTH the bipartite "
+        "band-candidate join and the gram-array verification join "
+        "broadcast the benchmark side — the training corpus is never "
+        "shuffled for candidate generation (no SortMergeJoin in the "
+        "plan, test-asserted); exact Jaccard verification keeps "
+        "precision 1.0."
+    ),
+    "ann_ivfpq_delete_topk": (
+        "ANN search under deletions (r11): the tombstone anti-join is a "
+        "BROADCAST LeftAnti over the bucketed code scan — the probed "
+        "centroid-id filter still pushes below it, so "
+        "SelectedBucketsCount stays probe-sized (test-asserted) and "
+        "deletion costs nothing at query time beyond the "
+        "deletion-sized broadcast."
     ),
     "dedup_containment_screen": (
         "Incremental containment screen (r10): the batch's prefix grams "
