@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "pipe_decontaminate_fuzzy",
     # r11: deletion lifecycle — tombstone anti-join + compaction + query
     "ann_ivfpq_delete_topk",
+    # r11: right-to-be-forgotten screen on the containment lake
+    "dedup_containment_forget",
 ]
 
 

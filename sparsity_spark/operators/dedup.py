@@ -1976,6 +1976,9 @@ def write_containment_store(
     from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
 
     spark = docs.sparkSession
+    # a fresh build starts a fresh lifecycle: stale tombstones from a
+    # dead incarnation would wrongly suppress the new corpus's docs
+    _drop_table_and_location(spark, f"{table}__tombstones")
     grams = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
@@ -2041,9 +2044,93 @@ def compact_containment_store(spark, table: str) -> None:
         spark.table(dft)
         .groupBy("gram")
         .agg(F.sum("df").cast("long").alias("df"))
+        .where(F.col("df") != 0)
         .localCheckpoint(eager=True)
     )
     collapsed.write.mode("overwrite").format("parquet").saveAsTable(dft)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        # physical removal of forgotten docs (r11 right-to-be-forgotten):
+        # rewrite grams and postings WITHOUT the tombstoned ids through
+        # their own bucket specs, recompute df exactly from the live
+        # postings, then drop the tombstone table LAST — a crash at any
+        # point leaves tombstones whose rows are already gone (read-side
+        # anti-join no-ops) or a stale-order df (order-only); the reverse
+        # order would resurrect forgotten docs
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        dead = F.broadcast(spark.table(tt).select("id").distinct())
+        nb_g = _table_bucket_count(spark, f"{table}__grams")
+        live_g = (
+            spark.table(f"{table}__grams")
+            .join(dead, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        live_g.write.mode("overwrite").bucketBy(nb_g, "id").format(
+            "parquet"
+        ).saveAsTable(f"{table}__grams")
+        nb_p = _table_bucket_count(spark, f"{table}__post")
+        live_p = (
+            spark.table(f"{table}__post")
+            .join(dead, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        live_p.write.mode("overwrite").bucketBy(nb_p, "gram").format(
+            "parquet"
+        ).saveAsTable(f"{table}__post")
+        fresh_df = (
+            spark.table(f"{table}__grams")
+            .dropDuplicates(["id"])
+            .select(F.explode("g").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").cast("long").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        fresh_df.write.mode("overwrite").format("parquet").saveAsTable(dft)
+        _drop_table_and_location(spark, tt)
+
+
+def remove_from_containment_store(
+    ids: DataFrame, table: str, id_col: str = "doc_id"
+) -> None:
+    """Right-to-be-forgotten for the containment lake (r11 — the text
+    sibling of ``similarity.delete_from_ivfpq_index``): tombstone the
+    doc ids in a ``__tombstones`` side table — ``containment_screen``
+    anti-joins its CANDIDATES against it (broadcast, deletion-sized), so
+    forgotten docs stop matching immediately with zero store rewrite —
+    and append NEGATIVE df increments for their grams so the
+    rarest-first probe order keeps tracking the live corpus (order-only;
+    the anti-join is what guarantees correctness). Idempotent: ids
+    already tombstoned are skipped, so at-least-once replays
+    double-decrement nothing; the tombstone append lands BEFORE the df
+    decrement, so the only crash window leaves a stale probe order
+    (order-only, self-heals at the next compaction's exact df
+    recompute) — never a double decrement or a resurrected doc.
+    Physical removal happens on the next
+    :func:`compact_containment_store`."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    new_ids = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    if spark.catalog.tableExists(tt):
+        new_ids = new_ids.join(spark.table(tt), "id", "left_anti")
+    else:
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    new_ids = new_ids.localCheckpoint(eager=True)
+    if new_ids.limit(1).count() == 0:
+        return
+    neg = (
+        spark.table(f"{table}__grams")
+        .join(F.broadcast(new_ids), "id", "leftsemi")
+        .dropDuplicates(["id"])
+        .select(F.explode("g").alias("gram"))
+        .groupBy("gram")
+        .agg((-F.count("*")).cast("long").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    new_ids.write.mode("append").format("parquet").saveAsTable(tt)
+    neg.write.mode("append").format("parquet").saveAsTable(f"{table}__df")
 
 
 def containment_screen(
@@ -2121,6 +2208,17 @@ def containment_screen(
         .where(F.col("__m__") >= F.col("__mm__"))
         .select("bid", "cid")
     )
+    # right-to-be-forgotten (r11): candidates pointing at tombstoned
+    # corpus docs drop here — broadcast anti-join on the deletion-sized
+    # tombstone set, before any verification work; physical removal is
+    # compact_containment_store's job
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        cand = cand.join(
+            F.broadcast(spark.table(tt).select(F.col("id").alias("cid")).distinct()),
+            "cid",
+            "left_anti",
+        )
     # dropDuplicates collapses replay-raced duplicate appends of the
     # same doc (rows identical by construction — gram arrays are
     # content-derived); the table is id-bucketed so the collapse needs

@@ -700,3 +700,65 @@ def test_ivfpq_delete_and_compact_lifecycle(spark, sf_dir):
     final = ivfpq_index_topk(queries, t).collect()
     assert victim2 not in {r["neighbor_id"] for r in final}
     assert victim not in {r["neighbor_id"] for r in final}
+
+
+def test_containment_store_forget_lifecycle(spark):
+    """r11 right-to-be-forgotten for the containment lake: a tombstoned
+    corpus doc stops matching immediately; compaction physically removes
+    its grams/postings, recomputes df exactly from the live postings,
+    and clears the tombstones; screening is bit-identical around the
+    compaction; forgetting again post-compaction works; replays of a
+    removal are no-ops."""
+    from sparsity_spark.operators.dedup import (
+        compact_containment_store,
+        containment_screen,
+        remove_from_containment_store,
+        write_containment_store,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red green blue cyan magenta yellow")], schema)
+    t = "contain_forget_t"
+    write_containment_store(corpus, t)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),   # contained in doc 1
+         (11, "red green blue cyan")],     # contained in doc 3
+        schema)
+
+    def hits():
+        return {
+            (r["batch_id"], r["corpus_id"])
+            for r in containment_screen(batch, t, threshold=0.9).collect()
+        }
+
+    assert hits() == {(10, 1), (11, 3)}
+    remove_from_containment_store(
+        spark.createDataFrame([(1,)], "doc_id long"), t
+    )
+    assert hits() == {(11, 3)}  # doc 1 forgotten, zero store rewrite
+    # replayed removal is a no-op (ids already tombstoned)
+    remove_from_containment_store(
+        spark.createDataFrame([(1,)], "doc_id long"), t
+    )
+    before = hits()
+    grams_before = spark.table(f"{t}__grams").count()
+    compact_containment_store(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(f"{t}__grams").count() < grams_before
+    # df is exactly the live posting counts after compaction
+    live_df = {
+        r["gram"]: r["df"] for r in spark.table(f"{t}__df").collect()
+    }
+    assert all(v > 0 for v in live_df.values())
+    assert hits() == before  # bit-identical around compaction
+    # forgetting post-compaction still works
+    remove_from_containment_store(
+        spark.createDataFrame([(3,)], "doc_id long"), t
+    )
+    assert hits() == set()
+    for s in (f"{t}__grams", f"{t}__post", f"{t}__df", f"{t}__tombstones",
+              f"{t}__grams__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
