@@ -186,8 +186,9 @@ BENCH_QUERIES = [
     "pipe_decontaminate_fuzzy",
     # r11: deletion lifecycle — tombstone anti-join + compaction + query
     "ann_ivfpq_delete_topk",
-    # r11: right-to-be-forgotten screen on the containment lake
+    # r11: right-to-be-forgotten screens on the containment + band lakes
     "dedup_containment_forget",
+    "dedup_band_forget",
 ]
 
 

@@ -1129,8 +1129,11 @@ def write_band_store(
 
     ``precomputed_bands`` skips the band computation when the caller
     already has :func:`band_keys` output (e.g. `append_band_store`)."""
-    from sparsity_spark.operators.skew import write_bucketed
+    from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
 
+    # fresh build = fresh lifecycle: stale tombstones from a dead
+    # incarnation would wrongly hide the new corpus's rows (r11)
+    _drop_table_and_location(docs.sparkSession, f"{table}__tombstones")
     b = (
         precomputed_bands
         if precomputed_bands is not None
@@ -1147,8 +1150,55 @@ def write_band_store(
 def band_store(spark, table: str) -> DataFrame:
     """Open a band store written by :func:`write_band_store` — a plain
     catalog read; the bucketing metadata rides along, so joins keyed
-    (band, band_key) skip the corpus-side Exchange automatically."""
-    return spark.table(table)
+    (band, band_key) skip the corpus-side Exchange automatically.
+    Tombstoned docs (r11, :func:`remove_from_band_store`) are anti-joined
+    out here (broadcast, deletion-sized), so every screen path forgets
+    them immediately; the bucketed scan + broadcast anti-join still
+    plans with no corpus-side Exchange."""
+    df = spark.table(table)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        idc = spark.table(tt).columns[0]
+        df = df.join(F.broadcast(spark.table(tt).distinct()), idc, "left_anti")
+    return df
+
+
+def remove_from_band_store(ids: DataFrame, table: str, id_col: str = "doc_id") -> None:
+    """Right-to-be-forgotten for the LSH band lake (r11 — the near-twin
+    sibling of :func:`remove_from_containment_store`): tombstone the doc
+    ids; :func:`band_store` anti-joins them out of every screen read, so
+    forgotten docs stop suppressing new arrivals immediately with zero
+    store rewrite. Idempotent (tombstone appends are harmless
+    duplicates under the anti-join). Physical removal is
+    :func:`compact_band_store`."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    ids.select(F.col(id_col)).distinct().localCheckpoint(eager=True).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(tt)
+
+
+def compact_band_store(spark, table: str) -> None:
+    """Physically remove tombstoned band rows (r11): rewrite the live
+    rows through the store's own (band, band_key) bucket spec, THEN drop
+    the tombstone table — the rewrite-then-clear ordering of
+    compact_ivfpq_index (a crash between leaves harmless tombstones;
+    the reverse would resurrect forgotten docs)."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        return
+    live = band_store(spark, table).localCheckpoint(eager=True)
+    nb = _table_bucket_count(spark, table)
+    live.write.mode("overwrite").bucketBy(nb, "band", "band_key").format(
+        "parquet"
+    ).saveAsTable(table)
+    _drop_table_and_location(spark, tt)
 
 
 def append_band_store(

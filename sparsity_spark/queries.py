@@ -10217,6 +10217,75 @@ def ann_ivfpq_delete_topk_q(spark, sf_dir):
     return ivfpq_index_topk(emb.filter(F.col("vec_id") < 10), table)
 
 
+# session memo for dedup_band_forget's one-time build+forget setup
+_BAND_FORGET_MEMO: dict = {}
+
+
+@query(
+    "dedup_band_forget",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+    hits AS (
+      SELECT nb.doc_id, CAST(COUNT(DISTINCT cb.doc_id) AS BIGINT) AS n_corpus_collisions
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key
+      GROUP BY nb.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_corpus_collisions, 0) AS n_corpus_collisions,
+           (h.doc_id IS NULL) AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def dedup_band_forget_q(spark, sf_dir):
+    """Right-to-be-forgotten in the LSH band lake (r11 — the near-twin
+    sibling of dedup_containment_forget): the 90% corpus band store is
+    built, one slice forgotten pre-compaction
+    (``remove_from_band_store`` — the tombstone anti-join rides inside
+    ``band_store``, so every screen path forgets immediately), the store
+    COMPACTED (physical rewrite through the (band, band_key) bucket
+    spec, tombstones cleared), a second slice forgotten post-compaction
+    — then the 10% batch screens. A forgotten near-twin must STOP
+    suppressing its new arrival; the oracle screens against exactly the
+    surviving corpus."""
+    from sparsity_spark.operators.dedup import (
+        band_store,
+        compact_band_store,
+        incremental_lsh_dedup,
+        remove_from_band_store,
+        write_band_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "band_forget_q"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BAND_FORGET_MEMO:
+        write_band_store(docs.filter(F.col("doc_id") % 10 != 0), table)
+        remove_from_band_store(
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 1)
+            ).select("doc_id"),
+            table,
+        )
+        compact_band_store(spark, table)
+        remove_from_band_store(
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 2)
+            ).select("doc_id"),
+            table,
+        )
+        _BAND_FORGET_MEMO[key] = True
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_lsh_dedup(batch, band_store(spark, table))
+
+
 # session memo for dedup_containment_forget's one-time build+forget setup
 _CONTAIN_FORGET_MEMO: dict = {}
 
@@ -10233,7 +10302,7 @@ _CONTAIN_FORGET_MEMO: dict = {}
     ),
     eb AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 10 = 0),
     ec AS (SELECT doc_id, UNNEST(grams) AS gram FROM g
-           WHERE doc_id % 10 != 0 AND doc_id % 30 != 5 AND doc_id % 30 != 25),
+           WHERE doc_id % 10 != 0 AND doc_id % 3 = 0),
     pair AS (
       SELECT b.doc_id AS bid, c.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS c
       FROM eb b JOIN ec c ON b.gram = c.gram GROUP BY 1, 2
@@ -10273,11 +10342,17 @@ def dedup_containment_forget_q(spark, sf_dir):
     if key not in _CONTAIN_FORGET_MEMO:
         write_containment_store(docs.filter(F.col("doc_id") % 10 != 0), table)
         remove_from_containment_store(
-            docs.filter(F.col("doc_id") % 30 == 5).select("doc_id"), table
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 1)
+            ).select("doc_id"),
+            table,
         )
         compact_containment_store(spark, table)
         remove_from_containment_store(
-            docs.filter(F.col("doc_id") % 30 == 25).select("doc_id"), table
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 2)
+            ).select("doc_id"),
+            table,
         )
         _CONTAIN_FORGET_MEMO[key] = True
     batch = docs.filter(F.col("doc_id") % 10 == 0)

@@ -762,3 +762,45 @@ def test_containment_store_forget_lifecycle(spark):
     for s in (f"{t}__grams", f"{t}__post", f"{t}__df", f"{t}__tombstones",
               f"{t}__grams__maxbatch"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_band_store_forget_lifecycle(spark):
+    """r11: a tombstoned band-store doc stops suppressing its near-twin
+    immediately; compaction physically removes its rows and clears the
+    tombstones with screening bit-identical around it; forgetting after
+    compaction still works."""
+    from sparsity_spark.operators.dedup import (
+        band_store,
+        compact_band_store,
+        incremental_lsh_dedup,
+        remove_from_band_store,
+        write_band_store,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"u{i}" for i in range(30)))], schema)
+    t = "band_forget_t"
+    write_band_store(corpus, t)
+    batch = spark.createDataFrame([(10, base)], schema)  # twin of doc 1
+
+    def keep():
+        return {
+            r["doc_id"]: r["keep"]
+            for r in incremental_lsh_dedup(batch, band_store(spark, t)).collect()
+        }
+
+    assert keep() == {10: False}  # suppressed by its stored twin
+    remove_from_band_store(spark.createDataFrame([(1,)], "doc_id long"), t)
+    assert keep() == {10: True}  # twin forgotten -> arrival survives
+    rows_before = spark.table(t).count()
+    compact_band_store(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(t).count() < rows_before
+    assert keep() == {10: True}  # bit-identical around compaction
+    # post-compaction forget still works
+    remove_from_band_store(spark.createDataFrame([(2,)], "doc_id long"), t)
+    assert spark.table(t).count() > band_store(spark, t).count()
+    for s in (t, f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
