@@ -10397,9 +10397,12 @@ _FIRST_50 = [
     "q19_disjunctive_revenue", "q11_top_value_nations", "q15_top_supplier",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
-    "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_bruteforce_topk", "ann_ivf_topk",
-    "dedup_jaccard_prefix_join",
+    "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
+    # born mid-r11 — driver-checked immediately rather than waiting a round
+    "pipe_decontaminate_fuzzy",   # bipartite band join + exact Jaccard verify
+    "ann_ivfpq_delete_topk",      # ANN tombstone + compaction lifecycle
+    "dedup_containment_forget",   # containment-lake right-to-be-forgotten
+    "dedup_band_forget",          # band-lake right-to-be-forgotten
     ]
 
 def _apply_registry_order() -> None:
