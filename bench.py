@@ -189,6 +189,12 @@ BENCH_QUERIES = [
     # r11: right-to-be-forgotten screens on the containment + band lakes
     "dedup_containment_forget",
     "dedup_band_forget",
+    # r11 continuation: forget family completed (exact ledger + cluster
+    # membership with label re-election) and the bloom-prefilter
+    # decontamination plan
+    "dedup_hash_forget",
+    "dedup_cluster_forget",
+    "pipe_decontaminate_bloom",
 ]
 
 

@@ -1293,8 +1293,13 @@ def write_hash_store(
     exact-dedup screen joins it with NO corpus-side shuffle — the
     content-hash ledger is the first store every production ingest keeps,
     before any near-dup machinery."""
-    from sparsity_spark.operators.skew import write_bucketed
+    from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
 
+    # fresh build = fresh lifecycle: stale tombstones from a dead
+    # incarnation would wrongly hide the new ledger's rows (the band
+    # store's r11 rule, applied here when the hash store grew its own
+    # forget path)
+    _drop_table_and_location(docs.sparkSession, f"{table}__tombstones")
     # ledger uniqueness invariant holds from the FIRST write, not only on
     # appends: a corpus with natural exact twins would otherwise put
     # duplicate content_hash rows in the ledger and every later screen's
@@ -1307,6 +1312,67 @@ def write_hash_store(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
     ).groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     write_bucketed(ledger, table, ["content_hash"], num_buckets)
+
+
+def hash_store(spark, table: str) -> DataFrame:
+    """Open a content-hash ledger written by :func:`write_hash_store` —
+    a plain catalog read with the bucketing metadata riding along, minus
+    any tombstoned keeper rows (broadcast anti-join, deletion-sized).
+    The exact-dedup twin of :func:`band_store`'s read path: every screen
+    sees forgets immediately, and the bucketed scan + broadcast
+    anti-join still plans with no ledger-side Exchange."""
+    df = spark.table(table)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        idc = spark.table(tt).columns[0]
+        df = df.join(F.broadcast(spark.table(tt).distinct()), idc, "left_anti")
+    return df
+
+
+def remove_from_hash_store(
+    ids: DataFrame, table: str, id_col: str = "doc_id"
+) -> None:
+    """Right-to-be-forgotten for the content-hash ledger (completing the
+    forget family across every persisted store: IVF-PQ index,
+    containment lake, band lake, and now the exact ledger): tombstone
+    the doc ids; :func:`hash_store` anti-joins their KEEPER rows out of
+    every read. Because the ledger keeps one (content_hash, min-id) row
+    per hash, forgetting the keeper erases the hash itself — a later
+    byte-identical upload is ADMITTED again (and re-appends the hash
+    under its new id), which is exactly the right-to-be-forgotten
+    contract: the deleted document no longer suppresses anything.
+    Forgetting an id that never kept a ledger row (a doc that was itself
+    rejected as a duplicate) is a no-op, as it should be — that doc owns
+    no ledger state. Idempotent (duplicate tombstones are harmless under
+    the anti-join); physical removal is :func:`compact_hash_store`."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    ids.select(F.col(id_col)).distinct().localCheckpoint(eager=True).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(tt)
+
+
+def compact_hash_store(spark, table: str) -> None:
+    """Physically remove tombstoned ledger rows: rewrite the live rows
+    through the store's own content_hash bucket spec, THEN drop the
+    tombstone table — the rewrite-then-clear ordering the whole forget
+    family uses (a crash between leaves harmless tombstones; the reverse
+    would resurrect forgotten docs)."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        return
+    live = hash_store(spark, table).localCheckpoint(eager=True)
+    nb = _table_bucket_count(spark, table)
+    live.write.mode("overwrite").bucketBy(nb, "content_hash").format(
+        "parquet"
+    ).saveAsTable(table)
+    _drop_table_and_location(spark, tt)
 
 
 def append_hash_store(
@@ -1328,7 +1394,7 @@ def append_hash_store(
     hashed = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
     )
-    store = spark.table(table).select(
+    store = hash_store(spark, table).select(
         F.col("content_hash"), F.lit(True).alias("__in_corpus__")
     )
     decisions = hashed.join(store, on="content_hash", how="left")
@@ -1661,6 +1727,9 @@ def write_cluster_store(
 
     spark = labels.sparkSession
     _drop_table_and_location(spark, f"{table}__remap")
+    # fresh build = fresh lifecycle (the band store's r11 rule): stale
+    # tombstones from a dead incarnation would hide the new store's rows
+    _drop_table_and_location(spark, f"{table}__tombstones")
     spark.createDataFrame([], "old_id long, new_id long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{table}__remap")
@@ -1672,8 +1741,18 @@ def resolve_cluster_store(spark, table: str) -> DataFrame:
     (cluster-count-sized) remap table applies them at read, the
     merge-log pattern every mutable-at-scale store uses. The remap is
     kept ONE hop deep by compaction in fold_cluster_store, so resolution
-    is a single join, not pointer chasing."""
+    is a single join, not pointer chasing. Tombstoned docs
+    (:func:`remove_from_cluster_store`) are anti-joined out here
+    (broadcast, deletion-sized), so every membership read forgets them
+    immediately; their CLUSTER LABEL may keep naming the forgotten
+    minimum until :func:`compact_cluster_store` re-elects — labels are
+    opaque component ids, so reads stay internally consistent either
+    way."""
     store = spark.table(table)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        idc = spark.table(tt).columns[0]
+        store = store.join(F.broadcast(spark.table(tt).distinct()), idc, "left_anti")
     remap = spark.table(f"{table}__remap").select(
         F.col("old_id").alias("cluster_id"), F.col("new_id")
     )
@@ -1794,6 +1873,104 @@ def fold_cluster_store(
     _drop_table_and_location(spark, f"{table}__remap")
     all_remap.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__remap")
     return resolve_cluster_store(spark, table)
+
+
+def remove_from_cluster_store(
+    ids: DataFrame, table: str, id_col: str = "doc_id"
+) -> None:
+    """Right-to-be-forgotten for the cluster-membership store: tombstone
+    the doc ids; :func:`resolve_cluster_store` anti-joins them out of
+    every read, so forgotten docs vanish from membership immediately
+    with zero store rewrite. Deletion never SPLITS a cluster — the store
+    keeps assignments, not the edges that connected them, so surviving
+    members of a forgotten bridge doc's cluster stay together (the
+    standard assignment-ledger semantics; re-deriving connectivity would
+    need the pair history this store deliberately does not keep).
+    Idempotent (duplicate tombstones are harmless under the anti-join);
+    physical removal and label re-election are
+    :func:`compact_cluster_store`. Folds between a forget and its
+    compaction keep working: a tombstoned former minimum still serves as
+    an opaque pseudo-node label, smaller than every live member, so
+    fold's component-minimum argument is unaffected."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct().localCheckpoint(
+        eager=True
+    ).write.mode("append").format("parquet").saveAsTable(tt)
+
+
+def compact_cluster_store(spark, table: str) -> None:
+    """Physically remove tombstoned membership rows AND re-elect each
+    cluster's label to its minimum SURVIVING doc id — restoring the
+    "label = component minimum of the live corpus" invariant that
+    :func:`fold_cluster_store`'s min-composition argument quotes, which
+    a forgotten-minimum cluster temporarily violates.
+
+    Mutating three tables (store, remap, tombstones) cannot be atomic,
+    so the write ORDER is chosen so every crash window still resolves
+    correctly:
+
+    1. overwrite the remap with a BRIDGE mapping every raw stored label
+       whose final label differs → final label (old remap composed with
+       the re-election). A crash here leaves old labels in the store and
+       the bridge in the remap — resolution = raw→final in one hop,
+       tombstones still applied: already the final view.
+    2. overwrite the store with the re-elected live rows through its
+       doc_id bucket spec. A final label can never collide with a bridge
+       old_id (a label appears in the bridge only if it CHANGED; a final
+       label F maps to itself by construction), so reads between 2 and 3
+       pass through the stale bridge untouched.
+    3. overwrite the remap with empty — merges and re-elections are now
+       burned into the rows.
+    4. drop the tombstones LAST (rewrite-then-clear, like every
+       compactor here: leftovers anti-join rows that are already gone).
+    """
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    live = resolve_cluster_store(spark, table).localCheckpoint(eager=True)
+    relabel = live.groupBy("cluster_id").agg(F.min("doc_id").alias("__final__"))
+    final = (
+        live.join(relabel, "cluster_id")
+        .select("doc_id", F.col("__final__").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    # bridge: every raw label in the physical store → its final label,
+    # changed entries only (label-count-sized, like the remap it replaces)
+    raw = spark.table(table).select("cluster_id").distinct()
+    old_remap = spark.table(f"{table}__remap").select(
+        F.col("old_id").alias("cluster_id"), F.col("new_id")
+    )
+    bridge = (
+        raw.join(old_remap, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").alias("old_id"),
+            F.coalesce("new_id", "cluster_id").alias("__resolved__"),
+        )
+        .join(
+            relabel.select(
+                F.col("cluster_id").alias("__resolved__"), F.col("__final__")
+            ),
+            "__resolved__",
+        )
+        .where(F.col("old_id") != F.col("__final__"))
+        .select("old_id", F.col("__final__").alias("new_id"))
+        .localCheckpoint(eager=True)
+    )
+    _drop_table_and_location(spark, f"{table}__remap")
+    bridge.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__remap")
+    nb = _table_bucket_count(spark, table)
+    final.write.mode("overwrite").bucketBy(nb, "doc_id").format(
+        "parquet"
+    ).saveAsTable(table)
+    _drop_table_and_location(spark, f"{table}__remap")
+    spark.createDataFrame([], "old_id long, new_id long").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{table}__remap")
+    _drop_table_and_location(spark, f"{table}__tombstones")
 
 
 def _containment_prefix_parts(grams: DataFrame, t: float):

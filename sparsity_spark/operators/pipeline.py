@@ -205,6 +205,71 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bench_df: int | None = None,
+    m_bits: int | None = None,
+    num_probes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` for the regime where the benchmark side is
+    too big to broadcast as a raw join table but its bloom BITMAP is
+    still metadata-sized — decontaminating against an entire eval-suite
+    lake (millions of held-out docs, gram set in the tens of GB) rather
+    than one benchmark file.
+
+    Same result, different plan: build a bloom bitmap over the
+    benchmark's distinct shingles (benchmark-sized aggregate, collected
+    as kilobytes-to-megabytes of driver metadata), filter the training
+    shingles MAP-SIDE with the k-probe bitmap expression (whole-stage
+    codegen, zero shuffle, zero Python — ``skew.bloom_probe_expr``),
+    then run the exact gram join on the survivors WITHOUT a broadcast
+    hint, letting AQE pick shuffle vs broadcast from the true benchmark
+    size. Bloom false positives are killed by the exact join, and a
+    bloom never drops a present key, so the output is bit-identical to
+    :func:`decontaminate` (oracle-pinned) — but at 100 TB the shuffle
+    input on the training side is only the prefilter's survivors
+    (≈ the contaminated fraction + the FP rate), not every shingle of
+    the corpus.
+
+    ``m_bits`` defaults to ``skew.BLOOM_M_BITS``; size it ≈ 10 bits per
+    distinct benchmark shingle for a ~1% FP rate."""
+    from sparsity_spark.operators.dedup import shingle_sets
+    from sparsity_spark.operators.skew import (
+        BLOOM_M_BITS,
+        bloom_build_bytes,
+        bloom_probe_expr,
+    )
+
+    m = int(m_bits) if m_bits is not None else BLOOM_M_BITS
+    tr = shingle_sets(train, id_col, text_col, k)
+    be = shingle_sets(benchmark, id_col, text_col, k).select(
+        F.col("shingle"), F.col(id_col).alias("__bench_id__")
+    )
+    if max_bench_df is not None:
+        be = (
+            be.groupBy("shingle")
+            .agg(F.collect_set("__bench_id__").alias("__ids__"))
+            .filter(F.size("__ids__") <= max_bench_df)
+            .select("shingle", F.explode("__ids__").alias("__bench_id__"))
+        )
+    bitmap = bloom_build_bytes(
+        be.select("shingle").distinct(), "shingle", m, num_probes
+    )
+    pre = tr.filter(bloom_probe_expr(F.col("shingle"), bitmap, m, num_probes))
+    return (
+        pre.join(be, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("__bench_id__").alias("n_bench_docs"),
+        )
+    )
+
+
 def fuzzy_decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -10359,6 +10359,163 @@ def dedup_containment_forget_q(spark, sf_dir):
     return containment_screen(batch, table, threshold=0.6, k=3)
 
 
+@query(
+    "dedup_hash_forget",
+    """
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 10 <> 0
+    ),
+    ledger AS (
+      SELECT content_hash, MIN(doc_id) AS keeper FROM corpus GROUP BY content_hash
+    ),
+    live AS (
+      SELECT content_hash FROM ledger WHERE NOT (keeper % 5 = 2 OR keeper % 7 = 3)
+    ),
+    batch AS (
+      SELECT doc_id + 2000000 AS doc_id, content_hash FROM corpus WHERE doc_id % 12 = 5
+    ),
+    firsts AS (SELECT content_hash, MIN(doc_id) AS f FROM batch GROUP BY content_hash)
+    SELECT b.doc_id, b.content_hash,
+           ((l.content_hash IS NULL) AND b.doc_id = firsts.f) AS keep
+    FROM batch b
+    LEFT JOIN live l USING (content_hash)
+    JOIN firsts USING (content_hash)
+    """,
+)
+def dedup_hash_forget_q(spark, sf_dir):
+    """Right-to-be-forgotten in the EXACT content-hash ledger —
+    completing the forget family across all four persisted stores
+    (IVF-PQ index, containment lake, band lake, hash ledger). The 90%
+    corpus ledger is written, one slice forgotten pre-compaction
+    (``remove_from_hash_store`` — the tombstone anti-join rides inside
+    ``hash_store``, so every screen forgets immediately), the ledger
+    COMPACTED (physical rewrite through the content_hash bucket spec,
+    tombstones cleared), a second slice forgotten post-compaction —
+    then a batch RE-UPLOADING corpus docs (%12==5, byte-identical text
+    under fresh ids) screens against it. A re-upload whose original
+    KEEPER was forgotten must now be ADMITTED (the deleted doc no
+    longer suppresses its twin); one whose keeper survives stays
+    rejected — the oracle computes keeper-level liveness per hash, so
+    both arms fire and a lingering or resurrected ledger row flips a
+    row."""
+    from sparsity_spark.operators.dedup import (
+        append_hash_store,
+        compact_hash_store,
+        remove_from_hash_store,
+        write_hash_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    table = "hash_forget_q"
+    write_hash_store(corpus, table, num_buckets=8)
+    remove_from_hash_store(
+        corpus.filter(F.col("doc_id") % 5 == 2).select("doc_id"), table
+    )
+    compact_hash_store(spark, table)
+    remove_from_hash_store(
+        corpus.filter(F.col("doc_id") % 7 == 3).select("doc_id"), table
+    )
+    batch = corpus.filter(F.col("doc_id") % 12 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    return append_hash_store(batch, table)
+
+
+@query(
+    "dedup_cluster_forget",
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    s1 AS (SELECT * FROM lab WHERE doc_id % 7 <> 3),
+    rel AS (SELECT cluster_id, MIN(doc_id) AS f FROM s1 GROUP BY cluster_id)
+    SELECT s1.doc_id, rel.f AS cluster_id
+    FROM s1 JOIN rel USING (cluster_id)
+    WHERE s1.doc_id % 11 <> 5
+    """,
+)
+def dedup_cluster_forget_q(spark, sf_dir):
+    """Right-to-be-forgotten in the cluster-membership store: the full
+    corpus is clustered and persisted, one slice forgotten
+    pre-compaction (``remove_from_cluster_store`` — membership reads
+    forget immediately via the tombstone anti-join inside
+    ``resolve_cluster_store``), the store COMPACTED
+    (``compact_cluster_store`` — physical removal + label RE-ELECTION
+    to the minimum surviving member, restoring the label-=-live-minimum
+    invariant the fold's min-composition argument quotes; remap-first
+    write order so every crash window still resolves), a second slice
+    forgotten post-compaction (read-side only) — then membership is
+    resolved. The oracle recomputes the from-scratch closure, deletes
+    the first slice, re-elects per-cluster minima, then deletes the
+    second slice WITHOUT re-electing — pinning both the deletion
+    semantics (no cluster splits: assignments survive their bridge
+    docs) and exactly when labels move (at compaction, not at
+    forget)."""
+    from sparsity_spark.operators.dedup import (
+        compact_cluster_store,
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        remove_from_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "cluster_forget_q"
+    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    write_cluster_store(labels, table)
+    remove_from_cluster_store(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), table
+    )
+    compact_cluster_store(spark, table)
+    remove_from_cluster_store(
+        docs.filter(F.col("doc_id") % 11 == 5).select("doc_id"), table
+    )
+    return resolve_cluster_store(spark, table)
+
+
+@query("pipe_decontaminate_bloom", ORACLES["pipe_decontaminate"])
+def pipe_decontaminate_bloom_q(spark, sf_dir):
+    """pipe_decontaminate's exact semantics through the BLOOM-prefilter
+    plan (``decontaminate_bloom``) — the regime where the benchmark side
+    is an eval-suite LAKE too big to broadcast raw but whose bloom
+    bitmap is still driver-metadata-sized: training shingles are
+    filtered map-side by the k-probe bitmap expression (whole-stage
+    codegen, zero shuffle), and only the survivors reach the exact gram
+    join (no broadcast hint — AQE sizes it). The bloom passes false
+    positives (killed by the exact join) and never drops a present key,
+    so this row shares pipe_decontaminate's oracle verbatim: the plan
+    changed, the answer may not."""
+    from sparsity_spark.operators.pipeline import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        max_bench_df=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the
@@ -10394,7 +10551,6 @@ _FIRST_50 = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q18_large_volume_orders", "q10_returned_item_revenue",
     "q12_priority_by_linestatus", "q14_promo_revenue_share",
-    "q19_disjunctive_revenue", "q11_top_value_nations", "q15_top_supplier",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
@@ -10403,6 +10559,13 @@ _FIRST_50 = [
     "ann_ivfpq_delete_topk",      # ANN tombstone + compaction lifecycle
     "dedup_containment_forget",   # containment-lake right-to-be-forgotten
     "dedup_band_forget",          # band-lake right-to-be-forgotten
+    # born late-r11 (continuation session): the forget family completed
+    # across every persisted store + the bloom-prefilter decontamination
+    # plan (q11/q15/q19 backfill rows rotated out — all have r2-r5 driver
+    # evidence and are sweep-green every round)
+    "dedup_hash_forget",          # exact-ledger right-to-be-forgotten
+    "dedup_cluster_forget",       # membership forget + label re-election
+    "pipe_decontaminate_bloom",   # map-side bloom prefilter, exact result
     ]
 
 def _apply_registry_order() -> None:

@@ -804,3 +804,153 @@ def test_band_store_forget_lifecycle(spark):
     assert spark.table(t).count() > band_store(spark, t).count()
     for s in (t, f"{t}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_hash_store_forget_lifecycle(spark):
+    """Forgetting a ledger KEEPER re-admits its byte-identical twin
+    immediately; compaction physically removes the row and clears the
+    tombstones with screening bit-identical around it; the re-admitted
+    twin's append re-creates the hash under its new id."""
+    from sparsity_spark.operators.dedup import (
+        append_hash_store,
+        compact_hash_store,
+        hash_store,
+        remove_from_hash_store,
+        write_hash_store,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], schema
+    )
+    t = "hash_forget_t"
+    write_hash_store(corpus, t, num_buckets=4)
+
+    def keep_of(doc_id, text):
+        batch = spark.createDataFrame([(doc_id, text)], schema)
+        return {
+            r["doc_id"]: r["keep"] for r in append_hash_store(batch, t).collect()
+        }
+
+    # twin of doc 1 rejected while 1 is live (append is a no-op: the
+    # hash stays in the ledger under id 1 either way)
+    assert keep_of(10, "alpha beta gamma") == {10: False}
+    remove_from_hash_store(spark.createDataFrame([(1,)], "doc_id long"), t)
+    rows_before = spark.table(t).count()
+    live_before = {r["content_hash"] for r in hash_store(spark, t).collect()}
+    compact_hash_store(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(t).count() < rows_before
+    assert {r["content_hash"] for r in hash_store(spark, t).collect()} == live_before
+    # forgotten keeper no longer suppresses: twin admitted, hash re-added
+    assert keep_of(11, "alpha beta gamma") == {11: True}
+    assert keep_of(12, "alpha beta gamma") == {12: False}  # new keeper active
+    # post-compaction forget still works (read-side)
+    remove_from_hash_store(spark.createDataFrame([(2,)], "doc_id long"), t)
+    assert keep_of(13, "delta epsilon zeta") == {13: True}
+    for s in (t, f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_cluster_store_forget_relabel(spark):
+    """Cluster-store forget semantics: tombstoned docs vanish from
+    resolution immediately but labels move only at compaction (re-elected
+    to the minimum SURVIVOR); deletion never splits a cluster; compaction
+    is idempotent."""
+    from sparsity_spark.operators.dedup import (
+        compact_cluster_store,
+        remove_from_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    t = "cluster_forget_t"
+    write_cluster_store(labels, t, num_buckets=4)
+
+    def view():
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in resolve_cluster_store(spark, t).collect()
+        }
+
+    remove_from_cluster_store(spark.createDataFrame([(1,)], "doc_id long"), t)
+    # read-side: doc 1 gone, label still the (forgotten) minimum
+    assert view() == {2: 1, 3: 1, 10: 10, 11: 10}
+    compact_cluster_store(spark, t)
+    # physical removal + re-election to the min survivor
+    assert view() == {2: 2, 3: 2, 10: 10, 11: 10}
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(f"{t}__remap").count() == 0
+    # post-compaction forget of the NEW label doc: read-side only
+    remove_from_cluster_store(spark.createDataFrame([(2,)], "doc_id long"), t)
+    assert view() == {3: 2, 10: 10, 11: 10}
+    # compaction is idempotent in effect: re-elects again
+    compact_cluster_store(spark, t)
+    assert view() == {3: 3, 10: 10, 11: 10}
+    for s in (t, f"{t}__remap", f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_cluster_forget_then_fold(spark):
+    """A fold between a forget and its compaction still works: the
+    tombstoned former minimum serves as an opaque pseudo-node label, and
+    the folded store resolves to the live docs only."""
+    from sparsity_spark.operators.dedup import (
+        compact_cluster_store,
+        fold_cluster_store,
+        remove_from_cluster_store,
+        resolve_cluster_store,
+        write_cluster_store,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "doc_id long, cluster_id long"
+    )
+    t = "cluster_fold_forget_t"
+    write_cluster_store(labels, t, num_buckets=4)
+    remove_from_cluster_store(spark.createDataFrame([(1,)], "doc_id long"), t)
+    # batch doc 20 bridges cluster 1 (via live member 2) and cluster 5
+    fold_cluster_store(
+        spark.createDataFrame([(20,)], "doc_id long"),
+        spark.createDataFrame([(20, 2), (20, 5)], "id_a long, id_b long"),
+        t,
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_cluster_store(spark, t).collect()
+    }
+    # everything merged under the (stale, forgotten) minimum label 1
+    assert got == {2: 1, 5: 1, 20: 1}
+    compact_cluster_store(spark, t)
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_cluster_store(spark, t).collect()
+    }
+    assert got2 == {2: 2, 5: 2, 20: 2}
+    for s in (t, f"{t}__remap", f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The bloom-prefilter decontamination plan is bit-identical to the
+    broadcast-exact one (bloom FPs die in the exact join; no false
+    negatives), with and without the benchmark-df cap."""
+    from sparsity_spark.operators.pipeline import decontaminate, decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    for cap in (None, 20):
+        exact = {
+            (r["doc_id"], r["n_shared_grams"], r["n_bench_docs"])
+            for r in decontaminate(train, bench, max_bench_df=cap).collect()
+        }
+        bloom = {
+            (r["doc_id"], r["n_shared_grams"], r["n_bench_docs"])
+            for r in decontaminate_bloom(train, bench, max_bench_df=cap).collect()
+        }
+        assert bloom == exact and len(exact) > 0

@@ -152,6 +152,18 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "benchmark shingles must broadcast"
 
 
+def test_decontaminate_bloom_prefilters_mapside(spark, sf_dir):
+    """decontaminate_bloom's bitmap probe must run as a codegen Filter on
+    the TRAIN side BELOW the exact gram join — the whole point of the
+    operator is that at 100 TB the join input is only the prefilter's
+    survivors. xxhash64(shingle, seed) is the probe's fingerprint; it must
+    appear in a Filter node, and never inside a Python-UDF stage."""
+    plan = formatted_plan(QUERIES["pipe_decontaminate_bloom"](spark, sf_dir))
+    assert re.search(r"Filter \[codegen[^\]]*\]|\(\d+\) Filter", plan)
+    assert "xxhash64" in plan, "bloom probe must be an expression filter"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_domain_cap_uses_window_group_limit(spark, sf_dir):
     """cap_per_domain's row_number filter must rewrite to partial+final
     WindowGroupLimit — per-domain state bounded at the cap on both shuffle
