@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     # decontamination plan
     "dedup_hash_forget",
     "dedup_cluster_forget",
+    "dedup_member_forget",
     "pipe_decontaminate_bloom",
 ]
 

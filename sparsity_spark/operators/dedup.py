@@ -1455,8 +1455,11 @@ def write_member_store(
     each increment re-shuffles all of it just to screen a batch. Pick
     ``num_buckets`` for the deployed store size (buckets ≈ rows · (d·8 B +
     ~16 B) / 128 MB); fixed at write time, as bucketing requires."""
-    from sparsity_spark.operators.skew import write_bucketed
+    from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
 
+    # fresh build = fresh lifecycle (the band store's r11 rule): stale
+    # tombstones from a dead incarnation would hide the new corpus's rows
+    _drop_table_and_location(embeddings.sparkSession, f"{table}__tombstones")
     rows = semantic_member_store(embeddings, centroids, id_col, vec_col)
     write_bucketed(rows, table, ["cid"], num_buckets)
 
@@ -1464,8 +1467,58 @@ def write_member_store(
 def member_store(spark, table: str) -> DataFrame:
     """Open a member store written by :func:`write_member_store` — a plain
     catalog read; the cid bucketing metadata rides along, so the semantic
-    screen's cid-keyed join skips the corpus-side Exchange automatically."""
-    return spark.table(table)
+    screen's cid-keyed join skips the corpus-side Exchange automatically.
+    Tombstoned vectors (:func:`remove_from_member_store`) are anti-joined
+    out here (broadcast, deletion-sized), so every screen forgets them
+    immediately; the bucketed scan + broadcast anti-join still plans
+    with no corpus-side Exchange."""
+    df = spark.table(table)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        idc = spark.table(tt).columns[0]
+        df = df.join(F.broadcast(spark.table(tt).distinct()), idc, "left_anti")
+    return df
+
+
+def remove_from_member_store(
+    ids: DataFrame, table: str, id_col: str = "vec_id"
+) -> None:
+    """Right-to-be-forgotten for the SEMANTIC member store — the fifth
+    and last persisted store to gain the forget lifecycle (IVF-PQ index,
+    containment lake, band lake, hash ledger, and now SemDeDup members):
+    tombstone the vector ids; :func:`member_store` anti-joins them out
+    of every screen read, so a forgotten vector stops semantically
+    suppressing new arrivals immediately with zero store rewrite.
+    Idempotent (duplicate tombstones are harmless under the anti-join);
+    physical removal is :func:`compact_member_store`."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    ids.select(F.col(id_col)).distinct().localCheckpoint(eager=True).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(tt)
+
+
+def compact_member_store(spark, table: str) -> None:
+    """Physically remove tombstoned member rows: rewrite the live rows
+    through the store's own cid bucket spec, THEN drop the tombstone
+    table — the rewrite-then-clear ordering of the whole forget family
+    (a crash between leaves harmless tombstones; the reverse would
+    resurrect forgotten vectors)."""
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        return
+    live = member_store(spark, table).localCheckpoint(eager=True)
+    nb = _table_bucket_count(spark, table)
+    live.write.mode("overwrite").bucketBy(nb, "cid").format("parquet").saveAsTable(
+        table
+    )
+    _drop_table_and_location(spark, tt)
 
 
 def append_member_store(

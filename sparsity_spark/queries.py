@@ -8396,15 +8396,22 @@ def dedup_semdedup_q(spark, sf_dir):
     )
 
 
-def _semantic_screen_oracle(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
+def _semantic_screen_oracle(
+    k: int = 8, iters: int = 2, threshold: float = 0.3,
+    members_where: str | None = None,
+) -> str:
     """kmeans trained on the CORPUS (vec_id % 10 <> 0), batch rows assigned
     to the same centroids, then NOT EXISTS a corpus member of the same
     cluster at round-6 cosine >= threshold — the incremental SemDeDup
-    screen in SQL."""
+    screen in SQL. ``members_where`` restricts the member set (the forget
+    row screens against the SURVIVING corpus; centroids stay trained on
+    the full one, matching the Spark side)."""
     parts = _kmeans_cte_parts(k, iters, src_where="vec_id % 10 <> 0")
     parts.append(_KMEANS_ASSIGN_CTE.format(out="cm", cin=f"c{iters}").strip())
+    mw = f" WHERE {members_where}" if members_where else ""
     parts.append(
-        "members AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS nrm FROM cm)"
+        "members AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS nrm"
+        f" FROM cm{mw})"
     )
     parts.append(
         """vb AS (
@@ -10494,6 +10501,49 @@ def dedup_cluster_forget_q(spark, sf_dir):
     return resolve_cluster_store(spark, table)
 
 
+@query(
+    "dedup_member_forget",
+    _semantic_screen_oracle(8, 2, 0.3, members_where="vec_id % 3 = 0"),
+)
+def dedup_member_forget_q(spark, sf_dir):
+    """Right-to-be-forgotten in the SEMANTIC member store — the fifth
+    and last persisted store to gain the forget lifecycle: the 90%
+    corpus member store is built (centroids trained on the full corpus —
+    a metadata-sized model, not per-vector state, so forgets don't
+    retrain it), one third forgotten pre-compaction
+    (``remove_from_member_store`` — the tombstone anti-join rides inside
+    ``member_store``, so every screen forgets immediately), the store
+    COMPACTED (physical rewrite through the cid bucket spec, tombstones
+    cleared), the second third forgotten post-compaction — then the 10%
+    batch screens at cosine 0.3. A forgotten vector must STOP
+    semantically suppressing new arrivals (18 keep-decisions flip at
+    sf0.01); the oracle screens against exactly the surviving third."""
+    from sparsity_spark.operators.dedup import (
+        compact_member_store,
+        member_store,
+        remove_from_member_store,
+        semantic_screen,
+        write_member_store,
+    )
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit(corpus, k=8, iters=2)
+    table = "member_forget_q"
+    write_member_store(corpus, cents, table, num_buckets=8)
+    remove_from_member_store(
+        corpus.filter(F.col("vec_id") % 3 == 1).select("vec_id"), table
+    )
+    compact_member_store(spark, table)
+    remove_from_member_store(
+        corpus.filter(F.col("vec_id") % 3 == 2).select("vec_id"), table
+    )
+    store = member_store(spark, table)
+    return semantic_screen(batch, store, cents, threshold=0.3).select("vec_id", "cid")
+
+
 @query("pipe_decontaminate_bloom", ORACLES["pipe_decontaminate"])
 def pipe_decontaminate_bloom_q(spark, sf_dir):
     """pipe_decontaminate's exact semantics through the BLOOM-prefilter
@@ -10550,7 +10600,7 @@ _FIRST_50 = [
     # oldest driver evidence in the repo; all sweep-green every round)
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q18_large_volume_orders", "q10_returned_item_revenue",
-    "q12_priority_by_linestatus", "q14_promo_revenue_share",
+    "q12_priority_by_linestatus",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
@@ -10561,10 +10611,11 @@ _FIRST_50 = [
     "dedup_band_forget",          # band-lake right-to-be-forgotten
     # born late-r11 (continuation session): the forget family completed
     # across every persisted store + the bloom-prefilter decontamination
-    # plan (q11/q15/q19 backfill rows rotated out — all have r2-r5 driver
-    # evidence and are sweep-green every round)
+    # plan (q11/q15/q19/q14 backfill rows rotated out — all have r2-r5
+    # driver evidence and are sweep-green every round)
     "dedup_hash_forget",          # exact-ledger right-to-be-forgotten
     "dedup_cluster_forget",       # membership forget + label re-election
+    "dedup_member_forget",        # semantic member-store forget
     "pipe_decontaminate_bloom",   # map-side bloom prefilter, exact result
     ]
 

@@ -954,3 +954,48 @@ def test_decontaminate_bloom_equals_exact(spark, sf_dir):
             for r in decontaminate_bloom(train, bench, max_bench_df=cap).collect()
         }
         assert bloom == exact and len(exact) > 0
+
+
+def test_member_store_forget_lifecycle(spark):
+    """A tombstoned member vector stops semantically suppressing its
+    near-twin immediately; compaction physically removes its row and
+    clears the tombstones with screening bit-identical around it;
+    forgetting after compaction still works."""
+    from sparsity_spark.operators.dedup import (
+        compact_member_store,
+        member_store,
+        remove_from_member_store,
+        semantic_screen,
+        write_member_store,
+    )
+    from sparsity_spark.operators.similarity import kmeans_fit
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    cents = kmeans_fit(corpus, k=2, iters=2)
+    t = "member_forget_t"
+    write_member_store(corpus, cents, t, num_buckets=4)
+    batch = spark.createDataFrame([(10, [1.0, 0.0, 0.0, 0.0])], schema)
+
+    def kept():
+        return {
+            r["vec_id"]
+            for r in semantic_screen(
+                batch, member_store(spark, t), cents, threshold=0.9
+            ).collect()
+        }
+
+    assert kept() == set()  # suppressed by its stored twin
+    remove_from_member_store(spark.createDataFrame([(1,)], "vec_id long"), t)
+    assert kept() == {10}  # twin forgotten -> arrival survives
+    rows_before = spark.table(t).count()
+    compact_member_store(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__tombstones")
+    assert spark.table(t).count() < rows_before
+    assert kept() == {10}  # bit-identical around compaction
+    remove_from_member_store(spark.createDataFrame([(2,)], "vec_id long"), t)
+    assert spark.table(t).count() > member_store(spark, t).count()
+    for s in (t, f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
