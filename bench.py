@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "dedup_cluster_forget",
     "dedup_member_forget",
     "pipe_decontaminate_bloom",
+    "pipe_snapshot_diff",
 ]
 
 

@@ -151,6 +151,49 @@ def merge_upsert(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two curated-dataset snapshots: which documents were ADDED,
+    REMOVED, or MODIFIED between releases — the audit artifact every
+    dataset release pipeline publishes next to the data (and the input
+    to incremental downstream rebuilds: retrain only on the diff).
+
+    Both sides project to (id, md5(text)) BEFORE the join, so at 100 TB
+    the full-outer join ships 32-byte hashes, never document text; if
+    the snapshots are stored bucketed by the id the join is co-located
+    with no shuffle at all. Hash comparison is NULL-SAFE (a NULL-text
+    doc differs from a non-NULL one, and two NULL texts match), and
+    unchanged docs are absent from the output, so the result is
+    diff-sized, not corpus-sized.
+
+    Returns (id_col, status) with status ∈ 'added' | 'removed' |
+    'modified'."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old__"))
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__h_new__"),
+        F.lit(1).alias("__in_new__"),
+    )
+    # the presence markers (not the hash columns) decide existence:
+    # a NULL hash is a real value (NULL text), never "absent"
+    o = o.withColumn("__in_old__", F.lit(1))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__h_old__").eqNullSafe(F.col("__h_new__")), F.lit("modified")
+        )
+    )
+    return j.select(F.col(id_col), status.alias("status")).where(
+        F.col("status").isNotNull()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -10544,6 +10544,48 @@ def dedup_member_forget_q(spark, sf_dir):
     return semantic_screen(batch, store, cents, threshold=0.3).select("vec_id", "cid")
 
 
+@query(
+    "pipe_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 1
+    ),
+    n AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 13 <> 2
+    )
+    SELECT * FROM (
+      SELECT doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h IS DISTINCT FROM n.h THEN 'modified' END AS status
+      FROM o FULL JOIN n USING (doc_id)
+    ) WHERE status IS NOT NULL
+    """,
+)
+def pipe_snapshot_diff_q(spark, sf_dir):
+    """Dataset-release diff: two synthetic snapshots of the documents
+    lake (old = all but the %13==1 slice; new = all but the %13==2
+    slice, with every %5==0 doc's text edited) diffed into
+    added/removed/modified — the audit artifact a release pipeline
+    publishes next to the data. Both sides hash map-side before the
+    full-outer join, so only (id, md5) pairs ever shuffle; unchanged
+    docs are absent, making the result diff-sized. All three statuses
+    fire by construction."""
+    from sparsity_spark.operators.pipeline import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 1)
+    new = docs.filter(F.col("doc_id") % 13 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
 @query("pipe_decontaminate_bloom", ORACLES["pipe_decontaminate"])
 def pipe_decontaminate_bloom_q(spark, sf_dir):
     """pipe_decontaminate's exact semantics through the BLOOM-prefilter
@@ -10600,7 +10642,6 @@ _FIRST_50 = [
     # oldest driver evidence in the repo; all sweep-green every round)
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q18_large_volume_orders", "q10_returned_item_revenue",
-    "q12_priority_by_linestatus",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
@@ -10617,6 +10658,7 @@ _FIRST_50 = [
     "dedup_cluster_forget",       # membership forget + label re-election
     "dedup_member_forget",        # semantic member-store forget
     "pipe_decontaminate_bloom",   # map-side bloom prefilter, exact result
+    "pipe_snapshot_diff",         # release diff: added/removed/modified
     ]
 
 def _apply_registry_order() -> None:

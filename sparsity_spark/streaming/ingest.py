@@ -1008,14 +1008,23 @@ def streaming_tombstone_maintain(
     index_table: str,
     id_col: str = "vec_id",
     sink=None,
+    remover=None,
 ):
-    """Streaming deletion-request ingestion for the persisted IVF-PQ
-    index (r11 — the lifecycle complement of ``streaming_index_and_
-    screen``): each micro-batch of ids folds into the index's
-    ``__tombstones`` side table via ``delete_from_ivfpq_index``, so the
-    next ANN query stops surfacing them with zero index rewrite;
-    physical removal stays a maintenance-schedule
-    ``compact_ivfpq_index`` call.
+    """Streaming deletion-request ingestion for any tombstone-lifecycle
+    store (r11 — the lifecycle complement of ``streaming_index_and_
+    screen``): each micro-batch of ids folds into the store's
+    ``__tombstones`` side table via its forget function, so the next
+    read stops surfacing them with zero store rewrite; physical removal
+    stays a maintenance-schedule compaction call.
+
+    ``remover(ids_df, table, id_col)`` selects the store family —
+    default ``similarity.delete_from_ivfpq_index`` (ANN index); pass
+    ``dedup.remove_from_band_store`` / ``remove_from_hash_store`` /
+    ``remove_from_member_store`` / ``remove_from_cluster_store`` /
+    ``remove_from_containment_store`` to drive those lakes from the
+    same deletion-request stream. All six share the tombstone
+    contract (append-only ``__tombstones`` side table, read-side
+    anti-join), which is what makes one loop serve every store.
 
     Replay safety comes FREE here, unlike every other store loop: a
     tombstone append is naturally idempotent (the read side is an
@@ -1029,18 +1038,19 @@ def streaming_tombstone_maintain(
 
     from sparsity_spark.operators.similarity import delete_from_ivfpq_index
 
+    if remover is None:
+        remover = delete_from_ivfpq_index
+
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         if batch_df.limit(1).count() == 0:
             return
-        delete_from_ivfpq_index(batch_df.select(id_col), index_table, id_col)
+        remover(batch_df.select(id_col), index_table, id_col)
         if sink is not None:
-            n = (
-                spark.table(f"{index_table}__tombstones")
-                .select(id_col)
-                .distinct()
-                .count()
-            )
+            tt = spark.table(f"{index_table}__tombstones")
+            # stores differ in their tombstone column name (the
+            # containment lake normalizes to "id") — count by position
+            n = tt.select(tt.columns[0]).distinct().count()
             sink(
                 spark.createDataFrame([(int(n),)], "n_tombstoned long"),
                 batch_id,

@@ -1519,3 +1519,54 @@ def test_streaming_tombstone_maintain_deletes_and_replays_free(spark, tmp_path):
     )
     replay = ivfpq_index_topk(queries, t).collect()
     assert sorted(map(tuple, replay)) == sorted(map(tuple, after))
+
+
+def test_streaming_tombstone_maintain_generic_remover(spark, tmp_path):
+    """The deletion-request loop drives ANY tombstone-lifecycle store via
+    the remover parameter: a stream of doc ids folds into a BAND store's
+    tombstone table, and the forgotten near-twin stops suppressing its
+    new arrival — same loop, different lake."""
+    from sparsity_spark.operators.dedup import (
+        band_store,
+        incremental_lsh_dedup,
+        remove_from_band_store,
+        write_band_store,
+    )
+    from sparsity_spark.streaming.ingest import streaming_tombstone_maintain
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"u{i}" for i in range(30)))], schema
+    )
+    t = "band_stream_del_t"
+    write_band_store(corpus, t)
+    batch = spark.createDataFrame([(10, base)], schema)  # twin of doc 1
+    assert [
+        r["keep"] for r in incremental_lsh_dedup(batch, band_store(spark, t)).collect()
+    ] == [False]
+
+    src = str(tmp_path / "band_del_stream")
+    spark.createDataFrame([(1,)], "doc_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    counts = {}
+    q = (
+        streaming_tombstone_maintain(
+            spark.readStream.schema("doc_id long").parquet(src),
+            t,
+            id_col="doc_id",
+            sink=lambda df, bid: counts.__setitem__(bid, df.collect()[0][0]),
+            remover=remove_from_band_store,
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "band_del_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert counts[max(counts)] == 1
+    assert [
+        r["keep"] for r in incremental_lsh_dedup(batch, band_store(spark, t)).collect()
+    ] == [True]
+    for s in (t, f"{t}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
