@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "dedup_member_forget",
     "pipe_decontaminate_bloom",
     "pipe_snapshot_diff",
+    "dedup_canonical_quality",
 ]
 
 

@@ -546,6 +546,55 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def canonical_pick(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Per-cluster CANONICAL selection by score — the third keep policy
+    next to keep-first-id (`duplicate_clusters`: survivor = min id) and
+    superset-survives (`containment_clusters`: survivor = largest gram
+    set): when near-dup variants differ in QUALITY (OCR noise, truncated
+    mirrors, boilerplate-wrapped rehosts), the curation pipeline keeps
+    the best-scoring member, not the one that happened to arrive first.
+
+    One hash aggregate: join the cluster labels with the scores
+    (broadcast or co-located — both are one skinny row per doc), then
+    per-cluster `max(struct(score, -id))` picks the highest score with
+    ties broken toward the LOWEST id (the engine-wide deterministic
+    rule). A NULL score ranks below every real one (coalesced to -1,
+    under any real quality in [0, 1]), so a cluster whose every member
+    is unscorable still elects its min id rather than vanishing. Work ∝
+    corpus rows; no join fanout, no window over the corpus.
+
+    Returns (cluster_col, canonical_id, canonical_score, n_members) —
+    cluster-count-sized; canonical_score is NULL when the pick was
+    unscorable."""
+    sc = scores.select(
+        F.col(id_col), F.coalesce(F.col(score_col), F.lit(-1.0)).alias("__s__")
+    )
+    j = labels.select(F.col(id_col), F.col(cluster_col)).join(sc, id_col)
+    return (
+        j.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(F.col("__s__"), (-F.col(id_col)).alias("__ni__"))
+            ).alias("__m__"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            cluster_col,
+            (-F.col("__m__.__ni__")).cast("long").alias("canonical_id"),
+            F.when(F.col("__m__.__s__") >= 0, F.col("__m__.__s__")).alias(
+                "canonical_score"
+            ),
+            "n_members",
+        )
+    )
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -10545,6 +10545,81 @@ def dedup_member_forget_q(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical_quality",
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(length(text) AS BIGINT) AS tc,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS ac
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN tc > 0 THEN CAST((least(n, 100) * (1000000 +
+               (2 * ac * 1000000 + tc) // (2 * tc)) + 100) // 200 AS DOUBLE)
+               / 1000000 END AS quality
+      FROM qm
+    ),
+    jj AS (
+      SELECT lab.doc_id, lab.cluster_id, COALESCE(q.quality, -1.0) AS s
+      FROM lab JOIN q USING (doc_id)
+    ),
+    r AS (
+      SELECT cluster_id, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY s DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM jj
+    )
+    SELECT cluster_id, doc_id AS canonical_id,
+           CASE WHEN s >= 0 THEN s END AS canonical_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_canonical_quality_q(spark, sf_dir):
+    """Canonical selection by QUALITY — the third collapse policy next
+    to keep-first-id and superset-survives: LSH near-dup clusters over
+    the corpus, each electing its highest-quality member (integer-micro
+    composite from ``quality_score``; ties toward the lowest id). One
+    skinny join + one hash aggregate over cluster labels — no window
+    over the corpus, no pair fanout. The oracle re-derives the closure,
+    the exact-micro quality, and the argmax."""
+    from sparsity_spark.operators.dedup import (
+        canonical_pick,
+        duplicate_clusters,
+        lsh_candidate_pairs,
+    )
+    from sparsity_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    return canonical_pick(labels, quality_score(docs))
+
+
+@query(
     "pipe_snapshot_diff",
     """
     WITH o AS (
@@ -10641,7 +10716,7 @@ _FIRST_50 = [
     # staleness backfill: rows whose last driver artifact is r2-r5 (the
     # oldest driver evidence in the repo; all sweep-green every round)
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "q18_large_volume_orders", "q10_returned_item_revenue",
+    "q18_large_volume_orders",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
@@ -10652,13 +10727,14 @@ _FIRST_50 = [
     "dedup_band_forget",          # band-lake right-to-be-forgotten
     # born late-r11 (continuation session): the forget family completed
     # across every persisted store + the bloom-prefilter decontamination
-    # plan (q11/q15/q19/q14 backfill rows rotated out — all have r2-r5
+    # plan (q11/q15/q19/q14/q12/q10 backfill rows rotated out — all have r2-r5
     # driver evidence and are sweep-green every round)
     "dedup_hash_forget",          # exact-ledger right-to-be-forgotten
     "dedup_cluster_forget",       # membership forget + label re-election
     "dedup_member_forget",        # semantic member-store forget
     "pipe_decontaminate_bloom",   # map-side bloom prefilter, exact result
     "pipe_snapshot_diff",         # release diff: added/removed/modified
+    "dedup_canonical_quality",    # quality-argmax canonical selection
     ]
 
 def _apply_registry_order() -> None:

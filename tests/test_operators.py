@@ -158,6 +158,35 @@ def test_duplicate_clusters_chain_and_singleton(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7}
 
 
+def test_canonical_pick_policies(spark):
+    """Quality-argmax canonical selection: highest score wins, ties break
+    toward the lowest id, an all-NULL-score cluster still elects its min
+    id (with NULL canonical_score), singletons pick themselves."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (30, 30), (31, 30)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),       # argmax 0.9, tie -> id 2
+            (10, None), (11, None),              # unscorable cluster -> min id
+            (20, 0.5),                           # singleton
+            (30, None), (31, 0.1),               # NULL ranks below real score
+        ],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["cluster_id"]: (r["canonical_id"], r["canonical_score"], r["n_members"])
+        for r in dedup.canonical_pick(labels, scores).collect()
+    }
+    assert out == {
+        1: (2, 0.9, 3),
+        10: (10, None, 2),
+        20: (20, 0.5, 1),
+        30: (31, 0.1, 2),
+    }
+
+
 def test_grouped_centroids_match_numpy(spark, sf_dir):
     from sparsity_spark.data import load_table
     from sparsity_spark.operators.similarity import grouped_centroids
