@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "pipe_decontaminate_bloom",
     "pipe_snapshot_diff",
     "dedup_canonical_quality",
+    "pipe_shuffle_shards",
 ]
 
 

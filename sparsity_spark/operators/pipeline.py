@@ -151,6 +151,42 @@ def merge_upsert(
     )
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    num_shards: int,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every
+    pretraining run reads its curated corpus in a pseudo-random order,
+    split into shard files — and the order must be REPRODUCIBLE (same
+    corpus + same salt ⇒ same order, on any cluster size or engine) and
+    re-drawable (new salt ⇒ fresh order for the next epoch).
+
+    The draw is ``md5(salt ':' id)`` — content-addressed like every
+    other sampling op here, never an RNG — giving each doc a shard
+    (first 8 hex digits mod num_shards) and a position within its shard
+    (rank by the full hash, ids as the total-order tiebreak). The
+    within-shard sort is a WINDOW PARTITIONED BY SHARD, so at 100 TB
+    there is no global sort: each shard sorts independently after one
+    hash-partitioned exchange, exactly the layout the shard writer
+    needs (`partitionBy(shard) ... sortWithinPartitions`).
+
+    Returns (id_col, shard int, pos long) — pos is 0-based."""
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    base = docs.select(F.col(id_col), h.alias("__h__"))
+    shard = F.pmod(
+        F.conv(F.substring(F.col("__h__"), 1, 8), 16, 10).cast("long"),
+        F.lit(num_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h__"), F.col(id_col))
+    return (
+        base.withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -10620,6 +10620,37 @@ def dedup_canonical_quality_q(spark, sf_dir):
 
 
 @query(
+    "pipe_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hh,
+             CAST(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 16 AS INTEGER)
+               AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def pipe_shuffle_shards_q(spark, sf_dir):
+    """Deterministic training-order shuffle into 16 shards (salt 'ep1'):
+    content-addressed md5 draw — same corpus + salt reproduces the same
+    order on any engine or cluster size; a new salt re-draws the next
+    epoch. Within-shard positions come from a window PARTITIONED BY
+    shard, so no global sort exists in the plan — each shard sorts
+    independently after one hash exchange, the exact layout a shard
+    writer consumes."""
+    from sparsity_spark.operators.pipeline import shuffle_shards
+
+    return shuffle_shards(load_table(spark, sf_dir, "documents"), 16, salt="ep1")
+
+
+@query(
     "pipe_snapshot_diff",
     """
     WITH o AS (
@@ -10716,7 +10747,6 @@ _FIRST_50 = [
     # staleness backfill: rows whose last driver artifact is r2-r5 (the
     # oldest driver evidence in the repo; all sweep-green every round)
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "q18_large_volume_orders",
     "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
@@ -10727,7 +10757,7 @@ _FIRST_50 = [
     "dedup_band_forget",          # band-lake right-to-be-forgotten
     # born late-r11 (continuation session): the forget family completed
     # across every persisted store + the bloom-prefilter decontamination
-    # plan (q11/q15/q19/q14/q12/q10 backfill rows rotated out — all have r2-r5
+    # plan (q11/q15/q19/q14/q12/q10/q18 backfill rows rotated out — all have r2-r5
     # driver evidence and are sweep-green every round)
     "dedup_hash_forget",          # exact-ledger right-to-be-forgotten
     "dedup_cluster_forget",       # membership forget + label re-election
@@ -10735,6 +10765,7 @@ _FIRST_50 = [
     "pipe_decontaminate_bloom",   # map-side bloom prefilter, exact result
     "pipe_snapshot_diff",         # release diff: added/removed/modified
     "dedup_canonical_quality",    # quality-argmax canonical selection
+    "pipe_shuffle_shards",        # deterministic epoch shuffle + sharding
     ]
 
 def _apply_registry_order() -> None:

@@ -164,6 +164,16 @@ def test_decontaminate_bloom_prefilters_mapside(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_shuffle_shards_no_global_sort(spark, sf_dir):
+    """shuffle_shards' within-shard ranking must never plan a GLOBAL
+    sort: the window is partitioned by shard, so the only exchange is
+    hash partitioning on the shard key — at 100 TB a range-partitioned
+    total order would be the bottleneck this operator exists to avoid."""
+    plan = formatted_plan(QUERIES["pipe_shuffle_shards"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert re.search(r"hashpartitioning\(shard", plan), plan[:500]
+
+
 def test_domain_cap_uses_window_group_limit(spark, sf_dir):
     """cap_per_domain's row_number filter must rewrite to partial+final
     WindowGroupLimit — per-domain state bounded at the cap on both shuffle
