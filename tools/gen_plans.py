@@ -206,6 +206,33 @@ PICKS = {
         "buckets — min_by/max_by combine map-side like any agg, so the "
         "plan is a plain single-shuffle groupBy at any scale."
     ),
+    "pipe_decontaminate_bloom": (
+        "Bloom-prefilter decontamination (r11): the k-probe bitmap test "
+        "is a codegen Filter on the TRAIN side BELOW the exact gram join "
+        "(xxhash64 expressions, zero Python) — at 100 TB only the "
+        "prefilter's survivors reach the join, the regime where the "
+        "benchmark gram set is too big to broadcast raw."
+    ),
+    "pipe_snapshot_diff": (
+        "Release diff (r11): both snapshots project to (id, md5) BEFORE "
+        "the full-outer SortMergeJoin — document text never shuffles, "
+        "only 32-byte hashes; the status CASE is a post-join projection "
+        "and unchanged docs are filtered, so the output is diff-sized."
+    ),
+    "dedup_canonical_quality": (
+        "Canonical selection by quality (r11): cluster labels join the "
+        "scored corpus (one skinny row per doc each side) and ONE "
+        "partial+final max(struct(score, -id)) hash aggregate elects "
+        "each cluster's canonical — no corpus-wide window, no pair "
+        "fanout."
+    ),
+    "pipe_shuffle_shards": (
+        "Deterministic epoch shuffle (r11): hashpartitioning(shard) is "
+        "the ONLY exchange — the ranking window is partitioned by shard, "
+        "so no range-partitioned global sort exists at any scale "
+        "(plan-asserted); each shard sorts independently, exactly the "
+        "shard-writer layout."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
@@ -227,9 +254,20 @@ def main() -> None:
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = [HEADER]
+    # iterative operators (label propagation, multi-stage stores) carry
+    # megabyte-deep lineage trees; the audit-relevant shape is the top of
+    # the tree, so cap each dump — a truncated plan is readable, a 3 MB
+    # one is not
+    max_lines = 200
     for name, note in PICKS.items():
         df = QUERIES[name](spark, sf_dir)
         tree = df._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        lines = tree.split("\n")
+        if len(lines) > max_lines:
+            tree = "\n".join(lines[:max_lines]) + (
+                f"\n... [{len(lines) - max_lines} more lines truncated —"
+                " iterative-lineage tail]"
+            )
         out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
