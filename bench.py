@@ -199,6 +199,12 @@ BENCH_QUERIES = [
     "pipe_snapshot_diff",
     "dedup_canonical_quality",
     "pipe_shuffle_shards",
+    # r11 second continuation: leakage-safe split, cross-doc boilerplate,
+    # per-source dup observability
+    "pipe_leakage_safe_split",
+    "text_boilerplate_fraction",
+    "pipe_source_dup_profile",
+    "pipe_decontaminate_fuzzy_store",
 ]
 
 

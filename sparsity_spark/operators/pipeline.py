@@ -46,6 +46,120 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def split_by_cluster(
+    labels: DataFrame,
+    splits: dict[str, int] | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """LEAKAGE-SAFE split assignment: hash the near-dup CLUSTER label
+    instead of the document id, so every member of a cluster lands in
+    the SAME split. A per-doc hash split (`split_assign`) puts near-
+    duplicate variants of one document on both sides of the train/test
+    boundary — the eval set then scores memorization, not
+    generalization. Hashing the cluster label makes cross-split
+    near-dup leakage structurally impossible: two docs can only
+    disagree on split if they disagree on cluster, and near-dups share
+    a cluster by construction.
+
+    `labels` is `duplicate_clusters`' output (id + cluster label); the
+    split is a pure projection over it — the clustering pass is the
+    only distributed work, and it is shared with the dedup pipeline
+    that already runs. Singleton docs hash their own id (their label),
+    so the split proportions still hold corpus-wide.
+    """
+    return split_assign(labels, cluster_col, splits)
+
+
+def cross_split_leakage(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Train/test leakage audit: near-dup candidate pairs whose
+    endpoints sit in DIFFERENT splits. Returns (split_a, split_b,
+    n_pairs) — empty/zero is the certificate a leakage-safe split
+    policy must produce, and the count a naive per-doc split pays.
+
+    Two id-keyed joins of the pair table against the skinny
+    (id, split) assignment — pair-sized work; the assignment side is
+    a projection, so at corpus scale both joins broadcast whenever
+    pairs ≪ corpus and otherwise co-partition on id."""
+    a, b = pair_cols
+    sa = assignment.select(F.col(id_col).alias(a), F.col(split_col).alias("split_a"))
+    sb = assignment.select(F.col(id_col).alias(b), F.col(split_col).alias("split_b"))
+    return (
+        pairs.select(a, b)
+        .join(sa, a)
+        .join(sb, b)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def source_dup_profile(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication observability: for each source, how many
+    docs it contributes, how many are exact duplicates (NOT their md5
+    group's keeper — the keep-first rule), how many are near-duplicate
+    cluster members (NOT their cluster's minimum id), and the two rates
+    in round-half-up integer micros. The near-dup count is a superset
+    of the exact count when `labels` comes from LSH pairs (identical
+    texts share every band). This is the curation dashboard row that
+    tells you WHICH feed is flooding the corpus with rehosts before you
+    pay for the collapse.
+
+    One hash aggregate over md5(text) for the exact keepers, two skinny
+    id-keyed joins (exact keeper + cluster label), one final per-source
+    aggregate — work ∝ corpus rows; no pair fanout here (the clustering
+    pass is shared input)."""
+    unit = 1_000_000
+    keepers = (
+        docs.select(F.md5(F.col(text_col)).alias("__h__"), F.col(id_col))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias("__keep__"))
+    )
+    base = (
+        docs.select(F.col(id_col), F.col(group_col), F.md5(F.col(text_col)).alias("__h__"))
+        .join(keepers, "__h__")
+        .join(labels.select(F.col(id_col), "cluster_id"), id_col)
+        .select(
+            group_col,
+            (F.col(id_col) != F.col("__keep__")).cast("long").alias("__xd__"),
+            (F.col(id_col) != F.col("cluster_id")).cast("long").alias("__nd__"),
+        )
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__xd__").cast("long").alias("n_exact_dups"),
+            F.sum("__nd__").cast("long").alias("n_near_dups"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_exact_dups",
+            "n_near_dups",
+            F.expr(
+                f"cast((2 * n_exact_dups * {unit} + n_docs) div (2 * n_docs)"
+                f" as double) / {unit}"
+            ).alias("exact_rate"),
+            F.expr(
+                f"cast((2 * n_near_dups * {unit} + n_docs) div (2 * n_docs)"
+                f" as double) / {unit}"
+            ).alias("near_rate"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -421,6 +535,205 @@ def fuzzy_decontaminate(
     # union size (e.g. 128) lands EXACTLY on a …5·10⁻⁷ tie, where Spark's
     # BigDecimal HALF_UP and DuckDB's float ROUND split (the r10
     # quality-score lesson)
+    j_micro = F.expr(
+        "cast((2 * __c__ * 1000000 + (__sa__ + __sb__ - __c__))"
+        " div (2 * (__sa__ + __sb__ - __c__)) as double) / 1000000"
+    )
+    return verified.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bench_matches"),
+        F.max(j_micro).alias("max_jaccard"),
+    )
+
+
+def write_benchmark_store(
+    benchmark: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the eval-suite lake as a DECONTAMINATION REFERENCE — the
+    store form of :func:`fuzzy_decontaminate`'s benchmark side, for the
+    regime where the held-out suite is itself a lake (every benchmark,
+    every paraphrase set, every canary collection) that each training
+    release re-screens against. Recomputing its minhashes and gram sets
+    per release re-reads the whole suite; the store computes them ONCE.
+
+    Two tables: ``{table}__bands`` — (bench_id, band, band_key) bucketed
+    by (band, band_key), so the candidate join against a training
+    release plans a bare bucketed scan on the benchmark side (only the
+    training bands shuffle, into the store's bucket count); and
+    ``{table}__grams`` — (bench_id, grams) bucketed by bench_id, so the
+    exact-Jaccard verify join is Exchange-free on the store side too.
+    A fresh build clears stale tombstones from any dead incarnation
+    (the write_band_store rule)."""
+    from sparsity_spark.operators.dedup import band_keys, shingles_expr, words_expr
+    from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
+
+    _drop_table_and_location(benchmark.sparkSession, f"{table}__tombstones")
+    b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
+    write_bucketed(
+        b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
+        f"{table}__bands",
+        ["band", "band_key"],
+        num_buckets,
+    )
+    g = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
+    )
+    write_bucketed(g, f"{table}__grams", ["bench_id"], num_buckets)
+
+
+def append_benchmark_store(
+    benchmark: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Add a new benchmark drop to the store (a fresh eval suite ships):
+    band and gram rows append through the existing bucket specs (Spark
+    validates them against the tables), so the store stays
+    shuffle-free-joinable forever. Caller contract: ids are new
+    (append-only lake discipline, the append_band_store rule)."""
+    from sparsity_spark.operators.dedup import (
+        _table_bucket_count,
+        band_keys,
+        shingles_expr,
+        words_expr,
+    )
+
+    spark = benchmark.sparkSession
+    b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
+    (
+        b.select(F.col(id_col).alias("bench_id"), "band", "band_key")
+        .write.mode("append")
+        .bucketBy(_table_bucket_count(spark, f"{table}__bands"), "band", "band_key")
+        .format("parquet")
+        .saveAsTable(f"{table}__bands")
+    )
+    (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
+        )
+        .write.mode("append")
+        .bucketBy(_table_bucket_count(spark, f"{table}__grams"), "bench_id")
+        .format("parquet")
+        .saveAsTable(f"{table}__grams")
+    )
+
+
+def remove_from_benchmark_store(ids: DataFrame, table: str, id_col: str = "bench_id") -> None:
+    """Right-to-be-forgotten / benchmark-retirement for the
+    decontamination reference: tombstone the bench ids — every
+    subsequent :func:`fuzzy_decontaminate_store` read anti-joins them
+    out (broadcast, deletion-sized), so a retired or takedown'd
+    benchmark stops flagging training docs immediately with zero store
+    rewrite. Idempotent; physical removal is
+    :func:`compact_benchmark_store`."""
+    spark = ids.sparkSession
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        # a stale on-disk location from a dropped incarnation would make
+        # the first append fail — clear it (the remove_from_band_store rule)
+        from sparsity_spark.operators.skew import _drop_table_and_location
+
+        _drop_table_and_location(spark, tt)
+    ids.select(F.col(id_col).alias("bench_id")).distinct().localCheckpoint(
+        eager=True
+    ).write.mode("append").format("parquet").saveAsTable(tt)
+
+
+def compact_benchmark_store(spark, table: str) -> None:
+    """Physically remove tombstoned benchmark rows: rewrite both store
+    tables' live rows through their own bucket specs, THEN drop the
+    tombstone table — rewrite-then-clear, so a crash between the steps
+    leaves harmless tombstones (the reverse order would resurrect
+    retired benchmarks)."""
+    from sparsity_spark.operators.dedup import _table_bucket_count
+    from sparsity_spark.operators.skew import _drop_table_and_location
+
+    tt = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tt):
+        return
+    bands_t, grams_t = f"{table}__bands", f"{table}__grams"
+    live_b = _benchmark_side(spark, table, bands_t).localCheckpoint(eager=True)
+    live_g = _benchmark_side(spark, table, grams_t).localCheckpoint(eager=True)
+    live_b.write.mode("overwrite").bucketBy(
+        _table_bucket_count(spark, bands_t), "band", "band_key"
+    ).format("parquet").saveAsTable(bands_t)
+    live_g.write.mode("overwrite").bucketBy(
+        _table_bucket_count(spark, grams_t), "bench_id"
+    ).format("parquet").saveAsTable(grams_t)
+    _drop_table_and_location(spark, tt)
+
+
+def _benchmark_side(spark, table: str, side_table: str) -> DataFrame:
+    """One store table with tombstoned bench ids anti-joined out
+    (broadcast, deletion-sized — the bucketed scan stays Exchange-free)."""
+    df = spark.table(side_table)
+    tt = f"{table}__tombstones"
+    if spark.catalog.tableExists(tt):
+        df = df.join(
+            F.broadcast(spark.table(tt).distinct()), "bench_id", "left_anti"
+        )
+    return df
+
+
+def fuzzy_decontaminate_store(
+    train: DataFrame,
+    table: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """:func:`fuzzy_decontaminate` against the PERSISTED benchmark store
+    — identical semantics and output schema, different plan: the
+    benchmark side is never recomputed and never shuffled (bucketed
+    scans on both the band-candidate join and the gram-verify join;
+    only the training release's bands and candidate rows move), so the
+    per-release screening cost excludes the whole eval-suite lake. The
+    training side still computes bands + gram sets in one pass each —
+    work ∝ release size, not suite size."""
+    from sparsity_spark.operators.dedup import band_keys, shingles_expr, words_expr
+
+    spark = train.sparkSession
+    t = float(threshold)
+    tb = band_keys(train, id_col, text_col, k)
+    bb = _benchmark_side(spark, table, f"{table}__bands")
+    cand = (
+        tb.join(bb, ["band", "band_key"])
+        .select(F.col(id_col), F.col("bench_id"))
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
+    )
+    bg = _benchmark_side(spark, table, f"{table}__grams").select(
+        "bench_id", F.col("grams").alias("__g_b__")
+    )
+    verified = (
+        cand.join(tg, id_col)
+        .join(bg, "bench_id")
+        .select(
+            F.col(id_col),
+            F.size(F.array_intersect("__g_t__", "__g_b__")).cast("long").alias("__c__"),
+            F.size("__g_t__").cast("long").alias("__sa__"),
+            F.size("__g_b__").cast("long").alias("__sb__"),
+        )
+        .where(
+            F.col("__c__") / (F.col("__sa__") + F.col("__sb__") - F.col("__c__")) >= t
+        )
+    )
     j_micro = F.expr(
         "cast((2 * __c__ * 1000000 + (__sa__ + __sb__ - __c__))"
         " div (2 * (__sa__ + __sb__ - __c__)) as double) / 1000000"

@@ -256,6 +256,70 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def boilerplate_fraction(
+    docs: DataFrame,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """CROSS-document boilerplate share — the corpus-level complement of
+    `repetition_stats` (which only sees inside one doc): for each doc,
+    the fraction of its DISTINCT word k-grams that are corpus-common
+    (document frequency >= min_df). A page that is mostly navigation
+    chrome, cookie banners, and license headers scores high even though
+    no single n-gram repeats WITHIN it — exactly the docs the within-doc
+    filters miss and a near-dup pass only half-catches (shared chrome
+    rarely clears a whole-doc similarity threshold).
+
+    Shape: one explode of the per-doc distinct-gram projection, ONE
+    partial+final hash aggregate for gram document frequency, a
+    gram-keyed join back (AQE's skew-join split handles the "terms of
+    service" gram that appears in a billion docs), then a per-doc
+    aggregate. The fraction is round-half-up integer micros —
+    ``(2·n_common·10⁶ + n_grams) div (2·n_grams)`` — so no engine ever
+    rounds a double; docs with fewer than k words have zero grams and
+    a NULL fraction.
+
+    Returns (id_col, n_grams, n_common, boilerplate)."""
+    from sparsity_spark.operators.dedup import shingles_expr, words_expr
+
+    unit = 1_000_000
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(words_expr(text_col), k))).alias(
+            "gram"
+        ),
+    )
+    dft = grams.groupBy("gram").agg(F.count("*").cast("long").alias("__df__"))
+    per = (
+        grams.join(dft, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("__df__") >= min_df).cast("long")).cast("long").alias(
+                "n_common"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "boilerplate",
+            F.expr(
+                f"case when n_grams > 0 then cast((2 * n_common * {unit} + n_grams)"
+                f" div (2 * n_grams) as double) / {unit} end"
+            ),
+        )
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB/Go): character classes and bounded repetition only — no
 # lookarounds, no backreferences, no \b (RE2 supports \b but keeping to the

@@ -10714,6 +10714,299 @@ def pipe_decontaminate_bloom_q(spark, sf_dir):
     )
 
 
+@query(
+    "pipe_decontaminate_fuzzy_store",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    tb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+    bb AS (
+      SELECT * FROM bands
+      WHERE doc_id % 20 = 0 AND doc_id % 60 <> 0 AND doc_id % 100 <> 40
+    ),
+    cand AS (
+      SELECT DISTINCT tb.doc_id AS tid, bb.doc_id AS bid
+      FROM tb JOIN bb ON tb.band = bb.band AND tb.band_key = bb.band_key
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    ov AS (
+      SELECT c.tid, c.bid, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cand c
+      JOIN e et ON et.doc_id = c.tid
+      JOIN e eb ON eb.doc_id = c.bid AND eb.gram = et.gram
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS s FROM g),
+    j AS (
+      SELECT ov.tid, ov.c, st.s AS sa, sb.s AS sb
+      FROM ov JOIN sz st ON st.doc_id = ov.tid JOIN sz sb ON sb.doc_id = ov.bid
+    )
+    SELECT tid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           MAX(CAST((2 * c * 1000000 + (sa + sb - c)) // (2 * (sa + sb - c)) AS DOUBLE) / 1000000)
+             AS max_jaccard
+    FROM j
+    WHERE c * 1.0 / (sa + sb - c) >= 0.5
+    GROUP BY tid
+    """,
+)
+def pipe_decontaminate_fuzzy_store_q(spark, sf_dir):
+    """Fuzzy decontamination against the PERSISTED benchmark store (r11)
+    — the full reference lifecycle in one row: the store is written from
+    half the benchmark slice, the other half APPENDED (a new eval suite
+    ships), one-third of benchmarks retired pre-compaction
+    (``remove_from_benchmark_store`` — the tombstone anti-join forgets
+    them in every read immediately), the store COMPACTED (physical
+    rewrite through both bucket specs, tombstones cleared), a second
+    slice retired post-compaction — then the training release screens
+    against it (``fuzzy_decontaminate_store``: bucketed scans on both
+    the band-candidate and gram-verify joins, the suite never
+    recomputed or shuffled). The oracle replays the inline fuzzy
+    pipeline with the retired benchmarks excluded, so a lingering or
+    resurrected benchmark row flips a flag."""
+    from sparsity_spark.operators.pipeline import (
+        append_benchmark_store,
+        compact_benchmark_store,
+        fuzzy_decontaminate_store,
+        remove_from_benchmark_store,
+        write_benchmark_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    table = "bench_store_q"
+    write_benchmark_store(bench.filter(F.col("doc_id") % 40 == 0), table, num_buckets=8)
+    append_benchmark_store(bench.filter(F.col("doc_id") % 40 == 20), table)
+    remove_from_benchmark_store(
+        bench.filter(F.col("doc_id") % 60 == 0).select("doc_id"), table, id_col="doc_id"
+    )
+    compact_benchmark_store(spark, table)
+    remove_from_benchmark_store(
+        bench.filter(F.col("doc_id") % 100 == 40).select("doc_id"),
+        table,
+        id_col="doc_id",
+    )
+    return fuzzy_decontaminate_store(train, table, threshold=0.5)
+
+
+_SPLIT_CASE = "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END"
+_HASH_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "pipe_leakage_safe_split",
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    na AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split
+      FROM (SELECT doc_id, {_HASH_BUCKET.format(col="doc_id")} AS b FROM documents)
+    ),
+    sa AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split
+      FROM (SELECT doc_id, {_HASH_BUCKET.format(col="cluster_id")} AS b FROM lab)
+    ),
+    nx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pairs p
+      JOIN na x ON p.id_a = x.doc_id JOIN na y ON p.id_b = y.doc_id
+      WHERE x.split <> y.split
+    ),
+    sx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pairs p
+      JOIN sa x ON p.id_a = x.doc_id JOIN sa y ON p.id_b = y.doc_id
+      WHERE x.split <> y.split
+    )
+    SELECT 'naive' AS policy,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           (SELECT c FROM nx) AS n_cross_pairs
+    FROM na
+    UNION ALL
+    SELECT 'cluster_safe',
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT c FROM sx)
+    FROM sa
+    """,
+)
+def pipe_leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test split (r11): the naive per-doc hash
+    split scatters near-dup variants of one document across the
+    train/test boundary — the eval set then measures memorization. The
+    cluster-keyed policy (``split_by_cluster``) hashes the LSH near-dup
+    CLUSTER label instead, so cross-split near-dup leakage is
+    structurally zero. One result row per policy with the split sizes
+    and the leaked-pair count (``cross_split_leakage``) — the naive row
+    pays a nonzero n_cross_pairs, the safe row certifies 0. The oracle
+    replays the minhash closure, both hash splits, and both pair
+    audits."""
+    from sparsity_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from sparsity_spark.operators.pipeline import (
+        cross_split_leakage,
+        split_assign,
+        split_by_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).persist()
+    labels = duplicate_clusters(pairs, docs)
+    naive = split_assign(docs.select("doc_id"), "doc_id")
+    safe = split_by_cluster(labels)
+
+    def profile(assign, policy):
+        counts = assign.agg(
+            F.sum((F.col("split") == "train").cast("long")).cast("long").alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long")).cast("long").alias("n_val"),
+            F.sum((F.col("split") == "test").cast("long")).cast("long").alias("n_test"),
+        )
+        leak = cross_split_leakage(pairs, assign).agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_cross_pairs")
+        )
+        return counts.crossJoin(leak).select(
+            F.lit(policy).alias("policy"),
+            "n_train",
+            "n_val",
+            "n_test",
+            "n_cross_pairs",
+        )
+
+    return profile(naive, "naive").unionByName(profile(safe, "cluster_safe"))
+
+
+@query(
+    "text_boilerplate_fraction",
+    f"""
+    WITH g AS ({_SHINGLE_SQL}),
+    d AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY shingle),
+    per AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM g JOIN d USING (shingle) GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_common, 0) AS n_common,
+           CASE WHEN per.n_grams > 0 THEN
+             CAST((2 * per.n_common * 1000000 + per.n_grams)
+                  // (2 * per.n_grams) AS DOUBLE) / 1000000
+           END AS boilerplate
+    FROM documents LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_boilerplate_fraction_q(spark, sf_dir):
+    """Cross-document boilerplate share (r11): per doc, the fraction of
+    its distinct word 3-grams with corpus document frequency >= 3 — the
+    navigation-chrome/cookie-banner/license-header signal the
+    WITHIN-doc repetition filters can't see. One explode, one df hash
+    aggregate, one gram-keyed join back (AQE skew-split owns the
+    mega-common gram), one per-doc aggregate; the fraction is
+    round-half-up integer micros so both engines emit the identical
+    quotient."""
+    from sparsity_spark.operators.text import boilerplate_fraction
+
+    return boilerplate_fraction(
+        load_table(spark, sf_dir, "documents"), min_df=3
+    )
+
+
+@query(
+    "pipe_source_dup_profile",
+    f"""
+    WITH RECURSIVE m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    k AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ),
+    j AS (
+      SELECT d.source,
+             CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS xd,
+             CASE WHEN d.doc_id <> lab.cluster_id THEN 1 ELSE 0 END AS nd
+      FROM documents d
+      JOIN k ON md5(d.text) = k.h
+      JOIN lab ON d.doc_id = lab.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(xd) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(nd) AS BIGINT) AS n_near_dups,
+           CAST((2 * SUM(xd) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS exact_rate,
+           CAST((2 * SUM(nd) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS near_rate
+    FROM j GROUP BY source
+    """,
+)
+def pipe_source_dup_profile_q(spark, sf_dir):
+    """Per-source duplication dashboard (r11): for each source feed, the
+    doc count, exact-duplicate count (not its md5 group's keeper),
+    near-dup cluster-member count (not its LSH cluster's minimum id —
+    a superset of exact), and both rates in round-half-up micros — the
+    observability row that names WHICH feed floods the corpus with
+    rehosts before the collapse runs. Clustering is the shared dedup
+    pass; the profile itself is one md5 aggregate, two skinny joins,
+    one per-source aggregate."""
+    from sparsity_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from sparsity_spark.operators.pipeline import source_dup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    return source_dup_profile(docs, labels)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness verifies only the
 # FIRST 50 registered queries, so the SURVEY §2 operator queries plus the
@@ -10745,9 +11038,9 @@ _FIRST_50 = [
     "pipe_quality_percentile_gate",  # NULL-quality gate fix (ADVICE)
     "text_quality",                  # shared quality_score surface
     # staleness backfill: rows whose last driver artifact is r2-r5 (the
-    # oldest driver evidence in the repo; all sweep-green every round)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "w1_running_sum", "w2_moving_avg", "w3_top_events_per_user",
+    # oldest driver evidence in the repo; all sweep-green every round;
+    # q1/q3/w1 rotated back out for the three born-late-r11 rows below)
+    "q5_regional_revenue", "w3_top_events_per_user",
     "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
     # born mid-r11 — driver-checked immediately rather than waiting a round
@@ -10766,6 +11059,12 @@ _FIRST_50 = [
     "pipe_snapshot_diff",         # release diff: added/removed/modified
     "dedup_canonical_quality",    # quality-argmax canonical selection
     "pipe_shuffle_shards",        # deterministic epoch shuffle + sharding
+    # born late-r11 (second continuation): split-leakage / boilerplate /
+    # source observability
+    "pipe_leakage_safe_split",    # cluster-keyed split + leakage certificate
+    "text_boilerplate_fraction",  # cross-doc common-gram share
+    "pipe_source_dup_profile",    # per-source dup-rate dashboard
+    "pipe_decontaminate_fuzzy_store",  # persisted benchmark-store lifecycle
     ]
 
 def _apply_registry_order() -> None:

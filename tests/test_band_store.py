@@ -999,3 +999,82 @@ def test_member_store_forget_lifecycle(spark):
     assert spark.table(t).count() > member_store(spark, t).count()
     for s in (t, f"{t}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+class TestBenchmarkStore:
+    """r11: persisted decontamination reference — write/append parity,
+    retirement (tombstone) release, compaction equivalence + shrink."""
+
+    @staticmethod
+    def _mk(spark):
+        b1 = " ".join(f"b{i}" for i in range(40))
+        b2 = " ".join(f"c{i}" for i in range(40))
+        bench = spark.createDataFrame(
+            [(100, b1), (200, b2)], "doc_id long, text string"
+        )
+        t1 = " ".join(f"b{i}" for i in range(39)) + " edited"   # near-dup of 100
+        t2 = " ".join(f"c{i}" for i in range(39)) + " altered"  # near-dup of 200
+        t3 = " ".join(f"u{i}" for i in range(40))               # clean
+        train = spark.createDataFrame(
+            [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+        )
+        return bench, train
+
+    def test_append_matches_one_shot_and_inline(self, spark):
+        from sparsity_spark.operators.pipeline import (
+            append_benchmark_store,
+            fuzzy_decontaminate,
+            fuzzy_decontaminate_store,
+            write_benchmark_store,
+        )
+
+        bench, train = self._mk(spark)
+        write_benchmark_store(bench, "bmk_oneshot_t", num_buckets=4)
+        one_shot = sorted(
+            fuzzy_decontaminate_store(train, "bmk_oneshot_t", 0.5).collect()
+        )
+        write_benchmark_store(
+            bench.filter("doc_id = 100"), "bmk_app_t", num_buckets=4
+        )
+        append_benchmark_store(bench.filter("doc_id = 200"), "bmk_app_t")
+        appended = sorted(
+            fuzzy_decontaminate_store(train, "bmk_app_t", 0.5).collect()
+        )
+        inline = sorted(fuzzy_decontaminate(train, bench, 0.5).collect())
+        assert one_shot == appended == inline
+        assert {r.doc_id for r in one_shot} == {1, 2}
+
+    def test_retire_compact_lifecycle(self, spark):
+        from sparsity_spark.operators.pipeline import (
+            compact_benchmark_store,
+            fuzzy_decontaminate_store,
+            remove_from_benchmark_store,
+            write_benchmark_store,
+        )
+
+        bench, train = self._mk(spark)
+        t = "bmk_forget_t"
+        write_benchmark_store(bench, t, num_buckets=4)
+        # retire benchmark 100 -> train doc 1 released immediately
+        remove_from_benchmark_store(
+            spark.createDataFrame([(100,)], "bench_id long"), t
+        )
+        got = {r.doc_id for r in fuzzy_decontaminate_store(train, t, 0.5).collect()}
+        assert got == {2}
+        # re-delivery of the same retirement is a no-op
+        remove_from_benchmark_store(
+            spark.createDataFrame([(100,)], "bench_id long"), t
+        )
+        before = sorted(fuzzy_decontaminate_store(train, t, 0.5).collect())
+        n_bands_before = spark.table(f"{t}__bands").count()
+        compact_benchmark_store(spark, t)
+        after = sorted(fuzzy_decontaminate_store(train, t, 0.5).collect())
+        assert before == after                       # reads bit-identical
+        assert spark.table(f"{t}__bands").count() < n_bands_before  # shrank
+        assert not spark.catalog.tableExists(f"{t}__tombstones")
+        assert spark.table(f"{t}__grams").count() == 1
+        # post-compaction retirement still composes
+        remove_from_benchmark_store(
+            spark.createDataFrame([(200,)], "bench_id long"), t
+        )
+        assert fuzzy_decontaminate_store(train, t, 0.5).count() == 0

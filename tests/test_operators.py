@@ -3305,3 +3305,47 @@ def test_containment_clusters_superset_survives(spark):
     # 1 ⊂ 2 ⊂ 3 chain -> one component rooted at min id 1; 3 (largest) keeps
     assert got[1] == (1, False) and got[2] == (1, False) and got[3] == (1, True)
     assert got[9] == (9, True)  # singleton keeps itself
+
+
+def test_boilerplate_fraction_hand_computed(spark):
+    """r11: cross-doc boilerplate — the gram 'a b c' appears in 3 docs
+    (df=3, common at min_df=3); every other gram is rare. A doc below
+    3 words has zero grams and a NULL fraction."""
+    from sparsity_spark.operators.text import boilerplate_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1"),   # grams: 'a b c','b c x1','c x1 y1' -> 1 common of 3
+            (2, "a b c x2 y2"),
+            (3, "a b c x3 y3"),
+            (4, "p q r s"),       # grams: 'p q r','q r s' -> 0 common of 2
+            (5, "too short"),     # < 3 words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_fraction(docs, min_df=3).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["n_grams"] == 3
+        assert got[i]["n_common"] == 1
+        # (2*1*1e6 + 3) div 6 = 333333 -> 0.333333 (round-half-up micro)
+        assert abs(got[i]["boilerplate"] - 0.333333) < 1e-9
+    assert got[4]["n_grams"] == 2 and got[4]["n_common"] == 0
+    assert got[4]["boilerplate"] == 0.0
+    assert got[5]["n_grams"] == 0 and got[5]["boilerplate"] is None
+
+
+def test_boilerplate_fraction_duplicate_grams_count_once(spark):
+    """A gram repeated WITHIN one doc contributes one distinct gram and
+    one df unit — within-doc repetition is repetition_stats' job."""
+    from sparsity_spark.operators.text import boilerplate_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b c z z2 z3")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_fraction(docs, min_df=2).collect()}
+    # doc 1 grams: 'a b c','b c a','c a b' (each x>1 occurrences, distinct=3)
+    assert got[1]["n_grams"] == 3
+    # only 'a b c' is shared with doc 2 -> df=2 -> common
+    assert got[1]["n_common"] == 1
+    assert got[2]["n_common"] == 1

@@ -587,3 +587,76 @@ def test_fuzzy_decontaminate_flags_edited_leak_only(spark):
     assert r["n_bench_matches"] == 1
     # grams: bench 38, leaked 38, shared 37 -> J = 37/39
     assert abs(r["max_jaccard"] - 37 / 39) < 1e-6
+
+
+def test_split_by_cluster_leakage_free(spark):
+    """r11: near-dup cluster members must land in the SAME split under
+    split_by_cluster, and cross_split_leakage must certify 0 for it —
+    while a naive per-doc split with an engineered cross-split pair is
+    caught with the exact pair count."""
+    from sparsity_spark.operators.dedup import duplicate_clusters
+    from sparsity_spark.operators.pipeline import (
+        cross_split_leakage,
+        split_assign,
+        split_by_cluster,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    naive = split_assign(ids, "doc_id")
+    rows = naive.collect()
+    # engineer a pair that crosses the naive boundary: two ids whose
+    # per-doc hash buckets landed in different splits
+    a = rows[0]
+    b = next(r for r in rows if r.split != a.split)
+    lo, hi = sorted((a.doc_id, b.doc_id))
+    pairs = spark.createDataFrame([(lo, hi)], "id_a long, id_b long")
+
+    naive_leak = cross_split_leakage(pairs, naive).agg(F.sum("n_pairs")).collect()[0][0]
+    assert naive_leak == 1
+
+    labels = duplicate_clusters(pairs, ids)
+    safe = split_by_cluster(labels)
+    # every cluster resolves to ONE split
+    multi = (
+        safe.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert multi == 0
+    assert cross_split_leakage(pairs, safe).count() == 0
+    # proportions still cover everything
+    assert safe.count() == 40
+
+
+def test_source_dup_profile_hand_computed(spark):
+    """r11: exact = non-keeper of the md5 group; near = non-minimum of
+    the cluster; rates are round-half-up micros."""
+    from sparsity_spark.operators.pipeline import source_dup_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "A"),
+            (2, "same text", "A"),      # exact dup of 1 (and near dup)
+            (3, "unique a", "A"),
+            (4, "near variant", "B"),
+            (5, "other unique", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # clusters: {1,2} (exact twins), {3,4} (near dups across sources)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "doc_id long, cluster_id long"
+    )
+    got = {
+        r["source"]: r for r in source_dup_profile(docs, labels).collect()
+    }
+    assert got["A"]["n_docs"] == 3
+    assert got["A"]["n_exact_dups"] == 1      # doc 2
+    assert got["A"]["n_near_dups"] == 1       # doc 2 (doc 3 IS its cluster min)
+    assert got["B"]["n_docs"] == 2
+    assert got["B"]["n_exact_dups"] == 0
+    assert got["B"]["n_near_dups"] == 1       # doc 4 in cluster 3
+    # round-half-up micro: 1/3 -> (2*1e6+3) div 6 = 333333 -> 0.333333
+    assert abs(got["A"]["exact_rate"] - 0.333333) < 1e-9
+    assert abs(got["B"]["near_rate"] - 0.5) < 1e-9
