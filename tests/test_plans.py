@@ -868,3 +868,58 @@ def test_fuzzy_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_benchmark_store_scans_bucketed(spark, sf_dir):
+    """r11 benchmark store: the store-side of BOTH the band-candidate
+    join and the gram-verify join must read through the bucketed layout
+    (no corpus-side Exchange) — the eval-suite lake is never reshuffled
+    per training release."""
+    from sparsity_spark.operators.pipeline import (
+        fuzzy_decontaminate_store,
+        write_benchmark_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_benchmark_store(
+        docs.filter(F.col("doc_id") % 20 == 0), "bmk_plancheck", num_buckets=4
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = fuzzy_decontaminate_store(
+            docs.filter(F.col("doc_id") % 20 != 0), "bmk_plancheck", 0.5
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, "store scans must use their bucketing"
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_fraction_jvm_only_one_df_aggregate(spark, sf_dir):
+    """r11 boilerplate fraction: pure built-in expressions (no Python
+    eval nodes anywhere) and the gram df comes from hash aggregates with
+    a map-side partial (never a corpus-wide window sort)."""
+    from sparsity_spark.operators.text import boilerplate_fraction
+
+    plan = formatted_plan(
+        boilerplate_fraction(load_table(spark, sf_dir, "documents"), min_df=3)
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_split_leakage_pair_sized_joins(spark):
+    """r11 leakage audit: two id-keyed equi-joins against the skinny
+    assignment — never a cartesian."""
+    from sparsity_spark.operators.pipeline import cross_split_leakage, split_assign
+
+    ids = spark.range(100).withColumnRenamed("id", "doc_id")
+    assign = split_assign(ids, "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = formatted_plan(cross_split_leakage(pairs, assign))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
