@@ -233,6 +233,28 @@ PICKS = {
         "(plan-asserted); each shard sorts independently, exactly the "
         "shard-writer layout."
     ),
+    "text_boilerplate_fraction": (
+        "Cross-doc boilerplate fraction (r11): one explode of the "
+        "distinct-gram projection, ONE partial+final HashAggregate for "
+        "gram df (map-side combine visible), a gram-keyed join back "
+        "(AQE skew-split owns the mega-common gram), one per-doc "
+        "aggregate — no window over the corpus, no Python anywhere."
+    ),
+    "pipe_source_dup_profile": (
+        "Per-source dup profile (r11): one md5 hash aggregate for exact "
+        "keepers, two skinny id-keyed joins (keeper + cluster label), "
+        "one per-source partial+final aggregate — work is corpus-row-"
+        "sized; the clustering pass is shared input, never recomputed "
+        "here."
+    ),
+    "pipe_decontaminate_fuzzy_store": (
+        "Fuzzy decontamination against the persisted benchmark store "
+        "(r11): the store side of BOTH the band-candidate join and the "
+        "gram-verify join reads Bucketed: true (plan-asserted) — the "
+        "eval-suite lake is computed once at write time and never "
+        "recomputed or reshuffled per training release; retirement is a "
+        "deletion-sized broadcast anti-join over the same scans."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
