@@ -718,8 +718,16 @@ def fuzzy_decontaminate_store(
         F.col(id_col),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
     )
-    bg = _benchmark_side(spark, table, f"{table}__grams").select(
-        "bench_id", F.col("grams").alias("__g_b__")
+    # dropDuplicates on the id-bucketed gram table collapses the duplicate
+    # rows a crash-replayed streaming append leaves behind (rows are
+    # content-derived, so duplicates are identical; the aggregate is
+    # bucket-local — no Exchange). Duplicate BAND rows die in
+    # cand.distinct() above, so both side tables are replay-tolerant
+    # read-side (the streaming_benchmark_maintain crash-window contract).
+    bg = (
+        _benchmark_side(spark, table, f"{table}__grams")
+        .dropDuplicates(["bench_id"])
+        .select("bench_id", F.col("grams").alias("__g_b__"))
     )
     verified = (
         cand.join(tg, id_col)

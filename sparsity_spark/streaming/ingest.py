@@ -1021,10 +1021,12 @@ def streaming_tombstone_maintain(
     default ``similarity.delete_from_ivfpq_index`` (ANN index); pass
     ``dedup.remove_from_band_store`` / ``remove_from_hash_store`` /
     ``remove_from_member_store`` / ``remove_from_cluster_store`` /
-    ``remove_from_containment_store`` to drive those lakes from the
-    same deletion-request stream. All six share the tombstone
-    contract (append-only ``__tombstones`` side table, read-side
-    anti-join), which is what makes one loop serve every store.
+    ``remove_from_containment_store`` /
+    ``pipeline.remove_from_benchmark_store`` (benchmark retirement
+    requests) to drive those lakes from the same deletion-request
+    stream. All seven share the tombstone contract (append-only
+    ``__tombstones`` side table, read-side anti-join), which is what
+    makes one loop serve every store.
 
     Replay safety comes FREE here, unlike every other store loop: a
     tombstone append is naturally idempotent (the read side is an
@@ -1057,3 +1059,92 @@ def streaming_tombstone_maintain(
             )
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_benchmark_maintain(
+    stream_df,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int = 16,
+    sink=None,
+):
+    """Streaming ingestion of benchmark/eval-suite drops into the
+    persisted decontamination reference (r11 — the append-side
+    complement of retiring benchmarks through
+    :func:`streaming_tombstone_maintain`): each micro-batch of new
+    benchmark docs lands as a bucketed append to
+    ``pipeline.write/append_benchmark_store``'s two tables, so the next
+    training release's ``fuzzy_decontaminate_store`` screens against it
+    with zero suite recomputation. The first batch seeds the store.
+
+    Replay safety: benchmark appends are NOT idempotent (duplicate gram
+    rows would double-count verify rows), so the loop runs the
+    count-store discipline — the max-batch side table is written AFTER
+    the append and batches at or below it are screened out; the crash
+    window between the two (batch appended, watermark not yet written)
+    replays one duplicate append, whose rows the READ side collapses
+    (``fuzzy_decontaminate_store`` dropDuplicates the id-bucketed gram
+    table and distincts band candidates — both bucket-local). Same
+    single-writer / checkpoint-married contract as merge_count_store.
+
+    ``sink(n_benchmarks_df, batch_id)`` observes the one-row running
+    benchmark count per appended batch. Returns the started-ready
+    writer."""
+
+    def _process(batch_df, batch_id):
+        _benchmark_process_batch(
+            batch_df,
+            batch_id,
+            table=table,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_buckets=num_buckets,
+            sink=sink,
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _benchmark_process_batch(
+    batch_df, batch_id, *, table, id_col, text_col, k, num_buckets, sink
+):
+    """foreachBatch body of :func:`streaming_benchmark_maintain`,
+    module-level so tests can drive a crash replay directly."""
+    from pyspark.sql import functions as F
+
+    from sparsity_spark.operators.pipeline import (
+        append_benchmark_store,
+        write_benchmark_store,
+    )
+    from sparsity_spark.operators.sketches import (
+        _meta_table,
+        _record_max_batch,
+        _reset_store_side_tables,
+    )
+
+    spark = batch_df.sparkSession
+    bands_t = f"{table}__bands"
+    meta = _meta_table(bands_t)
+    # the replay screen is only meaningful while the store it guards
+    # exists — a stale side table from a dropped incarnation must not
+    # swallow the new store's seeding batch (the containment-loop rule)
+    if spark.catalog.tableExists(meta) and spark.catalog.tableExists(bands_t):
+        mx = spark.table(meta).agg(F.max("max_batch_id")).collect()[0][0]
+        if mx is not None and int(batch_id) <= int(mx):
+            return
+    if batch_df.limit(1).count() == 0:
+        return
+    if not spark.catalog.tableExists(bands_t):
+        _reset_store_side_tables(spark, bands_t)
+        write_benchmark_store(
+            batch_df, table, id_col, text_col, k, num_buckets=num_buckets
+        )
+    else:
+        append_benchmark_store(batch_df, table, id_col, text_col, k)
+    _record_max_batch(spark, bands_t, batch_id)
+    if sink is not None:
+        n = spark.table(f"{table}__grams").select("bench_id").distinct().count()
+        sink(spark.createDataFrame([(int(n),)], "n_benchmarks long"), batch_id)

@@ -1570,3 +1570,75 @@ def test_streaming_tombstone_maintain_generic_remover(spark, tmp_path):
     ] == [True]
     for s in (t, f"{t}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_streaming_benchmark_maintain_appends_and_replays(spark, tmp_path):
+    """r11 benchmark-store loop: batch 1 seeds the store, batch 2 appends
+    a new suite; a training screen then flags near-dups of BOTH batches'
+    benchmarks; a direct crash replay of batch 2 (same batch_df, same
+    batch_id) changes nothing (max-batch screen), and even a replayed
+    APPEND's duplicate rows collapse read-side."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparsity_spark.operators.pipeline import fuzzy_decontaminate_store
+    from sparsity_spark.streaming.ingest import (
+        _benchmark_process_batch,
+        streaming_benchmark_maintain,
+    )
+
+    schema = "doc_id long, text string"
+    b1_text = " ".join(f"b{i}" for i in range(40))
+    b2_text = " ".join(f"c{i}" for i in range(40))
+    b1 = pd.DataFrame([(100, b1_text)], columns=["doc_id", "text"])
+    b2 = pd.DataFrame([(200, b2_text)], columns=["doc_id", "text"])
+    src = str(tmp_path / "bmk_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    t = "bmk_stream_t"
+    for side in ("__bands", "__grams", "__tombstones", "__bands__maxbatch"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+    counts = {}
+
+    def sink(df, bid):
+        counts[bid] = df.collect()[0]["n_benchmarks"]
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_benchmark_maintain(stream, t, num_buckets=4, sink=sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bmk_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert counts == {0: 1, 1: 2}
+
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(39)) + " edited"),
+            (2, " ".join(f"c{i}" for i in range(39)) + " altered"),
+            (3, " ".join(f"u{i}" for i in range(40))),
+        ],
+        schema,
+    )
+    screened = sorted(fuzzy_decontaminate_store(train, t, 0.5).collect())
+    assert {r.doc_id for r in screened} == {1, 2}
+
+    # 1. clean replay of batch 1 (id <= max): screened out, store unchanged
+    _benchmark_process_batch(
+        spark.createDataFrame(b1, schema), 0,
+        table=t, id_col="doc_id", text_col="text", k=3, num_buckets=4, sink=sink,
+    )
+    assert spark.table(f"{t}__grams").count() == 2
+    # 2. crash-window replay: data appended but watermark lost — simulate
+    # by a direct duplicate append; reads still collapse to the same result
+    from sparsity_spark.operators.pipeline import append_benchmark_store
+
+    append_benchmark_store(spark.createDataFrame(b2, schema), t)
+    assert spark.table(f"{t}__grams").count() == 3  # physical duplicate
+    assert sorted(fuzzy_decontaminate_store(train, t, 0.5).collect()) == screened
