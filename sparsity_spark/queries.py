@@ -110,6 +110,45 @@ def _co_purchase_edges(spark, sf_dir: str) -> DataFrame:
     return _memo_edges(spark, sf_dir, "co_purchase", build)
 
 
+# Session-scoped memo for the documents corpus's near-dup structure (r11
+# — the shared-edge-table discipline applied to the dedup families):
+# three rows (canonical election, leakage-safe split, per-source dup
+# profile) each need LSH candidate pairs and/or the pointer-jumping
+# closure over the SAME corpus; computing the closure runs a driver
+# fixpoint loop, so rebuilding it per row triples the most expensive
+# part. First use per (application, sf_dir) persists both as bucketed
+# tables; results can never depend on a previous session (app-id key).
+_DOC_DEDUP_MEMO: dict = {}
+
+
+def _doc_dedup_shared(spark, sf_dir: str):
+    """Returns (pairs_df, labels_df) for the documents corpus — LSH
+    candidate pairs bucketed by id_a, cluster labels bucketed by
+    doc_id, computed once per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tables = _DOC_DEDUP_MEMO.get(key)
+    if tables is None:
+        from sparsity_spark.operators.dedup import (
+            duplicate_clusters,
+            lsh_candidate_pairs,
+        )
+        from sparsity_spark.operators.skew import write_bucketed
+
+        token = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+        pt = f"shared_doc_pairs_{token}"
+        lt = f"shared_doc_labels_{token}"
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = lsh_candidate_pairs(docs).persist()
+        labels = duplicate_clusters(pairs, docs)
+        write_bucketed(pairs, pt, ["id_a"], num_buckets=8)
+        write_bucketed(labels, lt, ["doc_id"], num_buckets=8)
+        pairs.unpersist()
+        tables = (pt, lt)
+        _DOC_DEDUP_MEMO[key] = tables
+    pt, lt = tables
+    return spark.table(pt), spark.table(lt)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -10607,15 +10646,11 @@ def dedup_canonical_quality_q(spark, sf_dir):
     skinny join + one hash aggregate over cluster labels — no window
     over the corpus, no pair fanout. The oracle re-derives the closure,
     the exact-micro quality, and the argmax."""
-    from sparsity_spark.operators.dedup import (
-        canonical_pick,
-        duplicate_clusters,
-        lsh_candidate_pairs,
-    )
+    from sparsity_spark.operators.dedup import canonical_pick
     from sparsity_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    _, labels = _doc_dedup_shared(spark, sf_dir)
     return canonical_pick(labels, quality_score(docs))
 
 
@@ -10875,7 +10910,6 @@ def pipe_leakage_safe_split_q(spark, sf_dir):
     pays a nonzero n_cross_pairs, the safe row certifies 0. The oracle
     replays the minhash closure, both hash splits, and both pair
     audits."""
-    from sparsity_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
     from sparsity_spark.operators.pipeline import (
         cross_split_leakage,
         split_assign,
@@ -10883,8 +10917,7 @@ def pipe_leakage_safe_split_q(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs).persist()
-    labels = duplicate_clusters(pairs, docs)
+    pairs, labels = _doc_dedup_shared(spark, sf_dir)
     naive = split_assign(docs.select("doc_id"), "doc_id")
     safe = split_by_cluster(labels)
 
@@ -10999,11 +11032,10 @@ def pipe_source_dup_profile_q(spark, sf_dir):
     rehosts before the collapse runs. Clustering is the shared dedup
     pass; the profile itself is one md5 aggregate, two skinny joins,
     one per-source aggregate."""
-    from sparsity_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
     from sparsity_spark.operators.pipeline import source_dup_profile
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    _, labels = _doc_dedup_shared(spark, sf_dir)
     return source_dup_profile(docs, labels)
 
 
