@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "text_boilerplate_fraction",
     "pipe_source_dup_profile",
     "pipe_decontaminate_fuzzy_store",
+    "dedup_lsh_recall",
 ]
 
 

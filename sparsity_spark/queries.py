@@ -10836,6 +10836,74 @@ def pipe_decontaminate_fuzzy_store_q(spark, sf_dir):
     return fuzzy_decontaminate_store(train, table, threshold=0.5)
 
 
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH m AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM m GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    pair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT ia AS id_a, ib AS id_b,
+             ROUND(c * 1.0 / (len(sa.grams) + len(sb.grams) - c), 4) AS j
+      FROM pair
+      JOIN g sa ON ia = sa.doc_id
+      JOIN g sb ON ib = sb.doc_id
+      WHERE c * 1.0 / (len(sa.grams) + len(sb.grams) - c) >= 0.6
+    ),
+    lab AS (
+      SELECT CASE WHEN j >= 0.9 THEN '0.9+'
+                  WHEN j >= 0.8 THEN '0.8-0.9'
+                  WHEN j >= 0.7 THEN '0.7-0.8'
+                  WHEN j >= 0.6 THEN '0.6-0.7'
+                  ELSE '0.5-0.6' END AS j_bucket,
+             CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cand c2 ON t.id_a = c2.id_a AND t.id_b = c2.id_b
+    )
+    SELECT j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_caught,
+           CAST((2 * SUM(hit) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS recall
+    FROM lab GROUP BY j_bucket
+    """,
+)
+def dedup_lsh_recall_q(spark, sf_dir):
+    """Measured LSH banding recall (r11): exact ground-truth pairs at
+    J >= 0.6 from the LOSSLESS shingle PPJoin, left-joined with the
+    4×4 banding's candidates, rolled up per similarity bucket — the
+    calibration readout that replaces the textbook S-curve with THIS
+    corpus's number (pick bands×rows for a target recall at the
+    threshold you actually dedup at). Counts are exact integers; recall
+    is round-half-up micros. The oracle replays the prefix-join truth,
+    the minhash banding, and the bucket rollup."""
+    from sparsity_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(
+        load_table(spark, sf_dir, "documents"), base_threshold=0.6
+    )
+
+
 _SPLIT_CASE = "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END"
 _HASH_BUCKET = (
     "CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
@@ -11073,7 +11141,7 @@ _FIRST_50 = [
     # oldest driver evidence in the repo; all sweep-green every round;
     # q1/q3/w1 rotated back out for the three born-late-r11 rows below)
     "q5_regional_revenue", "w3_top_events_per_user",
-    "text_heavy_hitters", "emb_grouped_centroids", "text_repetition",
+    "text_heavy_hitters", "emb_grouped_centroids",
     "ann_ivf_probe2", "dedup_lsh_pairs", "dedup_jaccard_prefix_join",
     # born mid-r11 — driver-checked immediately rather than waiting a round
     "pipe_decontaminate_fuzzy",   # bipartite band join + exact Jaccard verify
@@ -11097,6 +11165,7 @@ _FIRST_50 = [
     "text_boilerplate_fraction",  # cross-doc common-gram share
     "pipe_source_dup_profile",    # per-source dup-rate dashboard
     "pipe_decontaminate_fuzzy_store",  # persisted benchmark-store lifecycle
+    "dedup_lsh_recall",           # measured banding recall vs exact truth
     ]
 
 def _apply_registry_order() -> None:

@@ -3349,3 +3349,46 @@ def test_boilerplate_fraction_duplicate_grams_count_once(spark):
     # only 'a b c' is shared with doc 2 -> df=2 -> common
     assert got[1]["n_common"] == 1
     assert got[2]["n_common"] == 1
+
+
+def test_lsh_recall_audit_catches_exact_twin(spark):
+    """r11: an identical pair has all 16 minhashes equal, so every band
+    collides — the banding MUST catch it (recall 1.0 in the 0.9+
+    bucket); n_caught can never exceed n_true_pairs."""
+    from sparsity_spark.operators.dedup import lsh_recall_audit
+
+    twin = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, other)], "doc_id long, text string"
+    )
+    rows = lsh_recall_audit(docs, base_threshold=0.6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["j_bucket"] == "0.9+"
+    assert r["n_true_pairs"] == 1 and r["n_caught"] == 1
+    assert r["recall"] == 1.0
+
+
+def test_lsh_recall_audit_counts_missed_pairs(spark):
+    """A true pair the banding misses still counts in n_true_pairs with
+    hit=0 — the audit is grounded in the lossless PPJoin, not in the
+    banding's own candidates."""
+    from sparsity_spark.operators.dedup import lsh_candidate_pairs, lsh_recall_audit
+
+    base = [f"w{i}" for i in range(20)]
+    variant = base[:13] + [f"v{i}" for i in range(7)]  # J = 13/27 ≈ 0.48
+    mid = base[:16] + [f"u{i}" for i in range(4)]      # J = 16/24 ≈ 0.67 on words
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(mid)), (3, " ".join(variant))],
+        "doc_id long, text string",
+    )
+    audit = {r["j_bucket"]: r for r in lsh_recall_audit(docs, base_threshold=0.1).collect()}
+    total_true = sum(r["n_true_pairs"] for r in audit.values())
+    total_caught = sum(r["n_caught"] for r in audit.values())
+    caught_by_lsh = lsh_candidate_pairs(docs).count()
+    assert total_caught <= total_true
+    # every LSH candidate that IS a true pair >= 0.1 is counted as caught
+    assert total_caught <= caught_by_lsh + 1  # candidates below 0.1 don't count
+    for r in audit.values():
+        assert 0.0 <= r["recall"] <= 1.0
