@@ -501,20 +501,59 @@ def duplicate_clusters(
     contraction idea as the large-star/small-star algorithm (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"). Labels only decrease,
     so a cheap sum(label) aggregate detects the fixpoint (one action per
-    round, no extra join). Each round's labels are persisted and the
-    previous round's unpersisted — the lineage stays O(1) deep.
+    round, no extra join).
+
+    r11 loop rework (guide §2.4/§3.3 — measured at sf0.1, where the loop
+    was the single most expensive piece of the whole bench):
+
+    * **The symmetric edge table is frozen eagerly** (localCheckpoint) —
+      it is loop-invariant, but the r10 loop left it lazy, so every
+      round's neighbor-min join re-ran the ENTIRE upstream candidate
+      pipeline (for LSH input: the minhash aggregate + band self-join,
+      once per round — measured 2.4-2.7 s/round at sf0.1 against 2.6 s
+      for the whole pairs build). The Pregel discipline pagerank already
+      follows: topology materializes once, only node-sized state moves
+      per round.
+    * **Per-round lineage is truncated** (eager localCheckpoint of the
+      propagated and jumped label tables). The jumped plan references
+      `propagated` TWICE (as rows and as the jump mapping), so under
+      persist-only lineage the logical plan DOUBLED per round —
+      Catalyst planning alone took 9.2 s by round 3, and every
+      downstream consumer (the store write, the collapse argmax)
+      re-planned the full tree (a 4,500-row bucketed label write
+      measured 6.7 s; the multimodal_phash_clusters final plan was
+      641 KB of text). Checkpointed, every round and every consumer
+      plans a constant-size tree.
+    * **Only PAIR-TOUCHED nodes ride the loop.** A node in no pair can
+      never change label, yet the r10 loop shuffled the full `ids`
+      universe through every round's three joins. Labels now start as
+      {edge endpoints} ∩ ids (one node-sized semi-join — the inner
+      nbr-join/left-propagate semantics over that set are identical to
+      the full-universe loop, since singletons never produce or receive
+      a neighbor minimum), and singletons re-enter once at the end via
+      a left join with coalesce(label, id). At 100 TB the loop state
+      drops from corpus-sized to collision-sized.
 
     `ids` supplies the full universe so singleton docs (never in any pair)
     still get a cluster (themselves).
     """
     a, b = pair_cols
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    universe = ids.select(F.col(id_col).alias("id")).distinct()
     labels = (
-        ids.select(F.col(id_col).alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .join(universe, "id", "leftsemi")
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iters):
         nbr_min = (
@@ -523,8 +562,13 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "id")
         )
-        propagated = labels.join(nbr_min, on="id", how="left").select(
-            "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+        propagated = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         mapping = propagated.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
@@ -535,15 +579,17 @@ def duplicate_clusters(
                 "id",
                 F.least(F.col("label"), F.coalesce("__llabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = jumped.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
-        labels.unpersist()
         labels = jumped
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return universe.join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("label", F.col("id")).alias("cluster_id"),
+    )
 
 
 def canonical_pick(

@@ -2784,7 +2784,18 @@ def dedup_incremental_clusters_q(spark, sf_dir):
     Because stored ids are component minima, the folded store must equal
     the from-scratch closure BIT FOR BIT — which is exactly what this
     oracle (the full-corpus recursive closure) checks. Corpus motion:
-    zero rows."""
+    zero rows.
+
+    r11 (guide §2.3 "aggregate before you shuffle" / §1.2 "don't compute
+    things you throw away"): the corpus is SHINGLED AND BANDED ONCE. The
+    r10 form ran the full LSH pipeline twice — once over the 90% corpus
+    for its pairs, once over the full table for the batch increment —
+    but a doc's band keys don't depend on any other doc, so
+    pairs(corpus) ≡ pairs(docs) filtered to corpus-only endpoints
+    (identical band-key collisions either way). One banding pass + one
+    self-join now feeds both pair sets from a pair-sized checkpoint;
+    results are bit-identical and the same full-closure oracle gates
+    them."""
     from sparsity_spark.operators.dedup import (
         duplicate_clusters,
         fold_cluster_store,
@@ -2796,11 +2807,15 @@ def dedup_incremental_clusters_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus_labels = duplicate_clusters(lsh_candidate_pairs(corpus), corpus)
+    all_pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    corpus_pairs = all_pairs.where(
+        (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    )
+    corpus_labels = duplicate_clusters(corpus_pairs, corpus)
     write_cluster_store(corpus_labels, "cluster_store_oracle_q")
     # the batch's pair increment: every candidate pair touching a batch
     # doc (what an append_band_store screen of this batch emits)
-    batch_pairs = lsh_candidate_pairs(docs).where(
+    batch_pairs = all_pairs.where(
         (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
     )
     fold_cluster_store(
@@ -2843,9 +2858,19 @@ def dedup_cluster_fold_only_q(spark, sf_dir):
     if key not in _FOLD_SETUP_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 != 0)
-        corpus_labels = duplicate_clusters(lsh_candidate_pairs(corpus), corpus)
+        # one banding pass feeds both pair sets (r11 — the
+        # dedup_incremental_clusters restructure; band keys are per-doc,
+        # so corpus-only pairs of the full-table join equal the
+        # corpus-only join bit for bit)
+        all_pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+        corpus_labels = duplicate_clusters(
+            all_pairs.where(
+                (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+            ),
+            corpus,
+        )
         write_cluster_store(corpus_labels, base)
-        batch_pairs = lsh_candidate_pairs(docs).where(
+        batch_pairs = all_pairs.where(
             (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
         )
         _drop_table_and_location(spark, pairs_t)
@@ -10516,11 +10541,18 @@ def dedup_cluster_forget_q(spark, sf_dir):
     second slice WITHOUT re-electing — pinning both the deletion
     semantics (no cluster splits: assignments survive their bridge
     docs) and exactly when labels move (at compaction, not at
-    forget)."""
+    forget).
+
+    r11: the full-corpus closure this row seeds its store from is the
+    SAME (doc_id, cluster_id) table three other rows already share via
+    ``_doc_dedup_shared`` (the shared-edge-table discipline) — this row
+    becomes its fourth consumer instead of re-running the LSH pipeline
+    and the components fixpoint loop from scratch. The forget/compact/
+    re-elect lifecycle under measurement is unchanged, and a fresh
+    session (every driver correctness run) still builds the closure
+    from the parquet inputs."""
     from sparsity_spark.operators.dedup import (
         compact_cluster_store,
-        duplicate_clusters,
-        lsh_candidate_pairs,
         remove_from_cluster_store,
         resolve_cluster_store,
         write_cluster_store,
@@ -10528,7 +10560,7 @@ def dedup_cluster_forget_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     table = "cluster_forget_q"
-    labels = duplicate_clusters(lsh_candidate_pairs(docs), docs)
+    _, labels = _doc_dedup_shared(spark, sf_dir)
     write_cluster_store(labels, table)
     remove_from_cluster_store(
         docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), table
