@@ -81,6 +81,21 @@ def symmetrize_edges(
     return raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _undirected(edges: DataFrame, assume_distinct: bool, drop_self_loops: bool = True) -> DataFrame:
+    """Defensive edge normalization shared by the family (r11): project to
+    (src, dst), drop self-loops (map-side, free), and dedup — UNLESS the
+    caller asserts the input is already a distinct edge set
+    (``assume_distinct=True``), in which case the dedup's full edge
+    shuffle is skipped. The session-shared bucketed edge stores are
+    written distinct by construction, so every store-backed query was
+    paying one redundant corpus-sized Exchange per operator (guide §2.4:
+    "a distinct on data that is already unique")."""
+    e = edges.select("src", "dst")
+    if drop_self_loops:
+        e = e.where(F.col("src") != F.col("dst"))
+    return e if assume_distinct else e.distinct()
+
+
 def _pagerank_round(
     adj: DataFrame, ranks: DataFrame, base: int, damping_pct: int
 ) -> DataFrame:
@@ -151,7 +166,7 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, assume_distinct: bool = False) -> DataFrame:
     """Exact per-node triangle counts over an undirected edge table.
 
     The classic communication-optimal formulation: orient every edge
@@ -163,7 +178,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     keys; wedge volume is Σ deg²/2 — the irreducible cost of exact
     triangle enumeration (sample or sketch above it when an estimate
     suffices)."""
-    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = _undirected(edges, assume_distinct)
     return _count_triangles_deduped(und)
 
 
@@ -187,7 +202,9 @@ def _count_triangles_deduped(und: DataFrame) -> DataFrame:
     return per_corner.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
 
 
-def triangle_count_capped(edges: DataFrame, max_degree: int = 64) -> DataFrame:
+def triangle_count_capped(
+    edges: DataFrame, max_degree: int = 64, assume_distinct: bool = False
+) -> DataFrame:
     """Skew-safe exact triangle counts (r9): drop every node whose
     undirected degree exceeds ``max_degree`` (and all its edges), then
     count triangles EXACTLY on the capped subgraph with the same oriented
@@ -204,7 +221,7 @@ def triangle_count_capped(edges: DataFrame, max_degree: int = 64) -> DataFrame:
     neighborhoods separately when they matter). Deterministic (a pure
     degree threshold, no RNG), so a SQL oracle replays it exactly.
     Returns (node, triangles) over the capped subgraph."""
-    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = _undirected(edges, assume_distinct)
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     keep = deg.where(F.col("deg") <= max_degree).select("src")
     capped = (
@@ -291,6 +308,7 @@ def hits(
     iterations: int = 2,
     unit: int = 1_000_000,
     checkpoint_every: int = 0,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED (src, dst) edge table
     (Kleinberg 1999) — the complement to PageRank's single score:
@@ -309,7 +327,7 @@ def hits(
     persisted edge table + ONE aggregate + ONE metadata-sized max — the
     pagerank communication shape, doubled. Returns
     (node, hub_micro, auth_micro) as a full outer of the two sides."""
-    edges = edges.select("src", "dst").distinct().persist()
+    edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
     edges.count()
     hubs = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(unit).cast("long").alias("h")
@@ -364,6 +382,7 @@ def random_walks(
     edges: DataFrame,
     starts: DataFrame,
     steps: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic random walks over a (src, dst) edge table — the
     walk-corpus generator behind DeepWalk/node2vec-style graph
@@ -386,13 +405,20 @@ def random_walks(
     early — rows simply stop appearing."""
     from pyspark.sql import Window
 
-    edges = edges.select("src", "dst").distinct().persist()
-    nbr = edges.withColumn(
-        "rank",
-        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranked = nbr.join(deg, "src").persist()
+    edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
+    # rank AND degree from ONE exchange (r11, guide §2.4): both windows
+    # partition by src, so the degree count rides the row_number sort —
+    # the r9 build paid a second shuffle for a groupBy degree aggregate
+    # plus a third for the join gluing it back on. Spill-safe for hub
+    # nodes, unlike a collect_list formulation.
+    ranked = edges.select(
+        "src",
+        "dst",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+            "rank"
+        ),
+        F.count("*").over(Window.partitionBy("src")).alias("deg"),
+    ).persist()
     ranked.count()
     edges.unpersist()
 
@@ -421,6 +447,12 @@ def random_walks(
             frontier.join(ranked.withColumnRenamed("src", "node"), "node")
             .where((h % F.col("deg")) == F.col("rank"))
             .select("start", F.col("dst").alias("node"))
+            # frontier-sized checkpoint per step (r11, the LPA lineage
+            # lesson): each frontier is referenced twice (next hop + the
+            # output union), so an un-truncated chain re-executes hop t
+            # once per later step — steps walks paid Σt instead of t
+            # joins against the ranked table
+            .localCheckpoint(eager=True)
         )
         frontier = stepped
         out = out.unionByName(
@@ -514,6 +546,7 @@ def label_propagation(
     edges: DataFrame,
     iterations: int = 3,
     checkpoint_every: int = 0,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA,
     Raghavan-Albert-Kumara 2007) — the missing member of the graph
@@ -538,15 +571,24 @@ def label_propagation(
     join against edges + TWO hash aggregates ((node, label) vote count,
     then per-node argmax), all keyed by node. Label tables are
     node-sized; nothing corpus-sized moves after the edge build. Input
-    must be symmetric (see symmetrize_edges); returns (node, label)."""
+    must be symmetric (see symmetrize_edges); returns (node, label).
+
+    r11 (guide §1.2/§5 — the duplicate_clusters lineage lesson): every
+    round is eagerly localCheckpointed. ``_lpa_round`` references the
+    incoming label table TWICE (neighbor votes + the self-vote union),
+    so an un-truncated loop DOUBLES the logical plan per round and — the
+    labels were never persisted — re-EXECUTED the doubled tree: 3
+    iterations ran the round body 2³−1 = 7 times instead of 3 (measured
+    8.8 s → 4.3 s at sf0.1 on the co-purchase graph). A node-sized
+    checkpoint per round is the Pregel discipline; ``checkpoint_every``
+    is kept for API compatibility but the per-round truncation already
+    bounds lineage at one round."""
     if iterations < 1:
         raise ValueError("label_propagation: iterations must be >= 1")
     # votes are multiset counts, so edge MULTIPLICITY changes results:
     # dedup defensively (triangle_count's rule) — a doubled edge would
     # double every neighbor vote against the single self-vote
-    edges = (
-        edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
-    )
+    edges = _undirected(edges, assume_distinct).persist()
     edges.count()  # eager: the upstream pair build runs exactly once
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -555,8 +597,8 @@ def label_propagation(
     )
     for i in range(iterations):
         labels = _lpa_round(edges, labels)
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            labels = labels.localCheckpoint(eager=False)
+        if i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels
@@ -567,7 +609,8 @@ def k_core(
     k: int = 2,
     peels: int = 8,
     until_converged: bool = False,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (r9): repeatedly drop
     every node whose degree in the CURRENT subgraph is < k, until the
@@ -580,6 +623,11 @@ def k_core(
     previous round's edge set three times (degree agg + two semi-joins),
     so the logical plan grows ~3× per un-checkpointed round — bounded at
     3^checkpoint_every between localCheckpoints, unbounded without them.
+    The default is every round (r11 — the un-persisted rounds between
+    checkpoints were not just planned but re-EXECUTED ~3× per extra
+    round; at the old default of 4 the first checkpoint ran the peel
+    body ~40 times for 4 rounds of work. One edge-sized checkpoint per
+    peel is strictly cheaper from the second round on).
 
     Determinism/oracle seam: a FIXED ``peels`` count replays exactly in
     SQL (each peel is one degree aggregate + two semi-joins — the
@@ -596,7 +644,7 @@ def k_core(
             "k_core: checkpoint_every must be >= 1 (plan size grows ~3x "
             "per un-checkpointed peel round)"
         )
-    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    cur = _undirected(edges, assume_distinct)
     prev_nodes = None
     rounds = 0
     while True:
@@ -678,6 +726,7 @@ def node2vec_walks(
     steps: int = 3,
     ret_w: int = 1000,
     out_w: int = 1000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Biased second-order random walks — node2vec's p/q sampling (Grover
     & Leskovec, KDD 2016) completing the DeepWalk family (r9): at step
@@ -707,13 +756,16 @@ def node2vec_walks(
         # steps=0 call would silently return one hop the caller excluded
         # (random_walks(steps=0) correctly returns only step 0)
         raise ValueError("node2vec_walks: steps must be >= 1")
-    edges = edges.select("src", "dst").distinct().persist()
-    nbr = edges.withColumn(
-        "rank",
-        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranked = nbr.join(deg, "src").persist()
+    edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
+    # rank + degree in one exchange — random_walks' r11 rationale
+    ranked = edges.select(
+        "src",
+        "dst",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+            "rank"
+        ),
+        F.count("*").over(Window.partitionBy("src")).alias("deg"),
+    ).persist()
     ranked.count()
 
     def h60(*cols):
@@ -730,6 +782,7 @@ def node2vec_walks(
         .join(ranked.withColumnRenamed("src", "node"), "node")
         .where((h1 % F.col("deg")) == F.col("rank"))
         .select("start", F.col("node").alias("prev"), F.col("dst").alias("node"))
+        .localCheckpoint(eager=True)
     )
     out = out.unionByName(
         frontier.select("start", F.lit(1).alias("step"), "node")
@@ -767,6 +820,10 @@ def node2vec_walks(
                 & ((h % F.col("__tot__")) < F.col("__cum__"))
             )
             .select("start", F.col("node").alias("prev"), F.col("dst").alias("node"))
+            # frontier-sized checkpoint per step (r11 — random_walks'
+            # rationale; the biased step additionally re-ran its per-walk
+            # cumulative-weight window once per later step)
+            .localCheckpoint(eager=True)
         )
         frontier = stepped
         out = out.unionByName(
@@ -811,6 +868,7 @@ def link_prediction(
     edges: DataFrame,
     max_degree: int = 64,
     min_common: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over an undirected graph
     (r9 — the recommender/record-linkage primitive: score NON-adjacent
@@ -841,7 +899,7 @@ def link_prediction(
     node-sized degree joins. Everything shuffles on node/pair keys; no
     cartesian anywhere. Returns (u, v, common_neighbors, deg_u, deg_v,
     jaccard) with u < v."""
-    und = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = _undirected(edges, assume_distinct)
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     keep = deg.where(F.col("deg") <= max_degree).select("src")
     capped = (
@@ -985,7 +1043,9 @@ def pagerank_weighted(
     return ranks
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(
+    edges: DataFrame, labels: DataFrame, assume_distinct: bool = False
+) -> DataFrame:
     """Per-community Newman modularity contributions (r9 — the number
     that says whether a community assignment MEANS anything before a
     pipeline caps or rebalances on it): for community c,
@@ -1025,11 +1085,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     label-table-sized result is materialized and the edge cache released
     before return. Returns
     (label, n_nodes, internal_edge_ends, degree_sum, q_c_micro)."""
-    und = (
-        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
+    und = _undirected(edges, assume_distinct).persist()
     deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     m2 = und.count()
     if m2 == 0:
@@ -1094,6 +1150,7 @@ def adamic_adar(
     max_degree: int = 64,
     min_common: int = 2,
     unit: int = 1_000_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Adamic-Adar link prediction (r9 — the other standard
     neighborhood scorer: a shared RARE neighbor is stronger evidence

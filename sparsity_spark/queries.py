@@ -104,7 +104,14 @@ def _co_purchase_edges(spark, sf_dir: str) -> DataFrame:
         ).distinct()
         a = buy.select("pk", "q", F.col("cust").alias("s1"))
         b = buy.select("pk", "q", F.col("cust").alias("s2"))
-        pairs = a.join(b, ["pk", "q"]).where(F.col("s1") != F.col("s2"))
+        # upper triangle only (r11): s1 != s2 emitted BOTH orientations,
+        # and symmetrize_edges re-adds the swap — the store held every
+        # edge twice (719,684 rows vs 359,842 distinct at sf0.1), so
+        # every consumer's defensive distinct shuffled 2× the bytes.
+        # Every consumer dedups at entry (LPA/k-core/triangles/
+        # modularity/link-pred/adamic-adar all open with distinct()), so
+        # the stored SET — and every result — is unchanged.
+        pairs = a.join(b, ["pk", "q"]).where(F.col("s1") < F.col("s2"))
         return symmetrize_edges(pairs, "s1", "s2", as_string=False)
 
     return _memo_edges(spark, sf_dir, "co_purchase", build)
@@ -8900,7 +8907,7 @@ def graph_kcore_q(spark, sf_dir):
     from sparsity_spark.operators.graph import k_core
 
     edges = _co_purchase_edges(spark, sf_dir)
-    return k_core(edges, k=15, peels=4)
+    return k_core(edges, k=15, peels=4, assume_distinct=True)
 
 
 def _node2vec_oracle(steps: int = 3, ret_w: int = 250, out_w: int = 4000) -> str:
@@ -8981,7 +8988,7 @@ def graph_node2vec_walks_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    return node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000)
+    return node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000, assume_distinct=True)
 
 
 def _node2vec_skipgram_oracle(
@@ -9032,7 +9039,7 @@ def graph_node2vec_skipgram_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    walks = node2vec_walks(edges, starts, steps=3, ret_w=4000, out_w=250)
+    walks = node2vec_walks(edges, starts, steps=3, ret_w=4000, out_w=250, assume_distinct=True)
     return walk_skipgram_pairs(walks, window=2)
 
 
@@ -9051,7 +9058,7 @@ def graph_random_walks_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    return random_walks(edges, starts, steps=3)
+    return random_walks(edges, starts, steps=3, assume_distinct=True)
 
 
 def _skipgram_oracle(steps: int = 3, window: int = 2) -> str:
@@ -9095,7 +9102,7 @@ def graph_skipgram_pairs_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    walks = random_walks(edges, starts, steps=3)
+    walks = random_walks(edges, starts, steps=3, assume_distinct=True)
     return walk_skipgram_pairs(walks, window=2)
 
 
@@ -9140,7 +9147,7 @@ def graph_triangles_q(spark, sf_dir):
     never a cartesian."""
     from sparsity_spark.operators.graph import triangle_count
 
-    return triangle_count(_co_purchase_edges(spark, sf_dir))
+    return triangle_count(_co_purchase_edges(spark, sf_dir), assume_distinct=True)
 
 
 @query(
@@ -9196,7 +9203,7 @@ def graph_triangles_capped_q(spark, sf_dir):
     )
 
     return triangle_count_capped(
-        _co_purchase_edges(spark, sf_dir), max_degree=30
+        _co_purchase_edges(spark, sf_dir), max_degree=30, assume_distinct=True
     )
 
 
@@ -9665,7 +9672,7 @@ def graph_adamic_adar_q(spark, sf_dir):
     from sparsity_spark.operators.graph import adamic_adar
 
     edges = _co_purchase_edges(spark, sf_dir)
-    return adamic_adar(edges, max_degree=30, min_common=2)
+    return adamic_adar(edges, max_degree=30, min_common=2, assume_distinct=True)
 
 
 @query(
@@ -9718,7 +9725,7 @@ def graph_link_prediction_q(spark, sf_dir):
     from sparsity_spark.operators.graph import link_prediction
 
     edges = _co_purchase_edges(spark, sf_dir)
-    return link_prediction(edges, max_degree=30, min_common=2)
+    return link_prediction(edges, max_degree=30, min_common=2, assume_distinct=True)
 
 
 def _bfs_oracle(depth: int = 3, nation: int = 0) -> str:
@@ -9882,8 +9889,8 @@ def graph_lpa_modularity_q(spark, sf_dir):
     )
 
     edges = _co_purchase_edges(spark, sf_dir)
-    labels = label_propagation(edges, iterations=3)
-    return modularity(edges, labels)
+    labels = label_propagation(edges, iterations=3, assume_distinct=True)
+    return modularity(edges, labels, assume_distinct=True)
 
 
 @query("graph_lpa_communities", _lpa_oracle(3))
@@ -9901,7 +9908,7 @@ def graph_lpa_communities_q(spark, sf_dir):
     from sparsity_spark.operators.graph import label_propagation
 
     edges = _co_purchase_edges(spark, sf_dir)
-    return label_propagation(edges, iterations=3)
+    return label_propagation(edges, iterations=3, assume_distinct=True)
 
 
 @query(
