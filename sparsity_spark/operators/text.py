@@ -901,17 +901,21 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    nv = words.limit(max_vocab + 1).count()
-    if nv > max_vocab:
-        raise ValueError(
-            f"bpe_train: vocabulary exceeds max_vocab={max_vocab}; raise the "
-            f"guard deliberately — the merge loop is vocab-sized by design"
-        )
+    # ONE corpus pass (r11): the vocab guard's limit-count used to run
+    # the word-frequency aggregate once, and the seqs checkpoint ran it
+    # AGAIN — freeze the segmentation table first, then the guard counts
+    # the checkpoint (vocab-sized, spill-capable either way)
     seqs = words.select(
         "w",
         "cnt",
         F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>")).alias("seq"),
     ).localCheckpoint(eager=True)
+    nv = seqs.limit(max_vocab + 1).count()
+    if nv > max_vocab:
+        raise ValueError(
+            f"bpe_train: vocabulary exceeds max_vocab={max_vocab}; raise the "
+            f"guard deliberately — the merge loop is vocab-sized by design"
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         pairs = (
@@ -1084,13 +1088,22 @@ def bpe_encode(
         F.col(id_col), F.explode(words_expr(text_col)).alias("w")
     ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
     if len(merges) <= max_expr_merges:
+        # r11 (guide §2.3/§1.2): the greedy fold is a function of the WORD
+        # alone, so it runs once per DISTINCT word — vocab-sized — and the
+        # result broadcast-joins back to the corpus's exploded tokens,
+        # exactly the deep path's shape. The r8 form evaluated the
+        # char-split + per-merge fold expression once per token
+        # OCCURRENCE (270k evaluations for a 31-word vocabulary at
+        # sf0.1); a 100 TB corpus re-folded every occurrence at scan
+        # time. The distinct is a map-side-combined vocab aggregate.
         seq = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>"))
         expr = seq
         for _, a, b, _c in merges:
             expr = _bpe_apply_merge(F.split(expr, " "), a, b)
-        per_word = toks.select(
-            F.col(id_col), F.size(F.split(expr, " ")).cast("long").alias("ntok")
+        enc = toks.select("w").distinct().select(
+            "w", F.size(F.split(expr, " ")).cast("long").alias("ntok")
         )
+        per_word = toks.join(F.broadcast(enc), "w").select(F.col(id_col), "ntok")
     else:
         pairs = tuple((a, b) for _, a, b, _c in merges)
 
