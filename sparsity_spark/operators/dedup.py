@@ -682,10 +682,20 @@ def jaccard_prefix_join(
     unit = (
         words_expr(text_col) if k <= 1 else shingles_expr(words_expr(text_col), k)
     )
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(unit)).alias("tok"),
-    )
+    # r11 (guide §1.2): the corpus used to be tokenized+shingled THREE
+    # times (once under the df aggregate, once as the join's probe side,
+    # once for the verify arrays) — the per-doc distinct-gram projection
+    # is now a LAZY localCheckpoint every pass derives from, so 100 TB
+    # is scanned and shingled exactly once (blocks materialize on first
+    # touch and are reaped by the ContextCleaner when the result dies).
+    # Lazy, not eager: consumers like lsh_recall_audit overlap this
+    # subtree with their own independent subtrees in one job — an eager
+    # checkpoint serialized them and gave the audit row back its win
+    # (measured 8.2 s eager vs 7.25 s lazy at sf0.1)
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(unit).alias("g")
+    ).localCheckpoint(eager=False)
+    toks = grams.select("id", F.explode("g").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # per-doc rarest-first ranking WITHOUT a window: ONE hash aggregate
     # collects each doc's (df, tok) pairs, array_sort orders them (struct
@@ -747,17 +757,30 @@ def jaccard_prefix_join(
         .filter(F.col("__ub__") >= F.col("__alpha__"))
         .select("id_a", "id_b")
     )
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(unit).alias("g"),
-    )
     ga = grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
-    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    # J = c / (|A| + |B| - c): |A∪B| over distinct arrays IS |A|+|B|-c,
+    # so the divide sees the SAME exact integers as the array_union form
+    # (bit-identical IEEE result) while skipping a second O(|A|+|B|)
+    # array pass per candidate pair — the verify stage is pair-bounded,
+    # and at t=0.6 the candidate table is ~750× the true-pair count
+    # (190,558 candidates -> 256 pairs at sf0.1), so per-pair work is
+    # the verify's whole cost
+    c = F.size(F.array_intersect("g_a", "g_b")).cast("long")
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
-        .withColumn("jaccard", jac)
+        .select(
+            "id_a",
+            "id_b",
+            c.alias("__c__"),
+            F.size("g_a").cast("long").alias("__sa__"),
+            F.size("g_b").cast("long").alias("__sb__"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__c__") / (F.col("__sa__") + F.col("__sb__") - F.col("__c__")),
+        )
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
