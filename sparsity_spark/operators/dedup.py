@@ -2344,6 +2344,23 @@ def containment_join(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     ).persist()
+    out = _containment_pairs_from_grams(grams, t)
+    # the result is pair-table-sized: materialize it so the gram cache
+    # can be released before return (the pagerank persist discipline —
+    # a lazy return would re-tokenize the corpus on first consumption)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()
+
+
+def _containment_pairs_from_grams(grams: DataFrame, t: float) -> DataFrame:
+    """The containment join's candidate+verify pipeline over an
+    already-persisted (id, g) gram table — extracted (r11) so
+    :func:`containment_clusters` can share ONE gram pass between the
+    pair generation and its per-doc size readout instead of shingling
+    the corpus twice. Returns the LAZY directional pair table; the
+    caller owns materialization and the gram cache's lifetime."""
     cand, _ = _containment_prefix_parts(grams, t)
     # the candidate table is PAIR-sized but its plan is the whole prefix
     # pipeline (df aggregate + per-doc sort-aggregate + prefix join);
@@ -2390,16 +2407,9 @@ def containment_join(
         F.col("c").alias("overlap"),
         F.col("szb").alias("src_size"),
     )
-    out = fwd.unionByName(rev).withColumn(
+    return fwd.unionByName(rev).withColumn(
         "containment", F.round(F.col("overlap") / F.col("src_size"), 6)
     )
-    # the result is pair-table-sized: materialize it so the gram cache
-    # can be released before return (the pagerank persist discipline —
-    # a lazy return would re-tokenize the corpus on first consumption)
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        grams.unpersist()
 
 
 def write_containment_store(
@@ -2721,21 +2731,31 @@ def containment_clusters(
     max(struct(n_grams, -id)) argmax, ties to the SMALLER id. Singleton
     docs (contained in nothing, containing nothing) keep themselves.
     Returns (doc_id, cluster_id, n_grams, keep)."""
+    # ONE gram pass (r11, guide §1.2): the pair generation and the
+    # per-doc size readout both derive from the same persisted gram
+    # table — previously containment_join shingled the corpus for the
+    # pairs and this function shingled it AGAIN for n_grams.
+    # duplicate_clusters freezes its edge table eagerly at call time and
+    # sizes is checkpointed below, so the cache releases before return.
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
+    ).persist()
     pairs = (
-        containment_join(docs, id_col, text_col, threshold, k)
+        _containment_pairs_from_grams(grams, float(threshold))
         .select(
             F.least("src_id", "dst_id").alias("id_a"),
             F.greatest("src_id", "dst_id").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = duplicate_clusters(pairs, docs, id_col=id_col)
-    sizes = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.size(
-            F.array_distinct(shingles_expr(words_expr(text_col), k))
-        ).cast("long").alias("n_grams"),
-    )
+    sizes = grams.select(
+        F.col("id").cast("long").alias(id_col),
+        F.size("g").cast("long").alias("n_grams"),
+    ).localCheckpoint(eager=True)
+    grams.unpersist()
     sized = labels.join(sizes, id_col)
     best = sized.groupBy("cluster_id").agg(
         F.max(F.struct(F.col("n_grams"), (-F.col(id_col)).alias("__nid__"))).alias("__b__")
