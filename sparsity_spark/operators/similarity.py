@@ -315,6 +315,131 @@ def pq_encode(
     )
 
 
+def _encode_with_assignment(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    book: list,
+    m: int,
+    k_code: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """(id, centroid_id, subspace, code) in ONE corpus pass (r11, guide
+    §2.4/§4.2): the nearest-centroid assignment rides the same Arrow
+    batch as the PQ encode — the previous shape scanned the corpus twice
+    (pq_encode + ivf_assign) and re-joined the two corpus-sized outputs
+    on id (a full shuffle of the code rows plus the row_number window
+    shuffle inside ivf_assign). The centroid set is metadata-sized
+    (8-16 rows), so it travels in the task closure.
+
+    Bit-faithfulness to ivf_assign's JVM cosine, term by term:
+
+    * dot and norm² accumulate with an EXPLICIT sequential loop over
+      dimensions (``acc += x·c`` per j) — the same left-associated
+      IEEE fold order as the zip_with/aggregate expression; a plain
+      ``np.sum``/``@`` would pairwise-sum and drift ulps.
+    * each centroid's norm pre-folds in Python doubles (same IEEE ops
+      the JVM constant-fold runs), denominator is norm·cn then one
+      divide, as in the expression.
+    * round-6 replicates Spark's Round(HALF_UP) exactly:
+      ``Decimal(repr(v))`` parses the SHORTEST decimal representation —
+      what Scala's ``BigDecimal(double)`` (Double.toString) sees — then
+      quantizes HALF_UP; an exact-binary ``Decimal(v)`` or numpy's
+      half-even ``round`` would disagree at representation boundaries.
+    * centroids iterate in ascending id with a strict ``>`` update, so
+      ties keep the LOWEST centroid id — the window's (cs desc, cid
+      asc) order.
+
+    Equality with the join+window path is pinned by a dedicated A/B
+    parity test over the real embeddings plus the strict oracle rows."""
+    cent_rows = sorted(
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    import math
+
+    cent_norms = []
+    for _cid, cvec in cent_rows:
+        acc = 0.0
+        for v in cvec:
+            acc += v * v
+        cent_norms.append(math.sqrt(acc))
+    sub = dim // m
+
+    def batches(
+        it,
+        _book=book,
+        _m=m,
+        _sub=sub,
+        _dim=dim,
+        _id=id_col,
+        _vec=vec_col,
+        _cents=cent_rows,
+        _cnorms=cent_norms,
+    ):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(_book, dtype=np.float64)
+        Cv = np.asarray([cv for _, cv in _cents], dtype=np.float64)
+        cids = np.asarray([cid for cid, _ in _cents], dtype=np.int64)
+        six = Decimal("0.000001")
+
+        def round6(arr):
+            return np.fromiter(
+                (
+                    float(Decimal(repr(v)).quantize(six, ROUND_HALF_UP))
+                    for v in arr.tolist()
+                ),
+                dtype=np.float64,
+                count=len(arr),
+            )
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            # sequential-order folds (see docstring)
+            nrm2 = np.zeros(n)
+            for j in range(_dim):
+                nrm2 += X[:, j] * X[:, j]
+            nrm = np.sqrt(nrm2)
+            best_cs = np.full(n, -np.inf)
+            best_cid = np.full(n, cids[0], dtype=np.int64)
+            for ci in range(len(cids)):
+                dot = np.zeros(n)
+                c = Cv[ci]
+                for j in range(_dim):
+                    dot += X[:, j] * c[j]
+                cs = round6(dot / (nrm * _cnorms[ci]))
+                upd = cs > best_cs
+                best_cs = np.where(upd, cs, best_cs)
+                best_cid = np.where(upd, cids[ci], best_cid)
+            codes = np.empty((n, _m), dtype=np.int32)
+            for s in range(_m):
+                xs = X[:, s * _sub : (s + 1) * _sub]
+                d2 = ((xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2).round(6)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    _id: np.repeat(pdf[_id].to_numpy(), _m),
+                    "centroid_id": np.repeat(best_cid, _m),
+                    "subspace": np.tile(np.arange(_m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        batches,
+        schema=f"{id_col} long, centroid_id long, subspace int, code int",
+    )
+
+
 def pq_sampled_codebook(
     embeddings: DataFrame,
     m: int = 4,
@@ -548,12 +673,12 @@ def write_ivfpq_index(
 
     spark = embeddings.sparkSession
     book = codebook or pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
-    codes = pq_encode(embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
-    asg = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
+    # one fused corpus pass (r11): codes + assignment from the same scan,
+    # no id-keyed join/window shuffle — see _encode_with_assignment
     write_bucketed(
-        codes.join(asg, on=id_col).select(id_col, "centroid_id", "subspace", "code"),
+        _encode_with_assignment(
+            embeddings, centroids, book, m, k_code, dim, id_col, vec_col
+        ),
         index_table,
         ["centroid_id"],
         num_buckets,
@@ -614,14 +739,9 @@ def append_ivfpq_index(
     book = _read_codebook(spark, index_table)
     m, k_code = len(book), len(book[0])
     cents = spark.table(f"{index_table}__centroids")
-    codes = pq_encode(
-        new_embeddings, m, k_code, dim, id_col, vec_col, codebook=book
-    )
-    asg = ivf_assign(new_embeddings, cents, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    rows = codes.join(asg, on=id_col).select(
-        id_col, "centroid_id", "subspace", "code"
+    # one fused batch pass (r11): codes + routing from the same scan
+    rows = _encode_with_assignment(
+        new_embeddings, cents, book, m, k_code, dim, id_col, vec_col
     )
     num_buckets = _table_bucket_count(spark, index_table)
     (
@@ -789,11 +909,23 @@ def ivfpq_twin_screen(
     book = _read_codebook(spark, index_table)
     m, k_code = len(book), len(book[0])
     cents = spark.table(f"{index_table}__centroids")
-    codes = pq_encode(new_embeddings, m, k_code, dim, id_col, vec_col, codebook=book)
-    asg = ivf_assign(new_embeddings, cents, id_col, vec_col).select(
-        id_col, "centroid_id"
+    # one fused batch pass (r11): the signature aggregate groups the
+    # fused (id, centroid_id, subspace, code) rows directly — centroid_id
+    # is constant per id, so carrying it through the groupBy replaces the
+    # separate assignment pass + id join
+    fused = _encode_with_assignment(
+        new_embeddings, cents, book, m, k_code, dim, id_col, vec_col
     )
-    batch_sig = _code_signature(codes, id_col).join(asg, on=id_col)
+    batch_sig = (
+        fused.groupBy(id_col, "centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda x: x["code"],
+            ).alias("sig")
+        )
+        .select(id_col, "sig", "centroid_id")
+    )
     batch_sig = batch_sig.localCheckpoint(eager=True)
     probe_ids = sorted(
         {r["centroid_id"] for r in batch_sig.select("centroid_id").distinct().collect()}

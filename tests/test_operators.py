@@ -3392,3 +3392,32 @@ def test_lsh_recall_audit_counts_missed_pairs(spark):
     assert total_caught <= caught_by_lsh + 1  # candidates below 0.1 don't count
     for r in audit.values():
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_encode_with_assignment_matches_join_window_path(spark, sf_dir):
+    """r11 fusion parity: the one-pass Arrow encode+assign must be
+    bit-identical to the pq_encode + ivf_assign + id-join shape it
+    replaced — sequential-fold cosines, shortest-repr HALF_UP round-6,
+    and the (cs desc, cid asc) tie-break all replicated batch-side."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.similarity import (
+        _encode_with_assignment,
+        ivf_assign,
+        pq_encode,
+        pq_sampled_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    book = pq_sampled_codebook(emb, 4, 16, 64)
+    old = (
+        pq_encode(emb, 4, 16, 64, codebook=book)
+        .join(ivf_assign(emb, cents).select("vec_id", "centroid_id"), on="vec_id")
+        .select("vec_id", "centroid_id", "subspace", "code")
+    )
+    new = _encode_with_assignment(
+        emb, cents, book, 4, 16, 64, "vec_id", "embedding"
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
