@@ -206,6 +206,43 @@ def band_keys(
     )
 
 
+def band_keys_from_grams(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    grams_col: str = "g",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """:func:`band_keys` over a PRE-MATERIALIZED per-doc distinct-gram
+    table (r11, guide §1.2): callers that need both the raw gram arrays
+    (exact-Jaccard verify) and the band keys (candidate join) tokenize
+    the corpus once and derive both — exploding the cached arrays feeds
+    the SAME md5-fingerprint + universal-hash minima aggregate
+    :func:`_minhash_wide` runs from text, so the (id, band, band_key)
+    rows are identical. Docs with no grams explode to no rows and carry
+    no bands, exactly as the text path behaves."""
+    rows_per_band = num_hashes // bands
+    a, b = minhash_params(num_hashes)
+    sh = grams.select(
+        F.col(id_col), F.explode(F.col(grams_col)).alias("shingle")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    )
+    aggs = [
+        F.min((F.lit(a[s]) * F.col("h") + F.lit(b[s])) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{s}"
+        )
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    band_structs = _band_structs(
+        [F.col(f"mh{s}") for s in range(num_hashes)], bands, rows_per_band
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -494,25 +494,34 @@ def fuzzy_decontaminate(
     Returns (id_col, n_bench_matches, max_jaccard) for CONTAMINATED
     train docs only (verified J >= threshold against >= 1 benchmark
     doc); clean docs are absent, like :func:`decontaminate`."""
-    from sparsity_spark.operators.dedup import band_keys, shingles_expr, words_expr
+    from sparsity_spark.operators.dedup import (
+        band_keys_from_grams,
+        shingles_expr,
+        words_expr,
+    )
+    from sparsity_spark.util import ensure_parallelism
 
     t = float(threshold)
-    tb = band_keys(train, id_col, text_col, k)
-    bb = band_keys(benchmark, id_col, text_col, k).select(
-        "band", "band_key", F.col(id_col).alias("__bench_id__")
+    # one pass per corpus (r11, guide §1.2): each side's gram arrays
+    # materialize once (lazy checkpoint) and both its band keys and its
+    # verify arrays derive from them — the text was previously
+    # tokenized+shingled twice per side
+    tg = ensure_parallelism(train).select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
+    ).localCheckpoint(eager=False)
+    bg = ensure_parallelism(benchmark).select(
+        F.col(id_col).alias("__bench_id__"),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_b__"),
+    ).localCheckpoint(eager=False)
+    tb = band_keys_from_grams(tg, id_col, "__g_t__")
+    bb = band_keys_from_grams(bg, "__bench_id__", "__g_b__").select(
+        "band", "band_key", "__bench_id__"
     )
     cand = (
         tb.join(F.broadcast(bb), ["band", "band_key"])
         .select(F.col(id_col), F.col("__bench_id__"))
         .distinct()
-    )
-    tg = train.select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
-    )
-    bg = benchmark.select(
-        F.col(id_col).alias("__bench_id__"),
-        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_b__"),
     )
     verified = (
         cand.join(tg, id_col)
@@ -574,6 +583,11 @@ def write_benchmark_store(
     from sparsity_spark.operators.skew import _drop_table_and_location, write_bucketed
 
     _drop_table_and_location(benchmark.sparkSession, f"{table}__tombstones")
+    # NOTE (r11): sharing one materialized gram table between the two
+    # writes was measured SLOWER here (2.9→4.5 s) — each write is its
+    # own action, and checkpointing corpus-sized gram arrays costs more
+    # than re-running the cheap text→shingle projection; the read-side
+    # screen (one job, overlapping subtrees) is where the sharing pays.
     b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
     write_bucketed(
         b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
@@ -610,6 +624,7 @@ def append_benchmark_store(
     )
 
     spark = benchmark.sparkSession
+    # two cheap text passes by design — see write_benchmark_store's note
     b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
     (
         b.select(F.col(id_col).alias("bench_id"), "band", "band_key")
@@ -703,20 +718,30 @@ def fuzzy_decontaminate_store(
     per-release screening cost excludes the whole eval-suite lake. The
     training side still computes bands + gram sets in one pass each —
     work ∝ release size, not suite size."""
-    from sparsity_spark.operators.dedup import band_keys, shingles_expr, words_expr
+    from sparsity_spark.operators.dedup import (
+        band_keys_from_grams,
+        shingles_expr,
+        words_expr,
+    )
+    from sparsity_spark.util import ensure_parallelism
 
     spark = train.sparkSession
     t = float(threshold)
-    tb = band_keys(train, id_col, text_col, k)
+    # one release pass (r11, guide §1.2): the training side's gram
+    # arrays materialize once (lazy checkpoint — overlaps with the
+    # store-side scans in the same job) and BOTH the band-candidate
+    # probe and the exact-Jaccard verify derive from them; the text was
+    # previously tokenized+shingled twice per release
+    tg = ensure_parallelism(train).select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
+    ).localCheckpoint(eager=False)
+    tb = band_keys_from_grams(tg, id_col, "__g_t__")
     bb = _benchmark_side(spark, table, f"{table}__bands")
     cand = (
         tb.join(bb, ["band", "band_key"])
         .select(F.col(id_col), F.col("bench_id"))
         .distinct()
-    )
-    tg = train.select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("__g_t__"),
     )
     # dropDuplicates on the id-bucketed gram table collapses the duplicate
     # rows a crash-replayed streaming append leaves behind (rows are

@@ -3421,3 +3421,25 @@ def test_encode_with_assignment_matches_join_window_path(spark, sf_dir):
         emb, cents, book, 4, 16, 64, "vec_id", "embedding"
     )
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_band_keys_from_grams_matches_text_path(spark, sf_dir):
+    """r11 sharing parity: band keys derived from a pre-materialized
+    distinct-gram table must be row-identical to band_keys from text —
+    same md5 fingerprints, same universal-hash minima, same band md5s."""
+    from sparsity_spark.data import load_table
+    from sparsity_spark.operators.dedup import (
+        band_keys,
+        band_keys_from_grams,
+        shingles_expr,
+        words_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_expr(words_expr("text"), 3)).alias("g"),
+    )
+    a = sorted(map(tuple, band_keys(docs).collect()))
+    b = sorted(map(tuple, band_keys_from_grams(grams).collect()))
+    assert a == b
