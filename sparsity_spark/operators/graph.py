@@ -383,6 +383,7 @@ def random_walks(
     starts: DataFrame,
     steps: int = 3,
     assume_distinct: bool = False,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic random walks over a (src, dst) edge table — the
     walk-corpus generator behind DeepWalk/node2vec-style graph
@@ -405,22 +406,24 @@ def random_walks(
     early — rows simply stop appearing."""
     from pyspark.sql import Window
 
-    edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
-    # rank AND degree from ONE exchange (r11, guide §2.4): both windows
-    # partition by src, so the degree count rides the row_number sort —
-    # the r9 build paid a second shuffle for a groupBy degree aggregate
-    # plus a third for the join gluing it back on. Spill-safe for hub
-    # nodes, unlike a collect_list formulation.
-    ranked = edges.select(
-        "src",
-        "dst",
-        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
-            "rank"
-        ),
-        F.count("*").over(Window.partitionBy("src")).alias("deg"),
-    ).persist()
-    ranked.count()
-    edges.unpersist()
+    owns_ranked = ranked is None
+    if owns_ranked:
+        edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
+        # rank AND degree from ONE exchange (r11, guide §2.4): both windows
+        # partition by src, so the degree count rides the row_number sort —
+        # the r9 build paid a second shuffle for a groupBy degree aggregate
+        # plus a third for the join gluing it back on. Spill-safe for hub
+        # nodes, unlike a collect_list formulation.
+        ranked = edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+                "rank"
+            ),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        ).persist()
+        ranked.count()
+        edges.unpersist()
 
     frontier = starts.select(
         F.col(starts.columns[0]).alias("start")
@@ -462,7 +465,8 @@ def random_walks(
     # then drop the ranked-neighbor cache so repeated walk queries in one
     # session don't accumulate edge-sized tables in the block manager
     out = out.localCheckpoint(eager=True)
-    ranked.unpersist()
+    if owns_ranked:
+        ranked.unpersist()
     return out
 
 
@@ -727,6 +731,7 @@ def node2vec_walks(
     ret_w: int = 1000,
     out_w: int = 1000,
     assume_distinct: bool = False,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Biased second-order random walks — node2vec's p/q sampling (Grover
     & Leskovec, KDD 2016) completing the DeepWalk family (r9): at step
@@ -756,17 +761,23 @@ def node2vec_walks(
         # steps=0 call would silently return one hop the caller excluded
         # (random_walks(steps=0) correctly returns only step 0)
         raise ValueError("node2vec_walks: steps must be >= 1")
-    edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
-    # rank + degree in one exchange — random_walks' r11 rationale
-    ranked = edges.select(
-        "src",
-        "dst",
-        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
-            "rank"
-        ),
-        F.count("*").over(Window.partitionBy("src")).alias("deg"),
-    ).persist()
-    ranked.count()
+    owns_ranked = ranked is None
+    if owns_ranked:
+        edges = _undirected(edges, assume_distinct, drop_self_loops=False).persist()
+        # rank + degree in one exchange — random_walks' r11 rationale
+        ranked = edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+                "rank"
+            ),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        ).persist()
+        ranked.count()
+    else:
+        # the distance-1 flag needs only the (src, dst) pairs, which the
+        # ranked table already carries — no separate edge build
+        edges = ranked.select("src", "dst")
 
     def h60(*cols):
         return F.conv(
@@ -830,8 +841,9 @@ def node2vec_walks(
             frontier.select("start", F.lit(t).alias("step"), "node")
         )
     out = out.localCheckpoint(eager=True)
-    ranked.unpersist()
-    edges.unpersist()
+    if owns_ranked:
+        ranked.unpersist()
+        edges.unpersist()
     return out
 
 

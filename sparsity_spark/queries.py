@@ -88,6 +88,32 @@ def _cust_supp_edges(spark, sf_dir: str) -> DataFrame:
     return _memo_edges(spark, sf_dir, "cust_supp", build)
 
 
+def _ranked_neighbors(spark, sf_dir: str) -> DataFrame:
+    """Session-shared dst-ranked neighbor table (src, dst, rank, deg)
+    over the cust↔supp edges — the walk family's lookup structure (r11):
+    the three walk rows (uniform walks, biased walks, skip-gram) each
+    re-ran the same per-src row_number + count windows over the 1.17 M
+    shared edges before stepping; the ranking is a pure function of the
+    distinct edge set (row_number over unique (src, dst) is
+    deterministic), so it persists once per session like the edge
+    stores, bucketed by src — the key every step's frontier join and
+    the distance-1 flag probe use."""
+    from pyspark.sql import Window
+
+    def build():
+        e = _cust_supp_edges(spark, sf_dir)
+        return e.select(
+            "src",
+            "dst",
+            (
+                F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+            ).alias("rank"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        )
+
+    return _memo_edges(spark, sf_dir, "cust_supp_ranked", build)
+
+
 def _co_purchase_edges(spark, sf_dir: str) -> DataFrame:
     """Symmetric customer co-purchase edges (same (partkey, rounded qty)
     bought by two customers), shared by the k-core / triangle / LPA /
@@ -8990,7 +9016,10 @@ def graph_node2vec_walks_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    return node2vec_walks(edges, starts, steps=3, ret_w=250, out_w=4000, assume_distinct=True)
+    return node2vec_walks(
+        edges, starts, steps=3, ret_w=250, out_w=4000, assume_distinct=True,
+        ranked=_ranked_neighbors(spark, sf_dir),
+    )
 
 
 def _node2vec_skipgram_oracle(
@@ -9041,7 +9070,10 @@ def graph_node2vec_skipgram_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    walks = node2vec_walks(edges, starts, steps=3, ret_w=4000, out_w=250, assume_distinct=True)
+    walks = node2vec_walks(
+        edges, starts, steps=3, ret_w=4000, out_w=250, assume_distinct=True,
+        ranked=_ranked_neighbors(spark, sf_dir),
+    )
     return walk_skipgram_pairs(walks, window=2)
 
 
@@ -9060,7 +9092,10 @@ def graph_random_walks_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    return random_walks(edges, starts, steps=3, assume_distinct=True)
+    return random_walks(
+        edges, starts, steps=3, assume_distinct=True,
+        ranked=_ranked_neighbors(spark, sf_dir),
+    )
 
 
 def _skipgram_oracle(steps: int = 3, window: int = 2) -> str:
@@ -9104,7 +9139,10 @@ def graph_skipgram_pairs_q(spark, sf_dir):
     starts = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias("node")
     )
-    walks = random_walks(edges, starts, steps=3, assume_distinct=True)
+    walks = random_walks(
+        edges, starts, steps=3, assume_distinct=True,
+        ranked=_ranked_neighbors(spark, sf_dir),
+    )
     return walk_skipgram_pairs(walks, window=2)
 
 
