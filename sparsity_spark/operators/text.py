@@ -285,12 +285,17 @@ def boilerplate_fraction(
     from sparsity_spark.operators.dedup import shingles_expr, words_expr
 
     unit = 1_000_000
+    # one corpus pass (r11, guide §1.2): the exploded gram table feeds
+    # BOTH the df aggregate and the join probe — without the lazy
+    # checkpoint the scan+shingle+explode subtree executed twice (the
+    # jaccard_prefix_join lesson; lazy so the two consumers still
+    # overlap in one job)
     grams = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_expr(words_expr(text_col), k))).alias(
             "gram"
         ),
-    )
+    ).localCheckpoint(eager=False)
     dft = grams.groupBy("gram").agg(F.count("*").cast("long").alias("__df__"))
     per = (
         grams.join(dft, "gram")
