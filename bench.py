@@ -473,13 +473,18 @@ def main():
         # bench right after its Spark-heavy correctness sweep, trailing
         # JVM/OS activity inflates LIGHT rows 2-5x (q2 0.57 -> 3.18 s in
         # BENCH_r10 vs the clean run) while heavy rows stay flat — the
-        # artifact then pollutes round-over-round comparison. Sub-5 s
+        # artifact then pollutes round-over-round comparison. Sub-10 s
         # rows get a second timed run and record the minimum: a transient
-        # spike inflates one run, not both, and re-running only the light
-        # rows bounds the extra suite cost to ~1 minute. On an idle
-        # machine min-of-two equals the single-run number to within
-        # run-to-run jitter, so clean-run comparability is preserved.
-        if steady_state and el < 5.0:
+        # spike inflates one run, not both. On an idle machine min-of-two
+        # equals the single-run number to within run-to-run jitter, so
+        # clean-run comparability is preserved. The threshold was 5 s
+        # until late r11: this round's optimizations pulled most rows
+        # under 5 s, and the remaining 5-10 s band caught multi-second
+        # OS stalls with no rescue (dedup_incremental_lsh recorded 9.5 s
+        # in one suite run vs 3.0 s min-of-three isolated — a 1.8 s row
+        # at the round open, code-identical); the measurement-bug fix and
+        # the old single-run numbers are recorded in OPTIMIZATION_r11.md.
+        if steady_state and el < 10.0:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             run_one(QUERIES[name](spark, sf_dir))
