@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparsity_spark.operators.skew import bucket_partitioned
+
 
 def words_expr(text_col: str):
     """Whitespace tokens. Single-space split keeps Spark and any SQL oracle
@@ -1407,7 +1409,9 @@ def compact_band_store(spark, table: str) -> None:
         return
     live = band_store(spark, table).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, table)
-    live.write.mode("overwrite").bucketBy(nb, "band", "band_key").format(
+    bucket_partitioned(live, nb, ["band", "band_key"]).write.mode(
+        "overwrite"
+    ).bucketBy(nb, "band", "band_key").format(
         "parquet"
     ).saveAsTable(table)
     _drop_table_and_location(spark, tt)
@@ -1474,7 +1478,8 @@ def append_band_store(
     ).select(id_col, "band", "band_key")
     num_buckets = _table_bucket_count(spark, table)
     (
-        keep_bands.write.mode("append")
+        bucket_partitioned(keep_bands, num_buckets, ["band", "band_key"])
+        .write.mode("append")
         .bucketBy(num_buckets, "band", "band_key")
         .format("parquet")
         .saveAsTable(table)
@@ -1581,7 +1586,9 @@ def compact_hash_store(spark, table: str) -> None:
         return
     live = hash_store(spark, table).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, table)
-    live.write.mode("overwrite").bucketBy(nb, "content_hash").format(
+    bucket_partitioned(live, nb, ["content_hash"]).write.mode(
+        "overwrite"
+    ).bucketBy(nb, "content_hash").format(
         "parquet"
     ).saveAsTable(table)
     _drop_table_and_location(spark, tt)
@@ -1641,7 +1648,8 @@ def append_hash_store(
     )
     num_buckets = _table_bucket_count(spark, table)
     (
-        keep_rows.write.mode("append")
+        bucket_partitioned(keep_rows, num_buckets, ["content_hash"])
+        .write.mode("append")
         .bucketBy(num_buckets, "content_hash")
         .format("parquet")
         .saveAsTable(table)
@@ -1727,7 +1735,9 @@ def compact_member_store(spark, table: str) -> None:
         return
     live = member_store(spark, table).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, table)
-    live.write.mode("overwrite").bucketBy(nb, "cid").format("parquet").saveAsTable(
+    bucket_partitioned(live, nb, ["cid"]).write.mode("overwrite").bucketBy(
+        nb, "cid"
+    ).format("parquet").saveAsTable(
         table
     )
     _drop_table_and_location(spark, tt)
@@ -1831,7 +1841,8 @@ def append_member_store(
     )
     num_buckets = _table_bucket_count(spark, table)
     (
-        keep_rows.write.mode("append")
+        bucket_partitioned(keep_rows, num_buckets, ["cid"])
+        .write.mode("append")
         .bucketBy(num_buckets, "cid")
         .format("parquet")
         .saveAsTable(table)
@@ -2110,7 +2121,8 @@ def fold_cluster_store(
     )
     num_buckets = _table_bucket_count(spark, table)
     (
-        new_assign.write.mode("append")
+        bucket_partitioned(new_assign, num_buckets, ["doc_id"])
+        .write.mode("append")
         .bucketBy(num_buckets, "doc_id")
         .format("parquet")
         .saveAsTable(table)
@@ -2228,7 +2240,9 @@ def compact_cluster_store(spark, table: str) -> None:
     _drop_table_and_location(spark, f"{table}__remap")
     bridge.write.mode("overwrite").format("parquet").saveAsTable(f"{table}__remap")
     nb = _table_bucket_count(spark, table)
-    final.write.mode("overwrite").bucketBy(nb, "doc_id").format(
+    bucket_partitioned(final, nb, ["doc_id"]).write.mode("overwrite").bucketBy(
+        nb, "doc_id"
+    ).format(
         "parquet"
     ).saveAsTable(table)
     _drop_table_and_location(spark, f"{table}__remap")
@@ -2514,14 +2528,14 @@ def append_containment_store(
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     ).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, f"{table}__grams")
-    grams.write.mode("append").bucketBy(nb, "id").format("parquet").saveAsTable(
-        f"{table}__grams"
-    )
+    bucket_partitioned(grams, nb, ["id"]).write.mode("append").bucketBy(
+        nb, "id"
+    ).format("parquet").saveAsTable(f"{table}__grams")
     e = grams.select("id", F.explode("g").alias("gram"))
     pb = _table_bucket_count(spark, f"{table}__post")
-    e.select("gram", "id").write.mode("append").bucketBy(pb, "gram").format(
-        "parquet"
-    ).saveAsTable(f"{table}__post")
+    bucket_partitioned(e.select("gram", "id"), pb, ["gram"]).write.mode(
+        "append"
+    ).bucketBy(pb, "gram").format("parquet").saveAsTable(f"{table}__post")
     e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.mode(
         "append"
     ).format("parquet").saveAsTable(f"{table}__df")
@@ -2568,7 +2582,9 @@ def compact_containment_store(spark, table: str) -> None:
             .join(dead, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        live_g.write.mode("overwrite").bucketBy(nb_g, "id").format(
+        bucket_partitioned(live_g, nb_g, ["id"]).write.mode("overwrite").bucketBy(
+            nb_g, "id"
+        ).format(
             "parquet"
         ).saveAsTable(f"{table}__grams")
         nb_p = _table_bucket_count(spark, f"{table}__post")
@@ -2577,7 +2593,9 @@ def compact_containment_store(spark, table: str) -> None:
             .join(dead, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        live_p.write.mode("overwrite").bucketBy(nb_p, "gram").format(
+        bucket_partitioned(live_p, nb_p, ["gram"]).write.mode("overwrite").bucketBy(
+            nb_p, "gram"
+        ).format(
             "parquet"
         ).saveAsTable(f"{table}__post")
         fresh_df = (

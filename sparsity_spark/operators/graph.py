@@ -712,8 +712,11 @@ def merge_edge_store(
             inc.join(spark.table(table), on=["src", "dst"], how="left_anti")
             .localCheckpoint(eager=True)
         )
-        new.write.mode("append").bucketBy(
-            _table_bucket_count(spark, table), "src", "dst"
+        from sparsity_spark.operators.skew import bucket_partitioned
+
+        nb = _table_bucket_count(spark, table)
+        bucket_partitioned(new, nb, ["src", "dst"]).write.mode("append").bucketBy(
+            nb, "src", "dst"
         ).saveAsTable(table)
     else:
         from sparsity_spark.operators.skew import write_bucketed

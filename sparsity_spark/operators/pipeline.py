@@ -623,23 +623,35 @@ def append_benchmark_store(
         words_expr,
     )
 
+    from sparsity_spark.operators.skew import bucket_partitioned
+
     spark = benchmark.sparkSession
     # two cheap text passes by design — see write_benchmark_store's note
     b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
+    nb_b = _table_bucket_count(spark, f"{table}__bands")
     (
-        b.select(F.col(id_col).alias("bench_id"), "band", "band_key")
+        bucket_partitioned(
+            b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
+            nb_b,
+            ["band", "band_key"],
+        )
         .write.mode("append")
-        .bucketBy(_table_bucket_count(spark, f"{table}__bands"), "band", "band_key")
+        .bucketBy(nb_b, "band", "band_key")
         .format("parquet")
         .saveAsTable(f"{table}__bands")
     )
+    nb_g = _table_bucket_count(spark, f"{table}__grams")
     (
-        benchmark.select(
-            F.col(id_col).alias("bench_id"),
-            F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
+        bucket_partitioned(
+            benchmark.select(
+                F.col(id_col).alias("bench_id"),
+                F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
+            ),
+            nb_g,
+            ["bench_id"],
         )
         .write.mode("append")
-        .bucketBy(_table_bucket_count(spark, f"{table}__grams"), "bench_id")
+        .bucketBy(nb_g, "bench_id")
         .format("parquet")
         .saveAsTable(f"{table}__grams")
     )
@@ -681,12 +693,16 @@ def compact_benchmark_store(spark, table: str) -> None:
     bands_t, grams_t = f"{table}__bands", f"{table}__grams"
     live_b = _benchmark_side(spark, table, bands_t).localCheckpoint(eager=True)
     live_g = _benchmark_side(spark, table, grams_t).localCheckpoint(eager=True)
-    live_b.write.mode("overwrite").bucketBy(
-        _table_bucket_count(spark, bands_t), "band", "band_key"
-    ).format("parquet").saveAsTable(bands_t)
-    live_g.write.mode("overwrite").bucketBy(
-        _table_bucket_count(spark, grams_t), "bench_id"
-    ).format("parquet").saveAsTable(grams_t)
+    from sparsity_spark.operators.skew import bucket_partitioned
+
+    nb_b = _table_bucket_count(spark, bands_t)
+    bucket_partitioned(live_b, nb_b, ["band", "band_key"]).write.mode(
+        "overwrite"
+    ).bucketBy(nb_b, "band", "band_key").format("parquet").saveAsTable(bands_t)
+    nb_g = _table_bucket_count(spark, grams_t)
+    bucket_partitioned(live_g, nb_g, ["bench_id"]).write.mode(
+        "overwrite"
+    ).bucketBy(nb_g, "bench_id").format("parquet").saveAsTable(grams_t)
     _drop_table_and_location(spark, tt)
 
 

@@ -743,9 +743,12 @@ def append_ivfpq_index(
     rows = _encode_with_assignment(
         new_embeddings, cents, book, m, k_code, dim, id_col, vec_col
     )
+    from sparsity_spark.operators.skew import bucket_partitioned
+
     num_buckets = _table_bucket_count(spark, index_table)
     (
-        rows.write.mode("append")
+        bucket_partitioned(rows, num_buckets, ["centroid_id"])
+        .write.mode("append")
         .bucketBy(num_buckets, "centroid_id")
         .format("parquet")
         .saveAsTable(index_table)
@@ -808,9 +811,11 @@ def compact_ivfpq_index(spark, index_table: str, id_col: str = "vec_id") -> None
         return
     live = _live_codes(spark, index_table, id_col).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, index_table)
-    live.write.mode("overwrite").bucketBy(nb, "centroid_id").format(
-        "parquet"
-    ).saveAsTable(index_table)
+    from sparsity_spark.operators.skew import bucket_partitioned
+
+    bucket_partitioned(live, nb, ["centroid_id"]).write.mode("overwrite").bucketBy(
+        nb, "centroid_id"
+    ).format("parquet").saveAsTable(index_table)
     _drop_table_and_location(spark, tt)
 
 

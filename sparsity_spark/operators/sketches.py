@@ -664,9 +664,12 @@ def merge_count_store(
         from sparsity_spark.operators.dedup import _table_bucket_count
 
         if not _batch_already_folded(spark, table, batch_id):
-            inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
-                _table_bucket_count(spark, table), "key"
-            ).saveAsTable(table)
+            from sparsity_spark.operators.skew import bucket_partitioned
+
+            nb = _table_bucket_count(spark, table)
+            bucket_partitioned(
+                inc.localCheckpoint(eager=True), nb, ["key"]
+            ).write.mode("append").bucketBy(nb, "key").saveAsTable(table)
             _record_max_batch(spark, table, batch_id)
     else:
         from sparsity_spark.operators.skew import write_bucketed
@@ -734,6 +737,8 @@ def compact_count_store(spark, table: str) -> None:
     )
     nb = _table_bucket_count(spark, table)
     _write_compaction_watermark(spark, table, int(mx))
-    collapsed.write.mode("overwrite").bucketBy(nb, "key").format(
-        "parquet"
-    ).saveAsTable(table)
+    from sparsity_spark.operators.skew import bucket_partitioned
+
+    bucket_partitioned(collapsed, nb, ["key"]).write.mode("overwrite").bucketBy(
+        nb, "key"
+    ).format("parquet").saveAsTable(table)

@@ -57,6 +57,20 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
         shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
 
 
+def bucket_partitioned(df: DataFrame, num_buckets: int, bucket_cols: list[str]) -> DataFrame:
+    """One shuffle partition per bucket id ahead of a bucketed write
+    (r11, guide §6 output file sizing): Spark's bucket writer splits each
+    input TASK's rows by bucket id, so an unpartitioned write emits up to
+    ``input_partitions × num_buckets`` files — measured 256-272 part
+    files for KB-sized store tables, paying per-file commit on the write
+    and per-file open on every later scan. ``repartition``'s
+    HashPartitioning is the same murmur3-pmod the writer assigns bucket
+    ids with, so partition i holds exactly bucket i and the write emits
+    ONE file per non-empty bucket; ``num_buckets`` stays the caller's
+    scale knob for target file size."""
+    return df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -65,10 +79,16 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table: joins and
-    aggregations keyed on bucket_cols read it without a shuffle."""
+    aggregations keyed on bucket_cols read it without a shuffle. The
+    input is repartitioned to one partition per bucket id so the table
+    is one file per bucket (see :func:`bucket_partitioned`)."""
     spark = df.sparkSession
     _drop_table_and_location(spark, table)
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    writer = (
+        bucket_partitioned(df, num_buckets, bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)

@@ -704,9 +704,12 @@ def merge_ohlc_store(
 
     if spark.catalog.tableExists(table):
         if not _batch_already_folded(spark, table, batch_id):
-            inc.localCheckpoint(eager=True).write.mode("append").bucketBy(
-                _table_bucket_count(spark, table), "key", "bucket"
-            ).saveAsTable(table)
+            from sparsity_spark.operators.skew import bucket_partitioned
+
+            nb = _table_bucket_count(spark, table)
+            bucket_partitioned(
+                inc.localCheckpoint(eager=True), nb, ["key", "bucket"]
+            ).write.mode("append").bucketBy(nb, "key", "bucket").saveAsTable(table)
             _record_max_batch(spark, table, batch_id)
     else:
         from sparsity_spark.operators.skew import write_bucketed
@@ -815,6 +818,8 @@ def compact_ohlc_store(spark, table: str) -> None:
     )
     nb = _table_bucket_count(spark, table)
     _write_compaction_watermark(spark, table, int(mx))
-    collapsed.write.mode("overwrite").bucketBy(nb, "key", "bucket").format(
-        "parquet"
-    ).saveAsTable(table)
+    from sparsity_spark.operators.skew import bucket_partitioned
+
+    bucket_partitioned(collapsed, nb, ["key", "bucket"]).write.mode(
+        "overwrite"
+    ).bucketBy(nb, "key", "bucket").format("parquet").saveAsTable(table)

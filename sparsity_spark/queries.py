@@ -10122,7 +10122,12 @@ def pipe_curate_containment_q(spark, sf_dir):
     q = quality_score(docs).select("doc_id", "n_tokens", "quality")
     kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.4)
     keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    survivors = kept.join(keepers, "doc_id")
+    # the gated-survivor table is consumed ~5× downstream (gram build,
+    # the CC loop's universe twice, the collapse join) and its plan
+    # carries the regexp-heavy quality projection + the md5 dedup
+    # aggregate — materialize it once (lazy, the PPJoin-shape sharing;
+    # guide §1.2 "don't compute things you throw away")
+    survivors = kept.join(keepers, "doc_id").localCheckpoint(eager=False)
     cc = containment_clusters(survivors, threshold=0.6, k=3)
     collapsed = survivors.join(
         cc.filter(F.col("keep")).select("doc_id"), "doc_id"

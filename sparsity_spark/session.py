@@ -14,9 +14,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_root() -> str:
+    """Fast scratch for shuffle files, localCheckpoint blocks, and the
+    bucketed-store warehouse (r11, guide §2.1/§6: provision shuffle and
+    scratch I/O on the fastest local storage available — production
+    clusters put spark.local.dir on local NVMe for exactly this reason).
+    This sandbox's /tmp is a virtio disk whose fsync latency stalls for
+    multi-second stretches under the bench's table-write bursts
+    (measured: identical store-lifecycle rows swing 4.8-15.1 s on /tmp
+    vs a stable 1.9-2.1 s on tmpfs); a RAM-backed scratch removes the
+    artifact. Env-overridable for machines where RAM is the scarcer
+    resource; the store tables are session-scratch (rebuilt per
+    application id), so tmpfs volatility costs nothing."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        return root
+    if os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return "/tmp"
+
+
 def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scratch = _scratch_root()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,8 +70,10 @@ def get_spark(app_name: str = "sparsity_spark", cpus: int | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # bucketed-table support without polluting the repo: warehouse +
-        # derby metastore live under /tmp
-        .config("spark.sql.warehouse.dir", "/tmp/sparsity_spark_warehouse")
+        # shuffle/checkpoint scratch live on the fast scratch root (see
+        # _scratch_root); derby metastore stays under /tmp
+        .config("spark.sql.warehouse.dir", f"{scratch}/sparsity_spark_warehouse")
+        .config("spark.local.dir", f"{scratch}/sparsity_spark_local")
         # ReservedCodeCacheSize: the default 240 MB JIT code cache cannot
         # hold two codegen-giant queries at once (simhash's 64-term
         # bit-majority fold, ppjoin's fold chains) — their compiled

@@ -795,9 +795,13 @@ def streaming_cluster_maintain(
         new_bands = nb.join(
             spark.table(band_table).select(id_col).distinct(), id_col, "left_anti"
         ).localCheckpoint(eager=True)
+        from sparsity_spark.operators.skew import bucket_partitioned
+
+        nbk = _table_bucket_count(spark, band_table)
         (
-            new_bands.write.mode("append")
-            .bucketBy(_table_bucket_count(spark, band_table), "band", "band_key")
+            bucket_partitioned(new_bands, nbk, ["band", "band_key"])
+            .write.mode("append")
+            .bucketBy(nbk, "band", "band_key")
             .format("parquet")
             .saveAsTable(band_table)
         )
