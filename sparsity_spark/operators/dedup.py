@@ -527,6 +527,7 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iters: int = 25,
+    include_singletons: bool = True,
 ) -> DataFrame:
     """Connected components over candidate pairs → one cluster id per doc
     (the component's minimum id — the canonical survivor). Completes the
@@ -574,7 +575,13 @@ def duplicate_clusters(
       drops from corpus-sized to collision-sized.
 
     `ids` supplies the full universe so singleton docs (never in any pair)
-    still get a cluster (themselves).
+    still get a cluster (themselves). ``include_singletons=False`` returns
+    only the pair-touched labels (collision-sized) and skips the final
+    corpus-sized left join — for callers like
+    :func:`containment_clusters` that handle singletons with a cheaper
+    union than a join (r11, guide §2.3: the full corpus otherwise rides
+    the downstream label join and aggregate for rows whose cluster is
+    trivially themselves).
     """
     a, b = pair_cols
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -625,6 +632,10 @@ def duplicate_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if not include_singletons:
+        return labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        )
     return universe.join(labels, "id", "left").select(
         F.col("id").alias(id_col),
         F.coalesce("label", F.col("id")).alias("cluster_id"),
@@ -2805,7 +2816,15 @@ def containment_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = duplicate_clusters(pairs, docs, id_col=id_col)
+    # only pair-touched nodes ride the argmax (r11, guide §2.3): a doc
+    # in no containment pair is trivially its own cluster's keeper, so
+    # the corpus-sized label join + per-cluster aggregate shrink to
+    # collision-sized and singletons re-enter via ONE anti-join + union
+    # (cheaper than the full left join + corpus-wide argmax — at 100 TB
+    # the aggregate input drops from corpus rows to pair-touched rows)
+    labels = duplicate_clusters(
+        pairs, docs, id_col=id_col, include_singletons=False
+    )
     sizes = grams.select(
         F.col("id").cast("long").alias(id_col),
         F.size("g").cast("long").alias("n_grams"),
@@ -2818,9 +2837,18 @@ def containment_clusters(
         "cluster_id",
         (-F.col("__b__.__nid__")).cast("long").alias("__keep_id__"),
     )
-    return sized.join(best, "cluster_id").select(
+    touched = sized.join(best, "cluster_id").select(
         id_col,
         "cluster_id",
         "n_grams",
         (F.col(id_col) == F.col("__keep_id__")).alias("keep"),
     )
+    singles = sizes.join(
+        labels.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        "n_grams",
+        F.lit(True).alias("keep"),
+    )
+    return touched.unionByName(singles)

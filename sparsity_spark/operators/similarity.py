@@ -2063,10 +2063,16 @@ def _sq8_codes(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
 
 
 # mmr_topk: max total literals (selected-codes × dim) allowed to inline
-# into the plan before switching to a broadcast-joined selected-set
-# DataFrame — literal expression trees are plan-sized, and k·d at
-# realistic embedding dims (512-1024) hits codegen/plan limits
-_MMR_LITERAL_BUDGET = 4096
+# into the per-step plan before using the broadcast-joined selected-set
+# DataFrame. Default 0 — ALWAYS broadcast (r11): inlined literals force
+# a fresh whole-stage-codegen compile every selection step (the literal
+# values are part of the generated source), measured 5.8 s vs 4.6 s
+# min-of-5 for the 5-step sf0.1 row on identical picks; the broadcast
+# plan's generated code is step-invariant (only the k-row LocalRelation
+# data changes), and at realistic dims (512-1024) the literal tree also
+# hits codegen/plan limits. The literal path stays for A/B parity
+# pinning (tests force it by raising the budget).
+_MMR_LITERAL_BUDGET = 0
 
 
 def _code_dot(a, b):
@@ -2166,15 +2172,18 @@ def mmr_topk(
     order."""
     if not 0 <= lambda_pct <= 100:
         raise ValueError("mmr_topk: lambda_pct must be in [0, 100]")
-    qrow = queries.limit(2).collect()
-    if len(qrow) != 1:
+    # ONE query-side job for both the id guard and the codes (r11: the
+    # id collect and the codes collect were two sequential driver jobs
+    # over the same one-row frame)
+    qrows = _sq8_codes(queries.limit(2), "q", id_col, vec_col).collect()
+    if len(qrows) != 1:
         raise ValueError("mmr_topk: queries must hold exactly one vector")
-    qid = qrow[0][id_col]
+    qid = qrows[0]["q"]
+    qcodes = qrows[0]["q_c"]
     spark = embeddings.sparkSession
     corpus = _sq8_codes(
         embeddings.where(F.col(id_col) != qid), "neighbor_id", id_col, vec_col
     ).withColumnRenamed("neighbor_id_c", "code")
-    qcodes = _sq8_codes(queries, "q", id_col, vec_col).collect()[0]["q_c"]
     dim = len(qcodes)
 
     def lit_arr(xs):
@@ -2193,7 +2202,8 @@ def mmr_topk(
     corpus = rel_scored.persist()
     picked = []  # (step, id, rel, obj, code)
     try:
-        corpus.count()
+        # no materializing count() here (r11): step 1's argmax fills the
+        # cache itself — same work, one fewer sequential driver job
         for step in range(1, k + 1):
             cand = corpus.where(
                 ~F.col("neighbor_id").isin([p[1] for p in picked])

@@ -3269,19 +3269,20 @@ def test_mmr_validates_inputs(spark):
 
 
 def test_mmr_broadcast_path_matches_literal_path(spark, monkeypatch):
-    """r10 advisor fix: above the literal budget the selected codes ship
-    via broadcast join instead of O(k·d) literal trees. Both paths must
-    make bitwise-identical picks — same exact integer dots, same argmax
-    tie-break — so the budget is purely a planning-cost knob."""
+    """r10 advisor fix / r11 default flip: the selected codes ship via
+    broadcast join by default (step-invariant codegen); the literal-tree
+    path remains behind the budget knob. Both paths must make bitwise-
+    identical picks — same exact integer dots, same argmax tie-break —
+    so the budget is purely a planning-cost knob."""
     import sparsity_spark.operators.similarity as sim
 
     rng = [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(24)])
            for i in range(30)]
     emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
     q = emb.where(F.col("vec_id") == 0)
-    lit = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
-    monkeypatch.setattr(sim, "_MMR_LITERAL_BUDGET", 0)  # force broadcast path
     bc = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
+    monkeypatch.setattr(sim, "_MMR_LITERAL_BUDGET", 4096)  # force literal path
+    lit = [tuple(r) for r in sim.mmr_topk(emb, q, k=4, lambda_pct=60).collect()]
     assert lit == bc and len(lit) == 4
 
 
