@@ -741,8 +741,15 @@ def jaccard_prefix_join(
     # Lazy, not eager: consumers like lsh_recall_audit overlap this
     # subtree with their own independent subtrees in one job — an eager
     # checkpoint serialized them and gave the audit row back its win
-    # (measured 8.2 s eager vs 7.25 s lazy at sf0.1)
-    grams = docs.select(
+    # (measured 8.2 s eager vs 7.25 s lazy at sf0.1). ensure_parallelism
+    # BEFORE the shingle projection (r11): a single sub-MB parquet file
+    # scans as ~3 splits under the open-cost floor, so the tokenize+
+    # shingle map stage — the corpus-side compute — otherwise runs 3
+    # tasks on a 32-core box; on a many-file cluster scan the guard
+    # no-ops.
+    from sparsity_spark.util import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), F.array_distinct(unit).alias("g")
     ).localCheckpoint(eager=False)
     toks = grams.select("id", F.explode("g").alias("tok"))
@@ -2401,8 +2408,12 @@ def containment_join(
     # the gram projection is read by the candidate pipeline AND (twice)
     # by the verify posting scans — persist it so the corpus is
     # tokenized/shingled exactly once (the tfidf tokenize-pass pattern;
-    # released before return via the eager-result discipline below)
-    grams = docs.select(
+    # released before return via the eager-result discipline below).
+    # ensure_parallelism first: the shingle map otherwise runs at the
+    # scan's split count (3 for a sub-MB single file — r11)
+    from sparsity_spark.util import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     ).persist()
@@ -2506,7 +2517,12 @@ def write_containment_store(
     # a fresh build starts a fresh lifecycle: stale tombstones from a
     # dead incarnation would wrongly suppress the new corpus's docs
     _drop_table_and_location(spark, f"{table}__tombstones")
-    grams = docs.select(
+    # ensure_parallelism: the shingle map otherwise runs at the scan's
+    # split count (r11 — see containment_join); write_bucketed's own
+    # repartition only spreads rows AFTER they are shingled
+    from sparsity_spark.util import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     )
@@ -2803,7 +2819,10 @@ def containment_clusters(
     # pairs and this function shingled it AGAIN for n_grams.
     # duplicate_clusters freezes its edge table eagerly at call time and
     # sizes is checkpointed below, so the cache releases before return.
-    grams = docs.select(
+    # ensure_parallelism: see containment_join (r11).
+    from sparsity_spark.util import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     ).persist()

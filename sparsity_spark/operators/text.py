@@ -130,7 +130,11 @@ def _tfidf_cells(docs: DataFrame, id_col: str, text_col: str, min_df: int):
     collect); callers that materialize the cells should unpersist both
     (top_keywords does; tfidf_frame's handles live as long as its frame)."""
     from sparsity_spark.frame import COL, VAL
+    from sparsity_spark.util import ensure_parallelism
 
+    # tokenize map at the scan's split count otherwise (3 for a sub-MB
+    # single file — r11; the guard no-ops on many-file cluster scans)
+    docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col), F.explode(words_expr(text_col)).alias(COL)
     )
@@ -289,7 +293,11 @@ def boilerplate_fraction(
     # BOTH the df aggregate and the join probe — without the lazy
     # checkpoint the scan+shingle+explode subtree executed twice (the
     # jaccard_prefix_join lesson; lazy so the two consumers still
-    # overlap in one job)
+    # overlap in one job). ensure_parallelism: the shingle map otherwise
+    # runs at the scan's split count (3 for a sub-MB file — r11)
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     grams = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_expr(words_expr(text_col), k))).alias(
@@ -722,7 +730,9 @@ def hashed_token_features(
     one hash aggregate; the feature space is fixed at dim regardless of
     vocabulary, which is the point of the trick at 100 TB — no vocab
     build, no dictionary shuffle, new tokens land in existing buckets."""
-    toks = docs.select(
+    from sparsity_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(words_expr(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
     f = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
@@ -900,6 +910,9 @@ def bpe_train(
 
     Returns (merges, seqs): merges = [(rank, a, b, count)], seqs = the
     final (w, cnt, seq) segmentation table."""
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = (
         docs.select(F.explode(words_expr(text_col)).alias("w"))
         .filter((F.col("w") != "") & (~F.col("w").contains("|")))
@@ -976,6 +989,9 @@ def bpe_train_local(
     equals Spark's and DuckDB's binary UTF-8 ordering — and the same
     greedy single-pass fold (:func:`_apply_merges_py`). Returns
     [(rank, a, b, count)], the :func:`bpe_encode` input format."""
+    from sparsity_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = (
         docs.select(F.explode(words_expr(text_col)).alias("w"))
         .filter((F.col("w") != "") & (~F.col("w").contains("|")))
@@ -1089,7 +1105,9 @@ def bpe_encode(
 
     Both paths produce identical counts (:func:`_apply_merges_py` is the
     fold, token for token) — test-pinned at every boundary width."""
-    toks = docs.select(
+    from sparsity_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(words_expr(text_col)).alias("w")
     ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
     if len(merges) <= max_expr_merges:
@@ -1232,7 +1250,9 @@ def _collocations_plan(docs: DataFrame, min_count: int, text_col: str):
     pattern) so plan-shape tests see the real aggregate/join tree instead
     of the checkpoint-collapsed Scan ExistingRDD. Returns (plan, the
     persisted unigram handle the caller must release)."""
-    toks = docs.select(F.split(F.col(text_col), " ").alias("w"))
+    from sparsity_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(F.split(F.col(text_col), " ").alias("w"))
     words = toks.select(F.explode("w").alias("tok")).where(F.col("tok") != "")
     # ONE tokenize+aggregate pass feeds the token total, BOTH count-attach
     # join sides, and nothing recomputes: persist the vocabulary-sized
@@ -1320,8 +1340,10 @@ def _phrase_search_plan(
     words = [w for w in phrase.split(" ") if w != ""]
     if not words:
         raise ValueError("phrase must contain at least one token")
+    from sparsity_spark.util import ensure_parallelism
+
     postings = (
-        docs.select(
+        ensure_parallelism(docs).select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
         )
