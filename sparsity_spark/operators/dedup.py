@@ -593,12 +593,18 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     universe = ids.select(F.col(id_col).alias("id")).distinct()
+    # lazy checkpoint + fixpoint-sum fusion (r11 session 3): the seed-sum
+    # action below materializes the label checkpoint in the SAME job —
+    # an eager checkpoint here would pay a separate barrier action for
+    # node-sized data (one extra driver job per call, and one per round
+    # for `jumped` inside the loop; measured ~0.1-0.3 s/job at sf0.1
+    # across the ten loop-consumer bench rows)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .join(universe, "id", "leftsemi")
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iters):
@@ -619,13 +625,18 @@ def duplicate_clusters(
         mapping = propagated.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
+        # `propagated` stays EAGER (it is referenced twice in jumped's
+        # plan — rows and jump mapping — so it must be materialized
+        # before jumped plans against it); `jumped` is lazy and the
+        # fixpoint-sum action materializes it, fusing the round's
+        # checkpoint barrier and convergence test into ONE job
         jumped = (
             propagated.join(mapping, propagated["label"] == mapping["__lid"], "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("__llabel", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = jumped.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
         labels = jumped
