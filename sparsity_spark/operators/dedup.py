@@ -2541,11 +2541,22 @@ def write_containment_store(
     e = spark.table(f"{table}__grams").select(
         "id", F.explode("g").alias("gram")
     )
-    write_bucketed(e.select("gram", "id"), f"{table}__post", ["gram"], num_buckets)
-    _drop_table_and_location(spark, f"{table}__df")
-    e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.format(
-        "parquet"
-    ).saveAsTable(f"{table}__df")
+    # __post and __df both derive from the just-written __grams but are
+    # independent of each other — overlap their write jobs (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_post():
+        write_bucketed(e.select("gram", "id"), f"{table}__post", ["gram"], num_buckets)
+
+    def _write_df():
+        _drop_table_and_location(spark, f"{table}__df")
+        e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.format(
+            "parquet"
+        ).saveAsTable(f"{table}__df")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fu in [pool.submit(_write_post), pool.submit(_write_df)]:
+            fu.result()
 
 
 def append_containment_store(
@@ -2566,17 +2577,30 @@ def append_containment_store(
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("g"),
     ).localCheckpoint(eager=True)
     nb = _table_bucket_count(spark, f"{table}__grams")
-    bucket_partitioned(grams, nb, ["id"]).write.mode("append").bucketBy(
-        nb, "id"
-    ).format("parquet").saveAsTable(f"{table}__grams")
-    e = grams.select("id", F.explode("g").alias("gram"))
     pb = _table_bucket_count(spark, f"{table}__post")
-    bucket_partitioned(e.select("gram", "id"), pb, ["gram"]).write.mode(
-        "append"
-    ).bucketBy(pb, "gram").format("parquet").saveAsTable(f"{table}__post")
-    e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.mode(
-        "append"
-    ).format("parquet").saveAsTable(f"{table}__df")
+    e = grams.select("id", F.explode("g").alias("gram"))
+    # the three appends hit three different tables and all derive from
+    # the eagerly-checkpointed batch grams — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _app_grams():
+        bucket_partitioned(grams, nb, ["id"]).write.mode("append").bucketBy(
+            nb, "id"
+        ).format("parquet").saveAsTable(f"{table}__grams")
+
+    def _app_post():
+        bucket_partitioned(e.select("gram", "id"), pb, ["gram"]).write.mode(
+            "append"
+        ).bucketBy(pb, "gram").format("parquet").saveAsTable(f"{table}__post")
+
+    def _app_df():
+        e.groupBy("gram").agg(F.count("*").cast("long").alias("df")).write.mode(
+            "append"
+        ).format("parquet").saveAsTable(f"{table}__df")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fu in [pool.submit(f) for f in (_app_grams, _app_post, _app_df)]:
+            fu.result()
 
 
 def compact_containment_store(spark, table: str) -> None:

@@ -673,25 +673,42 @@ def write_ivfpq_index(
 
     spark = embeddings.sparkSession
     book = codebook or pq_sampled_codebook(embeddings, m, k_code, dim, id_col, vec_col)
-    # one fused corpus pass (r11): codes + assignment from the same scan,
-    # no id-keyed join/window shuffle — see _encode_with_assignment
-    write_bucketed(
-        _encode_with_assignment(
-            embeddings, centroids, book, m, k_code, dim, id_col, vec_col
-        ),
-        index_table,
-        ["centroid_id"],
-        num_buckets,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
     from sparsity_spark.operators.skew import _drop_table_and_location
 
-    _drop_table_and_location(spark, f"{index_table}__codebook")
-    spark.createDataFrame(
-        [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
-        "subspace int, code int, codeword array<double>",
-    ).write.mode("overwrite").saveAsTable(f"{index_table}__codebook")
-    _drop_table_and_location(spark, f"{index_table}__centroids")
-    centroids.write.mode("overwrite").saveAsTable(f"{index_table}__centroids")
+    # the three tables are independent of each other (different names, no
+    # read-after-write among them), so their write jobs overlap from a
+    # small driver thread pool (guide §2.6: actions are only sequential
+    # because the driver calls them sequentially) — the two metadata-sized
+    # side-table writes ride inside the corpus-sized index write's wall
+    def _write_index():
+        # one fused corpus pass (r11): codes + assignment from the same
+        # scan, no id-keyed join/window shuffle — see _encode_with_assignment
+        write_bucketed(
+            _encode_with_assignment(
+                embeddings, centroids, book, m, k_code, dim, id_col, vec_col
+            ),
+            index_table,
+            ["centroid_id"],
+            num_buckets,
+        )
+
+    def _write_codebook():
+        _drop_table_and_location(spark, f"{index_table}__codebook")
+        spark.createDataFrame(
+            [(s, j, book[s][j]) for s in range(m) for j in range(len(book[s]))],
+            "subspace int, code int, codeword array<double>",
+        ).write.mode("overwrite").saveAsTable(f"{index_table}__codebook")
+
+    def _write_centroids():
+        _drop_table_and_location(spark, f"{index_table}__centroids")
+        centroids.write.mode("overwrite").saveAsTable(f"{index_table}__centroids")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_write_index, _write_codebook, _write_centroids)]
+        for fu in futs:
+            fu.result()
 
 
 def _read_codebook(spark, index_table: str) -> list:
