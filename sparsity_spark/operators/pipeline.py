@@ -589,17 +589,29 @@ def write_benchmark_store(
     # than re-running the cheap text→shingle projection; the read-side
     # screen (one job, overlapping subtrees) is where the sharing pays.
     b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
-    write_bucketed(
-        b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
-        f"{table}__bands",
-        ["band", "band_key"],
-        num_buckets,
-    )
     g = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
     )
-    write_bucketed(g, f"{table}__grams", ["bench_id"], num_buckets)
+    # the two tables are independent (different names, no read-after-write
+    # between them) — overlap their write jobs from a driver thread pool
+    # (guide §2.6, the write_ivfpq_index discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_bands():
+        write_bucketed(
+            b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
+            f"{table}__bands",
+            ["band", "band_key"],
+            num_buckets,
+        )
+
+    def _write_grams():
+        write_bucketed(g, f"{table}__grams", ["bench_id"], num_buckets)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fu in [pool.submit(_write_bands), pool.submit(_write_grams)]:
+            fu.result()
 
 
 def append_benchmark_store(
@@ -629,32 +641,45 @@ def append_benchmark_store(
     # two cheap text passes by design — see write_benchmark_store's note
     b = band_keys(benchmark, id_col, text_col, k, num_hashes, bands)
     nb_b = _table_bucket_count(spark, f"{table}__bands")
-    (
-        bucket_partitioned(
-            b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
-            nb_b,
-            ["band", "band_key"],
-        )
-        .write.mode("append")
-        .bucketBy(nb_b, "band", "band_key")
-        .format("parquet")
-        .saveAsTable(f"{table}__bands")
-    )
     nb_g = _table_bucket_count(spark, f"{table}__grams")
-    (
-        bucket_partitioned(
-            benchmark.select(
-                F.col(id_col).alias("bench_id"),
-                F.array_distinct(shingles_expr(words_expr(text_col), k)).alias("grams"),
-            ),
-            nb_g,
-            ["bench_id"],
+    # independent tables — overlapped appends (guide §2.6; the
+    # append_containment_store discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _app_bands():
+        (
+            bucket_partitioned(
+                b.select(F.col(id_col).alias("bench_id"), "band", "band_key"),
+                nb_b,
+                ["band", "band_key"],
+            )
+            .write.mode("append")
+            .bucketBy(nb_b, "band", "band_key")
+            .format("parquet")
+            .saveAsTable(f"{table}__bands")
         )
-        .write.mode("append")
-        .bucketBy(nb_g, "bench_id")
-        .format("parquet")
-        .saveAsTable(f"{table}__grams")
-    )
+
+    def _app_grams():
+        (
+            bucket_partitioned(
+                benchmark.select(
+                    F.col(id_col).alias("bench_id"),
+                    F.array_distinct(
+                        shingles_expr(words_expr(text_col), k)
+                    ).alias("grams"),
+                ),
+                nb_g,
+                ["bench_id"],
+            )
+            .write.mode("append")
+            .bucketBy(nb_g, "bench_id")
+            .format("parquet")
+            .saveAsTable(f"{table}__grams")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fu in [pool.submit(_app_bands), pool.submit(_app_grams)]:
+            fu.result()
 
 
 def remove_from_benchmark_store(ids: DataFrame, table: str, id_col: str = "bench_id") -> None:
@@ -696,13 +721,25 @@ def compact_benchmark_store(spark, table: str) -> None:
     from sparsity_spark.operators.skew import bucket_partitioned
 
     nb_b = _table_bucket_count(spark, bands_t)
-    bucket_partitioned(live_b, nb_b, ["band", "band_key"]).write.mode(
-        "overwrite"
-    ).bucketBy(nb_b, "band", "band_key").format("parquet").saveAsTable(bands_t)
     nb_g = _table_bucket_count(spark, grams_t)
-    bucket_partitioned(live_g, nb_g, ["bench_id"]).write.mode(
-        "overwrite"
-    ).bucketBy(nb_g, "bench_id").format("parquet").saveAsTable(grams_t)
+    # both live sets are frozen (eager checkpoints above) BEFORE either
+    # table mutates, and the two rewrites hit independent tables —
+    # overlap them (guide §2.6); the tombstone drop stays LAST
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rw_bands():
+        bucket_partitioned(live_b, nb_b, ["band", "band_key"]).write.mode(
+            "overwrite"
+        ).bucketBy(nb_b, "band", "band_key").format("parquet").saveAsTable(bands_t)
+
+    def _rw_grams():
+        bucket_partitioned(live_g, nb_g, ["bench_id"]).write.mode(
+            "overwrite"
+        ).bucketBy(nb_g, "bench_id").format("parquet").saveAsTable(grams_t)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fu in [pool.submit(_rw_bands), pool.submit(_rw_grams)]:
+            fu.result()
     _drop_table_and_location(spark, tt)
 
 
